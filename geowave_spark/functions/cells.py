@@ -1,0 +1,332 @@
+"""Multi-resolution space-filling-curve cell keys — pure numpy, no native deps.
+
+This is the engine's replacement for the reference's SFC index strategies
+(Hilbert/Z-order/XZ tiered keys that map n-D points onto the 1-D sorted key
+space of a KV store — see reference
+core/index/.../sfc/zorder/ZOrderSFC.java:72,
+core/index/.../sfc/tiered/TieredSFCIndexStrategy.java:175-231).
+We keep Z-order (Morton) because cover/refine correctness is independent of
+curve order and bit-interleaving vectorizes perfectly in numpy; Hilbert would
+only change range locality, which Spark's cell-set cover join does not need.
+
+Key layout (int64, always positive):
+
+    cell_id = (res << 58) | morton(ix, iy)
+
+* ``res`` ∈ [0, 29]  — 5 bits at positions 58..62 (sign bit stays 0).
+* ``morton(ix, iy)`` — 2*res interleaved bits, ix from longitude, iy from
+  latitude.  At res r the world is a 2^r × 2^r grid over
+  lon ∈ [-180, 180), lat ∈ [-90, 90).
+
+Because ``res`` is embedded, keys from different resolutions never collide
+and a mixed-resolution index column sorts tier-first — the DataFrame
+analogue of the reference's tier-byte key prefix
+(TieredSFCIndexStrategy.java:355-458).
+
+Two encode paths:
+
+* float path (``encode``) — normalizes doubles; used for query covers and
+  ad-hoc points.
+* exact integer path (``encode_milli``) — operates on milli-degree int64
+  coordinates with integer div only, so an external SQL engine (DuckDB
+  oracle, or a SQL-pushdown planner) can reproduce cell assignment
+  bit-for-bit: ``ix = (lon_milli + 180000) * 2^r // 360000``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 29
+RES_SHIFT = 58
+COORD_MASK = (np.int64(1) << RES_SHIFT) - np.int64(1)
+
+LON_SPAN_MILLI = 360_000
+LAT_SPAN_MILLI = 180_000
+
+# ---------------------------------------------------------------------------
+# Morton (Z-order) bit interleaving — standard parallel-prefix spread on
+# uint64.  Vectorized over numpy arrays.
+# ---------------------------------------------------------------------------
+
+_B = [
+    np.uint64(0x0000_0000_FFFF_FFFF),
+    np.uint64(0x0000_FFFF_0000_FFFF),
+    np.uint64(0x00FF_00FF_00FF_00FF),
+    np.uint64(0x0F0F_0F0F_0F0F_0F0F),
+    np.uint64(0x3333_3333_3333_3333),
+    np.uint64(0x5555_5555_5555_5555),
+]
+_S = [np.uint64(16), np.uint64(8), np.uint64(4), np.uint64(2), np.uint64(1)]
+
+
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of each uint64 so bit i lands at position 2i."""
+    v = v.astype(np.uint64) & _B[0]
+    v = (v | (v << np.uint64(16))) & _B[1]
+    v = (v | (v << np.uint64(8))) & _B[2]
+    v = (v | (v << np.uint64(4))) & _B[3]
+    v = (v | (v << np.uint64(2))) & _B[4]
+    v = (v | (v << np.uint64(1))) & _B[5]
+    return v
+
+
+def _compact_bits(v: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_spread_bits` — gather bits at even positions."""
+    v = v.astype(np.uint64) & _B[5]
+    v = (v | (v >> np.uint64(1))) & _B[4]
+    v = (v | (v >> np.uint64(2))) & _B[3]
+    v = (v | (v >> np.uint64(4))) & _B[2]
+    v = (v | (v >> np.uint64(8))) & _B[1]
+    v = (v | (v >> np.uint64(16))) & _B[0]
+    return v
+
+
+def morton(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """Interleave ix (even bits) and iy (odd bits) → uint64 Morton code."""
+    return _spread_bits(np.asarray(ix)) | (_spread_bits(np.asarray(iy)) << np.uint64(1))
+
+
+def morton_inv(z: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    z = np.asarray(z, dtype=np.uint64)
+    return _compact_bits(z), _compact_bits(z >> np.uint64(1))
+
+
+# ---------------------------------------------------------------------------
+# Cell id pack / unpack
+# ---------------------------------------------------------------------------
+
+
+def pack(res, ix, iy) -> np.ndarray:
+    """(res, ix, iy) → int64 cell id."""
+    res = np.asarray(res, dtype=np.uint64)
+    z = morton(np.asarray(ix, dtype=np.uint64), np.asarray(iy, dtype=np.uint64))
+    return ((res << np.uint64(RES_SHIFT)) | z).astype(np.int64)
+
+
+def unpack(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """int64 cell id → (res, ix, iy)."""
+    c = np.asarray(cell, dtype=np.uint64)
+    res = (c >> np.uint64(RES_SHIFT)).astype(np.int64)
+    ix, iy = morton_inv(c & np.uint64(COORD_MASK))
+    return res, ix.astype(np.int64), iy.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Encode / decode
+# ---------------------------------------------------------------------------
+
+
+def grid_xy(lon, lat, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Float path: lon/lat degrees → integer grid coords at ``res``.
+
+    Longitude 180 and latitude 90 clamp into the last cell (the reference
+    clamps the same way at the normalized range edge).
+    """
+    n = np.int64(1) << np.int64(res)
+    x = (np.asarray(lon, dtype=np.float64) + 180.0) / 360.0
+    y = (np.asarray(lat, dtype=np.float64) + 90.0) / 180.0
+    ix = np.clip(np.floor(x * n).astype(np.int64), 0, n - 1)
+    iy = np.clip(np.floor(y * n).astype(np.int64), 0, n - 1)
+    return ix, iy
+
+
+def encode(lon, lat, res: int) -> np.ndarray:
+    """lon/lat degrees → int64 cell id at resolution ``res``."""
+    ix, iy = grid_xy(lon, lat, res)
+    return pack(np.full_like(ix, res, dtype=np.int64), ix, iy)
+
+
+def grid_xy_milli(lon_milli, lat_milli, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact integer path: milli-degree int coords → grid coords at ``res``.
+
+    Pure int64 arithmetic (``(v + offset) * 2^r // span``) — reproducible in
+    any SQL engine with integer division, which is what the correctness
+    oracles use.
+    """
+    n = np.int64(1) << np.int64(res)
+    lon_milli = np.asarray(lon_milli, dtype=np.int64)
+    lat_milli = np.asarray(lat_milli, dtype=np.int64)
+    ix = (lon_milli + np.int64(180_000)) * n // np.int64(LON_SPAN_MILLI)
+    iy = (lat_milli + np.int64(90_000)) * n // np.int64(LAT_SPAN_MILLI)
+    return np.clip(ix, 0, n - 1), np.clip(iy, 0, n - 1)
+
+
+def encode_milli(lon_milli, lat_milli, res: int) -> np.ndarray:
+    ix, iy = grid_xy_milli(lon_milli, lat_milli, res)
+    return pack(np.full_like(ix, res, dtype=np.int64), ix, iy)
+
+
+def cell_bounds(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """cell id → (minlon, minlat, maxlon, maxlat) degrees.
+
+    The DataFrame analogue of the reference's key→range decode used for tile
+    envelopes (TieredSFCIndexStrategy.getRangeForId:246)."""
+    res, ix, iy = unpack(cell)
+    n = (np.int64(1) << res).astype(np.float64)
+    minlon = ix / n * 360.0 - 180.0
+    maxlon = (ix + 1) / n * 360.0 - 180.0
+    minlat = iy / n * 180.0 - 90.0
+    maxlat = (iy + 1) / n * 180.0 - 90.0
+    return minlon, minlat, maxlon, maxlat
+
+
+def parent(cell, parent_res: int) -> np.ndarray:
+    """Coarsen a cell id to ``parent_res`` (bit-shift of the same key —
+    multiple resolutions are views of one interleaved key, mirroring the
+    reference's tier ladder)."""
+    res, ix, iy = unpack(cell)
+    shift = res - np.int64(parent_res)
+    if np.any(shift < 0):
+        raise ValueError("parent_res must be coarser (<=) than cell res")
+    return pack(
+        np.full_like(ix, parent_res, dtype=np.int64), ix >> shift, iy >> shift
+    )
+
+
+# ---------------------------------------------------------------------------
+# Covers (query box → cell set) — the analogue of the reference's
+# range decomposition (decomposeRange, HilbertSFC.java:226-240), except the
+# output feeds an equi-join on cell ids instead of a sorted range scan.
+# ---------------------------------------------------------------------------
+
+
+def cover_count(minx: float, miny: float, maxx: float, maxy: float, res: int) -> int:
+    """Number of cells a box would cover at ``res`` (cheap, no materialize)."""
+    ix0, iy0 = grid_xy(minx, miny, res)
+    ix1, iy1 = grid_xy(maxx, maxy, res)
+    return int((ix1 - ix0 + 1) * (iy1 - iy0 + 1))
+
+
+def cover_bbox(minx: float, miny: float, maxx: float, maxy: float, res: int) -> np.ndarray:
+    """All cell ids at ``res`` intersecting the (non-wrapping) box."""
+    ix0, iy0 = grid_xy(minx, miny, res)
+    ix1, iy1 = grid_xy(maxx, maxy, res)
+    xs = np.arange(int(ix0), int(ix1) + 1, dtype=np.int64)
+    ys = np.arange(int(iy0), int(iy1) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return pack(np.full(gx.size, res, dtype=np.int64), gx.ravel(), gy.ravel())
+
+
+def split_antimeridian(
+    minx: float, miny: float, maxx: float, maxy: float
+) -> list[tuple[float, float, float, float]]:
+    """A box with minx > maxx wraps the date line → split into ≤2 boxes
+    (the reference's LongitudeDefinition bin split,
+    LongitudeDefinition.java:25-66)."""
+    if minx <= maxx:
+        return [(minx, miny, maxx, maxy)]
+    return [(minx, miny, 180.0, maxy), (-180.0, miny, maxx, maxy)]
+
+
+def cover_bbox_adaptive(
+    minx: float,
+    miny: float,
+    maxx: float,
+    maxy: float,
+    max_cells: int = 1024,
+    max_res: int = MAX_RES,
+) -> tuple[int, np.ndarray]:
+    """Pick the finest resolution whose cover stays ≤ ``max_cells``, then
+    materialize it.  This is the engine's analogue of the reference's
+    MAX_RANGE_DECOMPOSITION = 2000 budget (ConstraintsQuery.java:35-36):
+    a bounded-size cover keeps the broadcast side of the join small.
+    Returns (res, cells); handles antimeridian wrap."""
+    boxes = split_antimeridian(minx, miny, maxx, maxy)
+    res = max_res
+    while res > 0:
+        total = sum(cover_count(*b, res) for b in boxes)
+        if total <= max_cells:
+            break
+        res -= 1
+    cells = np.concatenate([cover_bbox(*b, res) for b in boxes])
+    return res, np.unique(cells)
+
+
+def tier_select(
+    minx, miny, maxx, maxy, max_cells_per_dim: int = 2, max_res: int = MAX_RES
+) -> np.ndarray:
+    """Vectorized per-envelope insertion-tier choice: the finest resolution
+    at which the envelope spans ≤ ``max_cells_per_dim`` cells per dimension.
+
+    Re-expresses the reference's write-amplification rule — an entry is
+    inserted at the most precise tier where its estimated duplicate count
+    per dimension stays within bound (default 2)
+    (TieredSFCIndexStrategy.java:63,382-408).  Bounds the explode factor of
+    ingest to ``max_cells_per_dim ** 2`` rows per entry.
+    """
+    minx = np.atleast_1d(np.asarray(minx, dtype=np.float64))
+    miny = np.atleast_1d(np.asarray(miny, dtype=np.float64))
+    maxx = np.atleast_1d(np.asarray(maxx, dtype=np.float64))
+    maxy = np.atleast_1d(np.asarray(maxy, dtype=np.float64))
+    # Cells-per-dim spanned shrinks monotonically as res coarsens, so the
+    # satisfying resolutions form {0..r*}; walking fine→coarse, the first
+    # satisfying r is the finest one.  30 vectorized passes, O(30·n).
+    res = np.zeros(minx.shape, dtype=np.int64)
+    done = np.zeros(minx.shape, dtype=bool)
+    for r in range(max_res, -1, -1):
+        ix0, iy0 = grid_xy(minx, miny, r)
+        ix1, iy1 = grid_xy(maxx, maxy, r)
+        ok = ((ix1 - ix0) < max_cells_per_dim) & ((iy1 - iy0) < max_cells_per_dim)
+        newly = ok & ~done
+        res[newly] = r
+        done |= ok
+        if done.all():
+            break
+    return res
+
+
+def cover_envelopes(
+    minx, miny, maxx, maxy, res, max_cells_per_dim: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized multi-envelope cover at per-row resolutions.
+
+    Returns (row_index, cell_id) pairs — the ingest-side explode that
+    duplicates an entry into every cell its footprint touches (the
+    reference's getInsertionIds multi-row-ID path,
+    TieredSFCIndexStrategy.java:175-231).  Each envelope contributes at most
+    ``max_cells_per_dim**2`` cells; callers pick ``res`` with
+    :func:`tier_select` to guarantee that.
+    """
+    minx = np.asarray(minx, dtype=np.float64)
+    res = np.asarray(res, dtype=np.int64)
+    n = np.int64(1) << res
+    ix0, iy0 = _grid_xy_vec_res(minx, np.asarray(miny, np.float64), res)
+    ix1, iy1 = _grid_xy_vec_res(np.asarray(maxx, np.float64), np.asarray(maxy, np.float64), res)
+    nx = np.minimum(ix1 - ix0 + 1, max_cells_per_dim)
+    ny = np.minimum(iy1 - iy0 + 1, max_cells_per_dim)
+    counts = (nx * ny).astype(np.int64)
+    row = np.repeat(np.arange(minx.size, dtype=np.int64), counts)
+    # per-row local offset 0..count-1 → (dx, dy)
+    offs = np.arange(row.size, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+    )
+    nyr = np.repeat(ny, counts)
+    dx = offs // nyr
+    dy = offs % nyr
+    ix = np.repeat(ix0, counts) + dx
+    iy = np.repeat(iy0, counts) + dy
+    cells = pack(np.repeat(res, counts), ix, iy)
+    return row, cells
+
+
+def _grid_xy_vec_res(lon: np.ndarray, lat: np.ndarray, res: np.ndarray):
+    """grid_xy with a per-row resolution array."""
+    n = (np.int64(1) << res).astype(np.float64)
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    iy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    return ix, iy
+
+
+def ring(cell: int, k: int = 1) -> np.ndarray:
+    """All cells within Chebyshev distance ``k`` of ``cell`` at the same
+    resolution (longitude wraps; latitude clamps).  The kNN expansion
+    neighborhood — the analogue of the reference's NN partitioner expansion
+    cells (AbstractPartitioner.java:88-137)."""
+    res, ix, iy = unpack(np.asarray([cell], dtype=np.int64))
+    r, ix, iy = int(res[0]), int(ix[0]), int(iy[0])
+    n = 1 << r
+    xs = (np.arange(ix - k, ix + k + 1, dtype=np.int64)) % n
+    ys = np.arange(max(iy - k, 0), min(iy + k, n - 1) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(np.unique(xs), ys, indexing="ij")
+    return pack(np.full(gx.size, r, dtype=np.int64), gx.ravel(), gy.ravel())

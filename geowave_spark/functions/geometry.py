@@ -1,0 +1,284 @@
+"""Pure-numpy geometry kernels: WKB codec, point-in-polygon, distances.
+
+The reference evaluates exact spatial predicates per row with JTS after the
+index range prefilter (SpatialQueryFilter.java:43-190) and registered its
+Spark predicates as per-row WKT-string UDFs (GeomFunctionRegistry.java:31-100)
+— the known slow path.  Here every predicate is an Arrow-batched numpy kernel:
+one vectorized evaluation per record batch, no per-row Python.
+
+Geometry model (all the reference's vector tests need):
+* Point, Polygon (with holes), MultiPolygon — encoded/decoded as standard
+  little-endian WKB (BinaryType columns).
+* Envelopes as 4 plain double columns (minx, miny, maxx, maxy) — envelope
+  algebra stays in JVM-side Spark column math whenever possible.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+WKB_POINT = 1
+WKB_LINESTRING = 2
+WKB_POLYGON = 3
+WKB_MULTIPOLYGON = 6
+
+# ---------------------------------------------------------------------------
+# WKB codec (little-endian)
+# ---------------------------------------------------------------------------
+
+
+def wkb_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, WKB_POINT, x, y)
+
+
+def wkb_polygon(rings: list[np.ndarray]) -> bytes:
+    """rings: list of (N,2) float64 arrays (closed or open; we close them)."""
+    out = [struct.pack("<BII", 1, WKB_POLYGON, len(rings))]
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[:1]])
+        out.append(struct.pack("<I", len(ring)))
+        out.append(ring.astype("<f8").tobytes())
+    return b"".join(out)
+
+
+def wkb_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
+    out = [struct.pack("<BII", 1, WKB_MULTIPOLYGON, len(polys))]
+    for rings in polys:
+        out.append(wkb_polygon(rings))
+    return b"".join(out)
+
+
+def _read_ring(buf: bytes, off: int) -> tuple[np.ndarray, int]:
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    ring = np.frombuffer(buf, dtype="<f8", count=2 * n, offset=off).reshape(n, 2)
+    return ring, off + 16 * n
+
+
+def parse_wkb(buf: bytes) -> tuple[int, list]:
+    """Parse WKB → (geom_type, payload).
+
+    Point → (x, y); Polygon → [rings]; MultiPolygon → [[rings], ...].
+    Little- and big-endian headers accepted (coords little-endian only,
+    which is what every mainstream writer emits).
+    """
+    byte_order = buf[0]
+    fmt = "<I" if byte_order == 1 else ">I"
+    (gtype,) = struct.unpack_from(fmt, buf, 1)
+    off = 5
+    if gtype == WKB_POINT:
+        x, y = struct.unpack_from("<dd", buf, off)
+        return gtype, [x, y]
+    if gtype == WKB_POLYGON:
+        (nrings,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            ring, off = _read_ring(buf, off)
+            rings.append(ring)
+        return gtype, rings
+    if gtype == WKB_MULTIPOLYGON:
+        (npolys,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        polys = []
+        for _ in range(npolys):
+            sub = parse_wkb(buf[off:])
+            polys.append(sub[1])
+            # advance: 9-byte header + rings
+            sz = 9 + sum(4 + 16 * len(r) for r in sub[1])
+            off += sz
+        return gtype, polys
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def polygon_rings(buf: bytes) -> list[list[np.ndarray]]:
+    """WKB → list of polygons, each a list of rings (exterior first)."""
+    gtype, payload = parse_wkb(buf)
+    if gtype == WKB_POLYGON:
+        return [payload]
+    if gtype == WKB_MULTIPOLYGON:
+        return payload
+    raise ValueError("expected Polygon or MultiPolygon WKB")
+
+
+def envelope_of_wkb(buf: bytes) -> tuple[float, float, float, float]:
+    polys = polygon_rings(buf)
+    pts = np.vstack([r for rings in polys for r in rings])
+    return (
+        float(pts[:, 0].min()),
+        float(pts[:, 1].min()),
+        float(pts[:, 0].max()),
+        float(pts[:, 1].max()),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon — vectorized even-odd ray casting.
+# Boundary convention: a point exactly on an edge may land either side
+# (same as the reference's JTS 'intersects' used after the envelope
+# prefilter only as a refinement; golden tests avoid on-edge points).
+# ---------------------------------------------------------------------------
+
+
+def _pip_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd crossing test of points (M,) against one ring (N,2)."""
+    x0 = ring[:-1, 0][None, :]
+    y0 = ring[:-1, 1][None, :]
+    x1 = ring[1:, 0][None, :]
+    y1 = ring[1:, 1][None, :]
+    pxc = px[:, None]
+    pyc = py[:, None]
+    cond = (y0 > pyc) != (y1 > pyc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (pyc - y0) * (x1 - x0) / (y1 - y0)
+    crossings = cond & (pxc < xint)
+    return crossings.sum(axis=1) % 2 == 1
+
+
+def points_in_polygon(px, py, polys: list[list[np.ndarray]]) -> np.ndarray:
+    """Vectorized containment of M points in a (Multi)Polygon with holes.
+
+    Even-odd over all rings of all parts: inside iff total crossing parity
+    is odd — handles holes for free."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    for rings in polys:
+        for ring in rings:
+            ring = np.asarray(ring, dtype=np.float64)
+            if not np.array_equal(ring[0], ring[-1]):
+                ring = np.vstack([ring, ring[:1]])
+            inside ^= _pip_ring(px, py, ring)
+    return inside
+
+
+def points_in_wkb(px, py, buf: bytes) -> np.ndarray:
+    return points_in_polygon(px, py, polygon_rings(buf))
+
+
+# ---------------------------------------------------------------------------
+# Envelope predicates (plain array math; also expressed JVM-side in the
+# operators as Spark column expressions — these exist for oracles/tests).
+# ---------------------------------------------------------------------------
+
+
+def env_intersects(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy):
+    return (
+        (np.asarray(aminx) <= bmaxx)
+        & (np.asarray(amaxx) >= bminx)
+        & (np.asarray(aminy) <= bmaxy)
+        & (np.asarray(amaxy) >= bminy)
+    )
+
+
+def env_contains(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy):
+    """a contains b."""
+    return (
+        (np.asarray(aminx) <= bminx)
+        & (np.asarray(amaxx) >= bmaxx)
+        & (np.asarray(aminy) <= bminy)
+        & (np.asarray(amaxy) >= bmaxy)
+    )
+
+
+def segments_intersect(p0, p1, q0, q1) -> np.ndarray:
+    """Vectorized proper/improper segment intersection via orientation signs.
+
+    p0,p1: (M,2) segment batch; q0,q1: (2,) single segment."""
+    def cross(o, a, b):
+        return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+            a[..., 1] - o[..., 1]
+        ) * (b[..., 0] - o[..., 0])
+
+    q0 = np.asarray(q0, dtype=np.float64)
+    q1 = np.asarray(q1, dtype=np.float64)
+    d1 = cross(q0, q1, p0)
+    d2 = cross(q0, q1, p1)
+    d3 = cross(p0, p1, q0)
+    d4 = cross(p0, p1, q1)
+    return ((d1 * d2) <= 0) & ((d3 * d4) <= 0)
+
+
+def envelope_intersects_polygon(
+    minx, miny, maxx, maxy, polys: list[list[np.ndarray]]
+) -> np.ndarray:
+    """Exact envelope × (Multi)Polygon intersection test, vectorized over M
+    envelopes.  True iff: envelope center/corner inside polygon, OR any
+    polygon vertex inside envelope, OR any edge crosses the envelope
+    boundary.  Used to refine footprint envelopes (not just centers)."""
+    minx = np.asarray(minx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    maxy = np.asarray(maxy, dtype=np.float64)
+    m = minx.size
+    out = np.zeros(m, dtype=bool)
+    # (1) polygon vertex inside envelope
+    for rings in polys:
+        ext = rings[0]
+        vin = (
+            (ext[None, :, 0] >= minx[:, None])
+            & (ext[None, :, 0] <= maxx[:, None])
+            & (ext[None, :, 1] >= miny[:, None])
+            & (ext[None, :, 1] <= maxy[:, None])
+        ).any(axis=1)
+        out |= vin
+    # (2) any envelope corner inside polygon
+    for cx, cy in ((minx, miny), (minx, maxy), (maxx, miny), (maxx, maxy)):
+        out |= points_in_polygon(cx, cy, polys)
+    # (3) edge × envelope-edge crossings for still-undecided envelopes
+    todo = ~out
+    if todo.any():
+        idx = np.nonzero(todo)[0]
+        corners = [
+            (minx[idx], miny[idx], maxx[idx], miny[idx]),
+            (maxx[idx], miny[idx], maxx[idx], maxy[idx]),
+            (maxx[idx], maxy[idx], minx[idx], maxy[idx]),
+            (minx[idx], maxy[idx], minx[idx], miny[idx]),
+        ]
+        hit = np.zeros(idx.size, dtype=bool)
+        for rings in polys:
+            for ring in rings:
+                ring = np.asarray(ring, dtype=np.float64)
+                if not np.array_equal(ring[0], ring[-1]):
+                    ring = np.vstack([ring, ring[:1]])
+                for e in range(len(ring) - 1):
+                    q0, q1 = ring[e], ring[e + 1]
+                    for x0, y0, x1, y1 in corners:
+                        p0 = np.stack([x0, y0], axis=-1)
+                        p1 = np.stack([x1, y1], axis=-1)
+                        hit |= segments_intersect(p0, p1, q0, q1)
+        out[idx] |= hit
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Distances
+# ---------------------------------------------------------------------------
+
+EARTH_RADIUS_M = 6_371_008.8
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle metres — the reference's orthodromic distance
+    (CoordinateCircleDistanceFn) as vectorized numpy."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, np.float64)) for a in (lon1, lat1, lon2, lat2))
+    dlon = lon2 - lon1
+    dlat = lat2 - lat1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+def planar_wrap_dist2_milli(lon1_m, lat1_m, lon2_m, lat2_m) -> np.ndarray:
+    """Exact integer squared planar distance in milli-degrees with date-line
+    wrap on longitude.  Integer-only → bit-for-bit reproducible in any SQL
+    engine; the correctness-gate metric for kNN (haversine stays available
+    for production use, but libm ULP differences across engines make it
+    unsuitable as an exact oracle)."""
+    dlon = np.abs(np.asarray(lon1_m, np.int64) - np.asarray(lon2_m, np.int64))
+    dlon = np.minimum(dlon, 360_000 - dlon)
+    dlat = np.abs(np.asarray(lat1_m, np.int64) - np.asarray(lat2_m, np.int64))
+    return dlon * dlon + dlat * dlat
