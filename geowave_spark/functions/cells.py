@@ -276,6 +276,30 @@ def tier_select(
     return res
 
 
+def tier_select_extent_milli(extent_x_milli, extent_y_milli, max_res: int = MAX_RES) -> np.ndarray:
+    """Extent-estimate variant of the insertion-tier rule: the finest
+    resolution r with ``extent <= cell_size`` in both dimensions, i.e.
+    ``extent_x * 2^r <= 360000`` and ``extent_y * 2^r <= 180000`` (milli-deg
+    ints).  Guarantees an envelope spans ≤ 2 cells per dimension regardless
+    of grid alignment — the reference's *estimated* duplicate bound
+    (TieredSFCIndexStrategy.java:63 'maxEstimatedDuplicateIdsPerDimension').
+
+    Closed-form in integer arithmetic → reproducible in oracle SQL:
+    r = min over dims of floor(log2(span/extent)).  Zero extents (points)
+    get ``max_res``.
+    """
+    ex = np.maximum(np.asarray(extent_x_milli, dtype=np.int64), 1)
+    ey = np.maximum(np.asarray(extent_y_milli, dtype=np.int64), 1)
+    rx = np.floor(np.log2(LON_SPAN_MILLI / ex.astype(np.float64))).astype(np.int64)
+    ry = np.floor(np.log2(LAT_SPAN_MILLI / ey.astype(np.float64))).astype(np.int64)
+    # one-step exact fix-up against FP log error (log2 is within 1 ulp)
+    rx = np.where(ex << np.clip(rx + 1, 0, 62) <= LON_SPAN_MILLI, rx + 1, rx)
+    rx = np.where(ex << np.clip(rx, 0, 62) > LON_SPAN_MILLI, rx - 1, rx)
+    ry = np.where(ey << np.clip(ry + 1, 0, 62) <= LAT_SPAN_MILLI, ry + 1, ry)
+    ry = np.where(ey << np.clip(ry, 0, 62) > LAT_SPAN_MILLI, ry - 1, ry)
+    return np.clip(np.minimum(rx, ry), 0, max_res)
+
+
 def cover_envelopes(
     minx, miny, maxx, maxy, res, max_cells_per_dim: int = 4
 ) -> tuple[np.ndarray, np.ndarray]:

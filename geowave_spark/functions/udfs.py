@@ -1,0 +1,181 @@
+"""Arrow-vectorized pandas UDFs wrapping the numpy kernels, plus SQL
+registration.
+
+These replace the reference's per-row JTS UDFs
+(analytics/spark/.../sparksql/udf/GeomFunctionRegistry.java:31-100 registered
+UDF2<String,String,Boolean> over WKT) with Arrow record-batch kernels — the
+per-batch numpy evaluation is the engine's axis-A performance win.  Envelope
+algebra and distance math that can stay JVM-side (whole-stage codegen) is
+NOT here — operators express those as Spark column expressions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geowave_spark.functions import cells as C
+from geowave_spark.functions import geometry as G
+
+
+@F.pandas_udf(T.LongType())
+def cell_encode(lon: pd.Series, lat: pd.Series, res: pd.Series) -> pd.Series:
+    """Point → cell id at per-row resolution."""
+    n = (np.int64(1) << res.to_numpy(np.int64)).astype(np.float64)
+    ix = np.clip(
+        np.floor((lon.to_numpy(np.float64) + 180.0) / 360.0 * n), 0, n - 1
+    ).astype(np.int64)
+    iy = np.clip(
+        np.floor((lat.to_numpy(np.float64) + 90.0) / 180.0 * n), 0, n - 1
+    ).astype(np.int64)
+    return pd.Series(C.pack(res.to_numpy(np.int64), ix, iy))
+
+
+@F.pandas_udf(T.LongType())
+def cell_encode_milli(lon_milli: pd.Series, lat_milli: pd.Series, res: pd.Series) -> pd.Series:
+    """Exact integer-path encode (matches the SQL-oracle closed form)."""
+    r = res.to_numpy(np.int64)
+    n = np.int64(1) << r
+    lon_m = lon_milli.to_numpy(np.int64)
+    lat_m = lat_milli.to_numpy(np.int64)
+    ix = np.clip((lon_m + 180_000) * n // 360_000, 0, n - 1)
+    iy = np.clip((lat_m + 90_000) * n // 180_000, 0, n - 1)
+    return pd.Series(C.pack(r, ix, iy))
+
+
+@F.pandas_udf(T.LongType())
+def cell_parent(cell: pd.Series, parent_res: pd.Series) -> pd.Series:
+    res, ix, iy = C.unpack(cell.to_numpy(np.int64))
+    pr = parent_res.to_numpy(np.int64)
+    shift = np.maximum(res - pr, 0)
+    return pd.Series(C.pack(pr, ix >> shift, iy >> shift))
+
+
+_BOUNDS_SCHEMA = T.StructType(
+    [
+        T.StructField("minlon", T.DoubleType()),
+        T.StructField("minlat", T.DoubleType()),
+        T.StructField("maxlon", T.DoubleType()),
+        T.StructField("maxlat", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_BOUNDS_SCHEMA)
+def cell_bounds(cell: pd.Series) -> pd.DataFrame:
+    minlon, minlat, maxlon, maxlat = C.cell_bounds(cell.to_numpy(np.int64))
+    return pd.DataFrame(
+        {"minlon": minlon, "minlat": minlat, "maxlon": maxlon, "maxlat": maxlat}
+    )
+
+
+@F.pandas_udf(T.LongType())
+def tier_select(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+    return pd.Series(
+        C.tier_select(
+            minx.to_numpy(np.float64),
+            miny.to_numpy(np.float64),
+            maxx.to_numpy(np.float64),
+            maxy.to_numpy(np.float64),
+        )
+    )
+
+
+@F.pandas_udf(T.LongType())
+def tier_select_extent_milli(ex_milli: pd.Series, ey_milli: pd.Series) -> pd.Series:
+    return pd.Series(
+        C.tier_select_extent_milli(ex_milli.to_numpy(np.int64), ey_milli.to_numpy(np.int64))
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def cover_envelope(
+    minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series, res: pd.Series
+) -> pd.Series:
+    """Per-row envelope → array of covering cells at the row's resolution
+    (callers explode).  Resolution from tier_select guarantees ≤4 cells."""
+    row, cc = C.cover_envelopes(
+        minx.to_numpy(np.float64),
+        miny.to_numpy(np.float64),
+        maxx.to_numpy(np.float64),
+        maxy.to_numpy(np.float64),
+        res.to_numpy(np.int64),
+    )
+    out = [[] for _ in range(len(minx))]
+    for r, c in zip(row.tolist(), cc.tolist()):
+        out[r].append(c)
+    return pd.Series(out)
+
+
+def make_pip_refine(wkb: bytes):
+    """Build a pandas UDF testing point containment in a fixed (Multi)Polygon.
+
+    The polygon is parsed once per executor (closure capture), then each
+    Arrow batch is one vectorized even-odd evaluation — the refinement stage
+    of cover+refine (reference SpatialQueryFilter.java:43-190)."""
+    polys = G.polygon_rings(wkb)
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            G.points_in_polygon(lon.to_numpy(np.float64), lat.to_numpy(np.float64), polys)
+        )
+
+    return pip
+
+
+def make_envelope_refine(wkb: bytes):
+    """Envelope-vs-polygon exact intersection refine (for footprints, not
+    just centers)."""
+    polys = G.polygon_rings(wkb)
+
+    @F.pandas_udf(T.BooleanType())
+    def env_refine(
+        minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            G.envelope_intersects_polygon(
+                minx.to_numpy(np.float64),
+                miny.to_numpy(np.float64),
+                maxx.to_numpy(np.float64),
+                maxy.to_numpy(np.float64),
+                polys,
+            )
+        )
+
+    return env_refine
+
+
+def haversine_m_col(lon1, lat1, lon2, lat2):
+    """Haversine metres as a pure Spark column expression — JVM-side,
+    whole-stage-codegen'd, no UDF (reference computed this per-row in Java,
+    CoordinateCircleDistanceFn)."""
+    rlon1, rlat1, rlon2, rlat2 = (F.radians(c) for c in (lon1, lat1, lon2, lat2))
+    h = (
+        F.pow(F.sin((rlat2 - rlat1) / 2), 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin((rlon2 - rlon1) / 2), 2)
+    )
+    return 2 * F.lit(G.EARTH_RADIUS_M) * F.asin(F.sqrt(h))
+
+
+def planar_wrap_dist2_col(lon1_m, lat1_m, lon2_m, lat2_m):
+    """Exact integer squared planar distance (milli-deg, date-line wrap) as
+    JVM-side column math — the oracle-reproducible kNN metric."""
+    dlon = F.abs(lon1_m - lon2_m)
+    dlon = F.least(dlon, F.lit(360_000) - dlon)
+    dlat = F.abs(lat1_m - lat2_m)
+    return dlon * dlon + dlat * dlat
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Register the cell/geometry functions for SQL use — the analogue of the
+    reference's GeomFunctionRegistry.registerGeometryFunctions."""
+    spark.udf.register("gw_cell_encode", cell_encode)
+    spark.udf.register("gw_cell_encode_milli", cell_encode_milli)
+    spark.udf.register("gw_cell_parent", cell_parent)
+    spark.udf.register("gw_tier_select", tier_select)
+    spark.udf.register("gw_tier_select_extent_milli", tier_select_extent_milli)
+    spark.udf.register("gw_cover_envelope", cover_envelope)

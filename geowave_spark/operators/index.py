@@ -1,0 +1,109 @@
+"""Ingest-side indexing: attach cell keys, explode footprints, salt, write.
+
+The reference's IndexWriter computes per-entry insertion IDs (tier + SFC key,
+possibly several per entry) and writes them as sorted KV rows
+(core/store/.../index/DataStoreIndexWriter.java).  Here the same step is a
+DataFrame transform: points get one ``cell`` at MAX_RES; envelopes get a
+tier from the duplicate-bound rule and ≤4 exploded cells; rows carry
+``n_dup`` so query-side dedup can be skipped when nothing was duplicated
+(reference DedupeFilter gating, EntryRowID.java:76-78).
+
+Scale notes (100 TB posture):
+* the table is written partitioned by ``cell_p`` (coarse parent, res
+  PARTITION_RES) and sorted by ``cell`` within files → partition pruning +
+  parquet row-group min/max pruning stand in for the KV store's sorted scan.
+* ``salt`` spreads hot cells (dense urban tiles) across writers/readers —
+  the reference's hash-prefix partitioner (HashKeyIndexStrategy.java:247).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geowave_spark.functions import cells as C
+from geowave_spark.functions import udfs as U
+
+PARTITION_RES = 4  # 256 coarse partitions world-wide; tune per deployment
+DEFAULT_SALT_BUCKETS = 16
+
+
+def parent_cell_col(cell: str, res: int):
+    """JVM-side (codegen) parent-cell derivation: (res<<58) | (z >> 2Δ).
+
+    Valid when every input cell's resolution ≥ ``res``; the bit layout makes
+    tier coarsening a pure shift (SURVEY §2.1 'multiple resolutions =
+    bit-shift of the same key').  Expressed via SQL so the shift amount can
+    be a column (the PySpark wrapper only accepts int literals)."""
+    return F.expr(
+        f"shiftleft(cast({res} as bigint), {C.RES_SHIFT}) | "
+        f"shiftrightunsigned({cell} & {int(C.COORD_MASK)}, "
+        f"cast((shiftright({cell}, {C.RES_SHIFT}) - {res}) * 2 as int))"
+    )
+
+
+def index_points(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int = C.MAX_RES,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Attach ``cell`` (res 29 by default), ``cell_p`` and ``salt`` columns."""
+    out = df.withColumn(
+        "cell", U.cell_encode(F.col(lon_col), F.col(lat_col), F.lit(res))
+    ).withColumn("tier", F.lit(res).cast("long"))
+    out = out.withColumn("cell_p", parent_cell_col("cell", PARTITION_RES))
+    salt_src = F.col(id_col) if id_col else F.col(lon_col) * 100000 + F.col(lat_col)
+    out = out.withColumn("salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)))
+    return out.withColumn("n_dup", F.lit(0))
+
+
+def index_envelopes(
+    df: DataFrame,
+    minx: str = "minx",
+    miny: str = "miny",
+    maxx: str = "maxx",
+    maxy: str = "maxy",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Tier-select each envelope, explode into its ≤4 covering cells.
+
+    Output grain: one row per (entry, cell).  ``n_dup`` = number of extra
+    copies (0 for single-cell entries) so queries can skip dedup when the
+    whole table is duplicate-free."""
+    tiered = df.withColumn(
+        "tier", U.tier_select(F.col(minx), F.col(miny), F.col(maxx), F.col(maxy))
+    )
+    covered = tiered.withColumn(
+        "cells",
+        U.cover_envelope(
+            F.col(minx), F.col(miny), F.col(maxx), F.col(maxy), F.col("tier")
+        ),
+    ).withColumn("n_dup", F.size("cells") - 1)
+    out = covered.withColumn("cell", F.explode("cells")).drop("cells")
+    out = out.withColumn("cell_p", parent_cell_col("cell", PARTITION_RES))
+    salt_src = F.col(id_col) if id_col else F.col(minx) * 100000 + F.col(miny)
+    return out.withColumn("salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)))
+
+
+def write_indexed(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist an indexed table partitioned by coarse cell, sorted by cell.
+
+    On a production deployment this is an Iceberg ``writeTo(...).append()``
+    with PARTITIONED BY (cell_p) + SORTED BY (cell); the sandbox has no
+    Iceberg runtime jar, so we emit the same layout as partitioned parquet —
+    identical pruning behavior for these plans."""
+    (
+        df.repartition(F.col("cell_p"), F.col("salt"))
+        .sortWithinPartitions("cell")
+        .write.mode(mode)
+        .partitionBy("cell_p")
+        .parquet(path)
+    )
+
+
+def read_indexed(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)

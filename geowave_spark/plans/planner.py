@@ -1,0 +1,138 @@
+"""Query planner: spatial constraints → broadcast cell-cover join plan.
+
+This is the engine's version of the reference's query lifecycle stages 2-4
+(BaseDataStore.internalQuery → ConstraintsQuery range decomposition →
+scanner; SURVEY §3.1): the driver decomposes each query geometry into a
+bounded set of cover cells (numpy, ≤ ``max_cells`` — the analogue of
+MAX_RANGE_DECOMPOSITION=2000, ConstraintsQuery.java:35-36), broadcasts them,
+and equi-joins against the indexed table on a JVM-side computed parent key.
+
+Key idea: data rows live at per-row tier resolutions; a query with cover
+resolution ``r_q`` joins on ``parent(cell, min(tier, r_q))`` — a pure
+bit-shift column expression (whole-stage codegen) — while its cover is
+materialized at ``min(t, r_q)`` for every occupied tier ``t``.  Queries with
+different ``r_q`` are grouped, one broadcast join per group, results
+unioned.  The reference walks tiers the same way on its sorted-scan side
+(TieredSFCIndexStrategy.getQueryRanges:119-165, tier-skip :136-138).
+
+Everything downstream (residual predicates, PIP refinement, dedup, top-k) is
+appended by the operator modules.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geowave_spark.functions import cells as C
+
+
+@dataclass
+class BoxQuery:
+    """One bbox query; ``minx > maxx`` means antimeridian wrap."""
+
+    query_id: str
+    minx: float
+    miny: float
+    maxx: float
+    maxy: float
+    # optional payload passed through to the result (e.g. temporal bounds)
+    extra: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        self.minx = float(self.minx)
+        self.miny = float(self.miny)
+        self.maxx = float(self.maxx)
+        self.maxy = float(self.maxy)
+
+    def boxes(self) -> list[tuple[float, float, float, float]]:
+        return C.split_antimeridian(self.minx, self.miny, self.maxx, self.maxy)
+
+
+def cover_resolution(q: BoxQuery, max_cells: int, max_res: int = C.MAX_RES) -> int:
+    """Finest resolution whose cover of the query box fits the budget."""
+    res = max_res
+    while res > 0:
+        if sum(C.cover_count(*b, res) for b in q.boxes()) <= max_cells:
+            break
+        res -= 1
+    return res
+
+
+def _cover_rows(q: BoxQuery, resolutions: set[int]) -> pd.DataFrame:
+    """Materialize the union of this query's covers at each resolution."""
+    parts = []
+    for r in resolutions:
+        cells = np.unique(
+            np.concatenate([C.cover_bbox(*b, r) for b in q.boxes()])
+        )
+        parts.append(cells)
+    cells = np.unique(np.concatenate(parts))
+    return pd.DataFrame({"query_id": q.query_id, "jcell": cells})
+
+
+def data_join_key(r_q: int):
+    """parent(cell, min(tier, r_q)) as a codegen'd column expression.
+
+    Uses SQL text because the shift amount is a column (the PySpark
+    shift wrappers only accept int literals)."""
+    return F.expr(
+        f"shiftleft(least(tier, {r_q}), {C.RES_SHIFT}) | "
+        f"shiftrightunsigned(cell & {int(C.COORD_MASK)}, "
+        f"cast((tier - least(tier, {r_q})) * 2 as int))"
+    )
+
+
+def cover_join(
+    data: DataFrame,
+    queries: list[BoxQuery],
+    tiers: list[int] | None = None,
+    max_cells: int = 1024,
+) -> DataFrame:
+    """Broadcast cover join: returns ``data`` rows × matching ``query_id``.
+
+    This is the *prefilter* (index scan analogue) — a superset of the true
+    result.  Callers append exact refinement.  Rows from multi-cell entries
+    (``n_dup > 0``) may appear once per matched copy; callers dedupe
+    conditionally (reference DedupeFilter semantics).
+    """
+    spark = data.sparkSession
+    if tiers is None:
+        tiers = [row[0] for row in data.select("tier").distinct().collect()]
+    tiers = sorted(int(t) for t in tiers)
+
+    groups: dict[int, list[BoxQuery]] = {}
+    for q in queries:
+        r_q = cover_resolution(q, max_cells)
+        groups.setdefault(r_q, []).append(q)
+
+    parts = []
+    for r_q, qs in groups.items():
+        resolutions = {min(t, r_q) for t in tiers}
+        cover_pdf = pd.concat([_cover_rows(q, resolutions) for q in qs])
+        cover = spark.createDataFrame(cover_pdf)
+        joined = data.withColumn("_jkey", data_join_key(r_q)).join(
+            F.broadcast(cover), F.col("_jkey") == F.col("jcell"), "inner"
+        )
+        parts.append(joined.drop("_jkey", "jcell"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def bbox_residual(q_minx, q_miny, q_maxx, q_maxy, lon=None, lat=None):
+    """Exact point-in-box residual as JVM column predicate, with
+    antimeridian wrap on longitude (LongitudeDefinition bin semantics)."""
+    lon = F.col("lon") if lon is None else lon
+    lat = F.col("lat") if lat is None else lat
+    lat_ok = (lat >= q_miny) & (lat <= q_maxy)
+    normal = (lon >= q_minx) & (lon <= q_maxx)
+    wrapped = (lon >= q_minx) | (lon <= q_maxx)
+    if isinstance(q_minx, F.Column) or isinstance(q_maxx, F.Column):
+        return lat_ok & F.when(q_minx > q_maxx, wrapped).otherwise(normal)
+    return lat_ok & (wrapped if q_minx > q_maxx else normal)
