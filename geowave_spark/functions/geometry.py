@@ -255,6 +255,84 @@ def envelope_intersects_polygon(
     return out
 
 
+def points_in_convex(px, py, ring: np.ndarray) -> np.ndarray:
+    """Half-plane sign tests for a CCW convex ring — no division, exact IEEE
+    multiply/subtract, so an external SQL oracle reproduces it bit-for-bit.
+    The engine's convex fast path for the PIP refine stage."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    ring = np.asarray(ring, dtype=np.float64)
+    if np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    inside = np.ones(px.shape, dtype=bool)
+    n = len(ring)
+    for i in range(n):
+        x0, y0 = ring[i]
+        x1, y1 = ring[(i + 1) % n]
+        inside &= (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0) >= 0.0
+    return inside
+
+
+def is_convex_ccw(ring: np.ndarray) -> bool:
+    ring = np.asarray(ring, dtype=np.float64)
+    if np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    x, y = ring[:, 0], ring[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    xnn, ynn = np.roll(x, -2), np.roll(y, -2)
+    cross = (xn - x) * (ynn - yn) - (yn - y) * (xnn - xn)
+    return bool((cross >= 0).all())
+
+
+def classify_cells_vs_polygon(
+    minx, miny, maxx, maxy, polys: list[list[np.ndarray]]
+) -> np.ndarray:
+    """Classify M cell envelopes against a (Multi)Polygon:
+    0 = outside, 1 = boundary (needs exact refine), 2 = interior (every
+    point of the cell is inside → refine can be skipped).
+
+    This is the engine's version of the reference's exact/approximate
+    decomposition split — interior ranges skip the fine filter
+    (IndexOnlySpatialQuery; region-compare in the SFC decomposition).
+    """
+    minx = np.asarray(minx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    maxy = np.asarray(maxy, dtype=np.float64)
+    intersects = envelope_intersects_polygon(minx, miny, maxx, maxy, polys)
+    out = intersects.astype(np.int8)  # 0 or 1
+    # interior: all 4 corners inside and no polygon edge crosses the cell —
+    # corners-in is necessary; edge-crossing check rules out boundary dips.
+    corners_in = np.ones(minx.shape, dtype=bool)
+    for cx, cy in ((minx, miny), (minx, maxy), (maxx, miny), (maxx, maxy)):
+        corners_in &= points_in_polygon(cx, cy, polys)
+    cand = intersects & corners_in
+    if cand.any():
+        idx = np.nonzero(cand)[0]
+        crossed = np.zeros(idx.size, dtype=bool)
+        edges = [
+            (minx[idx], miny[idx], maxx[idx], miny[idx]),
+            (maxx[idx], miny[idx], maxx[idx], maxy[idx]),
+            (maxx[idx], maxy[idx], minx[idx], maxy[idx]),
+            (minx[idx], maxy[idx], minx[idx], miny[idx]),
+        ]
+        for rings in polys:
+            for ring in rings:
+                ring = np.asarray(ring, dtype=np.float64)
+                if not np.array_equal(ring[0], ring[-1]):
+                    ring = np.vstack([ring, ring[:1]])
+                for e in range(len(ring) - 1):
+                    q0, q1 = ring[e], ring[e + 1]
+                    for x0, y0, x1, y1 in edges:
+                        p0 = np.stack([x0, y0], axis=-1)
+                        p1 = np.stack([x1, y1], axis=-1)
+                        crossed |= segments_intersect(p0, p1, q0, q1)
+        interior = np.zeros(minx.shape, dtype=bool)
+        interior[idx] = ~crossed
+        out[interior] = 2
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Distances
 # ---------------------------------------------------------------------------

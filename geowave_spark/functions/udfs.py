@@ -117,12 +117,19 @@ def make_pip_refine(wkb: bytes):
     Arrow batch is one vectorized even-odd evaluation — the refinement stage
     of cover+refine (reference SpatialQueryFilter.java:43-190)."""
     polys = G.polygon_rings(wkb)
+    # convex fast path: single ring, CCW convex → half-plane sign tests
+    # (no division; bit-identical to a SQL half-plane predicate)
+    convex_ring = None
+    if len(polys) == 1 and len(polys[0]) == 1 and G.is_convex_ccw(polys[0][0]):
+        convex_ring = polys[0][0]
 
     @F.pandas_udf(T.BooleanType())
     def pip(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(
-            G.points_in_polygon(lon.to_numpy(np.float64), lat.to_numpy(np.float64), polys)
-        )
+        px = lon.to_numpy(np.float64)
+        py = lat.to_numpy(np.float64)
+        if convex_ring is not None:
+            return pd.Series(G.points_in_convex(px, py, convex_ring))
+        return pd.Series(G.points_in_polygon(px, py, polys))
 
     return pip
 

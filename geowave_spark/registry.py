@@ -82,3 +82,70 @@ register(
         "WHERE lon >= -74.5 AND lon <= -73.5 AND lat >= 40.2 AND lat <= 41.2",
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# Polygon PIP (SURVEY §2.3 SpatialQueryFilter exact refine, §2.4
+# SpatialQuery; interior-cell skip ≙ IndexOnlySpatialQuery)
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+from geowave_spark.functions import geometry as G  # noqa: E402
+from geowave_spark.operators import polygon as OP  # noqa: E402
+
+# CCW convex pentagon over the NYC blob; vertices off the milli-degree
+# lattice so no derived point sits exactly on an edge.
+PENTAGON = np.array(
+    [
+        [-73.2003, 40.7601],
+        [-73.7004, 41.4002],
+        [-74.5001, 41.2003],
+        [-74.7002, 40.4004],
+        [-73.8005, 40.1005],
+    ]
+)
+# Concave L-shape with a hole over the Paris blob (no SQL oracle — checked
+# rows-only by the driver, exactly by pytest brute force).
+PARIS_LSHAPE = [
+    np.array([[1.4, 48.0], [3.4, 48.0], [3.4, 49.0], [2.4, 49.0], [2.4, 49.8], [1.4, 49.8]]),
+    np.array([[2.0, 48.4], [2.6, 48.4], [2.6, 48.7], [2.0, 48.7]]),
+]
+
+
+def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    q = OP.PolygonQuery("pent_nyc", G.wkb_polygon([PENTAGON]), "INTERSECTS")
+    return OP.query_polygon(geo, [q]).select("event_id", "lon", "lat")
+
+
+def _halfplane_pred(ring: np.ndarray) -> str:
+    terms = []
+    n = len(ring)
+    for i in range(n):
+        x0, y0 = ring[i]
+        x1, y1 = ring[(i + 1) % n]
+        terms.append(
+            f"(({x1!r} - {x0!r}) * (lat - {y0!r}) - ({y1!r} - {y0!r}) * (lon - {x0!r})) >= 0.0"
+        )
+    return " AND ".join(terms)
+
+
+register(
+    "pip_convex",
+    q_pip_convex,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f"SELECT event_id, lon, lat FROM geo_events WHERE {_halfplane_pred(PENTAGON)}",
+    ),
+)
+
+
+def q_pip_concave_hole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    q = OP.PolygonQuery("paris_L", G.wkb_polygon(PARIS_LSHAPE), "INTERSECTS")
+    return OP.query_polygon(geo, [q]).select("event_id", "lon", "lat")
+
+
+register("pip_concave_hole", q_pip_concave_hole)  # rows-only driver check

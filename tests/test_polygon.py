@@ -1,0 +1,89 @@
+"""Polygon query golden tests: engine vs independent scalar brute force
+(mirrors reference GeoWaveBasicSpatialVectorIT polygon-filter goldens)."""
+
+import numpy as np
+import pytest
+
+from geowave_spark import registry as R
+from geowave_spark.functions import geometry as G
+from geowave_spark.operators import index as I
+from geowave_spark.operators import polygon as OP
+from geowave_spark.sources import tables as TB
+
+
+@pytest.fixture(scope="module")
+def geo(spark, sf_dir):
+    return I.index_points(TB.geo_events(spark, sf_dir), id_col="event_id").cache()
+
+
+def scalar_pip(x, y, rings):
+    """Independent per-point even-odd reference (not the engine kernel)."""
+    inside = False
+    for ring in rings:
+        ring = np.asarray(ring)
+        n = len(ring)
+        for i in range(n):
+            x0, y0 = ring[i]
+            x1, y1 = ring[(i + 1) % n]
+            if (y0 > y) != (y1 > y):
+                xi = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+                if x < xi:
+                    inside = not inside
+    return inside
+
+
+def brute(df_pd, rings):
+    return {
+        int(r.event_id)
+        for r in df_pd.itertuples()
+        if scalar_pip(r.lon, r.lat, rings)
+    }
+
+
+def test_convex_pentagon(spark, geo):
+    pts = geo.select("event_id", "lon", "lat").toPandas()
+    q = OP.PolygonQuery("pent", G.wkb_polygon([R.PENTAGON]), "INTERSECTS")
+    got = {int(r.event_id) for r in OP.query_polygon(geo, [q]).collect()}
+    assert got == brute(pts, [R.PENTAGON])
+    assert len(got) > 0, "pentagon over NYC blob must hit hot rows"
+
+
+def test_concave_with_hole(spark, geo):
+    pts = geo.select("event_id", "lon", "lat").toPandas()
+    q = OP.PolygonQuery("L", G.wkb_polygon(R.PARIS_LSHAPE), "INTERSECTS")
+    got = {int(r.event_id) for r in OP.query_polygon(geo, [q]).collect()}
+    assert got == brute(pts, R.PARIS_LSHAPE)
+    assert len(got) > 0
+
+
+def test_multipolygon(spark, geo):
+    polys = [[R.PENTAGON], R.PARIS_LSHAPE]
+    q = OP.PolygonQuery("mp", G.wkb_multipolygon(polys), "INTERSECTS")
+    got = {int(r.event_id) for r in OP.query_polygon(geo, [q]).collect()}
+    pts = geo.select("event_id", "lon", "lat").toPandas()
+    want = brute(pts, [R.PENTAGON]) | brute(pts, R.PARIS_LSHAPE)
+    assert got == want
+
+
+def test_disjoint(spark, geo):
+    n = geo.count()
+    qi = OP.PolygonQuery("p", G.wkb_polygon([R.PENTAGON]), "INTERSECTS")
+    qd = OP.PolygonQuery("p", G.wkb_polygon([R.PENTAGON]), "DISJOINT")
+    ni = OP.query_polygon(geo, [qi]).count()
+    nd = OP.query_polygon(geo, [qd]).count()
+    assert ni + nd == n
+
+
+def test_contains_points_empty(spark, geo):
+    q = OP.PolygonQuery("p", G.wkb_polygon([R.PENTAGON]), "CONTAINS")
+    assert OP.query_polygon(geo, [q]).count() == 0
+
+
+def test_multiple_queries_one_call(spark, geo):
+    qs = [
+        OP.PolygonQuery("a", G.wkb_polygon([R.PENTAGON]), "INTERSECTS"),
+        OP.PolygonQuery("b", G.wkb_polygon(R.PARIS_LSHAPE), "INTERSECTS"),
+    ]
+    out = OP.query_polygon(geo, qs).groupBy("query_id").count().collect()
+    counts = {r.query_id: r["count"] for r in out}
+    assert set(counts) == {"a", "b"} and all(v > 0 for v in counts.values())
