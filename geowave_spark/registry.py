@@ -149,3 +149,54 @@ def q_pip_concave_hole(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("pip_concave_hole", q_pip_concave_hole)  # rows-only driver check
+
+
+# ---------------------------------------------------------------------------
+# kNN (SURVEY §2.5 NN partition join → cell-ring expansion join)
+# ---------------------------------------------------------------------------
+
+from geowave_spark.operators import knn as OK  # noqa: E402
+
+KNN_SUITE = [
+    OK.KnnQuery("knn_nyc", -73.985, 40.758, 5),       # dense blob center
+    OK.KnnQuery("knn_tokyo", 139.692, 35.690, 50),    # dense, large k
+    OK.KnnQuery("knn_ocean", -35.0, -45.0, 5),        # sparse → ring expansion
+    OK.KnnQuery("knn_dateline", 179.9, 0.0, 3),       # wrap
+    OK.KnnQuery("knn_one", 77.209, 28.614, 1),
+]
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    return OK.query_knn(geo, KNN_SUITE).select(
+        "query_id", "rank", "event_id", "dist2_milli"
+    )
+
+
+def _knn_oracle() -> str:
+    vals = ", ".join(
+        f"('{q.query_id}', {q.lon_milli}, {q.lat_milli}, {q.k})" for q in KNN_SUITE
+    )
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+q(query_id, q_lon_milli, q_lat_milli, k) AS (VALUES {vals}),
+d AS (
+  SELECT q.query_id, e.event_id, q.k,
+         LEAST(ABS(e.lon_milli - q.q_lon_milli),
+               360000 - ABS(e.lon_milli - q.q_lon_milli)) AS dlon,
+         ABS(e.lat_milli - q.q_lat_milli) AS dlat
+  FROM geo_events e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, event_id, k,
+         CAST(dlon * dlon + dlat * dlat AS BIGINT) AS dist2_milli,
+         CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY dlon * dlon + dlat * dlat, event_id) AS INTEGER) AS rank
+  FROM d
+)
+SELECT query_id, rank, event_id, dist2_milli FROM ranked WHERE rank <= k
+"""
+
+
+register("knn", q_knn, _knn_oracle())
