@@ -200,3 +200,65 @@ SELECT query_id, rank, event_id, dist2_milli FROM ranked WHERE rank <= k
 
 
 register("knn", q_knn, _knn_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Spatial-temporal compound (SURVEY §2.4 SpatialTemporalQuery, §1.4 binning)
+# ---------------------------------------------------------------------------
+
+from geowave_spark.operators import temporal as OT  # noqa: E402
+
+ST_SUITE = [
+    OT.STQuery("st_nyc_w1", -74.5, 40.2, -73.5, 41.2, "2024-01-01 00:00:00", "2024-01-07 23:59:59"),
+    OT.STQuery("st_tokyo_mid", 139.0, 35.0, 140.5, 36.5, "2024-01-10 12:00:00", "2024-01-20 11:59:59"),
+    OT.STQuery("st_global_day", -180.0, -90.0, 180.0, 90.0, "2024-01-15 00:00:00", "2024-01-15 23:59:59"),
+    OT.STQuery("st_wrap_week", 170.0, -20.0, -170.0, 20.0, "2024-01-05 00:00:00", "2024-01-12 00:00:00"),
+]
+
+
+def q_spatial_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geo = OT.with_time_bin(
+        OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id"),
+        periodicity="day",
+    )
+    return OT.query_spatial_temporal(geo, ST_SUITE).select(
+        "query_id", "event_id", "lon", "lat", "ts"
+    )
+
+
+def _st_oracle() -> str:
+    arms = []
+    for q in ST_SUITE:
+        lon_pred = (
+            f"(lon >= {q.minx} AND lon <= {q.maxx})"
+            if q.minx <= q.maxx
+            else f"(lon >= {q.minx} OR lon <= {q.maxx})"
+        )
+        arms.append(
+            f"SELECT '{q.query_id}' AS query_id, event_id, lon, lat, ts FROM geo_events "
+            f"WHERE {lon_pred} AND lat >= {q.miny} AND lat <= {q.maxy} "
+            f"AND ts >= TIMESTAMP '{q.t0}' AND ts <= TIMESTAMP '{q.t1}'"
+        )
+    return TB.oracle_with(TB.GEO_EVENTS_SQL, "geo_events", " UNION ALL ".join(arms))
+
+
+register("spatial_temporal", q_spatial_temporal, _st_oracle())
+
+
+def q_temporal_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geo = TB.geo_events(spark, sf_dir)
+    return OT.query_temporal(
+        geo, "2024-01-03 00:00:00", "2024-01-05 00:00:00"
+    ).select("event_id", "ts", "event_type")
+
+
+register(
+    "temporal_range",
+    q_temporal_range,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        "SELECT event_id, ts, event_type FROM geo_events "
+        "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts <= TIMESTAMP '2024-01-05 00:00:00'",
+    ),
+)
