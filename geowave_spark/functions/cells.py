@@ -314,13 +314,31 @@ def cover_envelopes(
     """
     minx = np.asarray(minx, dtype=np.float64)
     res = np.asarray(res, dtype=np.int64)
-    n = np.int64(1) << res
     ix0, iy0 = _grid_xy_vec_res(minx, np.asarray(miny, np.float64), res)
     ix1, iy1 = _grid_xy_vec_res(np.asarray(maxx, np.float64), np.asarray(maxy, np.float64), res)
+    return _emit_covers(ix0, iy0, ix1, iy1, res, max_cells_per_dim)
+
+
+def cover_envelopes_milli(
+    minx_m, miny_m, maxx_m, maxy_m, res, max_cells_per_dim: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-integer variant of :func:`cover_envelopes` over milli-degree
+    int64 envelopes — bit-for-bit reproducible in SQL oracles (tile
+    assignment parity)."""
+    res = np.asarray(res, dtype=np.int64)
+    n = np.int64(1) << res
+    ix0 = np.clip((np.asarray(minx_m, np.int64) + 180_000) * n // LON_SPAN_MILLI, 0, n - 1)
+    iy0 = np.clip((np.asarray(miny_m, np.int64) + 90_000) * n // LAT_SPAN_MILLI, 0, n - 1)
+    ix1 = np.clip((np.asarray(maxx_m, np.int64) + 180_000) * n // LON_SPAN_MILLI, 0, n - 1)
+    iy1 = np.clip((np.asarray(maxy_m, np.int64) + 90_000) * n // LAT_SPAN_MILLI, 0, n - 1)
+    return _emit_covers(ix0, iy0, ix1, iy1, res, max_cells_per_dim)
+
+
+def _emit_covers(ix0, iy0, ix1, iy1, res, max_cells_per_dim: int):
     nx = np.minimum(ix1 - ix0 + 1, max_cells_per_dim)
     ny = np.minimum(iy1 - iy0 + 1, max_cells_per_dim)
     counts = (nx * ny).astype(np.int64)
-    row = np.repeat(np.arange(minx.size, dtype=np.int64), counts)
+    row = np.repeat(np.arange(ix0.size, dtype=np.int64), counts)
     # per-row local offset 0..count-1 → (dx, dy)
     offs = np.arange(row.size, dtype=np.int64) - np.repeat(
         np.concatenate(([0], np.cumsum(counts)[:-1])), counts

@@ -1,0 +1,228 @@
+"""Raster↔vector tiling: pyramid level selection, tile assignment, per-tile
+crop/resample, and NoData mosaic merge.
+
+Re-expresses the reference RasterDataAdapter mosaic semantics
+(extensions/adapters/raster/.../adapter/RasterDataAdapter.java):
+
+* level selection (:497-612) — pick the tier whose tile ground resolution is
+  closest to the image's native resolution without going under; here the
+  extent-based tier rule (functions/cells.tier_select_extent_milli), plus
+  all coarser levels when ``build_pyramid``;
+* tile assignment (:660-700, MosaicPerPyramidLevelBuilder.convert) — every
+  SFC cell intersecting the footprint at the level becomes one output tile:
+  ``explode(cover(footprint, level))`` — identical machinery to vector
+  covers;
+* tile render (:700-860) — world→tile-pixel affine, crop/resample (nearest),
+  footprint-exterior pixels marked NoData;
+* mosaic merge (merge/nodata/NoDataMergeStrategy.java:38-110) — overlapping
+  same-key tiles: newest wins, NoData pixels filled from older tiles.
+  Merge order is a stable sort on an explicit ingest sequence (ts, image_id)
+  — never task order (SURVEY §7 hard part (d)).
+
+Execution shape: assignment is JVM-side explode of an Arrow-batch cover UDF;
+rendering/merging is ``groupBy(tile).applyInPandas`` — one Python invocation
+per tile with all overlapping images, numpy-vectorized inside.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geowave_spark.functions import cells as C
+from geowave_spark.sources import png as PNG
+
+TILE_SIZE = 256
+
+
+# ---------------------------------------------------------------------------
+# Tile assignment
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _cover_milli(
+    minx_m: pd.Series, miny_m: pd.Series, maxx_m: pd.Series, maxy_m: pd.Series, res: pd.Series
+) -> pd.Series:
+    row, cc = C.cover_envelopes_milli(
+        minx_m.to_numpy(np.int64),
+        miny_m.to_numpy(np.int64),
+        maxx_m.to_numpy(np.int64),
+        maxy_m.to_numpy(np.int64),
+        res.to_numpy(np.int64),
+    )
+    out = [[] for _ in range(len(minx_m))]
+    for r, c in zip(row.tolist(), cc.tolist()):
+        out[r].append(c)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.LongType())
+def _tier_extent_milli(ex: pd.Series, ey: pd.Series) -> pd.Series:
+    return pd.Series(
+        C.tier_select_extent_milli(ex.to_numpy(np.int64), ey.to_numpy(np.int64))
+    )
+
+
+def assign_tiles(
+    footprints: DataFrame,
+    level: int | None = None,
+    build_pyramid: bool = False,
+    min_pyramid_level: int = 3,
+    env_cols: tuple[str, str, str, str] = ("minx_m", "miny_m", "maxx_m", "maxy_m"),
+) -> DataFrame:
+    """footprint rows → (row × tile_cell) assignment.
+
+    ``level=None`` selects each row's native level from its extent (the
+    RasterDataAdapter rule); ``build_pyramid`` additionally assigns every
+    coarser level down to ``min_pyramid_level`` (RasterDataAdapter.java:497
+    'increment and continue' pyramid walk).  Adds columns: ``level``,
+    ``tile_cell``, and decoded ``tile_ix``/``tile_iy``.
+    """
+    mnx, mny, mxx, mxy = env_cols
+    if level is None:
+        df = footprints.withColumn(
+            "level",
+            _tier_extent_milli(
+                F.col(mxx) - F.col(mnx), F.col(mxy) - F.col(mny)
+            ),
+        )
+    else:
+        df = footprints.withColumn("level", F.lit(level).cast("long"))
+
+    if build_pyramid:
+        df = df.withColumn(
+            "level",
+            F.explode(
+                F.sequence(F.lit(min_pyramid_level).cast("long"), F.col("level"))
+            ),
+        )
+
+    df = df.withColumn(
+        "tile_cell",
+        F.explode(
+            _cover_milli(F.col(mnx), F.col(mny), F.col(mxx), F.col(mxy), F.col("level"))
+        ),
+    )
+    # decode grid coords JVM-side?  unpack needs bit de-interleave — cheap in
+    # the same Arrow batch; keep one UDF round for both columns
+    return df.withColumn(
+        "tile_ixy", _unpack_ixy(F.col("tile_cell"))
+    ).withColumn("tile_ix", F.col("tile_ixy.ix")).withColumn(
+        "tile_iy", F.col("tile_ixy.iy")
+    ).drop("tile_ixy")
+
+
+@F.pandas_udf(
+    T.StructType(
+        [T.StructField("ix", T.LongType()), T.StructField("iy", T.LongType())]
+    )
+)
+def _unpack_ixy(cell: pd.Series) -> pd.DataFrame:
+    _, ix, iy = C.unpack(cell.to_numpy(np.int64))
+    return pd.DataFrame({"ix": ix, "iy": iy})
+
+
+# ---------------------------------------------------------------------------
+# Tile rendering + mosaic merge
+# ---------------------------------------------------------------------------
+
+
+def _render_one(
+    pixels: np.ndarray,
+    fp: tuple[float, float, float, float],
+    tile: tuple[float, float, float, float],
+    tile_size: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest-neighbor resample of one image's footprint onto the tile
+    grid.  Returns (canvas uint8, valid mask bool).  Row 0 of the image is
+    the footprint's NORTH edge (image convention)."""
+    h, w = pixels.shape[:2]
+    fminx, fminy, fmaxx, fmaxy = fp
+    tminx, tminy, tmaxx, tmaxy = tile
+    # tile pixel centers in world coords
+    xs = tminx + (np.arange(tile_size) + 0.5) * (tmaxx - tminx) / tile_size
+    ys = tmaxy - (np.arange(tile_size) + 0.5) * (tmaxy - tminy) / tile_size
+    # inverse affine into source pixel indices
+    sx = (xs - fminx) / (fmaxx - fminx) * w
+    sy = (fmaxy - ys) / (fmaxy - fminy) * h
+    jx = np.floor(sx).astype(np.int64)
+    jy = np.floor(sy).astype(np.int64)
+    okx = (jx >= 0) & (jx < w)
+    oky = (jy >= 0) & (jy < h)
+    mask = oky[:, None] & okx[None, :]
+    canvas = np.zeros((tile_size, tile_size), dtype=np.uint8)
+    jyc = np.clip(jy, 0, h - 1)
+    jxc = np.clip(jx, 0, w - 1)
+    canvas[:] = pixels[jyc][:, jxc]
+    canvas[~mask] = 0
+    return canvas, mask
+
+
+def render_tiles(
+    assigned: DataFrame,
+    tile_size: int = TILE_SIZE,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    seq_cols: tuple[str, ...] = ("ts", "image_id"),
+) -> DataFrame:
+    """groupBy(tile_cell) → one mosaic PNG per tile.
+
+    Merge semantics = NoDataMergeStrategy: iterate contributions newest →
+    oldest (stable explicit order on ``seq_cols``), fill only still-empty
+    (NoData) pixels.  Output: tile_cell, level, tile_ix, tile_iy, n_src,
+    valid_frac, tile_png.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("tile_cell", T.LongType()),
+            T.StructField("level", T.LongType()),
+            T.StructField("tile_ix", T.LongType()),
+            T.StructField("tile_iy", T.LongType()),
+            T.StructField("n_src", T.IntegerType()),
+            T.StructField("valid_frac", T.DoubleType()),
+            T.StructField("tile_png", T.BinaryType()),
+        ]
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf.tile_cell.iloc[0])
+        res, ix, iy = C.unpack(np.asarray([cell]))
+        tminx, tminy, tmaxx, tmaxy = (float(v[0]) for v in C.cell_bounds(np.asarray([cell])))
+        # stable newest-first ingest order — never task order
+        pdf = pdf.sort_values(list(seq_cols), ascending=False, kind="mergesort")
+        canvas = np.zeros((tile_size, tile_size), dtype=np.uint8)
+        filled = np.zeros((tile_size, tile_size), dtype=bool)
+        n = 0
+        for r in pdf.itertuples():
+            pix = PNG.decode_image(getattr(r, bytes_col), getattr(r, fmt_col))
+            cv, mask = _render_one(
+                pix,
+                (r.fp_minx, r.fp_miny, r.fp_maxx, r.fp_maxy),
+                (tminx, tminy, tmaxx, tmaxy),
+                tile_size,
+            )
+            take = mask & ~filled
+            canvas[take] = cv[take]
+            filled |= mask
+            n += 1
+            if filled.all():
+                break  # remaining older tiles fully occluded
+        return pd.DataFrame(
+            {
+                "tile_cell": [cell],
+                "level": [int(res[0])],
+                "tile_ix": [int(ix[0])],
+                "tile_iy": [int(iy[0])],
+                "n_src": [n],
+                "valid_frac": [float(filled.mean())],
+                "tile_png": [PNG.png_encode(canvas)],
+            }
+        )
+
+    return assigned.groupBy("tile_cell").applyInPandas(merge_group, out_schema)

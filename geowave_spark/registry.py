@@ -90,6 +90,7 @@ register(
 # ---------------------------------------------------------------------------
 
 import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from geowave_spark.functions import geometry as G  # noqa: E402
 from geowave_spark.operators import polygon as OP  # noqa: E402
@@ -262,3 +263,55 @@ register(
         "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts <= TIMESTAMP '2024-01-05 00:00:00'",
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# Tile assignment (SURVEY §2.9 RasterDataAdapter level selection + per-level
+# cover explode) — exact integer grid, SQL-reproducible
+# ---------------------------------------------------------------------------
+
+from geowave_spark.operators import tiling as OTL  # noqa: E402
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = TB.geo_footprints(spark, sf_dir)
+    assigned = OTL.assign_tiles(fps)
+    return assigned.select(
+        "event_id",
+        F.col("level").cast("long").alias("level"),
+        F.col("tile_ix").alias("ix"),
+        F.col("tile_iy").alias("iy"),
+    )
+
+
+def _tile_assign_oracle_sql() -> str:
+    # integer div a//b as (a - a%b)/b — exact and portable across engines
+    def idiv(a: str, b: int) -> str:
+        return f"CAST((({a}) - (({a}) % {b})) / {b} AS BIGINT)"
+
+    return f"""
+WITH geo_footprints AS ({TB.GEO_FOOTPRINTS_SQL}),
+g AS (
+  SELECT event_id, native_level AS level,
+         CASE native_level WHEN 6 THEN 64 WHEN 7 THEN 128 WHEN 8 THEN 256
+              WHEN 9 THEN 512 WHEN 10 THEN 1024 ELSE 2048 END AS n,
+         minx_m, miny_m, maxx_m, maxy_m
+  FROM geo_footprints
+),
+b AS (
+  SELECT event_id, level, n,
+         {idiv("(minx_m + 180000) * n", 360000)} AS ix0,
+         {idiv("(maxx_m + 180000) * n", 360000)} AS ix1,
+         {idiv("(miny_m + 90000) * n", 180000)} AS iy0,
+         {idiv("(maxy_m + 90000) * n", 180000)} AS iy1
+  FROM g
+)
+SELECT event_id, level, ix0 + dx.v AS ix, iy0 + dy.v AS iy
+FROM b
+CROSS JOIN (VALUES (0), (1)) AS dx(v)
+CROSS JOIN (VALUES (0), (1)) AS dy(v)
+WHERE dx.v <= ix1 - ix0 AND dy.v <= iy1 - iy0
+"""
+
+
+register("tile_assign", q_tile_assign, _tile_assign_oracle_sql())

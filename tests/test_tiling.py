@@ -1,0 +1,152 @@
+"""Tiling/mosaic tests: PNG codec round trips, closed-form tile assignment,
+mosaic merge pixel semantics (mirrors reference GeoWaveBasicRasterIT's
+closed-form per-pixel expectations)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark.functions import cells as C
+from geowave_spark.operators import tiling as OTL
+from geowave_spark.sources import png as PNG
+from geowave_spark.sources import synthetic as SYN
+
+
+def test_png_roundtrip_gray():
+    pix = SYN.pixels_for(7, 64, 96)
+    assert np.array_equal(PNG.png_decode(PNG.png_encode(pix)), pix)
+
+
+def test_png_roundtrip_rgb():
+    rng = np.random.default_rng(0)
+    pix = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    assert np.array_equal(PNG.png_decode(PNG.png_encode(pix)), pix)
+
+
+def test_lossy_psnr_over_40db():
+    pix = SYN.pixels_for(3, 256, 256)
+    dec = PNG.decode_image(PNG.encode_image(pix, "jpeg"), "jpeg")
+    assert PNG.psnr(pix, dec) >= 40.0
+    # and deterministic
+    assert np.array_equal(dec, PNG.decode_image(PNG.encode_image(pix, "jpeg")))
+
+
+def test_synthetic_deterministic(spark):
+    a = SYN.images(spark, 50, partitions=4).toPandas().sort_values("image_id")
+    b = SYN.images(spark, 50, partitions=7).toPandas().sort_values("image_id")
+    for col in ["image_id", "caption", "phash", "lon_milli", "minx_m"]:
+        assert list(a[col]) == list(b[col])
+    assert all(x == y for x, y in zip(a.bytes, b.bytes))
+
+
+def test_image_bytes_decode_match_formula(spark):
+    rows = SYN.images(spark, 9, partitions=2).collect()
+    for r in rows:
+        want = SYN.pixels_for(int(r.image_id[3:]), r.w, r.h)
+        got = PNG.decode_image(bytes(r.bytes), r.fmt)
+        if r.fmt == "png":
+            assert np.array_equal(got, want)
+        else:
+            assert PNG.psnr(want, got) >= 40.0
+
+
+def test_assign_tiles_native_level_rule(spark):
+    imgs = SYN.images(spark, 200, partitions=4, with_bytes=False)
+    assigned = OTL.assign_tiles(imgs)
+    pdf = assigned.select("image_id", "half_m", "level", "tile_ix", "tile_iy", "minx_m", "miny_m", "maxx_m", "maxy_m").toPandas()
+    # closed form: half extents {32..1024} → levels {11..6}
+    want_level = {32: 11, 64: 10, 128: 9, 256: 8, 512: 7, 1024: 6}
+    for r in pdf.itertuples():
+        assert r.level == want_level[r.half_m], r
+        # every tile must actually intersect the footprint (integer grid)
+        n = 1 << r.level
+        ix0 = (r.minx_m + 180000) * n // 360000
+        ix1 = (r.maxx_m + 180000) * n // 360000
+        iy0 = (r.miny_m + 90000) * n // 180000
+        iy1 = (r.maxy_m + 90000) * n // 180000
+        assert ix0 <= r.tile_ix <= ix1 and iy0 <= r.tile_iy <= iy1
+    # explode factor ≤ 4 (tier rule)
+    counts = pdf.groupby("image_id").size()
+    assert counts.max() <= 4
+
+
+def test_assign_tiles_pyramid(spark):
+    imgs = SYN.images(spark, 20, partitions=2, with_bytes=False)
+    assigned = OTL.assign_tiles(imgs, build_pyramid=True, min_pyramid_level=4)
+    pdf = assigned.groupBy("image_id").agg(F.collect_set("level").alias("levels")).toPandas()
+    for r in pdf.itertuples():
+        levels = sorted(r.levels)
+        assert levels[0] == 4 and levels == list(range(4, levels[-1] + 1))
+
+
+def _mk_row(image_id, pix, fp, ts, fmt="png"):
+    return {
+        "image_id": image_id,
+        "bytes": PNG.encode_image(pix, fmt),
+        "fmt": fmt,
+        "fp_minx": fp[0], "fp_miny": fp[1], "fp_maxx": fp[2], "fp_maxy": fp[3],
+        "ts": pd.Timestamp(ts),
+    }
+
+
+def test_render_single_image_exact(spark):
+    """One image exactly covering one tile at res 5: rendered tile ==
+    nearest-neighbor upsample of the source (closed form)."""
+    cell = int(C.pack(5, 17, 20)[()])
+    tminx, tminy, tmaxx, tmaxy = (float(v[0]) for v in C.cell_bounds(np.asarray([cell])))
+    pix = SYN.pixels_for(5, 64, 64)
+    row = _mk_row("a", pix, (tminx, tminy, tmaxx, tmaxy), "2020-01-01")
+    row["tile_cell"] = cell
+    sdf = spark.createDataFrame(pd.DataFrame([row]))
+    out = OTL.render_tiles(sdf).collect()[0]
+    assert out.n_src == 1 and out.valid_frac == 1.0
+    got = PNG.png_decode(bytes(out.tile_png))
+    # expected: each source pixel repeated 4x (256/64)
+    want = np.repeat(np.repeat(pix, 4, axis=0), 4, axis=1)
+    assert np.array_equal(got, want)
+
+
+def test_mosaic_latest_wins_nodata_fill(spark):
+    """Two overlapping images: newer covers left half; older covers full
+    tile.  Merged tile = newer on left, older on right (NoDataMergeStrategy)."""
+    cell = int(C.pack(5, 9, 12)[()])
+    tminx, tminy, tmaxx, tmaxy = (float(v[0]) for v in C.cell_bounds(np.asarray([cell])))
+    midx = (tminx + tmaxx) / 2
+    old = _mk_row("old", np.full((32, 32), 50, np.uint8), (tminx, tminy, tmaxx, tmaxy), "2020-01-01")
+    new = _mk_row("new", np.full((32, 32), 200, np.uint8), (tminx, tminy, midx, tmaxy), "2020-06-01")
+    for r in (old, new):
+        r["tile_cell"] = cell
+    sdf = spark.createDataFrame(pd.DataFrame([old, new]))
+    out = OTL.render_tiles(sdf).collect()[0]
+    got = PNG.png_decode(bytes(out.tile_png))
+    assert out.n_src == 2
+    assert (got[:, :128] == 200).all(), "newer image must win on the left"
+    assert (got[:, 128:] == 50).all(), "older fills NoData on the right"
+
+
+def test_mosaic_order_is_explicit_not_task_order(spark):
+    """Same two images delivered in reversed row order must merge
+    identically (stable explicit ingest sequence)."""
+    cell = int(C.pack(5, 9, 12)[()])
+    tminx, tminy, tmaxx, tmaxy = (float(v[0]) for v in C.cell_bounds(np.asarray([cell])))
+    a = _mk_row("a", np.full((16, 16), 10, np.uint8), (tminx, tminy, tmaxx, tmaxy), "2020-01-01")
+    b = _mk_row("b", np.full((16, 16), 99, np.uint8), (tminx, tminy, tmaxx, tmaxy), "2021-01-01")
+    for r in (a, b):
+        r["tile_cell"] = cell
+    out1 = OTL.render_tiles(spark.createDataFrame(pd.DataFrame([a, b]))).collect()[0]
+    out2 = OTL.render_tiles(spark.createDataFrame(pd.DataFrame([b, a]))).collect()[0]
+    assert bytes(out1.tile_png) == bytes(out2.tile_png)
+    assert (PNG.png_decode(bytes(out1.tile_png)) == 99).all()
+
+
+def test_end_to_end_tiling_pipeline(spark):
+    """images → assign → render: every tile decodes, valid_frac > 0."""
+    imgs = SYN.images(spark, 60, partitions=4)
+    assigned = OTL.assign_tiles(imgs)
+    tiles = OTL.render_tiles(assigned).collect()
+    assert len(tiles) > 0
+    for t in tiles[:10]:
+        pix = PNG.png_decode(bytes(t.tile_png))
+        assert pix.shape == (256, 256)
+        assert t.valid_frac > 0
