@@ -1,0 +1,127 @@
+"""JVM-side column kernels: Morton cell encode as pure Spark expressions.
+
+The reference's SFC encode is per-row Java (ZOrderSFC.java:72 bit
+interleaving).  Our hot ingest/query path re-expresses the identical bit
+algebra as Catalyst column expressions — shifts, masks, OR — so cell
+assignment runs inside whole-stage codegen with NO Python worker at all.
+The numpy kernels in functions/cells.py remain the definitional oracle
+(tests assert bit-equality between the two paths).
+
+Bit layout matches cells.py exactly: cell = (res << 58) | morton(ix, iy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from geowave_spark.functions import cells as C
+
+# Parallel-prefix spread masks (same constants as cells._B; all < 2^63).
+_MASKS = [
+    (16, 0x0000_FFFF_0000_FFFF),
+    (8, 0x00FF_00FF_00FF_00FF),
+    (4, 0x0F0F_0F0F_0F0F_0F0F),
+    (2, 0x3333_3333_3333_3333),
+    (1, 0x5555_5555_5555_5555),
+]
+
+
+def spread_col(v: Column) -> Column:
+    """Spread the low 32 bits of a long so bit i lands at position 2i."""
+    v = v.bitwiseAND(F.lit(0x0000_0000_FFFF_FFFF))
+    for shift, mask in _MASKS:
+        v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def _clamp(ix: Column, n: int) -> Column:
+    return F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1))
+
+
+def _pack(ix: Column, iy: Column, res: int) -> Column:
+    z = spread_col(ix).bitwiseOR(F.shiftleft(spread_col(iy), 1))
+    return F.lit(res << C.RES_SHIFT).bitwiseOR(z)
+
+
+def cell_encode_col(lon: Column, lat: Column, res: int) -> Column:
+    """Float path: degrees → int64 cell id at ``res`` (matches cells.encode)."""
+    n = 1 << res
+    ix = _clamp(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))), n)
+    iy = _clamp(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n))), n)
+    return _pack(ix.cast("long"), iy.cast("long"), res)
+
+
+def _idiv(a: Column, b: int) -> Column:
+    """Exact integer floor-division for non-negative ``a`` (a - a%b)/b.
+
+    The division is exact (numerator is a multiple of b), so the double
+    round-trip is lossless for quotients < 2^53."""
+    return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+
+
+def cell_encode_milli_col(lon_milli: Column, lat_milli: Column, res: int) -> Column:
+    """Exact integer path (matches cells.encode_milli and the SQL oracles):
+    ix = (lon_milli + 180000) * 2^r // 360000, pure int64 arithmetic."""
+    n = 1 << res
+    ix = _clamp(_idiv((lon_milli + F.lit(180_000)) * F.lit(n), C.LON_SPAN_MILLI), n)
+    iy = _clamp(_idiv((lat_milli + F.lit(90_000)) * F.lit(n), C.LAT_SPAN_MILLI), n)
+    return _pack(ix, iy, res)
+
+
+def _shiftleft_var(v: Column, amount: Column) -> Column:
+    """shiftleft with a *column* shift amount (SQL builtin via call_function;
+    the PySpark wrapper only accepts int literals)."""
+    return F.call_function("shiftleft", v, amount.cast("int"))
+
+
+def pack_col(ix: Column, iy: Column, res: Column) -> Column:
+    """(ix, iy, res) → cell key with *column* resolution (codegen)."""
+    z = spread_col(ix).bitwiseOR(F.shiftleft(spread_col(iy), 1))
+    return _shiftleft_var(res.cast("long"), F.lit(C.RES_SHIFT)).bitwiseOR(z)
+
+
+def _idiv_col(a: Column, b: Column) -> Column:
+    """Exact integer floor-division for non-negative ``a`` with column ``b``."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def tier_extent_milli_col(ex_milli: Column, ey_milli: Column) -> Column:
+    """JVM mirror of cells.tier_select_extent_milli: finest r with
+    ``extent << r <= span`` per dimension, min over dims, clipped to
+    [0, MAX_RES].  log2 seed + one-step exact shift fix-up — bit-identical
+    to the numpy kernel (tests assert parity)."""
+
+    def per_dim(ext: Column, span: int) -> Column:
+        e = F.greatest(ext.cast("long"), F.lit(1))
+        r = F.floor(F.log2(F.lit(float(span)) / e)).cast("long")
+        up = _shiftleft_var(e, F.greatest(F.least(r + 1, F.lit(62)), F.lit(0)))
+        r = F.when(up <= F.lit(span), r + 1).otherwise(r)
+        cur = _shiftleft_var(e, F.greatest(F.least(r, F.lit(62)), F.lit(0)))
+        return F.when(cur > F.lit(span), r - 1).otherwise(r)
+
+    rx = per_dim(ex_milli, C.LON_SPAN_MILLI)
+    ry = per_dim(ey_milli, C.LAT_SPAN_MILLI)
+    return F.greatest(F.least(F.least(rx, ry), F.lit(C.MAX_RES)), F.lit(0))
+
+
+def grid_milli_col(coord_milli: Column, offset: int, span: int, res: Column) -> Column:
+    """Exact integer grid coord at *column* resolution:
+    (coord + offset) * 2^res // span, clipped to [0, 2^res - 1]."""
+    n = _shiftleft_var(F.lit(1).cast("long"), res)
+    raw = _idiv_col((coord_milli.cast("long") + F.lit(offset)) * n, F.lit(span).cast("long"))
+    return F.least(F.greatest(raw, F.lit(0).cast("long")), n - 1)
+
+
+def parent_col(cell: Column, parent_res: int) -> Column:
+    """Coarsen a cell key to ``parent_res`` — a pure bit-shift of the
+    interleaved key (valid when every input's res >= parent_res).
+
+    The shift amount is a *column* (2 × res delta), which the PySpark shift
+    wrappers don't accept — ``call_function`` reaches the SQL builtin, which
+    does."""
+    shift = ((F.shiftright(cell, C.RES_SHIFT) - F.lit(parent_res)) * 2).cast("int")
+    z = F.call_function(
+        "shiftrightunsigned", cell.bitwiseAND(F.lit(int(C.COORD_MASK))), shift
+    )
+    return F.lit(parent_res << C.RES_SHIFT).bitwiseOR(z)

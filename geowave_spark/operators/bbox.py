@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geowave_spark.functions import cells as C
 from geowave_spark.plans import planner as P
 
 
@@ -40,9 +41,13 @@ def query_bbox(
             lon=F.col(lon_col), lat=F.col(lat_col),
         )
     )
-    if dedup is None and "n_dup" in data.columns:
-        refined = refined.dropDuplicates(["query_id", *id_cols])
-    elif dedup:
+    if dedup is None:
+        # point tables at MAX_RES are duplicate-free by construction
+        # (single-cell entries) — skip the global shuffle, mirroring the
+        # reference's DedupeFilter gating on numberOfDuplicates.
+        point_table = tiers is not None and all(int(t) == C.MAX_RES for t in tiers)
+        dedup = "n_dup" in data.columns and not point_table
+    if dedup:
         refined = refined.dropDuplicates(["query_id", *id_cols])
     return refined.drop("q_minx", "q_miny", "q_maxx", "q_maxy")
 

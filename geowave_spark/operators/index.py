@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geowave_spark.functions import cells as C
+from geowave_spark.functions import cols as X
 from geowave_spark.functions import udfs as U
 
 PARTITION_RES = 4  # 256 coarse partitions world-wide; tune per deployment
@@ -50,9 +51,13 @@ def index_points(
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     id_col: str | None = None,
 ) -> DataFrame:
-    """Attach ``cell`` (res 29 by default), ``cell_p`` and ``salt`` columns."""
+    """Attach ``cell`` (res 29 by default), ``cell_p`` and ``salt`` columns.
+
+    The encode is pure JVM column math (functions/cols.py) — no Python
+    worker in the ingest hot path; the pandas-UDF variant (functions/udfs.py)
+    is kept for SQL registration and per-row-resolution cases."""
     out = df.withColumn(
-        "cell", U.cell_encode(F.col(lon_col), F.col(lat_col), F.lit(res))
+        "cell", X.cell_encode_col(F.col(lon_col), F.col(lat_col), res)
     ).withColumn("tier", F.lit(res).cast("long"))
     out = out.withColumn("cell_p", parent_cell_col("cell", PARTITION_RES))
     salt_src = F.col(id_col) if id_col else F.col(lon_col) * 100000 + F.col(lat_col)

@@ -71,6 +71,7 @@ def query_knn(
     max_ring_cells: int = 4096,
     rank_metric: str = "planar_milli",
     dedup: bool = False,
+    cache_rounds: bool = True,
 ) -> DataFrame:
     """Exact top-k rows per query point.
 
@@ -102,6 +103,21 @@ def query_knn(
     results: list = []  # collected per-round satisfied top-k (driver-small)
     world_cells = 1 << res
 
+    # One slim projection shared by every round (and the brute-force
+    # fallback): id + coords + precomputed join key.  Persisted so ring
+    # expansion re-joins against memory, not the source scan — the local
+    # analogue of the partition-pruned re-scan a cell_p-partitioned store
+    # gives at cluster scale.  (At 10^12 rows the cache is instead the
+    # pruned subset: rounds would filter on parent(cell, PARTITION_RES)
+    # membership before the join, which Iceberg turns into partition
+    # pruning.)
+    need = [id_col, lon_col, lat_col]
+    if rank_metric == "planar_milli":
+        need += ["lon_milli", "lat_milli"]
+    slim = data.withColumn("_jkey", P.data_join_key(res)).select(*need, "_jkey")
+    if cache_rounds:
+        slim = slim.persist()
+
     for _ in range(max_rounds):
         if not pending:
             break
@@ -116,8 +132,7 @@ def query_knn(
             "q_lon_milli long, q_lat_milli long, k int",
         )
         pre = (
-            data.withColumn("_jkey", P.data_join_key(res))
-            .join(F.broadcast(cover), F.col("_jkey") == F.col("jcell"))
+            slim.join(F.broadcast(cover), F.col("_jkey") == F.col("jcell"))
             .join(F.broadcast(qdf), "query_id")
             .withColumn("_d", dist_col)
         )
@@ -164,7 +179,7 @@ def query_knn(
             "query_id string, q_lon double, q_lat double, "
             "q_lon_milli long, q_lat_milli long, k int",
         )
-        pre = data.crossJoin(F.broadcast(qdf)).withColumn("_d", dist_col)
+        pre = slim.crossJoin(F.broadcast(qdf)).withColumn("_d", dist_col)
         if dedup:
             pre = pre.dropDuplicates(["query_id", id_col])
         w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col(id_col).asc())
@@ -176,6 +191,8 @@ def query_knn(
         )
         results.extend(rows)
 
+    if cache_rounds:
+        slim.unpersist()
     schema = f"query_id string, rank int, {id_col} long, {dist_name} " + (
         "long" if rank_metric == "planar_milli" else "double"
     )

@@ -78,8 +78,14 @@ def query_polygon(
     id_cols: tuple[str, ...] = ("event_id",),
     tiers: list[int] | None = None,
     max_cells: int = 1024,
+    dedup: bool | None = None,
 ) -> DataFrame:
-    """(query_id, row) pairs where the point satisfies the query op."""
+    """(query_id, row) pairs where the point satisfies the query op.
+
+    ``dedup=None`` auto-enables only for non-point tables carrying ``n_dup``
+    (multi-cell entries are the only duplicate source — reference
+    DedupeFilter gating, EntryRowID.java:76-78); point tables at MAX_RES are
+    duplicate-free by construction, so the shuffle is skipped."""
     spark = data.sparkSession
     if tiers is None:
         tiers = [r[0] for r in data.select("tier").distinct().collect()]
@@ -128,6 +134,8 @@ def query_polygon(
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    if "n_dup" in data.columns:
+    if dedup is None:
+        dedup = "n_dup" in data.columns and not point_data
+    if dedup:
         out = out.dropDuplicates(["query_id", *id_cols])
     return out

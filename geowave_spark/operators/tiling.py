@@ -45,52 +45,33 @@ TILE_SIZE = 256
 # ---------------------------------------------------------------------------
 
 
-@F.pandas_udf(T.ArrayType(T.LongType()))
-def _cover_milli(
-    minx_m: pd.Series, miny_m: pd.Series, maxx_m: pd.Series, maxy_m: pd.Series, res: pd.Series
-) -> pd.Series:
-    row, cc = C.cover_envelopes_milli(
-        minx_m.to_numpy(np.int64),
-        miny_m.to_numpy(np.int64),
-        maxx_m.to_numpy(np.int64),
-        maxy_m.to_numpy(np.int64),
-        res.to_numpy(np.int64),
-    )
-    out = [[] for _ in range(len(minx_m))]
-    for r, c in zip(row.tolist(), cc.tolist()):
-        out[r].append(c)
-    return pd.Series(out)
-
-
-@F.pandas_udf(T.LongType())
-def _tier_extent_milli(ex: pd.Series, ey: pd.Series) -> pd.Series:
-    return pd.Series(
-        C.tier_select_extent_milli(ex.to_numpy(np.int64), ey.to_numpy(np.int64))
-    )
-
-
 def assign_tiles(
     footprints: DataFrame,
     level: int | None = None,
     build_pyramid: bool = False,
     min_pyramid_level: int = 3,
     env_cols: tuple[str, str, str, str] = ("minx_m", "miny_m", "maxx_m", "maxy_m"),
+    max_cells_per_dim: int = 4,
 ) -> DataFrame:
-    """footprint rows → (row × tile_cell) assignment.
+    """footprint rows → (row × tile_cell) assignment — pure JVM codegen.
 
     ``level=None`` selects each row's native level from its extent (the
-    RasterDataAdapter rule); ``build_pyramid`` additionally assigns every
-    coarser level down to ``min_pyramid_level`` (RasterDataAdapter.java:497
-    'increment and continue' pyramid walk).  Adds columns: ``level``,
-    ``tile_cell``, and decoded ``tile_ix``/``tile_iy``.
+    RasterDataAdapter rule, re-expressed as functions/cols.py column math);
+    ``build_pyramid`` additionally assigns every coarser level down to
+    ``min_pyramid_level`` (RasterDataAdapter.java:497 'increment and
+    continue' pyramid walk).  The cover is two ``sequence()`` explodes over
+    the spanned grid range — the DataFrame analogue of getInsertionIds'
+    multi-row-ID emission (TieredSFCIndexStrategy.java:175-231) with zero
+    Python in the path.  Adds columns: ``level``, ``tile_cell``,
+    ``tile_ix``, ``tile_iy``.
     """
+    from geowave_spark.functions import cols as X
+
     mnx, mny, mxx, mxy = env_cols
     if level is None:
         df = footprints.withColumn(
             "level",
-            _tier_extent_milli(
-                F.col(mxx) - F.col(mnx), F.col(mxy) - F.col(mny)
-            ),
+            X.tier_extent_milli_col(F.col(mxx) - F.col(mnx), F.col(mxy) - F.col(mny)),
         )
     else:
         df = footprints.withColumn("level", F.lit(level).cast("long"))
@@ -103,29 +84,24 @@ def assign_tiles(
             ),
         )
 
-    df = df.withColumn(
-        "tile_cell",
-        F.explode(
-            _cover_milli(F.col(mnx), F.col(mny), F.col(mxx), F.col(mxy), F.col("level"))
-        ),
+    lvl = F.col("level")
+    ix0 = X.grid_milli_col(F.col(mnx), 180_000, C.LON_SPAN_MILLI, lvl)
+    ix1 = X.grid_milli_col(F.col(mxx), 180_000, C.LON_SPAN_MILLI, lvl)
+    iy0 = X.grid_milli_col(F.col(mny), 90_000, C.LAT_SPAN_MILLI, lvl)
+    iy1 = X.grid_milli_col(F.col(mxy), 90_000, C.LAT_SPAN_MILLI, lvl)
+    cap = F.lit(max_cells_per_dim - 1).cast("long")
+    df = (
+        df.withColumn("_ix0", ix0)
+        .withColumn("_ix1", F.least(ix1, ix0 + cap))
+        .withColumn("_iy0", iy0)
+        .withColumn("_iy1", F.least(iy1, iy0 + cap))
+        .withColumn("tile_ix", F.explode(F.sequence(F.col("_ix0"), F.col("_ix1"))))
+        .withColumn("tile_iy", F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))))
+        .drop("_ix0", "_ix1", "_iy0", "_iy1")
     )
-    # decode grid coords JVM-side?  unpack needs bit de-interleave — cheap in
-    # the same Arrow batch; keep one UDF round for both columns
     return df.withColumn(
-        "tile_ixy", _unpack_ixy(F.col("tile_cell"))
-    ).withColumn("tile_ix", F.col("tile_ixy.ix")).withColumn(
-        "tile_iy", F.col("tile_ixy.iy")
-    ).drop("tile_ixy")
-
-
-@F.pandas_udf(
-    T.StructType(
-        [T.StructField("ix", T.LongType()), T.StructField("iy", T.LongType())]
+        "tile_cell", X.pack_col(F.col("tile_ix"), F.col("tile_iy"), lvl)
     )
-)
-def _unpack_ixy(cell: pd.Series) -> pd.DataFrame:
-    _, ix, iy = C.unpack(cell.to_numpy(np.int64))
-    return pd.DataFrame({"ix": ix, "iy": iy})
 
 
 # ---------------------------------------------------------------------------

@@ -110,19 +110,28 @@ def cover_join(
         r_q = cover_resolution(q, max_cells)
         groups.setdefault(r_q, []).append(q)
 
-    parts = []
-    for r_q, qs in groups.items():
-        resolutions = {min(t, r_q) for t in tiers}
-        cover_pdf = pd.concat([_cover_rows(q, resolutions) for q in qs])
-        cover = spark.createDataFrame(cover_pdf)
-        joined = data.withColumn("_jkey", data_join_key(r_q)).join(
-            F.broadcast(cover), F.col("_jkey") == F.col("jcell"), "inner"
-        )
-        parts.append(joined.drop("_jkey", "jcell"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # Broadcast side: union of every group's cover (cell keys embed their
+    # resolution, so keys from different groups never collide spuriously).
+    cover_pdf = pd.concat(
+        [
+            _cover_rows(q, {min(t, r_q) for t in tiers})
+            for r_q, qs in groups.items()
+            for q in qs
+        ]
+    )
+    cover = spark.createDataFrame(cover_pdf)
+
+    # Data side: ONE scan.  Each row explodes to its parent key at each
+    # group resolution; ``array_distinct`` collapses groups that coincide
+    # for this row's tier (tier <= r_q1 < r_q2 ⇒ same key), which would
+    # otherwise double-match that key's cover cells.  Explode factor =
+    # number of distinct cover-resolution groups (small: queries bucket
+    # into few resolutions), each key a pure bit-shift — all codegen.
+    keys = F.array_distinct(F.array(*[data_join_key(r_q) for r_q in groups]))
+    joined = data.withColumn("_jkey", F.explode(keys)).join(
+        F.broadcast(cover), F.col("_jkey") == F.col("jcell"), "inner"
+    )
+    return joined.drop("_jkey", "jcell")
 
 
 def bbox_residual(q_minx, q_miny, q_maxx, q_maxy, lon=None, lat=None):

@@ -50,7 +50,7 @@ def _bbox_lon_pred(q: P.BoxQuery) -> str:
 
 def q_bbox_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
-    out = OB.query_bbox(geo, BBOX_SUITE)
+    out = OB.query_bbox(geo, BBOX_SUITE, tiers=[OI.C.MAX_RES])
     return out.select("query_id", "event_id", "lon", "lat")
 
 
@@ -69,7 +69,7 @@ register("bbox_suite", q_bbox_suite, _bbox_suite_oracle())
 def q_bbox_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
     q = P.BoxQuery("hot_nyc", -74.5, 40.2, -73.5, 41.2)
-    return OB.query_bbox(geo, [q]).select("event_id", "lon", "lat", "event_type")
+    return OB.query_bbox(geo, [q], tiers=[OI.C.MAX_RES]).select("event_id", "lon", "lat", "event_type")
 
 
 register(
@@ -117,7 +117,7 @@ PARIS_LSHAPE = [
 def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
     q = OP.PolygonQuery("pent_nyc", G.wkb_polygon([PENTAGON]), "INTERSECTS")
-    return OP.query_polygon(geo, [q]).select("event_id", "lon", "lat")
+    return OP.query_polygon(geo, [q], tiers=[OI.C.MAX_RES]).select("event_id", "lon", "lat")
 
 
 def _halfplane_pred(ring: np.ndarray) -> str:
@@ -146,7 +146,7 @@ register(
 def q_pip_concave_hole(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
     q = OP.PolygonQuery("paris_L", G.wkb_polygon(PARIS_LSHAPE), "INTERSECTS")
-    return OP.query_polygon(geo, [q]).select("event_id", "lon", "lat")
+    return OP.query_polygon(geo, [q], tiers=[OI.C.MAX_RES]).select("event_id", "lon", "lat")
 
 
 register("pip_concave_hole", q_pip_concave_hole)  # rows-only driver check
@@ -222,7 +222,7 @@ def q_spatial_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id"),
         periodicity="day",
     )
-    return OT.query_spatial_temporal(geo, ST_SUITE).select(
+    return OT.query_spatial_temporal(geo, ST_SUITE, tiers=[OI.C.MAX_RES]).select(
         "query_id", "event_id", "lon", "lat", "ts"
     )
 
