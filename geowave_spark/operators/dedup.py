@@ -1,0 +1,354 @@
+"""Deduplication operators for training-data pipelines: exact hash dedup,
+MinHash+LSH candidate pairs, SimHash near-dup pairs, and blocked n-gram
+Jaccard similarity.
+
+No analogue exists in the reference (GeoWave's DedupeFilter only removes
+*index-induced* row duplicates, core/store/.../filter/DedupeFilter.java:28-60
+— these are *content* dedup operators a 100 TB corpus pipeline needs).
+
+Scale posture:
+* exact dedup — one hash groupBy (map-side partial agg, AQE-coalesced);
+* MinHash — signatures via ONE groupBy with H min-aggregates (no H-fold row
+  blowup); LSH banding turns the quadratic pair problem into an equi-join on
+  band keys (the standard sub-quadratic path at 10^12 docs);
+* SimHash — 60 bit-sum aggregates in one pass, near-dup candidates via
+  4-chunk banding (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 identical 15-bit chunk),
+  then exact popcount filter — again equi-join, never cross join;
+* Jaccard — exact set similarity restricted to a blocking key (source);
+  production would add a document-frequency stoplist to bound hot-token
+  join fan-out (skew: salting/AQE as with hot spatial cells).
+
+Everything is JVM column math; hashes are the portable md5-based scheme of
+operators/text.py so DuckDB oracles reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geowave_spark.operators.text import duck_h64, duck_tokens, h64_col, tokens_col
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def norm_col(text: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group documents by md5 of whitespace-normalized lower-cased text.
+    Output: (dup_key, n_docs, canonical_id = min id per group)."""
+    key = F.md5(norm_col(F.col(text_col)).cast("binary"))
+    return (
+        docs.withColumn("dup_key", key)
+        .groupBy("dup_key")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def exact_dedup_oracle(table: str = "documents") -> str:
+    return f"""
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS dup_key,
+       COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+FROM {table} GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shingles (word n-grams)
+# ---------------------------------------------------------------------------
+
+SHINGLE_N = 3
+
+
+def shingles_col(text: Column, n: int = SHINGLE_N) -> Column:
+    """Word ``n``-gram shingles as an array column (empty if < n tokens —
+    guarded because Spark's sequence() descends when stop < start)."""
+    toks = tokens_col(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duck_shingles(col: str, n: int = SHINGLE_N) -> str:
+    toks = duck_tokens(col)
+    return (
+        f"list_transform(range(0, greatest(len({toks}) - {n - 1}, 0)), "
+        f"i -> array_to_string({toks}[i+1:i+{n}], ' '))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, s0..s{H-1}) — H min-hashes over the distinct shingle set.
+
+    Hash h_i(shingle) = md5('i|'+shingle) compared as hex strings (ASCII
+    order ≡ numeric order of the digest — portable to any engine).  One
+    groupBy with H min() aggregates: map-side partial aggregation keeps the
+    shuffle at |docs| rows regardless of shingle count."""
+    sh = (
+        docs.select(F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("shingle"))
+        .distinct()
+    )
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")).cast("binary"))).alias(f"s{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH candidate pairs: documents sharing ≥ 1 of ``BANDS`` band keys
+    (each key = md5 of ``ROWS_PER_BAND`` concatenated signature slots).
+    Output: distinct (id_a, id_b), id_a < id_b."""
+    sig = minhash_signatures(docs, text_col, id_col)
+    band_structs = []
+    for b in range(BANDS):
+        cols = [F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols).cast("binary")).alias("bkey"))
+        )
+    bands = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def _duck_sig_cte(table: str) -> str:
+    sh = duck_shingles("text")
+    mins = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS s{i}" for i in range(NUM_HASHES)
+    )
+    return f"""
+sh AS (
+  SELECT DISTINCT doc_id, unnest({sh}) AS shingle FROM {table}
+),
+sig AS (
+  SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+)"""
+
+
+def minhash_lsh_pairs_oracle(table: str = "documents") -> str:
+    band_arms = []
+    for b in range(BANDS):
+        cols = " || '|' || ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        band_arms.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bkey FROM sig")
+    bands = " UNION ALL ".join(band_arms)
+    return f"""
+WITH {_duck_sig_cte(table)},
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # keep the key positive in int64
+SIM_CHUNKS = 4
+CHUNK_BITS = SIMHASH_BITS // SIM_CHUNKS
+SIM_MAX_HAMMING = 3
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash over the distinct token set: bit b is the sign of
+    Σ_tokens (±1 by bit b of the portable token hash).  One groupBy with 60
+    conditional-sum aggregates — pure JVM.  Output: (id, simhash)."""
+    tok = (
+        docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .distinct()
+        .withColumn("_h", h64_col(F.col("tok")))
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*sums)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_oracle(table: str = "documents") -> str:
+    toks = duck_tokens("text")
+    h = duck_h64("tok")
+    sums = ", ".join(
+        f"SUM(CASE WHEN (hh >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM {table}
+),
+th AS (SELECT doc_id, {h} AS hh FROM tok),
+agg AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
+SELECT doc_id, {sim} AS simhash FROM agg
+"""
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ ``SIM_MAX_HAMMING``.
+
+    Pigeonhole banding: ≤ 3 differing bits over 4 chunks ⇒ at least one
+    15-bit chunk identical → equi-join on (chunk_idx, chunk_value), then the
+    exact popcount filter.  Output: (id_a, id_b, hamming)."""
+    sh = simhash(docs, text_col, id_col)
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * CHUNK_BITS)
+            .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+            .alias("cval"),
+        )
+        for c in range(SIM_CHUNKS)
+    ]
+    chunks = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_structs)).alias("ck")
+    ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.cval").alias("cval"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= SIM_MAX_HAMMING)
+
+
+def simhash_pairs_oracle(table: str = "documents") -> str:
+    base = simhash_oracle(table).strip().rstrip()
+    chunk_arms = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, "
+        f"(simhash >> {c * CHUNK_BITS}) & {(1 << CHUNK_BITS) - 1} AS cval FROM sh"
+        for c in range(SIM_CHUNKS)
+    )
+    return f"""
+WITH sh AS ({base}),
+chunks AS ({chunk_arms})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIM_MAX_HAMMING}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocked n-gram (token-set) Jaccard
+# ---------------------------------------------------------------------------
+
+JACCARD_TAU = 0.5
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    tau: float = JACCARD_TAU,
+) -> DataFrame:
+    """Exact token-set Jaccard ≥ tau for pairs sharing the blocking key.
+
+    |A∩B| by token equi-join within the block, |A∪B| = |A|+|B|−|A∩B|.
+    Output: (id_a, id_b, inter, union_sz, jaccard rounded 6dp)."""
+    tok = docs.select(
+        F.col(id_col), F.col(block_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).distinct()
+    sizes = tok.groupBy(id_col).agg(F.count("*").alias("n_tok"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
+    j = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("union_sz", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("union_sz"), 6))
+        .filter(F.col("jaccard") >= tau)
+    )
+    return j.select("id_a", "id_b", "inter", "union_sz", "jaccard")
+
+
+def jaccard_pairs_oracle(table: str = "documents", tau: float = JACCARD_TAU) -> str:
+    toks = duck_tokens("text")
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, source, unnest({toks}) AS tok FROM {table}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM tok a JOIN tok b
+    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter,
+       sa.n_tok + sb.n_tok - inter AS union_sz,
+       round(CAST(inter AS DOUBLE) / (sa.n_tok + sb.n_tok - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(inter AS DOUBLE) / (sa.n_tok + sb.n_tok - inter), 6) >= {tau}
+"""

@@ -1,0 +1,282 @@
+"""Embedding similarity operators: brute-force cosine top-k, blocked
+near-duplicate pairs, and random-hyperplane-LSH approximate NN.
+
+No analogue in the reference (GeoWave's NN machinery is 2-D geodesic —
+NNMapReduce.java; these are the high-dimensional versions a training-data
+pipeline needs over an ``array<double>`` embedding column).
+
+Scale posture:
+* brute-force top-k — query side broadcast, one scan, window top-k; this is
+  the exact baseline and the right plan when |queries| is small;
+* near-dup pairs — exact cosine within a blocking key (label/cluster id):
+  at 10^12 rows the blocking key comes from a coarse quantizer (IVF
+  centroid assignment) and each block is an independent sort-merge-join
+  partition — never a global cross join;
+* LSH ANN — 16 deterministic hyperplanes → bucket id; candidates share a
+  bucket (+ multiprobe over hamming-1 buckets); exact re-rank inside.
+  Approximate by design → driver checks rows-only; pytest checks recall
+  against the brute-force baseline.
+
+Dot products use ``aggregate(zip_with(...))`` — JVM higher-order functions,
+sequential left-to-right summation, which DuckDB's list_dot_product
+reproduces bit-for-bit (empirically verified in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geowave_spark.operators.text import h64_col
+
+
+QUANT = 32768  # fixed-point scale for cross-engine-exact similarity
+
+
+def quant_col(a: Column) -> Column:
+    """Embedding → int64 fixed-point (x * 32768, half-away rounding).
+
+    Exact-arithmetic trick: float summation order differs between engines
+    (Spark's sequential fold vs DuckDB's list_dot_product), so raw-double
+    cosines differ in the last ulp and can round differently.  Integer
+    dot products are order-independent and exact; sqrt and division are
+    IEEE-correctly-rounded everywhere → bit-identical cosine."""
+    return F.transform(a, lambda x: F.round(x * QUANT, 0).cast("long"))
+
+
+def dot_col(a: str, b: str) -> Column:
+    """Exact integer dot product of two pre-quantized int64 vectors."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: str) -> Column:
+    return F.sqrt(
+        F.aggregate(F.col(a), F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    )
+
+
+DUCK_QUANT = f"list_transform({{v}}, x -> CAST(round(x * {QUANT}) AS BIGINT))"
+
+
+def duck_quant(v: str) -> str:
+    return DUCK_QUANT.format(v=v)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: the first ``n_queries`` vectors (by id) against
+    the whole table.  Output: (q_id, rank, vec_id, cos) with deterministic
+    ties (cos desc, id asc), cos rounded to 6dp."""
+    from pyspark.sql import Window
+
+    base = emb.withColumn("_qv", quant_col(F.col(vec_col)))
+    q = (
+        base.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("q_id"), F.col("_qv").alias("q_emb"))
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                dot_col("_qv", "q_emb") / (norm_col("_qv") * norm_col("q_emb")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", F.col(id_col), "cos")
+    )
+
+
+def cosine_topk_oracle(
+    table: str = "embeddings", n_queries: int = 8, k: int = 10
+) -> str:
+    qv = duck_quant("embedding")
+    return f"""
+WITH base AS (
+  SELECT vec_id, {qv} AS qv FROM {table}
+),
+q AS (
+  SELECT vec_id AS q_id, qv AS q_emb FROM base WHERE vec_id < {n_queries}
+),
+pairs AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_dot_product(e.qv, q.q_emb) /
+               (sqrt(list_dot_product(e.qv, e.qv)) *
+                sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos
+  FROM base e CROSS JOIN q WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM pairs
+)
+SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= {k}
+"""
+
+
+NEARDUP_TAU = 0.30
+
+
+def neardup_pairs(
+    emb: DataFrame,
+    tau: float = NEARDUP_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Exact cosine near-dup pairs within a blocking key.
+    Output: (id_a, id_b, cos) with cos ≥ tau, rounded 6dp."""
+    qemb = emb.withColumn("_qv", quant_col(F.col(vec_col)))
+    a = qemb.select(
+        F.col(id_col).alias("id_a"), F.col(block_col).alias("_blk"), F.col("_qv").alias("_va")
+    )
+    b = qemb.select(
+        F.col(id_col).alias("id_b"), F.col(block_col).alias("_blk"), F.col("_qv").alias("_vb")
+    )
+    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    zero = F.lit(0).cast("long")
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        / (
+            F.sqrt(F.aggregate(F.col("_va"), zero, lambda acc, x: acc + x * x))
+            * F.sqrt(F.aggregate(F.col("_vb"), zero, lambda acc, x: acc + x * x))
+        ),
+        6,
+    )
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= tau)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def neardup_pairs_oracle(table: str = "embeddings", tau: float = NEARDUP_TAU) -> str:
+    qv = duck_quant("embedding")
+    return f"""
+WITH base AS (SELECT vec_id, label, {qv} AS qv FROM {table})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.qv, b.qv) /
+             (sqrt(list_dot_product(a.qv, a.qv)) *
+              sqrt(list_dot_product(b.qv, b.qv))), 6) AS cos
+FROM base a JOIN base b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.qv, b.qv) /
+            (sqrt(list_dot_product(a.qv, a.qv)) *
+             sqrt(list_dot_product(b.qv, b.qv))), 6) >= {tau}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN (approximate — rows-only driver check)
+# ---------------------------------------------------------------------------
+
+LSH_PLANES = 6
+
+
+def _plane_weight(p: int, d: int) -> float:
+    """Deterministic pseudo-random plane weight in [-1, 1) from (p, d) —
+    Knuth multiplicative hash, no RNG state (reproducible anywhere)."""
+    h = ((p * 1315423911 + d * 2654435761) ^ (p << 7)) & 0xFFFFFFFF
+    return (h / 2**31) - 1.0
+
+
+def lsh_bucket_col(vec_col: str, dim: int, planes: int = LSH_PLANES) -> Column:
+    """Bucket id = sign bits of ``planes`` fixed hyperplane projections.
+
+    Each projection is ``aggregate(zip_with(vec, plane_literal, *), +)`` —
+    an array-literal dot product, keeping the expression tree small enough
+    for whole-stage codegen (a naive 12×64-term sum would not be)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        plane = F.array(*[F.lit(_plane_weight(p, d)) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def ann_lsh(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = LSH_PLANES,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via hyperplane-LSH buckets.
+
+    Candidates share the query's bucket or (``multiprobe``) any hamming-1
+    neighbor bucket; exact cosine re-rank inside the candidate set.  Output
+    schema matches :func:`cosine_topk` (rank may differ — approximate)."""
+    from pyspark.sql import Window
+
+    data = emb.withColumn("_bkt", lsh_bucket_col(vec_col, dim, planes)).withColumn(
+        "_qv", quant_col(F.col(vec_col))
+    )
+    q = (
+        data.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("_qv").alias("q_emb"),
+            F.col("_bkt").alias("_qbkt"),
+        )
+    )
+    if multiprobe:
+        # probe every bucket within hamming distance 2 of the query's —
+        # 1 + P + C(P,2) probes; the standard recall/scan-fraction dial
+        masks = [0] + [1 << p for p in range(planes)] + [
+            (1 << p1) | (1 << p2)
+            for p1 in range(planes)
+            for p2 in range(p1 + 1, planes)
+        ]
+        probes = F.array(
+            *[F.col("_qbkt").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
+        )
+        q = q.withColumn("_probe", F.explode(probes))
+    else:
+        q = q.withColumn("_probe", F.col("_qbkt"))
+
+    cand = (
+        data.join(F.broadcast(q), F.col("_bkt") == F.col("_probe"))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .dropDuplicates(["q_id", id_col])
+        .withColumn(
+            "cos",
+            F.round(
+                dot_col("_qv", "q_emb") / (norm_col("_qv") * norm_col("q_emb")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", F.col(id_col), "cos")
+    )

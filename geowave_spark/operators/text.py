@@ -1,0 +1,293 @@
+"""Text-analysis operators for training-data pipelines over the documents
+table: tokenization, language-ID, quality scoring, token statistics, and
+winnowing document fingerprints.
+
+These extend the engine beyond the reference's surface (GeoWave has no text
+operators — its residual attribute predicates are the closest analogue,
+CQLQueryFilter, extensions/adapters/vector/.../query/cql/CQLQueryFilter.java)
+with the operations a 100 TB corpus pipeline needs.  Every operator:
+
+* is pure JVM column math (split/filter/aggregate higher-order functions —
+  whole-stage codegen, no Python workers);
+* has a deterministic DuckDB-reproducible definition, so the driver's
+  oracle gate covers it exactly (integer outputs preferred; floats rounded).
+
+The portable 60-bit hash used throughout: ``conv(substr(md5(s),1,15),16,10)``
+in Spark ≡ ``('0x'||substr(md5(s),1,15))::UBIGINT`` in DuckDB — md5 of UTF-8
+bytes is engine-independent, 15 hex digits keep it inside int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+# language → whole-word stopword lexicon (tiny, deterministic; heuristic
+# n-gram/stopword language-ID — predictions are a pure function of text)
+LANG_LEXICON: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en": ("the", "a", "and", "is", "of", "to", "in", "it"),
+    "es": ("el", "la", "los", "y", "es", "no", "con", "una"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "avec", "une"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Lower-cased alnum tokens (empty strings dropped)."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda x: x != F.lit(""))
+
+
+def h64_col(s: Column) -> Column:
+    """Portable 60-bit string hash (see module doc)."""
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def duck_tokens(col: str) -> str:
+    """DuckDB fragment equivalent to :func:`tokens_col`."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({col}), '{TOKEN_SPLIT}'), "
+        "x -> x <> '')"
+    )
+
+
+def duck_h64(expr: str) -> str:
+    """DuckDB fragment equivalent to :func:`h64_col`."""
+    return f"(('0x'||substr(md5({expr}),1,15))::UBIGINT)::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Predict language by whole-word stopword hits per lexicon.
+
+    Deterministic: argmax of hit counts, ties broken by language code
+    ascending, zero hits → 'und'.  Output: (id, pred_lang, n_tokens,
+    best_hits) — integers only, so the oracle compare is exact.
+    """
+    toks = tokens_col(F.col(text_col))
+    agg_cols = []
+    for lang, words in sorted(LANG_LEXICON.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, x: acc + F.when(F.array_contains(arr, x), 1).otherwise(0),
+        )
+        agg_cols.append(hits.alias(f"hits_{lang}"))
+    out = docs.select(F.col(id_col), F.size(toks).alias("n_tokens"), *agg_cols)
+
+    langs = sorted(LANG_LEXICON)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # ties broken by language code ascending: first lang reaching the max wins
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return out.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        F.col("n_tokens"),
+        best.alias("best_hits"),
+    )
+
+
+def lang_id_oracle(table: str = "documents") -> str:
+    toks = duck_tokens("text")
+    langs = sorted(LANG_LEXICON)
+    hit_exprs = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in LANG_LEXICON[lang])
+        hit_exprs.append(
+            f"len(list_filter({toks}, x -> x IN ({words}))) AS hits_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"hits_{la}" for la in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = (
+            f"CASE WHEN {best} > 0 AND hits_{lang} = {best} "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    return f"""
+WITH h AS (
+  SELECT doc_id, len({toks}) AS n_tokens, {", ".join(hit_exprs)}
+  FROM {table}
+)
+SELECT doc_id, {pred} AS pred_lang, n_tokens, {best} AS best_hits FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+_PUNCT_RE = "[^a-zA-Z0-9 ]"
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features + composite score (ratios rounded to 6dp
+    so both engines emit identical doubles from identical integer inputs).
+
+    Features: char length, token count, mean token length, punctuation
+    ratio, English-stopword ratio; score = stopword_ratio − punct_ratio +
+    min(n_tokens, 100)/100 (a simple deterministic composite).
+    """
+    toks = tokens_col(F.col(text_col))
+    en = F.array(*[F.lit(w) for w in LANG_LEXICON["en"]])
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_PUNCT_RE), 0))
+    n_stop = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.when(F.array_contains(en, x), 1).otherwise(0)
+    )
+    n_chars = F.length(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        F.round(tok_chars / F.greatest(n_tok, F.lit(1)), 6).alias("mean_token_len"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(
+            n_stop / F.greatest(n_tok, F.lit(1))
+            - n_punct / F.greatest(n_chars, F.lit(1))
+            + F.least(n_tok, F.lit(100)) / F.lit(100.0),
+            6,
+        ).alias("quality"),
+    )
+
+
+def quality_score_oracle(table: str = "documents") -> str:
+    toks = duck_tokens("text")
+    en = ", ".join(f"'{w}'" for w in LANG_LEXICON["en"])
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars_calc,
+         len({toks}) AS n_tokens,
+         list_sum(list_transform({toks}, x -> length(x))) AS tok_chars,
+         len(regexp_extract_all(text, '{_PUNCT_RE}')) AS n_punct,
+         len(list_filter({toks}, x -> x IN ({en}))) AS n_stop
+  FROM {table}
+)
+SELECT doc_id, n_chars_calc, n_tokens,
+       round(CAST(coalesce(tok_chars, 0) AS DOUBLE) / greatest(n_tokens, 1), 6) AS mean_token_len,
+       round(CAST(n_punct AS DOUBLE) / greatest(n_chars_calc, 1), 6) AS punct_ratio,
+       round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)
+             - CAST(n_punct AS DOUBLE) / greatest(n_chars_calc, 1)
+             + CAST(least(n_tokens, 100) AS DOUBLE) / CAST(100 AS DOUBLE), 6) AS quality
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token statistics per source (corpus bookkeeping aggregation)
+# ---------------------------------------------------------------------------
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
+    """Per-source corpus statistics: doc count, total/avg token counts by
+    two tokenizers (whitespace and alnum-run — the 'BPE-ish' proxy).
+    Partial aggregation is Catalyst-native (map-side combine)."""
+    ws = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit("")))
+    word = F.size(tokens_col(F.col(text_col)))
+    return (
+        docs.select(F.col(by), ws.alias("ws_tokens"), word.alias("word_tokens"))
+        .groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("word_tokens").alias("total_word_tokens"),
+            F.round(F.avg("word_tokens"), 6).alias("avg_word_tokens"),
+        )
+    )
+
+
+def token_stats_oracle(table: str = "documents") -> str:
+    toks = duck_tokens("text")
+    return f"""
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+         len({toks}) AS word_tokens
+  FROM {table}
+)
+SELECT source, COUNT(*) AS n_docs, SUM(ws_tokens) AS total_ws_tokens,
+       SUM(word_tokens) AS total_word_tokens,
+       round(AVG(CAST(word_tokens AS DOUBLE)), 6) AS avg_word_tokens
+FROM t GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling k-gram hash + min-per-window)
+# ---------------------------------------------------------------------------
+
+KGRAM = 8
+WINNOW_W = 4
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints: hash every ``KGRAM``-char gram of the
+    normalized text, keep the window-min over ``WINNOW_W`` consecutive grams,
+    dedupe.  Standard near-copy detection (Schleimer et al. winnowing);
+    output (id, fp) — one row per distinct fingerprint."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    d = docs.select(F.col(id_col), norm.alias("_norm")).filter(
+        F.length("_norm") >= F.lit(KGRAM)
+    )
+    # substring with a column start position needs the SQL expr form
+    d = d.withColumn(
+        "_g",
+        F.expr(f"transform(sequence(1, length(_norm) - {KGRAM - 1}), i -> substr(_norm, i, {KGRAM}))"),
+    ).select(id_col, F.posexplode("_g").alias("pos", "gram"))
+    d = d.withColumn("_h", h64_col(F.col("gram")))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    n_w = Window.partitionBy(id_col)
+    out = (
+        d.withColumn("_fp", F.min("_h").over(w))
+        .withColumn("_npos", F.max("pos").over(n_w))
+        .filter(F.col("pos") <= F.col("_npos") - F.lit(WINNOW_W - 1))
+        .select(F.col(id_col), F.col("_fp").alias("fp"))
+        .distinct()
+    )
+    return out
+
+
+def fingerprints_oracle(table: str = "documents") -> str:
+    h = duck_h64("gram")
+    return f"""
+WITH n AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM {table}
+),
+g AS (
+  SELECT doc_id, i AS pos, substr(norm, i, {KGRAM}) AS gram
+  FROM n, LATERAL (SELECT unnest(range(1, length(norm) - {KGRAM - 1} + 1)) AS i)
+  WHERE length(norm) >= {KGRAM}
+),
+h AS (
+  SELECT doc_id, pos, {h} AS hh,
+         max(pos) OVER (PARTITION BY doc_id) AS npos
+  FROM g
+),
+wmin AS (
+  SELECT doc_id, pos, npos,
+         min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+  FROM h
+)
+SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= npos - {WINNOW_W - 1}
+"""

@@ -315,3 +315,149 @@ WHERE dx.v <= ix1 - ix0 AND dy.v <= iy1 - iy0
 
 
 register("tile_assign", q_tile_assign, _tile_assign_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deduplication (exact, MinHash-LSH, SimHash,
+# blocked Jaccard) over the documents table
+# ---------------------------------------------------------------------------
+
+from geowave_spark.operators import dedup as OD  # noqa: E402
+from geowave_spark.operators import text as OTX  # noqa: E402
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TB.load_tables(spark, sf_dir, names=("documents",))["documents"]
+
+
+def q_exact_dedup(spark, sf_dir):
+    return OD.exact_dedup(_docs(spark, sf_dir))
+
+
+register("exact_dedup", q_exact_dedup, OD.exact_dedup_oracle())
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return OD.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+register("minhash_lsh_pairs", q_minhash_lsh, OD.minhash_lsh_pairs_oracle())
+
+
+def q_simhash(spark, sf_dir):
+    return OD.simhash(_docs(spark, sf_dir))
+
+
+register("simhash", q_simhash, OD.simhash_oracle())
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return OD.simhash_pairs(_docs(spark, sf_dir))
+
+
+register("simhash_pairs", q_simhash_pairs, OD.simhash_pairs_oracle())
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    return OD.jaccard_pairs(_docs(spark, sf_dir))
+
+
+register("jaccard_pairs", q_jaccard_pairs, OD.jaccard_pairs_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID, quality scoring, token stats, fingerprints
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(spark, sf_dir):
+    return OTX.lang_id(_docs(spark, sf_dir))
+
+
+register("lang_id", q_lang_id, OTX.lang_id_oracle())
+
+
+def q_text_quality(spark, sf_dir):
+    return OTX.quality_score(_docs(spark, sf_dir))
+
+
+register("text_quality", q_text_quality, OTX.quality_score_oracle())
+
+
+def q_token_stats(spark, sf_dir):
+    return OTX.token_stats(_docs(spark, sf_dir))
+
+
+register("token_stats", q_token_stats, OTX.token_stats_oracle())
+
+
+def q_fingerprints(spark, sf_dir):
+    return OTX.fingerprints(_docs(spark, sf_dir))
+
+
+register("winnow_fingerprints", q_fingerprints, OTX.fingerprints_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: brute-force cosine top-k, blocked near-dup, LSH ANN
+# ---------------------------------------------------------------------------
+
+from geowave_spark.operators import embed as OE  # noqa: E402
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TB.load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+
+
+def q_embed_topk(spark, sf_dir):
+    return OE.cosine_topk(_emb(spark, sf_dir))
+
+
+register("embed_topk", q_embed_topk, OE.cosine_topk_oracle())
+
+
+def q_embed_neardup(spark, sf_dir):
+    return OE.neardup_pairs(_emb(spark, sf_dir))
+
+
+register("embed_neardup", q_embed_neardup, OE.neardup_pairs_oracle())
+
+
+def q_embed_ann_lsh(spark, sf_dir):
+    return OE.ann_lsh(_emb(spark, sf_dir))
+
+
+register("embed_ann_lsh", q_embed_ann_lsh)  # approximate → rows-only check
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: image decode/feature kernel + raster mosaic (rows-only —
+# no SQL engine can decode PNG; pytest pins the pixel math)
+# ---------------------------------------------------------------------------
+
+from geowave_spark.operators import multimodal as OM  # noqa: E402
+from geowave_spark.sources import synthetic as SYN  # noqa: E402
+
+
+def q_image_features(spark, sf_dir):
+    imgs = SYN.images(spark, n=500, partitions=16)
+    return OM.image_features(imgs).select(
+        "image_id", "w", "h", "fmt", "mean_lum_milli", "dhash"
+    )
+
+
+register("image_features", q_image_features)  # rows-only (binary decode)
+
+
+def q_mosaic(spark, sf_dir):
+    imgs = SYN.images(spark, n=300, partitions=16)
+    assigned = OTL.assign_tiles(imgs, level=7)
+    tiles = OTL.render_tiles(assigned)
+    return tiles.select(
+        "tile_cell", "level", "tile_ix", "tile_iy", "n_src",
+        F.round("valid_frac", 6).alias("valid_frac"),
+        F.md5("tile_png").alias("tile_md5"),
+    )
+
+
+register("mosaic", q_mosaic)  # rows-only (pixel semantics pinned in pytest)
