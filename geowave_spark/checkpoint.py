@@ -1,0 +1,165 @@
+"""Stage checkpointing with per-partition lineage + row-count metrics —
+the resumability layer (BASELINE north_rule: "resumable from checkpoint
+with per-partition lineage + metrics").
+
+No direct analogue in the reference (its recoverability is the KV store's
+durable writes + recoverable ingest staging); for a 100 TB Spark pipeline
+the unit of recovery is the *stage*: a deterministic transform from input
+tables to one output table.  Each completed stage records a manifest:
+
+* ``fingerprint`` — hash of (stage name, input paths, params) so a changed
+  input or config invalidates the checkpoint;
+* ``partitions``  — per-partition row counts of the written output (the
+  lineage/metrics record, queryable as a DataFrame);
+* ``n_rows``, ``wall_sec``.
+
+``Pipeline.run_stage`` skips any stage whose manifest matches the current
+fingerprint and whose output exists — a restarted job re-runs only the
+stages after the failure point.  The manifest store is a ``_checkpoints``
+directory of JSON files (production: an Iceberg table with the same
+schema; the write is atomic via rename in both cases).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fingerprint(stage: str, inputs: list[str], params: dict) -> str:
+    blob = json.dumps({"stage": stage, "inputs": sorted(inputs), "params": params},
+                      sort_keys=True)
+    return hashlib.sha256(blob.encode()).hexdigest()[:32]
+
+
+@dataclass
+class Pipeline:
+    spark: SparkSession
+    root: str  # store root; manifests under <root>/_checkpoints
+    stages_run: list[str] = field(default_factory=list)
+    stages_skipped: list[str] = field(default_factory=list)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.root, "_checkpoints", f"{stage}.json")
+
+    def manifest(self, stage: str) -> dict | None:
+        p = self._manifest_path(stage)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def partition_metrics(self, stage: str) -> DataFrame:
+        """The recorded per-partition lineage as a DataFrame."""
+        m = self.manifest(stage)
+        if m is None:
+            raise KeyError(f"no checkpoint for stage {stage}")
+        return self.spark.createDataFrame(
+            [(stage, p["partition_id"], p["n_rows"]) for p in m["partitions"]],
+            "stage string, partition_id int, n_rows long",
+        )
+
+    def run_stage(
+        self,
+        stage: str,
+        build: Callable[[SparkSession], DataFrame],
+        inputs: list[str],
+        params: dict | None = None,
+        out_format: str = "parquet",
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Execute (or skip) one stage; returns the stage's output frame.
+
+        The output lands at ``<root>/<stage>``; metrics are collected from
+        the *written* data (read back), so the recorded counts describe
+        exactly what a resumed run will consume."""
+        params = params or {}
+        fp = _fingerprint(stage, inputs, params)
+        out_path = os.path.join(self.root, stage)
+        m = self.manifest(stage)
+        if m is not None and m["fingerprint"] == fp and os.path.exists(out_path):
+            self.stages_skipped.append(stage)
+            return self.spark.read.format(out_format).load(out_path)
+
+        t0 = time.time()
+        df = build(self.spark)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        getattr(writer, out_format)(out_path)
+
+        written = self.spark.read.format(out_format).load(out_path)
+        parts = (
+            written.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("n_rows"))
+            .collect()
+        )
+        manifest = {
+            "stage": stage,
+            "fingerprint": fp,
+            "inputs": sorted(inputs),
+            "params": params,
+            "n_rows": int(sum(p["n_rows"] for p in parts)),
+            "wall_sec": round(time.time() - t0, 3),
+            "partitions": [
+                {"partition_id": int(p["partition_id"]), "n_rows": int(p["n_rows"])}
+                for p in sorted(parts, key=lambda r: r["partition_id"])
+            ],
+        }
+        mp = self._manifest_path(stage)
+        os.makedirs(os.path.dirname(mp), exist_ok=True)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, mp)  # atomic publish
+        self.stages_run.append(stage)
+        return written
+
+    def invalidate(self, stage: str) -> None:
+        p = self._manifest_path(stage)
+        if os.path.exists(p):
+            os.remove(p)
+
+
+def ingest_pipeline(
+    spark: SparkSession, sf_dir: str, store: str, salt_buckets: int = 16
+) -> Pipeline:
+    """The standard ingest DAG: index → stats, checkpointed per stage.
+
+    A rerun with unchanged inputs skips both stages; deleting the stats
+    manifest re-runs only stats (reading the indexed checkpoint)."""
+    from geowave_spark import stats as S
+    from geowave_spark.operators import index as OI
+    from geowave_spark.sources import tables as TB
+
+    pipe = Pipeline(spark, store)
+
+    def build_indexed(sp: SparkSession) -> DataFrame:
+        geo = TB.geo_events(sp, sf_dir)
+        return OI.index_points(geo, id_col="event_id", salt_buckets=salt_buckets)
+
+    indexed = pipe.run_stage(
+        "indexed",
+        build_indexed,
+        inputs=[f"{sf_dir}/events.parquet"],
+        params={"salt_buckets": salt_buckets, "res": OI.C.MAX_RES},
+        partition_by=["cell_p"],
+    )
+
+    def build_stats(sp: SparkSession) -> DataFrame:
+        return S.tier_counts(indexed)
+
+    pipe.run_stage(
+        "stats_tier_counts",
+        build_stats,
+        inputs=[os.path.join(store, "indexed")],
+        params={},
+    )
+    return pipe

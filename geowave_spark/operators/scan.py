@@ -1,0 +1,137 @@
+"""Scan-time query operators completing the reference's query surface:
+server-side count aggregation, fixed-resolution subsampling, secondary
+attribute index JOIN, DWithin, coordinate-range (cell-prefix) query,
+limit, and the everything-scan.
+
+Reference parity map:
+* count aggregation   — CountAggregation + AggregationIterator
+  (core/store/.../query/aggregate/CountAggregation.java:16-60;
+  extensions/datastores/accumulo/.../query/AggregationIterator.java:53-360):
+  Spark partial/final aggregation is the same partial+merge contract.
+* subsample           — FixedCardinalitySkippingIterator (≈1 row per coarse
+  SFC prefix; extensions/datastores/accumulo/.../query/
+  FixedCardinalitySkippingIterator.java): deterministic first-row-per-cell
+  via row_number(), the screen-resolution decimation path.
+* secondary index     — SecondaryIndexType.JOIN (core/store/.../index/
+  SecondaryIndex.java): an (attr → id) aux table equi-joined back to the
+  primary; at scale the aux table is sorted/bucketed by the attribute.
+* DWithin             — DWithinFilterVisitor rewrite (extensions/adapters/
+  vector/.../query/cql/DWithinFilterVisitor.java): buffered envelope
+  prefilter + exact distance residual (here the exact integer planar-milli
+  metric shared with kNN).
+* coordinate range    — CoordinateRangeQuery + PrefixIdQueryFilter
+  (core/store/.../query/CoordinateRangeQuery.java): all rows under one
+  parent cell = one bit-shift equality, which Iceberg/parquet turns into
+  partition pruning when the parent is at/above PARTITION_RES.
+* limit               — QueryOptions.limit (core/store/.../query/
+  QueryOptions.java:98): deterministic (sorted) early-exit limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geowave_spark.functions import cells as C
+from geowave_spark.functions import cols as X
+from geowave_spark.functions import udfs as U
+from geowave_spark.operators import bbox as OB
+from geowave_spark.plans import planner as P
+
+
+def count_by_query(
+    data: DataFrame, queries: list[P.BoxQuery], tiers: list[int] | None = None
+) -> DataFrame:
+    """Per-query matching-row count — the aggregation is pushed below the
+    result materialization exactly like the reference's server-side
+    AggregationIterator (partials per partition, one merge)."""
+    hits = OB.query_bbox(data, queries, tiers=tiers)
+    return hits.groupBy("query_id").agg(F.count("*").alias("n_rows"))
+
+
+def subsample(
+    data: DataFrame,
+    res: int,
+    id_col: str = "event_id",
+    keep_cols: tuple[str, ...] = ("lon", "lat"),
+) -> DataFrame:
+    """≈1 row per cell at coarse ``res``: the deterministic representative
+    (min id) per cell.  Output: (cell_r, <id>, keep_cols...)."""
+    w = Window.partitionBy("cell_r").orderBy(F.col(id_col).asc())
+    return (
+        data.withColumn("cell_r", X.parent_col(F.col("cell"), res))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cell_r", id_col, *keep_cols)
+    )
+
+
+def build_secondary_index(
+    data: DataFrame, attr_col: str, id_col: str = "event_id"
+) -> DataFrame:
+    """The (attribute → primary id) aux table (SecondaryIndexType.JOIN).
+    At scale: written sorted by ``attr_col`` for range pushdown."""
+    return data.select(F.col(attr_col).alias("attr"), F.col(id_col))
+
+
+def secondary_index_query(
+    data: DataFrame,
+    aux: DataFrame,
+    values: list,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Point lookups on the secondary index joined back to the primary —
+    the aux side is filtered first (index scan) then equi-joined."""
+    ids = aux.filter(F.col("attr").isin(values)).select(id_col)
+    return data.join(ids, id_col, "left_semi")
+
+
+def dwithin(
+    data: DataFrame,
+    lon: float,
+    lat: float,
+    dist_milli: int,
+    tiers: list[int] | None = None,
+) -> DataFrame:
+    """All rows within ``dist_milli`` (planar milli-degree metric, date-line
+    wrap) of the point: buffered-box cover prefilter + exact residual."""
+    d = dist_milli / 1000.0
+    box = P.BoxQuery(
+        "dwithin",
+        ((lon - d + 180.0) % 360.0) - 180.0 if lon - d < -180 else lon - d,
+        max(lat - d, -90.0),
+        ((lon + d + 180.0) % 360.0) - 180.0 if lon + d > 180 else lon + d,
+        min(lat + d, 90.0),
+    )
+    pre = P.cover_join(data, [box], tiers=tiers)
+    q_lon_m = int(round(lon * 1000))
+    q_lat_m = int(round(lat * 1000))
+    dist2 = U.planar_wrap_dist2_col(
+        F.col("lon_milli"), F.col("lat_milli"), F.lit(q_lon_m), F.lit(q_lat_m)
+    )
+    return (
+        pre.withColumn("dist2_milli", dist2)
+        .filter(F.col("dist2_milli") <= dist_milli * dist_milli)
+        .drop("query_id")
+    )
+
+
+def parent_cell_scan(data: DataFrame, parent_cell: int) -> DataFrame:
+    """All rows under one parent cell (CoordinateRangeQuery / prefix query):
+    a single bit-shift equality — partition-prunable when the parent is at
+    or above the table's PARTITION_RES."""
+    res = parent_cell >> C.RES_SHIFT
+    return data.filter(X.parent_col(F.col("cell"), int(res)) == parent_cell)
+
+
+def limited_scan(
+    data: DataFrame, n: int, order_cols: tuple[str, ...] = ("cell", "event_id")
+) -> DataFrame:
+    """Deterministic limit: smallest ``n`` rows in index-key order (the
+    KV-store scan order + early-exit limit of QueryOptions.limit)."""
+    return data.orderBy(*[F.col(c).asc() for c in order_cols]).limit(n)
+
+
+def everything(data: DataFrame) -> DataFrame:
+    """EverythingQuery — the unconstrained scan."""
+    return data

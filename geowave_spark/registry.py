@@ -461,3 +461,199 @@ def q_mosaic(spark, sf_dir):
 
 
 register("mosaic", q_mosaic)  # rows-only (pixel semantics pinned in pytest)
+
+
+# ---------------------------------------------------------------------------
+# Statistics (SURVEY §2.6 DataStatistics family: count / bbox / time range /
+# cardinality as one partial-aggregated pass)
+# ---------------------------------------------------------------------------
+
+from geowave_spark import stats as ST  # noqa: E402
+
+
+def q_stats_summary(spark, sf_dir):
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    return ST.summary_stats(geo).select(
+        "n_rows", "min_lon", "max_lon", "min_lat", "max_lat",
+        "n_ids", "min_ts", "max_ts",
+    )
+
+
+register(
+    "stats_summary",
+    q_stats_summary,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        "SELECT COUNT(*) AS n_rows, MIN(lon) AS min_lon, MAX(lon) AS max_lon, "
+        "MIN(lat) AS min_lat, MAX(lat) AS max_lat, "
+        "COUNT(DISTINCT event_id) AS n_ids, MIN(ts) AS min_ts, MAX(ts) AS max_ts "
+        "FROM geo_events",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Scan-time operator surface (SURVEY §2.3/2.6/2.7: aggregation pushdown,
+# fixed-cardinality subsampling, secondary index JOIN, DWithin, prefix /
+# coordinate-range query, deterministic limit)
+# ---------------------------------------------------------------------------
+
+from geowave_spark.functions import cells as CE  # noqa: E402
+from geowave_spark.operators import scan as OS  # noqa: E402
+
+
+def duck_cell_sql(res: int, lon_m: str = "lon_milli", lat_m: str = "lat_milli") -> str:
+    """DuckDB expression for the packed cell id at ``res`` from milli-degree
+    integer coords — closed-form integer grid + explicit Morton interleave
+    (the SQL mirror of functions/cells.pack ∘ grid_xy_milli)."""
+    n = 1 << res
+    ix = f"least(greatest((({lon_m}) + 180000) * {n} // 360000, 0), {n - 1})"
+    iy = f"least(greatest((({lat_m}) + 90000) * {n} // 180000, 0), {n - 1})"
+    terms = []
+    for b in range(res):
+        terms.append(f"((({ix}) >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"((({iy}) >> {b}) & 1) * {1 << (2 * b + 1)}")
+    z = " + ".join(terms) if terms else "0"
+    return f"({res}::BIGINT << 58) + ({z})"
+
+
+def q_count_agg(spark, sf_dir):
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    return OS.count_by_query(geo, BBOX_SUITE, tiers=[OI.C.MAX_RES])
+
+
+def _count_agg_oracle() -> str:
+    arms = [
+        f"SELECT '{q.query_id}' AS query_id FROM geo_events "
+        f"WHERE {_bbox_lon_pred(q)} AND lat >= {q.miny} AND lat <= {q.maxy}"
+        for q in BBOX_SUITE
+    ]
+    return TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        "SELECT query_id, COUNT(*) AS n_rows FROM ("
+        + " UNION ALL ".join(arms)
+        + ") GROUP BY query_id",
+    )
+
+
+register("count_agg", q_count_agg, _count_agg_oracle())
+
+
+SUBSAMPLE_RES = 6
+
+
+def q_subsample(spark, sf_dir):
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    return OS.subsample(geo, SUBSAMPLE_RES)
+
+
+def _subsample_oracle() -> str:
+    cell = duck_cell_sql(SUBSAMPLE_RES)
+    return TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f"""
+SELECT cell_r, event_id, lon, lat FROM (
+  SELECT {cell} AS cell_r, event_id, lon, lat,
+         ROW_NUMBER() OVER (PARTITION BY {cell} ORDER BY event_id ASC) AS rn
+  FROM geo_events
+) WHERE rn = 1
+""",
+    )
+
+
+register("subsample", q_subsample, _subsample_oracle())
+
+
+SECIDX_VALUES = ["click", "view"]
+
+
+def q_secondary_index(spark, sf_dir):
+    geo = TB.geo_events(spark, sf_dir)
+    aux = OS.build_secondary_index(geo, "event_type")
+    return OS.secondary_index_query(geo, aux, SECIDX_VALUES).select(
+        "event_id", "event_type", "lon", "lat"
+    )
+
+
+register(
+    "secondary_index",
+    q_secondary_index,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        "SELECT event_id, event_type, lon, lat FROM geo_events "
+        f"WHERE event_type IN ({', '.join(repr(v) for v in SECIDX_VALUES)})",
+    ),
+)
+
+
+DW_LON, DW_LAT, DW_DIST = -73.985, 40.758, 300
+
+
+def q_dwithin(spark, sf_dir):
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    return OS.dwithin(geo, DW_LON, DW_LAT, DW_DIST, tiers=[OI.C.MAX_RES]).select(
+        "event_id", "lon", "lat", "dist2_milli"
+    )
+
+
+def _dwithin_oracle() -> str:
+    qx, qy = int(round(DW_LON * 1000)), int(round(DW_LAT * 1000))
+    return TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f"""
+SELECT event_id, lon, lat, dist2_milli FROM (
+  SELECT event_id, lon, lat,
+         LEAST(ABS(lon_milli - {qx}), 360000 - ABS(lon_milli - {qx}))
+           * LEAST(ABS(lon_milli - {qx}), 360000 - ABS(lon_milli - {qx}))
+         + (lat_milli - {qy}) * (lat_milli - {qy}) AS dist2_milli
+  FROM geo_events
+) WHERE dist2_milli <= {DW_DIST * DW_DIST}
+""",
+    )
+
+
+register("dwithin", q_dwithin, _dwithin_oracle())
+
+
+PREFIX_RES = 5
+PREFIX_CELL = int(CE.encode(-73.985, 40.758, PREFIX_RES)[()])
+
+
+def q_prefix_scan(spark, sf_dir):
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    return OS.parent_cell_scan(geo, PREFIX_CELL).select("event_id", "lon", "lat")
+
+
+def _prefix_oracle() -> str:
+    return TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f"SELECT event_id, lon, lat FROM geo_events "
+        f"WHERE {duck_cell_sql(PREFIX_RES)} = {PREFIX_CELL}",
+    )
+
+
+register("prefix_scan", q_prefix_scan, _prefix_oracle())
+
+
+def q_limit_scan(spark, sf_dir):
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    return OS.limited_scan(geo, 100).select("cell", "event_id", "lon", "lat")
+
+
+def _limit_oracle() -> str:
+    cell = duck_cell_sql(CE.MAX_RES)
+    return TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f"SELECT {cell} AS cell, event_id, lon, lat FROM geo_events "
+        "ORDER BY cell ASC, event_id ASC LIMIT 100",
+    )
+
+
+register("limit_scan", q_limit_scan, _limit_oracle())

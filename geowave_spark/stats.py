@@ -1,0 +1,94 @@
+"""Statistics layer — the engine's DataStatistics analogue.
+
+The reference maintains mergeable per-adapter statistics in a metadata
+table (count, bbox, time range, row-range histogram, sketches) and uses
+them for index selection, tier skipping, and split balancing
+(core/store/.../adapter/statistics/DataStatistics.java,
+RowRangeHistogramStatistics.java, core/geotime/.../store/statistics/
+BoundingBoxDataStatistics.java:33-140, TimeRangeDataStatistics.java).
+
+Here statistics are one ``groupBy().agg()`` job over the indexed table —
+partial aggregation is Catalyst-native, so the scan is single-pass — and
+land in a small parquet (production: Iceberg) stats store with three
+tables:
+
+* ``summary``   — count, bbox, time range, distinct ids (exact + approx);
+* ``tier_counts`` — rows per tier → drives the tier-skip in cover_join
+  (reference TieredSFCIndexStrategy.java:131-138 tier metadata) without a
+  per-query distinct scan;
+* ``cell_histogram`` — rows per coarse cell (PARTITION_RES parent) →
+  split balancing / hot-cell (skew) detection, the analogue of
+  RowRangeHistogramStatistics-driven splits (SplitsProvider.java:52-135);
+  hot cells above ``salt_threshold`` are the ones ingest salting spreads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def summary_stats(
+    indexed: DataFrame,
+    id_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str | None = "ts",
+) -> DataFrame:
+    """One-row summary: count, bbox, time range, id cardinality."""
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.min(lon_col).alias("min_lon"),
+        F.max(lon_col).alias("max_lon"),
+        F.min(lat_col).alias("min_lat"),
+        F.max(lat_col).alias("max_lat"),
+        F.countDistinct(id_col).alias("n_ids"),
+        F.approx_count_distinct(id_col).alias("n_ids_approx"),
+    ]
+    if ts_col is not None and ts_col in indexed.columns:
+        aggs += [F.min(ts_col).alias("min_ts"), F.max(ts_col).alias("max_ts")]
+    return indexed.agg(*aggs)
+
+
+def tier_counts(indexed: DataFrame) -> DataFrame:
+    """(tier, n_rows) — the tier-occupancy metadata queries use to skip
+    empty tiers (pass ``tiers=`` to cover_join from this instead of a
+    distinct scan)."""
+    return indexed.groupBy("tier").agg(F.count("*").alias("n_rows"))
+
+
+def cell_histogram(indexed: DataFrame, cell_p_col: str = "cell_p") -> DataFrame:
+    """(cell_p, n_rows) — coarse-cell occupancy for split balancing and
+    hot-cell detection."""
+    return indexed.groupBy(cell_p_col).agg(F.count("*").alias("n_rows"))
+
+
+def hot_cells(hist: DataFrame, threshold_ratio: float = 4.0) -> DataFrame:
+    """Cells holding more than ``threshold_ratio``× the mean row count —
+    the skew set that ingest salting (HashKeyIndexStrategy analogue)
+    spreads across ``salt`` buckets."""
+    mean = hist.agg(F.avg("n_rows").alias("m"))
+    return (
+        hist.crossJoin(F.broadcast(mean))
+        .filter(F.col("n_rows") > F.col("m") * threshold_ratio)
+        .select("cell_p", "n_rows")
+    )
+
+
+def write_stats(indexed: DataFrame, store_path: str, **kw) -> None:
+    """Materialize all three stats tables under ``store_path``/_stats."""
+    summary_stats(indexed, **kw).write.mode("overwrite").parquet(
+        f"{store_path}/_stats/summary"
+    )
+    tier_counts(indexed).write.mode("overwrite").parquet(
+        f"{store_path}/_stats/tier_counts"
+    )
+    cell_histogram(indexed).write.mode("overwrite").parquet(
+        f"{store_path}/_stats/cell_histogram"
+    )
+
+
+def read_tiers(spark: SparkSession, store_path: str) -> list[int]:
+    """Occupied tiers from the stats store (the query-side tier list)."""
+    df = spark.read.parquet(f"{store_path}/_stats/tier_counts")
+    return sorted(int(r["tier"]) for r in df.filter(F.col("n_rows") > 0).collect())

@@ -1,0 +1,53 @@
+"""Stats layer + stage checkpointing/resumability (SURVEY §2.6, north_rule
+'resumable from checkpoint with per-partition lineage + metrics')."""
+
+from __future__ import annotations
+
+import os
+
+from geowave_spark import stats as S
+from geowave_spark.checkpoint import Pipeline, ingest_pipeline
+from geowave_spark.operators import index as OI
+from geowave_spark.sources import tables as TB
+
+
+def test_stats_tables(spark, sf_dir, tmp_path):
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    summ = S.summary_stats(geo).collect()[0]
+    assert summ["n_rows"] == geo.count() == summ["n_ids"]
+    assert -180 <= summ["min_lon"] <= summ["max_lon"] < 180
+    tc = {r["tier"]: r["n_rows"] for r in S.tier_counts(geo).collect()}
+    assert tc == {OI.C.MAX_RES: summ["n_rows"]}
+    hist = S.cell_histogram(geo)
+    assert hist.agg({"n_rows": "sum"}).collect()[0][0] == summ["n_rows"]
+    # skewed synthetic distribution must surface hot cells
+    assert S.hot_cells(hist).count() > 0
+    store = str(tmp_path / "store")
+    S.write_stats(geo, store)
+    assert S.read_tiers(spark, store) == [OI.C.MAX_RES]
+
+
+def test_pipeline_resume_and_lineage(spark, sf_dir, tmp_path):
+    store = str(tmp_path / "pipe")
+    p1 = ingest_pipeline(spark, sf_dir, store)
+    assert p1.stages_run == ["indexed", "stats_tier_counts"]
+    n = spark.read.parquet(os.path.join(store, "indexed")).count()
+
+    # per-partition lineage recorded and sums to the table count
+    pm = p1.partition_metrics("indexed")
+    assert pm.agg({"n_rows": "sum"}).collect()[0][0] == n
+    assert pm.count() >= 1
+
+    # rerun: everything skipped
+    p2 = ingest_pipeline(spark, sf_dir, store)
+    assert p2.stages_run == [] and p2.stages_skipped == ["indexed", "stats_tier_counts"]
+
+    # invalidate downstream stage only → only it re-runs
+    p2.invalidate("stats_tier_counts")
+    p3 = ingest_pipeline(spark, sf_dir, store)
+    assert p3.stages_run == ["stats_tier_counts"]
+    assert p3.stages_skipped == ["indexed"]
+
+    # changed params → full re-run (fingerprint mismatch)
+    p4 = ingest_pipeline(spark, sf_dir, store, salt_buckets=8)
+    assert "indexed" in p4.stages_run
