@@ -64,10 +64,15 @@ FROM {table} GROUP BY 1
 SHINGLE_N = 3
 
 
-def shingles_col(text: Column, n: int = SHINGLE_N) -> Column:
-    """Word ``n``-gram shingles as an array column (empty if < n tokens —
-    guarded because Spark's sequence() descends when stop < start)."""
-    toks = tokens_col(text)
+def shingles_from_tokens(toks: Column, n: int = SHINGLE_N) -> Column:
+    """Word ``n``-gram shingles from a *materialized* token-array column
+    (empty if < n tokens — guarded because Spark's sequence() descends when
+    stop < start).
+
+    The tokens MUST be a plain column reference, not the tokenization
+    expression inline: Catalyst re-inlines complex expressions into every
+    lambda evaluation, turning shingling O(len²) per doc (measured 9×
+    slower).  Callers project ``tokens_col(...)`` first."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -75,6 +80,12 @@ def shingles_col(text: Column, n: int = SHINGLE_N) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_col(text: Column, n: int = SHINGLE_N) -> Column:
+    """Convenience single-expression form (slow path — see
+    :func:`shingles_from_tokens`); kept for small inputs/tests."""
+    return shingles_from_tokens(tokens_col(text), n)
 
 
 def duck_shingles(col: str, n: int = SHINGLE_N) -> str:
@@ -104,7 +115,11 @@ def minhash_signatures(
     groupBy with H min() aggregates: map-side partial aggregation keeps the
     shuffle at |docs| rows regardless of shingle count."""
     sh = (
-        docs.select(F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("shingle"))
+        docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("_toks"))).alias("shingle"),
+        )
         .distinct()
     )
     aggs = [

@@ -69,7 +69,10 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     ascending, zero hits → 'und'.  Output: (id, pred_lang, n_tokens,
     best_hits) — integers only, so the oracle compare is exact.
     """
-    toks = tokens_col(F.col(text_col))
+    # materialize tokens once — inlining the tokenization into each of the
+    # 4 lexicon aggregates would re-split the text 5× per row
+    base = docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     agg_cols = []
     for lang, words in sorted(LANG_LEXICON.items()):
         arr = F.array(*[F.lit(w) for w in words])
@@ -79,7 +82,7 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             lambda acc, x: acc + F.when(F.array_contains(arr, x), 1).otherwise(0),
         )
         agg_cols.append(hits.alias(f"hits_{lang}"))
-    out = docs.select(F.col(id_col), F.size(toks).alias("n_tokens"), *agg_cols)
+    out = base.select(F.col(id_col), F.size(toks).alias("n_tokens"), *agg_cols)
 
     langs = sorted(LANG_LEXICON)
     best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
@@ -137,7 +140,10 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     ratio, English-stopword ratio; score = stopword_ratio − punct_ratio +
     min(n_tokens, 100)/100 (a simple deterministic composite).
     """
-    toks = tokens_col(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), F.col(text_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     en = F.array(*[F.lit(w) for w in LANG_LEXICON["en"]])
     n_tok = F.size(toks)
     tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
@@ -146,7 +152,7 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         toks, F.lit(0), lambda acc, x: acc + F.when(F.array_contains(en, x), 1).otherwise(0)
     )
     n_chars = F.length(F.col(text_col))
-    return docs.select(
+    return base.select(
         F.col(id_col),
         n_chars.alias("n_chars_calc"),
         n_tok.alias("n_tokens"),
