@@ -202,3 +202,95 @@ def render_tiles(
         )
 
     return assigned.groupBy("tile_cell").applyInPandas(merge_group, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Tile retile / pyramid coarsening + per-coverage overview stats
+# ---------------------------------------------------------------------------
+
+
+def retile_coarser(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
+    """Rendered tiles at level L → stitched tiles at level L-1.
+
+    The Spark form of the reference's raster resize job (RasterTileResize
+    JobRunner/Mapper/Reducer, extensions/adapters/raster/.../resize/): group
+    the ≤4 child tiles under each parent cell, paste each child into its
+    quadrant (child parity gives the quadrant), 2× box-downsample back to
+    ``tile_size``.  One groupBy on the parent key — the combiner/reducer
+    pair collapses into a single applyInPandas.
+
+    Input: (tile_cell, level, tile_ix, tile_iy, tile_png); output the same
+    schema one level coarser plus n_children.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("tile_cell", T.LongType()),
+            T.StructField("level", T.LongType()),
+            T.StructField("tile_ix", T.LongType()),
+            T.StructField("tile_iy", T.LongType()),
+            T.StructField("n_children", T.IntegerType()),
+            T.StructField("tile_png", T.BinaryType()),
+        ]
+    )
+    half = tile_size // 2
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        lvl = int(pdf.level.iloc[0]) - 1
+        pix = int(pdf.tile_ix.iloc[0]) >> 1
+        piy = int(pdf.tile_iy.iloc[0]) >> 1
+        canvas = np.zeros((tile_size, tile_size), dtype=np.uint8)
+        n = 0
+        for r in pdf.itertuples():
+            child = PNG.decode_image(r.tile_png)
+            # 2x2 box mean then paste into the child's quadrant; row 0 is
+            # NORTH, so a child with odd iy (northern half) goes to the top
+            ds = child.reshape(tile_size // 2, 2, tile_size // 2, 2).mean(
+                axis=(1, 3)
+            ).astype(np.uint8)
+            qx = (int(r.tile_ix) & 1) * half
+            qy = (1 - (int(r.tile_iy) & 1)) * half
+            canvas[qy : qy + half, qx : qx + half] = ds
+            n += 1
+        cell = int(
+            C.pack(
+                np.asarray([lvl], dtype=np.int64),
+                np.asarray([pix], dtype=np.int64),
+                np.asarray([piy], dtype=np.int64),
+            )[0]
+        )
+        return pd.DataFrame(
+            {
+                "tile_cell": [cell],
+                "level": [lvl],
+                "tile_ix": [pix],
+                "tile_iy": [piy],
+                "n_children": [n],
+                "tile_png": [PNG.png_encode(canvas)],
+            }
+        )
+
+    # parent at level-1: a pure shift of the same interleaved key
+    parent = tiles.withColumn(
+        "_parent",
+        F.call_function(
+            "shiftrightunsigned",
+            F.col("tile_cell").bitwiseAND(F.lit(int(C.COORD_MASK))),
+            F.lit(2),
+        )
+        + F.call_function("shiftleft", (F.col("level") - 1).cast("long"), F.lit(C.RES_SHIFT)),
+    )
+    return parent.groupBy("_parent").applyInPandas(merge, out_schema)
+
+
+def overview_stats(tiles: DataFrame) -> DataFrame:
+    """Per-level coverage statistics (reference OverviewStatistics /
+    RasterBoundingBoxStatistics / HistogramStatistics: one groupBy)."""
+    return tiles.groupBy("level").agg(
+        F.count("*").alias("n_tiles"),
+        F.min("tile_ix").alias("min_ix"),
+        F.max("tile_ix").alias("max_ix"),
+        F.min("tile_iy").alias("min_iy"),
+        F.max("tile_iy").alias("max_iy"),
+        F.avg("valid_frac").alias("avg_valid_frac"),
+        F.sum("n_src").alias("total_contributions"),
+    )

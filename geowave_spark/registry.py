@@ -657,3 +657,79 @@ def _limit_oracle() -> str:
 
 
 register("limit_scan", q_limit_scan, _limit_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Raster pyramid / retile / overview (SURVEY §2.9 buildPyramid walk,
+# RasterTileResize, OverviewStatistics)
+# ---------------------------------------------------------------------------
+
+PYRAMID_MIN_LEVEL = 4
+
+
+def q_tile_pyramid(spark, sf_dir):
+    fps = TB.geo_footprints(spark, sf_dir)
+    assigned = OTL.assign_tiles(fps, build_pyramid=True, min_pyramid_level=PYRAMID_MIN_LEVEL)
+    return assigned.select(
+        "event_id",
+        F.col("level").cast("long").alias("level"),
+        F.col("tile_ix").alias("ix"),
+        F.col("tile_iy").alias("iy"),
+    )
+
+
+def _tile_pyramid_oracle() -> str:
+    def idiv(a: str, b: str) -> str:
+        return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS BIGINT)"
+
+    n = "(1::BIGINT << level)"
+    return f"""
+WITH geo_footprints AS ({TB.GEO_FOOTPRINTS_SQL}),
+lv AS (
+  SELECT event_id, minx_m, miny_m, maxx_m, maxy_m,
+         unnest(generate_series({PYRAMID_MIN_LEVEL}, native_level)) AS level
+  FROM geo_footprints
+),
+b AS (
+  SELECT event_id, level,
+         {idiv(f"(minx_m + 180000) * {n}", "360000")} AS ix0,
+         {idiv(f"(maxx_m + 180000) * {n}", "360000")} AS ix1,
+         {idiv(f"(miny_m + 90000) * {n}", "180000")} AS iy0,
+         {idiv(f"(maxy_m + 90000) * {n}", "180000")} AS iy1
+  FROM lv
+)
+SELECT event_id, level, ix0 + dx.v AS ix, iy0 + dy.v AS iy
+FROM b
+CROSS JOIN (VALUES (0), (1)) AS dx(v)
+CROSS JOIN (VALUES (0), (1)) AS dy(v)
+WHERE dx.v <= ix1 - ix0 AND dy.v <= iy1 - iy0
+"""
+
+
+register("tile_pyramid", q_tile_pyramid, _tile_pyramid_oracle())
+
+
+def q_retile(spark, sf_dir):
+    imgs = SYN.images(spark, n=200, partitions=8)
+    tiles = OTL.render_tiles(OTL.assign_tiles(imgs, level=6))
+    coarse = OTL.retile_coarser(tiles)
+    return coarse.select(
+        "tile_cell", "level", "tile_ix", "tile_iy", "n_children",
+        F.md5("tile_png").alias("tile_md5"),
+    )
+
+
+register("retile", q_retile)  # rows-only (pixel semantics pinned in pytest)
+
+
+def q_overview_stats(spark, sf_dir):
+    imgs = SYN.images(spark, n=200, partitions=8)
+    tiles = OTL.render_tiles(OTL.assign_tiles(imgs, level=6))
+    return OTL.overview_stats(tiles).select(
+        "level", "n_tiles", "min_ix", "max_ix", "min_iy", "max_iy",
+        F.round("avg_valid_frac", 6).alias("avg_valid_frac"),
+        "total_contributions",
+    )
+
+
+register("overview_stats", q_overview_stats)  # rows-only

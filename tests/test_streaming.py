@@ -1,0 +1,82 @@
+"""Streaming ingest parity + resume (SURVEY §2.2 Kafka-ingest analogue).
+
+Batch and streaming share one indexing code path, so the assertion is
+exact: streaming sink contents == batch index_points over the same files;
+a restart with the same checkpoint ingests only newly staged files."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geowave_spark.operators import index as OI
+from geowave_spark.sources import tables as TB
+from geowave_spark.streaming.ingest import stream_cell_window_counts, stream_index_events
+
+
+def _stage(spark, sf_dir, out, part):
+    geo = TB.geo_events(spark, sf_dir)
+    half = geo.filter(F.pmod("event_id", F.lit(2)) == part)
+    half.coalesce(1).write.mode("overwrite").parquet(out)
+    return half
+
+
+def test_stream_ingest_matches_batch_and_resumes(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "staged")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    geo = TB.geo_events(spark, sf_dir)
+    schema = geo.schema
+
+    # stage half the stream, drain it
+    _stage(spark, sf_dir, src + "/f0", 0)
+    q = stream_index_events(spark, src + "/f0", sink, ckpt, schema)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    want = OI.index_points(geo.filter(F.pmod("event_id", F.lit(2)) == 0), id_col="event_id")
+    assert got.count() == want.count()
+    a = {r["event_id"]: r["cell"] for r in got.select("event_id", "cell").collect()}
+    b = {r["event_id"]: r["cell"] for r in want.select("event_id", "cell").collect()}
+    assert a == b
+
+    # stage the second half into the same dir; resume from checkpoint —
+    # only the new file is read (offsets recorded), totals now complete
+    geo.filter(F.pmod("event_id", F.lit(2)) == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src + "/f0")
+    q2 = stream_index_events(spark, src + "/f0", sink, ckpt, schema)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == geo.count()
+
+
+def test_stream_window_counts(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "wsrc")
+    geo = TB.geo_events(spark, sf_dir)
+    geo.coalesce(1).write.mode("overwrite").parquet(src)
+
+    agg = stream_cell_window_counts(spark, src, geo.schema, cell_res=4, window="1 day")
+    sink = str(tmp_path / "wsink")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    # watermark append-mode emits only windows closed by the final
+    # watermark; every emitted (window, cell) count must match batch
+    from geowave_spark.functions import cols as X
+
+    batch = (
+        geo.withColumn("cell_r", X.cell_encode_col(F.col("lon"), F.col("lat"), 4))
+        .groupBy(F.window("ts", "1 day").alias("win"), "cell_r")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "cell_r", F.col("n_events").alias("n_batch"))
+    )
+    joined = out.join(batch, ["win_start", "cell_r"], "left")
+    assert joined.count() > 0
+    assert joined.filter(F.col("n_events") != F.col("n_batch")).count() == 0

@@ -150,3 +150,58 @@ def test_end_to_end_tiling_pipeline(spark):
         pix = PNG.png_decode(bytes(t.tile_png))
         assert pix.shape == (256, 256)
         assert t.valid_frac > 0
+
+
+def test_retile_coarser_closed_form(spark):
+    """Four rendered children stitch into one parent tile whose quadrant
+    means equal the children's 2x2 box means (RasterTileResize parity)."""
+    import numpy as np
+    import pandas as pd
+
+    from geowave_spark.functions import cells as C
+    from geowave_spark.operators.tiling import TILE_SIZE, retile_coarser
+    from geowave_spark.sources import png as PNG
+
+    lvl, bx, by = 5, 6, 10  # children at (2bx+dx, 2by+dy)
+    rows = []
+    vals = {}
+    for dx in (0, 1):
+        for dy in (0, 1):
+            ix, iy = 2 * bx + dx, 2 * by + dy
+            v = 40 * (1 + dx + 2 * dy)
+            vals[(dx, dy)] = v
+            pix = np.full((TILE_SIZE, TILE_SIZE), v, dtype=np.uint8)
+            rows.append(
+                {
+                    "tile_cell": int(C.pack(np.array([lvl]), np.array([ix]), np.array([iy]))[0]),
+                    "level": lvl,
+                    "tile_ix": ix,
+                    "tile_iy": iy,
+                    "tile_png": PNG.png_encode(pix),
+                }
+            )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = retile_coarser(df).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.level, r.tile_ix, r.tile_iy, r.n_children) == (4, bx, by, 4)
+    canvas = PNG.png_decode(r.tile_png)
+    half = TILE_SIZE // 2
+    # row 0 is NORTH → child dy=1 occupies the top half
+    assert (canvas[:half, :half] == vals[(0, 1)]).all()
+    assert (canvas[:half, half:] == vals[(1, 1)]).all()
+    assert (canvas[half:, :half] == vals[(0, 0)]).all()
+    assert (canvas[half:, half:] == vals[(1, 0)]).all()
+
+
+def test_overview_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from geowave_spark.operators import tiling as OTL
+    from geowave_spark.sources import synthetic as SYN
+
+    imgs = SYN.images(spark, n=120, partitions=4)
+    tiles = OTL.render_tiles(OTL.assign_tiles(imgs, level=6))
+    ov = OTL.overview_stats(tiles).collect()
+    assert len(ov) == 1 and ov[0]["level"] == 6
+    assert ov[0]["n_tiles"] > 0 and ov[0]["total_contributions"] >= 120
