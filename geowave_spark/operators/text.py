@@ -248,28 +248,41 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     d = docs.select(F.col(id_col), norm.alias("_norm")).filter(
         F.length("_norm") >= F.lit(KGRAM)
     )
-    # substring with a column start position needs the SQL expr form
-    d = d.withColumn(
-        "_g",
-        F.expr(f"transform(sequence(1, length(_norm) - {KGRAM - 1}), i -> substr(_norm, i, {KGRAM}))"),
-    ).select(id_col, F.posexplode("_g").alias("pos", "gram"))
-    d = d.withColumn("_h", h64_col(F.col("gram")))
-    from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    # All array-local (no explode-then-window shuffle: a document's windows
+    # never cross rows, so winnowing is a per-row higher-order computation —
+    # ~500× fewer rows shuffled than the window-function formulation, all
+    # codegen).  The let-bindings are load-bearing: Catalyst re-inlines
+    # projected expressions into every lambda evaluation (projection
+    # boundaries don't stop it), which would recompute the full hash array
+    # per window — O(n²) per doc.  A lambda VARIABLE is evaluated once, so
+    # binding each intermediate through a one-element-array transform gives
+    # true reuse.
+    def let(value, fn):
+        return F.element_at(F.transform(F.array(value), fn), 1)
+
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("_norm") - F.lit(KGRAM - 1)),
+        lambda i: F.substring(F.col("_norm"), i, F.lit(KGRAM)),
     )
-    n_w = Window.partitionBy(id_col)
-    out = (
-        d.withColumn("_fp", F.min("_h").over(w))
-        .withColumn("_npos", F.max("pos").over(n_w))
-        .filter(F.col("pos") <= F.col("_npos") - F.lit(WINNOW_W - 1))
-        .select(F.col(id_col), F.col("_fp").alias("fp"))
-        .distinct()
+    fps = let(
+        grams,
+        lambda g: let(
+            F.transform(g, lambda gram: h64_col(gram)),
+            lambda h: F.when(
+                F.size(h) >= WINNOW_W,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(h) - WINNOW_W),
+                        lambda i: F.array_min(F.slice(h, i + 1, WINNOW_W)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<long>")),
+        ),
     )
-    return out
+    # array_distinct already dedupes within the document and each document
+    # is a single row, so (id, fp) pairs are unique without a shuffle
+    return d.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
 def fingerprints_oracle(table: str = "documents") -> str:
