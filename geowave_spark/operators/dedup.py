@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 
 from geowave_spark.operators.text import duck_h64, duck_tokens, h64_col, tokens_col
 
+
+def let(value: Column, fn) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` ONCE and use
+    it via a lambda variable.  Catalyst re-inlines projected expressions
+    into every lambda evaluation (O(n²) traps); lambda variables are the
+    supported way to force reuse."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -104,29 +112,70 @@ NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
+# Universal-hash family over the 60-bit md5 base: h_i(s) = (lo·P1ᵢ + hi·P2ᵢ
+# + i) mod (2^61−1), with lo/hi the 30-bit halves.  ONE md5 per shingle +
+# H cheap integer mixes (the classic k-permutation trick) instead of H md5
+# calls; products stay < 2^62 so int64 never overflows (ANSI-safe), and the
+# identical arithmetic runs in DuckDB.
+MERSENNE61 = (1 << 61) - 1
+_MIX = [
+    (
+        ((2654435761 * (2 * i + 1)) & 0x7FFFFFFF) | 1,
+        ((2246822519 * (2 * i + 3)) & 0x7FFFFFFF) | 1,
+    )
+    for i in range(NUM_HASHES)
+]
+
+
+def _mix_col(base: Column, i: int) -> Column:
+    p1, p2 = _MIX[i]
+    lo = base.bitwiseAND(F.lit((1 << 30) - 1))
+    hi = F.shiftright(base, 30)
+    return (lo * F.lit(p1) + hi * F.lit(p2) + F.lit(i)) % F.lit(MERSENNE61)
+
+
+def _duck_mix(base: str, i: int) -> str:
+    p1, p2 = _MIX[i]
+    return (
+        f"((({base}) & {(1 << 30) - 1}) * {p1}"
+        f" + (({base}) >> 30) * {p2} + {i}) % {MERSENNE61}"
+    )
+
 
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, s0..s{H-1}) — H min-hashes over the distinct shingle set.
 
-    Hash h_i(shingle) = md5('i|'+shingle) compared as hex strings (ASCII
-    order ≡ numeric order of the digest — portable to any engine).  One
-    groupBy with H min() aggregates: map-side partial aggregation keeps the
-    shuffle at |docs| rows regardless of shingle count."""
-    sh = (
-        docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_toks"))
-        .select(
-            F.col(id_col),
-            F.explode(shingles_from_tokens(F.col("_toks"))).alias("shingle"),
-        )
-        .distinct()
+    A document's signature depends only on its own shingles, so this is a
+    pure per-row array computation — NO explode, NO groupBy, no shuffle at
+    all (the previous explode+16-min-aggregates formulation shuffled every
+    (doc, shingle) pair).  tokens, shingles and the md5 base hashes are
+    let-bound (computed once per row); the H hash functions are integer
+    mixes of the single base (see ``_MIX``)."""
+    sig = let(
+        tokens_col(F.col(text_col)),
+        lambda toks: let(
+            F.array_distinct(shingles_from_tokens(toks)),
+            lambda sh: let(
+                F.transform(sh, lambda s: h64_col(s)),
+                lambda base: F.struct(
+                    *[
+                        F.array_min(F.transform(base, lambda h: _mix_col(h, i))).alias(
+                            f"s{i}"
+                        )
+                        for i in range(NUM_HASHES)
+                    ]
+                ),
+            ),
+        ),
     )
-    aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")).cast("binary"))).alias(f"s{i}")
-        for i in range(NUM_HASHES)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    out = docs.select(F.col(id_col), sig.alias("_sig")).filter(
+        F.col("_sig.s0").isNotNull()  # docs with < SHINGLE_N tokens drop out
+    )
+    return out.select(
+        F.col(id_col), *[F.col(f"_sig.s{i}").alias(f"s{i}") for i in range(NUM_HASHES)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -162,22 +211,27 @@ def minhash_lsh_pairs(
 def _duck_sig_cte(table: str) -> str:
     sh = duck_shingles("text")
     mins = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS s{i}" for i in range(NUM_HASHES)
+        f"min({_duck_mix('base', i)}) AS s{i}" for i in range(NUM_HASHES)
     )
     return f"""
 sh AS (
   SELECT DISTINCT doc_id, unnest({sh}) AS shingle FROM {table}
 ),
+sb AS (
+  SELECT doc_id, {duck_h64("shingle")} AS base FROM sh
+),
 sig AS (
-  SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+  SELECT doc_id, {mins} FROM sb GROUP BY doc_id
 )"""
 
 
 def minhash_lsh_pairs_oracle(table: str = "documents") -> str:
     band_arms = []
     for b in range(BANDS):
-        cols = " || '|' || ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        band_arms.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bkey FROM sig")
+        cols = ", ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        band_arms.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bkey FROM sig"
+        )
     bands = " UNION ALL ".join(band_arms)
     return f"""
 WITH {_duck_sig_cte(table)},
@@ -200,25 +254,38 @@ SIM_MAX_HAMMING = 3
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash over the distinct token set: bit b is the sign of
-    Σ_tokens (±1 by bit b of the portable token hash).  One groupBy with 60
-    conditional-sum aggregates — pure JVM.  Output: (id, simhash)."""
-    tok = (
-        docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
-        .distinct()
-        .withColumn("_h", h64_col(F.col("tok")))
+    Σ_tokens (±1 by bit b of the portable token hash).  Output: (id, simhash).
+
+    Like the minhash signature, this depends only on the row's own tokens —
+    a pure per-row computation: token-hash array is let-bound (computed
+    once), each bit is one ``aggregate`` pass over it, no explode/groupBy/
+    shuffle (the previous formulation shuffled every (doc, token) pair into
+    a 60-aggregate groupBy)."""
+
+    def bits(h: Column) -> Column:
+        n = F.size(h)
+        sim = F.lit(0).cast("long")
+        for b in range(SIMHASH_BITS):
+            cnt = F.aggregate(
+                h,
+                F.lit(0),
+                lambda acc, x: acc + F.shiftright(x, b).bitwiseAND(F.lit(1)).cast("int"),
+            )
+            # Σ±1 > 0  ⇔  2·(count of ones) > n
+            sim = sim + F.when(cnt * 2 > n, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return sim
+
+    sim = let(
+        F.array_distinct(tokens_col(F.col(text_col))),
+        lambda toks: let(F.transform(toks, lambda t: h64_col(t)), bits),
     )
-    sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = tok.groupBy(id_col).agg(*sums)
-    sim = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
-    return agg.select(F.col(id_col), sim.alias("simhash"))
+    # docs with zero tokens have no simhash (the explode formulation and
+    # the oracle emit no row for them)
+    return docs.select(
+        F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("_n"), sim.alias("simhash")
+    ).filter(F.col("_n") > 0).drop("_n")
 
 
 def simhash_oracle(table: str = "documents") -> str:
