@@ -10,7 +10,7 @@ partition pairwise + setUpperBoundPerPartition top-k).
 Differences, Spark-first:
 * the ring is on the *query* side (queries are few → broadcast), not
   duplicated data rows;
-* ring radius doubles per round, driven from the driver on the aggregated
+* ring radius grows 4x per round, driven from the driver on the aggregated
   not-yet-satisfied counts (SURVEY §7 hard part (c)) — each round is one
   broadcast join + window;
 * termination proof per query: with ring Chebyshev radius m at resolution r,
@@ -66,7 +66,7 @@ def query_knn(
     lat_col: str = "lat",
     id_col: str = "event_id",
     res: int = 10,
-    start_ring: int = 1,
+    start_ring: int = 2,
     max_rounds: int = 8,
     max_ring_cells: int = 4096,
     rank_metric: str = "planar_milli",
@@ -170,7 +170,7 @@ def query_knn(
             else:
                 still.append(q)
         pending = still
-        m *= 2
+        m *= 4  # aggressive growth: each round is a full job; fewer, larger rounds win
 
     if pending:
         # fallback: exact brute force for stragglers (tiny query set)
