@@ -360,3 +360,174 @@ def planar_wrap_dist2_milli(lon1_m, lat1_m, lon2_m, lat2_m) -> np.ndarray:
     dlon = np.minimum(dlon, 360_000 - dlon)
     dlat = np.abs(np.asarray(lat1_m, np.int64) - np.asarray(lat2_m, np.int64))
     return dlon * dlon + dlat * dlat
+
+
+# ---------------------------------------------------------------------------
+# Pairwise geometry predicates over WKB (POINT / POLYGON / MULTIPOLYGON) —
+# the engine's version of the reference's 9 registered geometry UDFs
+# (analytics/spark/.../sparksql/udf/GeomFunctionRegistry.java:31-100).
+# The reference delegates to JTS; these are exact numpy implementations for
+# simple geometries in generic position (no vertex lying exactly on another
+# geometry's edge — the deterministic fixtures guarantee that).  Area-area
+# DE-9IM is computed from three primitives: boundary intersection, strict
+# vertex containment, and proper edge crossing.
+# ---------------------------------------------------------------------------
+
+GEOM_OPS = (
+    "equals", "within", "contains", "intersects", "crosses",
+    "touches", "covers", "disjoint", "overlaps",
+)
+
+
+def _poly_segments(polys: list[list[np.ndarray]]) -> tuple[np.ndarray, np.ndarray]:
+    p0s, p1s = [], []
+    for rings in polys:
+        for ring in rings:
+            ring = np.asarray(ring, dtype=np.float64)
+            if not np.array_equal(ring[0], ring[-1]):
+                ring = np.vstack([ring, ring[:1]])
+            p0s.append(ring[:-1])
+            p1s.append(ring[1:])
+    return np.concatenate(p0s), np.concatenate(p1s)
+
+
+def _any_edge_pair_intersects(pa, pb) -> bool:
+    a0, a1 = _poly_segments(pa)
+    b0, b1 = _poly_segments(pb)
+    for i in range(len(b0)):
+        if segments_intersect(a0, a1, b0[i], b1[i]).any():
+            return True
+    return False
+
+
+def _vertices(polys) -> np.ndarray:
+    return np.concatenate([np.asarray(r, np.float64) for rings in polys for r in rings])
+
+
+def _polys_intersect(pa, pb) -> bool:
+    va, vb = _vertices(pa), _vertices(pb)
+    if points_in_polygon(va[:, 0], va[:, 1], pb).any():
+        return True
+    if points_in_polygon(vb[:, 0], vb[:, 1], pa).any():
+        return True
+    return _any_edge_pair_intersects(pa, pb)
+
+
+def _poly_contains(pa, pb) -> bool:
+    """A contains B: every B vertex inside A, no edge crossings, and no A
+    hole ring inside B (holes would punch out part of B's interior)."""
+    vb = _vertices(pb)
+    if not points_in_polygon(vb[:, 0], vb[:, 1], pa).all():
+        return False
+    if _any_edge_pair_intersects(pa, pb):
+        return False
+    for rings in pa:
+        for hole in rings[1:]:
+            h = np.asarray(hole, np.float64)
+            if points_in_polygon(h[:1, 0], h[:1, 1], pb).any():
+                return False
+    return True
+
+
+def _norm_rings(polys) -> list:
+    """Canonical form for equality: per ring, drop closing vertex, rotate to
+    lexicographically-smallest start, orient by first-cross sign."""
+    out = []
+    for rings in polys:
+        nr = []
+        for ring in rings:
+            r = np.asarray(ring, np.float64)
+            if np.array_equal(r[0], r[-1]):
+                r = r[:-1]
+            # fixed orientation (CCW by signed area)
+            area = np.sum(r[:, 0] * np.roll(r[:, 1], -1) - np.roll(r[:, 0], -1) * r[:, 1])
+            if area < 0:
+                r = r[::-1]
+            k = np.lexsort((r[:, 1], r[:, 0]))[0]
+            nr.append(np.roll(r, -k, axis=0))
+        out.append(nr)
+    return out
+
+
+def _polys_equal(pa, pb) -> bool:
+    na, nb = _norm_rings(pa), _norm_rings(pb)
+    if len(na) != len(nb):
+        return False
+    for ra, rb in zip(sorted(na, key=lambda rr: rr[0][0].tolist()),
+                      sorted(nb, key=lambda rr: rr[0][0].tolist())):
+        if len(ra) != len(rb):
+            return False
+        for a, b in zip(ra, rb):
+            if a.shape != b.shape or not np.array_equal(a, b):
+                return False
+    return True
+
+
+def geom_op(op: str, wkb_a: bytes, wkb_b: bytes) -> bool:
+    """Evaluate one of the 9 reference predicates on a WKB pair."""
+    op = op.lower()
+    ta, ga = parse_wkb(wkb_a)
+    tb, gb = parse_wkb(wkb_b)
+    a_point = ta == WKB_POINT
+    b_point = tb == WKB_POINT
+    if ta == WKB_POLYGON:
+        ga = [ga]  # normalize to multipolygon shape
+    if tb == WKB_POLYGON:
+        gb = [gb]
+
+    if a_point and b_point:
+        eq = bool(np.array_equal(np.asarray(ga), np.asarray(gb)))
+        return {
+            "equals": eq, "within": eq, "contains": eq, "intersects": eq,
+            "covers": eq, "disjoint": not eq, "touches": False,
+            "crosses": False, "overlaps": False,
+        }[op]
+
+    if a_point or b_point:
+        pt = np.asarray(ga if a_point else gb, dtype=np.float64).ravel()
+        polys = gb if a_point else ga
+        inside = bool(
+            points_in_polygon(np.asarray([pt[0]]), np.asarray([pt[1]]), polys)[0]
+        )
+        if op == "intersects":
+            return inside
+        if op == "disjoint":
+            return not inside
+        if op == "within":
+            return inside if a_point else False
+        if op in ("contains", "covers"):
+            return inside if b_point else False
+        if op == "equals" or op == "crosses" or op == "overlaps" or op == "touches":
+            return False
+        raise ValueError(op)
+
+    pa, pb = ga, gb
+    if op == "equals":
+        return _polys_equal(pa, pb)
+    if op == "intersects":
+        return _polys_intersect(pa, pb)
+    if op == "disjoint":
+        return not _polys_intersect(pa, pb)
+    if op in ("contains", "covers"):
+        return _poly_contains(pa, pb)
+    if op == "within":
+        return _poly_contains(pb, pa)
+    if op == "crosses":
+        return False  # DE-9IM: area/area geometries never cross
+    if op == "overlaps":
+        return (
+            _polys_intersect(pa, pb)
+            and not _poly_contains(pa, pb)
+            and not _poly_contains(pb, pa)
+        )
+    if op == "touches":
+        # boundaries meet but interiors are disjoint: with generic-position
+        # inputs that means edges intersect while no vertex of either is
+        # strictly inside the other
+        va, vb = _vertices(pa), _vertices(pb)
+        interior = (
+            points_in_polygon(va[:, 0], va[:, 1], pb).any()
+            or points_in_polygon(vb[:, 0], vb[:, 1], pa).any()
+        )
+        return (not interior) and _any_edge_pair_intersects(pa, pb)
+    raise ValueError(op)
