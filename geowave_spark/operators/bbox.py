@@ -69,11 +69,15 @@ def query_bbox_envelopes(
         "query_id string, q_minx double, q_miny double, q_maxx double, q_maxy double",
     )
     mnx, mny, mxx, mxy = env_cols
+    lat_ok = (F.col(mny) <= F.col("q_maxy")) & (F.col(mxy) >= F.col("q_miny"))
+    # longitude: normal interval overlap, or (wrapping query, q_minx >
+    # q_maxx) overlap with either arm [q_minx, 180] ∪ [-180, q_maxx] —
+    # LongitudeDefinition bin-split semantics
+    lon_normal = (F.col(mnx) <= F.col("q_maxx")) & (F.col(mxx) >= F.col("q_minx"))
+    lon_wrapped = (F.col(mxx) >= F.col("q_minx")) | (F.col(mnx) <= F.col("q_maxx"))
     refined = pre.join(F.broadcast(qdf), "query_id").filter(
-        (F.col(mnx) <= F.col("q_maxx"))
-        & (F.col(mxx) >= F.col("q_minx"))
-        & (F.col(mny) <= F.col("q_maxy"))
-        & (F.col(mxy) >= F.col("q_miny"))
+        lat_ok
+        & F.when(F.col("q_minx") > F.col("q_maxx"), lon_wrapped).otherwise(lon_normal)
     )
     return refined.dropDuplicates(["query_id", *id_cols]).drop(
         "q_minx", "q_miny", "q_maxx", "q_maxy"

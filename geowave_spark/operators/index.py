@@ -112,3 +112,48 @@ def write_indexed(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_indexed(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def index_envelopes_milli(
+    df: DataFrame,
+    env_cols: tuple[str, str, str, str] = ("minx_m", "miny_m", "maxx_m", "maxy_m"),
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    id_col: str | None = None,
+    max_cells_per_dim: int = 4,
+) -> DataFrame:
+    """Exact-integer envelope indexing — the multi-cell getInsertionIds path
+    (TieredSFCIndexStrategy.java:175-231) as pure JVM codegen.
+
+    Tier from the extent rule (≤2 cells/dim guaranteed), cover via
+    sequence() explodes, cell packed with the Morton columns; ``n_dup`` =
+    extra copies for the reference's DedupeFilter gating.  Integer
+    milli-degree arithmetic end-to-end → bit-reproducible in SQL oracles.
+    """
+    mnx, mny, mxx, mxy = env_cols
+    tier = X.tier_extent_milli_col(F.col(mxx) - F.col(mnx), F.col(mxy) - F.col(mny))
+    d = df.withColumn("tier", tier)
+    t = F.col("tier")
+    ix0 = X.grid_milli_col(F.col(mnx), 180_000, C.LON_SPAN_MILLI, t)
+    ix1 = X.grid_milli_col(F.col(mxx), 180_000, C.LON_SPAN_MILLI, t)
+    iy0 = X.grid_milli_col(F.col(mny), 90_000, C.LAT_SPAN_MILLI, t)
+    iy1 = X.grid_milli_col(F.col(mxy), 90_000, C.LAT_SPAN_MILLI, t)
+    cap = F.lit(max_cells_per_dim - 1).cast("long")
+    d = (
+        d.withColumn("_ix0", ix0)
+        .withColumn("_ix1", F.least(ix1, ix0 + cap))
+        .withColumn("_iy0", iy0)
+        .withColumn("_iy1", F.least(iy1, iy0 + cap))
+    )
+    d = d.withColumn(
+        "n_dup",
+        ((F.col("_ix1") - F.col("_ix0") + 1) * (F.col("_iy1") - F.col("_iy0") + 1) - 1).cast("int"),
+    )
+    d = (
+        d.withColumn("_cx", F.explode(F.sequence(F.col("_ix0"), F.col("_ix1"))))
+        .withColumn("_cy", F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))))
+        .withColumn("cell", X.pack_col(F.col("_cx"), F.col("_cy"), t))
+        .drop("_ix0", "_ix1", "_iy0", "_iy1", "_cx", "_cy")
+    )
+    d = d.withColumn("cell_p", parent_cell_col("cell", PARTITION_RES))
+    salt_src = F.col(id_col) if id_col else F.col(mnx)
+    return d.withColumn("salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)))

@@ -733,3 +733,82 @@ def q_overview_stats(spark, sf_dir):
 
 
 register("overview_stats", q_overview_stats)  # rows-only
+
+
+# ---------------------------------------------------------------------------
+# Envelope-indexed bbox query (multi-cell entries + DedupeFilter path,
+# SURVEY §2.1 getInsertionIds multi-row-ID + §2.3 DedupeFilter) and the
+# CQL-style compound query (§2.4 CQLQuery.createOptimalQuery: geometry +
+# time + residual attribute predicate in one plan)
+# ---------------------------------------------------------------------------
+
+ENV_BOXES = [
+    P.BoxQuery("env_nyc", -75.0, 40.0, -73.0, 42.0),
+    P.BoxQuery("env_europe", -5.0, 44.0, 8.0, 52.0),
+    P.BoxQuery("env_antimeridian", 176.0, -10.0, -176.0, 10.0),
+]
+
+
+def q_bbox_envelopes(spark, sf_dir):
+    fps = TB.geo_footprints(spark, sf_dir)
+    # envelopes in degrees for the residual; index on exact milli ints
+    fps = fps.withColumn("minx", F.col("minx_m") / F.lit(1000.0)).withColumn(
+        "miny", F.col("miny_m") / F.lit(1000.0)
+    ).withColumn("maxx", F.col("maxx_m") / F.lit(1000.0)).withColumn(
+        "maxy", F.col("maxy_m") / F.lit(1000.0)
+    )
+    idx = OI.index_envelopes_milli(fps, id_col="event_id")
+    out = OB.query_bbox_envelopes(idx, ENV_BOXES)
+    return out.select("query_id", "event_id", "minx_m", "maxx_m")
+
+
+def _bbox_env_oracle() -> str:
+    arms = []
+    for q in ENV_BOXES:
+        qminx, qminy = int(q.minx * 1000), int(q.miny * 1000)
+        qmaxx, qmaxy = int(q.maxx * 1000), int(q.maxy * 1000)
+        if q.minx <= q.maxx:
+            lon_pred = f"(minx_m <= {qmaxx} AND maxx_m >= {qminx})"
+        else:  # antimeridian: the box wraps, an (unwrapped) envelope matches either arm
+            lon_pred = f"(maxx_m >= {qminx} OR minx_m <= {qmaxx})"
+        arms.append(
+            f"SELECT '{q.query_id}' AS query_id, event_id, minx_m, maxx_m "
+            f"FROM geo_footprints WHERE {lon_pred} "
+            f"AND miny_m <= {qmaxy} AND maxy_m >= {qminy}"
+        )
+    return f"WITH geo_footprints AS ({TB.GEO_FOOTPRINTS_SQL})\n" + " UNION ALL ".join(arms)
+
+
+register("bbox_envelopes", q_bbox_envelopes, _bbox_env_oracle())
+
+
+def q_compound_cql(spark, sf_dir):
+    """WHERE st_intersects(box) AND ts BETWEEN ... AND event_type = ... —
+    the geometry predicate becomes the cover join, the rest rides along as
+    Catalyst-pushed residuals (CQLQuery.createOptimalQuery parity)."""
+    geo = OT.with_time_bin(
+        OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id"),
+        periodicity="day",
+    )
+    st = OT.STQuery(
+        "cql_nyc", -74.5, 40.2, -73.5, 41.2,
+        "2024-01-01 00:00:00", "2024-01-20 23:59:59",
+    )
+    out = OT.query_spatial_temporal(geo, [st], tiers=[OI.C.MAX_RES])
+    return out.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "event_type", "ts", "lon", "lat"
+    )
+
+
+register(
+    "compound_cql",
+    q_compound_cql,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        "SELECT event_id, event_type, ts, lon, lat FROM geo_events "
+        "WHERE lon >= -74.5 AND lon <= -73.5 AND lat >= 40.2 AND lat <= 41.2 "
+        "AND ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 23:59:59' "
+        "AND event_type IN ('click', 'purchase')",
+    ),
+)
