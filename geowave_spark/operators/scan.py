@@ -135,3 +135,27 @@ def limited_scan(
 def everything(data: DataFrame) -> DataFrame:
     """EverythingQuery — the unconstrained scan."""
     return data
+
+
+def density_grid(
+    data: DataFrame,
+    res: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-cell density surface at coarse ``res`` — the engine's heat-map /
+    KDE-lite analogue (reference KDEJobRunner produces Gaussian-smoothed
+    per-cell pyramids, analytics/mapreduce/.../kde/KDEJobRunner.java:89-380;
+    density-at-cell is its unsmoothed core and what the cell histogram
+    serves at query time).  One partial-aggregated groupBy on the bit-shift
+    parent key; optional value weighting."""
+    d = data.withColumn("cell_r", X.parent_col(F.col("cell"), res))
+    aggs = [F.count("*").alias("n_points")]
+    if value_col is not None:
+        # fixed-point per-row quantization then integer sum: float summation
+        # order differs between engines/partitionings, integer sums don't
+        aggs.append(
+            F.sum(F.round(F.col(value_col) * 1000, 0).cast("long")).alias(
+                "total_value_milli"
+            )
+        )
+    return d.groupBy("cell_r").agg(*aggs)

@@ -96,3 +96,36 @@ def query_temporal(
         (F.col(ts_col) >= F.to_timestamp(F.lit(t0)))
         & (F.col(ts_col) <= F.to_timestamp(F.lit(t1)))
     )
+
+
+# Spatial-temporal index bias presets — the reference's SPATIAL/BALANCED/
+# TEMPORAL bit allocations (SpatialTemporalDimensionalityTypeProvider.java:
+# 228-249: 25/10, 20/20, 10/40 spatial/temporal bits) re-expressed as
+# (cell resolution, bin periodicity) pairs: more spatial bits = finer cells
+# + coarser bins, more temporal bits = coarser cells + finer bins.
+BIAS_PRESETS: dict[str, tuple[int, str]] = {
+    "spatial": (12, "year"),
+    "balanced": (10, "month"),
+    "temporal": (5, "day"),
+}
+
+
+def with_compound_key(
+    df: DataFrame,
+    bias: str = "balanced",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Attach the compound (time_bin, cell_st) key for a bias preset.
+
+    At scale these become the table's partition columns: time_bin prunes
+    bins exactly like the reference's bin-prefixed keys, cell_st the
+    spatial range."""
+    from geowave_spark.functions import cols as X
+
+    res, periodicity = BIAS_PRESETS[bias]
+    out = with_time_bin(df, ts_col=ts_col, periodicity=periodicity)
+    return out.withColumn(
+        "cell_st", X.cell_encode_col(F.col(lon_col), F.col(lat_col), res)
+    )

@@ -224,8 +224,9 @@ WITH t AS (
          len({toks}) AS word_tokens
   FROM {table}
 )
-SELECT source, COUNT(*) AS n_docs, SUM(ws_tokens) AS total_ws_tokens,
-       SUM(word_tokens) AS total_word_tokens,
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(word_tokens) AS BIGINT) AS total_word_tokens,
        round(AVG(CAST(word_tokens AS DOUBLE)), 6) AS avg_word_tokens
 FROM t GROUP BY source
 """

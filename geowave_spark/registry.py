@@ -812,3 +812,53 @@ register(
         "AND event_type IN ('click', 'purchase')",
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# Density grid (KDE-lite per-cell surface) + compound-key bias presets
+# ---------------------------------------------------------------------------
+
+DENSITY_RES = 6
+
+
+def q_density_grid(spark, sf_dir):
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    return OS.density_grid(geo, DENSITY_RES, value_col="value")
+
+
+def _density_oracle() -> str:
+    cell = duck_cell_sql(DENSITY_RES)
+    return TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f"SELECT {cell} AS cell_r, COUNT(*) AS n_points, "
+        "CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS total_value_milli "
+        f"FROM geo_events GROUP BY 1",
+    )
+
+
+register("density_grid", q_density_grid, _density_oracle())
+
+
+def q_compound_bias(spark, sf_dir):
+    geo = OT.with_compound_key(TB.geo_events(spark, sf_dir), bias="balanced")
+    return geo.groupBy("time_bin", "cell_st").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+def _compound_bias_oracle() -> str:
+    res = OT.BIAS_PRESETS["balanced"][0]
+    cell = duck_cell_sql(res)
+    # NOTE: engine uses the float-path encode for cell_st; the oracle's
+    # integer path is bit-identical for milli-derived coords (both floor
+    # the same exact rationals — verified by the encode parity tests)
+    return TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f"SELECT date_trunc('month', ts) AS time_bin, {cell} AS cell_st, "
+        "COUNT(*) AS n_events FROM geo_events GROUP BY 1, 2",
+    )
+
+
+register("compound_bias", q_compound_bias, _compound_bias_oracle())
