@@ -372,3 +372,83 @@ def ring(cell: int, k: int = 1) -> np.ndarray:
     ys = np.arange(max(iy - k, 0), min(iy + k, n - 1) + 1, dtype=np.int64)
     gx, gy = np.meshgrid(np.unique(xs), ys, indexing="ij")
     return pack(np.full(gx.size, r, dtype=np.int64), gx.ravel(), gy.ravel())
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve (the reference's default ordering, HilbertSFC.java:201 via
+# uzaygezen CompactHilbertCurve) — vectorized iterative xy↔d transform.
+# Key layout identical to Morton: (res << 58) | d, and the Hilbert index
+# nests (parent d = child d >> 2), so the engine's bit-shift parent-key
+# machinery works unchanged.  Cover-join correctness is curve-independent;
+# Hilbert buys lexicographic-range locality (sorted scans / Iceberg sort
+# order), which is why it is offered as a swap-in rather than the default
+# hot path (the iterative transform doesn't codegen like Morton's masks).
+# ---------------------------------------------------------------------------
+
+
+def hilbert_xy2d(ix, iy, res: int) -> np.ndarray:
+    """Grid coords → Hilbert distance at ``res`` (vectorized, standard
+    iterative quadrant-rotation algorithm)."""
+    x = np.asarray(ix, dtype=np.int64).copy()
+    y = np.asarray(iy, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1) << np.int64(res - 1) if res > 0 else np.int64(0)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        flip = (ry == 0) & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+        s >>= 1
+    return d
+
+
+def hilbert_d2xy(d, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`hilbert_xy2d`."""
+    t = np.asarray(d, dtype=np.int64).copy()
+    x = np.zeros_like(t)
+    y = np.zeros_like(t)
+    s = np.int64(1)
+    n = np.int64(1) << np.int64(res)
+    while s < n:
+        rx = (t // 2) & 1
+        ry = (t ^ rx) & 1
+        # rotate
+        flip = (ry == 0) & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+def pack_curve(res, d) -> np.ndarray:
+    """(res, curve distance) → int64 cell id (same layout as :func:`pack`)."""
+    return (
+        (np.asarray(res, dtype=np.uint64) << np.uint64(RES_SHIFT))
+        | np.asarray(d, dtype=np.uint64)
+    ).astype(np.int64)
+
+
+def encode_hilbert(lon, lat, res: int) -> np.ndarray:
+    ix, iy = grid_xy(lon, lat, res)
+    return pack_curve(np.full_like(ix, res), hilbert_xy2d(ix, iy, res))
+
+
+def cover_bbox_hilbert(minx, miny, maxx, maxy, res: int) -> np.ndarray:
+    """All Hilbert cell ids at ``res`` intersecting the (non-wrapping) box."""
+    ix0, iy0 = grid_xy(minx, miny, res)
+    ix1, iy1 = grid_xy(maxx, maxy, res)
+    xs = np.arange(int(ix0), int(ix1) + 1, dtype=np.int64)
+    ys = np.arange(int(iy0), int(iy1) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    d = hilbert_xy2d(gx.ravel(), gy.ravel(), res)
+    return pack_curve(np.full(d.size, res, dtype=np.int64), d)
