@@ -862,3 +862,28 @@ def _compound_bias_oracle() -> str:
 
 
 register("compound_bias", q_compound_bias, _compound_bias_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Clustering analytics (SURVEY §2.5/§3.3: DBScanMapReduce, KMeansRunner —
+# iterative/distributed, not SQL-expressible → rows-only driver check;
+# pytest pins both against brute-force references)
+# ---------------------------------------------------------------------------
+
+from geowave_spark.operators import clustering as OC  # noqa: E402
+
+
+def q_dbscan(spark, sf_dir):
+    geo = TB.geo_events(spark, sf_dir)
+    return OC.dbscan(geo, eps_milli=200, min_pts=5)
+
+
+register("dbscan", q_dbscan)  # rows-only (iterative label propagation)
+
+
+def q_kmeans(spark, sf_dir):
+    geo = TB.geo_events(spark, sf_dir)
+    return OC.kmeans(geo, k=5)
+
+
+register("kmeans", q_kmeans)  # rows-only (iterative Lloyd's)

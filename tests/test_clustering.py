@@ -1,0 +1,115 @@
+"""Clustering analytics vs brute-force numpy references (the reference's
+analytics ITs cross-check MR implementations against single-node
+reimplementations, e.g. KDERasterResizeIT / DBScanIT)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark.operators.clustering import dbscan, kmeans
+
+
+def _mkdf(spark, xs, ys):
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(len(xs), dtype=np.int64),
+            "lon_milli": np.asarray(xs, dtype=np.int64),
+            "lat_milli": np.asarray(ys, dtype=np.int64),
+        }
+    )
+    return pdf, spark.createDataFrame(pdf)
+
+
+def _brute_dbscan(px, py, eps, min_pts):
+    """Reference DBSCAN: exact neighbor graph, BFS over cores."""
+    n = len(px)
+    dlon = np.abs(px[:, None] - px[None, :])
+    dlon = np.minimum(dlon, 360_000 - dlon)
+    d2 = dlon**2 + (py[:, None] - py[None, :]) ** 2
+    nbr = d2 <= eps * eps
+    core = nbr.sum(axis=1) >= min_pts
+    label = -np.ones(n, dtype=np.int64)
+    for seed in range(n):
+        if not core[seed] or label[seed] >= 0:
+            continue
+        stack, comp = [seed], []
+        label[seed] = seed
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in np.nonzero(nbr[u])[0]:
+                if core[v] and label[v] < 0:
+                    label[v] = seed
+                    stack.append(v)
+    # canonical label = min member id per component (match engine)
+    for seed in set(label[label >= 0]):
+        members = np.nonzero(label == seed)[0]
+        label[members] = members.min()
+    # border points
+    out = {int(i): int(label[i]) for i in range(n) if core[i]}
+    for i in range(n):
+        if not core[i]:
+            cands = [int(label[j]) for j in np.nonzero(nbr[i])[0] if core[j]]
+            if cands:
+                out[int(i)] = min(cands)
+    return out
+
+
+@pytest.mark.parametrize("seed,min_pts", [(1, 4), (7, 6)])
+def test_dbscan_matches_bruteforce(spark, seed, min_pts):
+    rng = np.random.default_rng(seed)
+    # three dense blobs + sprinkled noise, all in milli-degrees
+    blobs = [(-74_000, 40_700), (2_300, 48_800), (-73_200, 41_900)]
+    xs, ys = [], []
+    for bx, by in blobs:
+        xs.append(rng.integers(bx - 300, bx + 300, 60))
+        ys.append(rng.integers(by - 300, by + 300, 60))
+    xs.append(rng.integers(-179_000, 179_000, 40))
+    ys.append(rng.integers(-80_000, 80_000, 40))
+    px = np.concatenate(xs)
+    py = np.concatenate(ys)
+    eps = 150
+
+    pdf, df = _mkdf(spark, px, py)
+    got = {
+        int(r["event_id"]): int(r["cluster"])
+        for r in dbscan(df, eps_milli=eps, min_pts=min_pts).collect()
+    }
+    want = _brute_dbscan(px, py, eps, min_pts)
+    assert got == want
+
+
+def test_dbscan_dateline_cluster(spark):
+    """A cluster straddling the antimeridian is found as one cluster."""
+    xs = np.array([179_950, 179_990, -179_980, -179_940, 0])
+    ys = np.array([0, 10, 20, 5, 0])
+    _, df = _mkdf(spark, xs, ys)
+    got = {
+        int(r["event_id"]): int(r["cluster"])
+        for r in dbscan(df, eps_milli=100, min_pts=3).collect()
+    }
+    assert set(got.keys()) == {0, 1, 2, 3}
+    assert len(set(got.values())) == 1
+
+
+def test_kmeans_separated_blobs(spark):
+    rng = np.random.default_rng(3)
+    c1 = (rng.integers(-74_200, -73_800, 50), rng.integers(40_500, 40_900, 50))
+    c2 = (rng.integers(2_100, 2_500, 50), rng.integers(48_600, 49_000, 50))
+    c3 = (rng.integers(139_500, 139_900, 50), rng.integers(35_500, 35_900, 50))
+    px = np.concatenate([c1[0], c2[0], c3[0]])
+    py = np.concatenate([c1[1], c2[1], c3[1]])
+    _, df = _mkdf(spark, px, py)
+    out = kmeans(df, k=3).toPandas()
+    assert len(out) == 150
+    # well-separated blobs must land in pure clusters
+    for lo, hi in [(0, 50), (50, 100), (100, 150)]:
+        grp = out[(out.event_id >= lo) & (out.event_id < hi)].cluster
+        assert grp.nunique() == 1
+    assert out.cluster.nunique() == 3
+    # determinism
+    out2 = kmeans(df, k=3).toPandas()
+    assert out.sort_values("event_id").cluster.tolist() == out2.sort_values("event_id").cluster.tolist()
