@@ -42,6 +42,7 @@ HEADLINE_INPUTS = {
     "knn": "events",
     "spatial_temporal": "events",
     "tile_assign": "events",
+    "spatial_join": "events",  # large×large join; output-bound (~38M pairs at sf0.1)
     # training-data pipeline suites (first-class operators)
     "exact_dedup": "documents",
     "minhash_lsh_pairs": "documents",

@@ -1,0 +1,90 @@
+"""Dataset-to-dataset distributed spatial join — the general form of the
+BASELINE metric's "spatial-join rows/sec".
+
+The reference has no general spatial join; its join-shaped machinery is
+the query-ranges-vs-rows sorted scan (ConstraintsQuery.java:101-148) and
+the NN partition join (NNMapReduce).  This operator generalizes both:
+two LARGE tables (points and envelopes/footprints) joined on shared cell
+keys — a sort-merge/shuffle hash equi-join, NOT a broadcast — with the
+exact containment residual evaluated during the join.
+
+Plan shape (the one that survives 100 TB):
+* envelopes are indexed multi-cell at their per-row tier
+  (index_envelopes_milli — bounded ≤4 cells/row by the duplicate rule);
+* points explode to their parent key at each *occupied envelope tier*
+  (small set, from the stats table / one distinct scan) — explode factor =
+  number of occupied tiers;
+* equi-join on the packed key: Spark picks shuffle-hash or sort-merge,
+  AQE splits skewed cells (hot urban tiles), the ``salt`` column is
+  available for explicit pre-salting when a single cell exceeds an
+  executor;
+* residual = exact integer containment, evaluated as the join filter;
+* conditional dedupe only for multi-cell envelopes (n_dup > 0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geowave_spark.functions import cells as C
+from geowave_spark.operators import index as OI
+from geowave_spark.plans import planner as P
+
+
+def points_in_envelopes_join(
+    points: DataFrame,
+    envelopes: DataFrame,
+    point_id: str = "point_id",
+    env_id: str = "env_id",
+    env_tiers: list[int] | None = None,
+) -> DataFrame:
+    """All (point, envelope) pairs where the point lies inside the
+    envelope (closed bounds, exact integer milli coords).
+
+    ``points`` needs (point_id, lon, lat, lon_milli, lat_milli);
+    ``envelopes`` needs (env_id, minx_m, miny_m, maxx_m, maxy_m).
+    ``env_tiers``: occupied envelope tiers if known (stats table) — else
+    one distinct scan discovers them.
+    """
+    env = OI.index_envelopes_milli(envelopes, id_col=env_id).select(
+        env_id, "cell", "tier", "n_dup", "minx_m", "miny_m", "maxx_m", "maxy_m"
+    )
+    if env_tiers is None:
+        env_tiers = [int(r[0]) for r in env.select("tier").distinct().collect()]
+    env_tiers = sorted(set(env_tiers))
+
+    # exact-integer point keys (same arithmetic family as the envelope
+    # grid; parent shifts are exact by the nested-floor identity
+    # floor(floor(a/2^j)/2^k) = floor(a/2^(j+k)))
+    from geowave_spark.functions import cols as X
+
+    pts = points.select(
+        F.col(point_id),
+        X.cell_encode_milli_col(
+            F.col("lon_milli"), F.col("lat_milli"), C.MAX_RES
+        ).alias("cell"),
+        F.lit(C.MAX_RES).cast("long").alias("tier"),
+        "lon_milli",
+        "lat_milli",
+    )
+    # explode points to their parent key at each occupied envelope tier
+    keys = F.array_distinct(
+        F.array(*[P.data_join_key(t) for t in env_tiers])
+    )
+    pts = pts.withColumn("_jkey", F.explode(keys)).drop("cell", "tier")
+
+    joined = pts.join(env, pts["_jkey"] == env["cell"]).filter(
+        (F.col("lon_milli") >= F.col("minx_m"))
+        & (F.col("lon_milli") <= F.col("maxx_m"))
+        & (F.col("lat_milli") >= F.col("miny_m"))
+        & (F.col("lat_milli") <= F.col("maxy_m"))
+    )
+    # No dedup is needed — ever: a point has exactly ONE parent key at a
+    # given tier, and an envelope's cells are distinct cells of its own
+    # tier, so each (point, envelope) pair can meet on at most one key.
+    # (Contrast bbox_envelopes, where the ENVELOPE side is exploded against
+    # a multi-cell query cover and duplicates are real.)  This is the
+    # advantage of joining point-side-unique keys: the reference pays a
+    # DedupeFilter pass here; this plan provably cannot produce duplicates.
+    return joined.select(point_id, env_id, "lon_milli", "lat_milli")

@@ -887,3 +887,37 @@ def q_kmeans(spark, sf_dir):
 
 
 register("kmeans", q_kmeans)  # rows-only (iterative Lloyd's)
+
+
+# ---------------------------------------------------------------------------
+# Dataset-to-dataset spatial join (the BASELINE metric's general form:
+# large × large, sort-merge on cell keys — no broadcast side)
+# ---------------------------------------------------------------------------
+
+from geowave_spark.operators import join as OJ  # noqa: E402
+
+
+def q_spatial_join(spark, sf_dir):
+    pts = TB.geo_events(spark, sf_dir).select(
+        F.col("event_id").alias("point_id"), "lon", "lat", "lon_milli", "lat_milli"
+    )
+    envs = TB.geo_footprints(spark, sf_dir).select(
+        F.col("event_id").alias("env_id"), "minx_m", "miny_m", "maxx_m", "maxy_m"
+    )
+    return OJ.points_in_envelopes_join(pts, envs).select(
+        "point_id", "env_id"
+    )
+
+
+register(
+    "spatial_join",
+    q_spatial_join,
+    f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+geo_footprints AS ({TB.GEO_FOOTPRINTS_SQL})
+SELECT p.event_id AS point_id, f.event_id AS env_id
+FROM geo_events p JOIN geo_footprints f
+  ON p.lon_milli >= f.minx_m AND p.lon_milli <= f.maxx_m
+ AND p.lat_milli >= f.miny_m AND p.lat_milli <= f.maxy_m
+""",
+)
