@@ -921,3 +921,20 @@ FROM geo_events p JOIN geo_footprints f
  AND p.lat_milli >= f.miny_m AND p.lat_milli <= f.maxy_m
 """,
 )
+
+
+def q_value_histogram(spark, sf_dir):
+    geo = TB.geo_events(spark, sf_dir)
+    return ST.fixed_bin_histogram(geo, "value", lo=0.0, hi=100.0, nbins=32)
+
+
+register(
+    "value_histogram",
+    q_value_histogram,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        "SELECT CAST(least(greatest(floor((CAST(value AS DOUBLE) - 0.0) / 100.0 * 32), 0), 31) AS INTEGER) AS bin, "
+        "COUNT(*) AS n FROM geo_events GROUP BY 1",
+    ),
+)

@@ -92,3 +92,22 @@ def read_tiers(spark: SparkSession, store_path: str) -> list[int]:
     """Occupied tiers from the stats store (the query-side tier list)."""
     df = spark.read.parquet(f"{store_path}/_stats/tier_counts")
     return sorted(int(r["tier"]) for r in df.filter(F.col("n_rows") > 0).collect())
+
+
+def fixed_bin_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 32,
+) -> DataFrame:
+    """Fixed-bin numeric histogram — the reference's FixedBinNumericHistogram
+    / FeatureNumericHistogramStatistics (core/store/.../histogram/
+    FixedBinNumericHistogram.java, 410 LoC of mergeable bin bookkeeping)
+    as one partial-aggregated groupBy.  Values outside [lo, hi) clamp into
+    the edge bins (the reference grows bins; fixed clamp keeps the oracle
+    closed-form).  Output: (bin, n) for non-empty bins."""
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(nbins))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
+    return df.groupBy(bin_.alias("bin")).agg(F.count("*").alias("n"))
