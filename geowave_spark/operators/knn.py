@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from geowave_spark.functions import cells as C
 from geowave_spark.functions import udfs as U
+from geowave_spark.operators.index import PARTITION_RES as OI_PARTITION_RES
 from geowave_spark.plans import planner as P
 
 
@@ -105,15 +106,17 @@ def query_knn(
 
     # One slim projection shared by every round (and the brute-force
     # fallback): id + coords + precomputed join key.  Persisted so ring
-    # expansion re-joins against memory, not the source scan — the local
-    # analogue of the partition-pruned re-scan a cell_p-partitioned store
-    # gives at cluster scale.  (At 10^12 rows the cache is instead the
-    # pruned subset: rounds would filter on parent(cell, PARTITION_RES)
-    # membership before the join, which Iceberg turns into partition
-    # pruning.)
+    # expansion re-joins against memory, not the source scan.  At 10^12
+    # rows the cache is replaced (or complemented) by partition pruning:
+    # when the table carries ``cell_p``, each round first filters on the
+    # parent-cell set of its ring cover — on a cell_p-partitioned store
+    # that predicate prunes directory partitions before any scan.
     need = [id_col, lon_col, lat_col]
     if rank_metric == "planar_milli":
         need += ["lon_milli", "lat_milli"]
+    prune_col = "cell_p" if "cell_p" in data.columns else None
+    if prune_col:
+        need.append(prune_col)
     slim = data.withColumn("_jkey", P.data_join_key(res)).select(*need, "_jkey")
     if cache_rounds:
         slim = slim.persist()
@@ -131,8 +134,18 @@ def query_knn(
             "query_id string, q_lon double, q_lat double, "
             "q_lon_milli long, q_lat_milli long, k int",
         )
+        src = slim
+        if prune_col:
+            # partition-prune: only coarse parents touched by this ring
+            parents = set(
+                int(c)
+                for c in C.parent(
+                    cover_pdf["jcell"].to_numpy(), min(OI_PARTITION_RES, res)
+                )
+            )
+            src = slim.filter(F.col(prune_col).isin(list(parents)))
         pre = (
-            slim.join(F.broadcast(cover), F.col("_jkey") == F.col("jcell"))
+            src.join(F.broadcast(cover), F.col("_jkey") == F.col("jcell"))
             .join(F.broadcast(qdf), "query_id")
             .withColumn("_d", dist_col)
         )
