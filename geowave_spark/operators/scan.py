@@ -159,3 +159,35 @@ def density_grid(
             )
         )
     return d.groupBy("cell_r").agg(*aggs)
+
+
+def build_covering_index(
+    data: DataFrame,
+    attr_col: str,
+    path: str,
+    include_cols: tuple[str, ...] = (),
+    id_col: str = "event_id",
+    buckets: int = 8,
+) -> None:
+    """FULL-materialization secondary index (SecondaryIndexType.FULL,
+    core/store/.../index/SecondaryIndexType.java): the attribute plus the
+    covered columns written sorted by attribute — a covering index scan
+    answers attribute queries without touching the primary table.
+
+    Layout: repartitionByRange(attr) + sortWithinPartitions(attr) →
+    parquet row-group min/max stats give range pushdown on the attribute
+    (Iceberg sort order in production)."""
+    cols = [F.col(attr_col).alias("attr"), F.col(id_col), *[F.col(c) for c in include_cols]]
+    (
+        data.select(*cols)
+        .repartitionByRange(buckets, F.col("attr"))
+        .sortWithinPartitions("attr")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def covering_index_query(spark, path: str, values: list) -> DataFrame:
+    """Answer an attribute lookup entirely from the covering index —
+    no join back to the primary (the FULL-materialization payoff)."""
+    return spark.read.parquet(path).filter(F.col("attr").isin(values))

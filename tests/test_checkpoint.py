@@ -51,3 +51,37 @@ def test_pipeline_resume_and_lineage(spark, sf_dir, tmp_path):
     # changed params → full re-run (fingerprint mismatch)
     p4 = ingest_pipeline(spark, sf_dir, store, salt_buckets=8)
     assert "indexed" in p4.stages_run
+
+
+def test_covering_secondary_index(spark, sf_dir, tmp_path):
+    """FULL secondary index: sorted covering table answers the lookup
+    without the primary; results equal the primary-scan answer and the
+    attribute filter is pushed to the parquet scan."""
+    from geowave_spark.operators import scan as OS
+
+    geo = TB.geo_events(spark, sf_dir)
+    path = str(tmp_path / "secidx")
+    OS.build_covering_index(
+        geo, "event_type", path, include_cols=("lon", "lat"), id_col="event_id"
+    )
+    got = (
+        OS.covering_index_query(spark, path, ["click"])
+        .select("event_id", "lon", "lat")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        geo.filter(geo.event_type == "click")
+        .select("event_id", "lon", "lat")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    plan = (
+        OS.covering_index_query(spark, path, ["click"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # filter reaches the parquet scan (single value folds isin → EqualTo)
+    assert "EqualTo(attr,click)" in plan or "In(attr" in plan
