@@ -938,3 +938,36 @@ register(
         "COUNT(*) AS n FROM geo_events GROUP BY 1",
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured residual predicates: JSON property extraction + agg.
+# The reference has NO map/JSON type (SURVEY §1.2) — this surface is a
+# Spark-native extension its CQL attribute filters can't express.
+# ---------------------------------------------------------------------------
+
+
+def q_json_props(spark, sf_dir):
+    ev = TB.load_tables(spark, sf_dir, names=("events",))["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
+register(
+    "json_props",
+    q_json_props,
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+    "CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k, "
+    "CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k "
+    "FROM events GROUP BY event_type",
+)
