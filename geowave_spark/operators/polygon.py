@@ -39,6 +39,28 @@ class PolygonQuery:
     op: str = "INTERSECTS"  # INTERSECTS | WITHIN | DISJOINT | CONTAINS
 
 
+def _convex_refine_col(wkb: bytes, lon_col: str, lat_col: str):
+    """JVM half-plane refine predicate for a CCW convex single-ring
+    polygon; None when the geometry needs the general even-odd kernel."""
+    polys = G.polygon_rings(wkb)
+    if len(polys) != 1 or len(polys[0]) != 1 or not G.is_convex_ccw(polys[0][0]):
+        return None
+    ring = np.asarray(polys[0][0], dtype=np.float64)
+    if np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    pred = None
+    for i in range(len(ring)):
+        x0, y0 = ring[i]
+        x1, y1 = ring[(i + 1) % len(ring)]
+        term = (
+            (F.lit(float(x1 - x0)) * (lat - F.lit(float(y0))))
+            - (F.lit(float(y1 - y0)) * (lon - F.lit(float(x0))))
+        ) >= F.lit(0.0)
+        pred = term if pred is None else (pred & term)
+    return pred
+
+
 def _polygon_cover(
     q: PolygonQuery, tiers: list[int], max_cells: int
 ) -> tuple[pd.DataFrame, int]:
@@ -104,10 +126,10 @@ def query_polygon(
         pip = U.make_pip_refine(q.wkb)
         if op == "DISJOINT":
             # anti-query: full scan, negated exact predicate (no index help)
+            neg = _convex_refine_col(q.wkb, lon_col, lat_col)
+            cond = ~neg if neg is not None else ~pip(F.col(lon_col), F.col(lat_col))
             outs.append(
-                data.withColumn("query_id", F.lit(q.query_id)).filter(
-                    ~pip(F.col(lon_col), F.col(lat_col))
-                )
+                data.withColumn("query_id", F.lit(q.query_id)).filter(cond)
             )
             continue
         if op not in ("INTERSECTS", "WITHIN"):
@@ -117,18 +139,23 @@ def query_polygon(
         pre = data.withColumn("_jkey", P.data_join_key(r_q)).join(
             F.broadcast(cover), F.col("_jkey") == F.col("jcell"), "inner"
         )
-        # Split so the PIP UDF never touches interior-cell matches (a when()
-        # would still evaluate the UDF on every row).  The skip is sound iff
-        # the data row's own cell is at least as fine as the cover cell —
-        # guaranteed for point tables.
+        # Convex single-ring polygons refine with pure JVM half-plane sign
+        # tests (codegen, no Python worker at all — same exact IEEE
+        # multiply/subtract as the numpy kernel and the SQL oracle).
+        refine_col = _convex_refine_col(q.wkb, lon_col, lat_col)
+        refine = refine_col if refine_col is not None else pip(
+            F.col(lon_col), F.col(lat_col)
+        )
+        # Split so refinement never touches interior-cell matches (a when()
+        # would still evaluate the predicate on every row).  The skip is
+        # sound iff the data row's own cell is at least as fine as the
+        # cover cell — guaranteed for point tables.
         if point_data:
             hit_interior = pre.filter(F.col("interior"))
-            hit_boundary = pre.filter(~F.col("interior")).filter(
-                pip(F.col(lon_col), F.col(lat_col))
-            )
+            hit_boundary = pre.filter(~F.col("interior")).filter(refine)
             refined = hit_interior.unionByName(hit_boundary)
         else:
-            refined = pre.filter(pip(F.col(lon_col), F.col(lat_col)))
+            refined = pre.filter(refine)
         outs.append(refined.drop("_jkey", "jcell", "interior"))
 
     out = outs[0]
