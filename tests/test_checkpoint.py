@@ -85,3 +85,32 @@ def test_covering_secondary_index(spark, sf_dir, tmp_path):
     )
     # filter reaches the parquet scan (single value folds isin → EqualTo)
     assert "EqualTo(attr,click)" in plan or "In(attr" in plan
+
+
+def test_stats_driven_query_planning(spark, sf_dir, tmp_path):
+    """End-to-end stats-driven planning (reference ChooseBestMatchIndex /
+    tier-skip): ingest → stats store → query passes tiers from stats
+    (no per-query distinct scan) and returns the same rows."""
+    from geowave_spark import stats as S
+    from geowave_spark.operators import bbox as OB
+    from geowave_spark.plans import planner as PL
+
+    store = str(tmp_path / "store")
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    OI.write_indexed(geo, store + "/indexed")
+    S.write_stats(geo, store)
+
+    tiers = S.read_tiers(spark, store)
+    assert tiers == [OI.C.MAX_RES]
+
+    table = OI.read_indexed(spark, store + "/indexed")
+    q = PL.BoxQuery("nyc", -74.5, 40.2, -73.5, 41.2)
+    got = sorted(
+        r["event_id"]
+        for r in OB.query_bbox(table, [q], tiers=tiers).select("event_id").collect()
+    )
+    want = sorted(
+        r["event_id"]
+        for r in OB.query_bbox(geo, [q], tiers=[OI.C.MAX_RES]).select("event_id").collect()
+    )
+    assert got == want and len(got) > 0

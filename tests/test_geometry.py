@@ -120,3 +120,34 @@ def test_planar_wrap_dist():
     assert d2 == 200 * 200
     d2b = G.planar_wrap_dist2_milli(0, 1000, 0, -1000)
     assert d2b == 2000 * 2000
+
+
+def test_haversine_column_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geowave_spark.functions import geometry as G
+    from geowave_spark.functions.udfs import haversine_m_col
+
+    rng = np.random.default_rng(17)
+    pdf = pd.DataFrame(
+        {
+            "lon1": rng.uniform(-180, 180, 2000),
+            "lat1": rng.uniform(-89, 89, 2000),
+            "lon2": rng.uniform(-180, 180, 2000),
+            "lat2": rng.uniform(-89, 89, 2000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.select(
+            haversine_m_col(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d")
+        )
+        .toPandas()["d"]
+        .to_numpy()
+    )
+    want = G.haversine_m(
+        pdf.lon1.to_numpy(), pdf.lat1.to_numpy(), pdf.lon2.to_numpy(), pdf.lat2.to_numpy()
+    )
+    assert np.abs(got - want).max() < 1e-6  # metres; JVM vs numpy libm ulps
