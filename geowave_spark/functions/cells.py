@@ -452,3 +452,74 @@ def cover_bbox_hilbert(minx, miny, maxx, maxy, res: int) -> np.ndarray:
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
     d = hilbert_xy2d(gx.ravel(), gy.ravel(), res)
     return pack_curve(np.full(d.size, res, dtype=np.int64), d)
+
+
+# ---------------------------------------------------------------------------
+# XZ-ordering for spatial extents (the reference's XZOrderSFC.java:95-178 —
+# Böhm/Klump/Kriegel XZ-ordering): each extent receives ONE code, that of
+# the coarsest quadtree anchor cell whose 2×-ENLARGED extension contains
+# it.  Provided for index-strategy parity; the engine's query path keys
+# extents by bounded multi-cell cover instead (better fit for equi-joins —
+# see SURVEY §2.1), so XZ here ships encode + invariants, not range
+# decomposition.
+# ---------------------------------------------------------------------------
+
+XZ_G = 16  # max refinement level (matches the reference's 2-D default scale)
+
+
+def xz_encode(minx, miny, maxx, maxy, g: int = XZ_G) -> np.ndarray:
+    """Extents (degrees) → int64 XZ sequence codes.
+
+    code(l, q_1..q_l) = Σ_i [ q_i · (4^(g-i+1) − 1)/3 + 1 ] — the standard
+    depth-first enumeration of the quadtree prefix; q_i is the i-th
+    quadrant digit (x-major) of the anchor cell at level l."""
+    # clamp to the world box (the reference normalizes ranges the same way)
+    nx0 = np.clip((np.asarray(minx, np.float64) + 180.0) / 360.0, 0.0, 1.0 - 1e-12)
+    nx1 = np.clip((np.asarray(maxx, np.float64) + 180.0) / 360.0, 0.0, 1.0 - 1e-12)
+    ny0 = np.clip((np.asarray(miny, np.float64) + 90.0) / 180.0, 0.0, 1.0 - 1e-12)
+    ny1 = np.clip((np.asarray(maxy, np.float64) + 90.0) / 180.0, 0.0, 1.0 - 1e-12)
+    w = np.maximum(np.maximum(nx1 - nx0, ny1 - ny0), 1e-12)
+    lvl = np.clip(np.floor(-np.log2(w)).astype(np.int64), 0, g)
+
+    def fits(level):
+        cell = np.ldexp(1.0, -level.astype(np.int64))
+        x0 = np.floor(nx0 / cell) * cell
+        y0 = np.floor(ny0 / cell) * cell
+        return (nx1 <= x0 + 2 * cell) & (ny1 <= y0 + 2 * cell)
+
+    # the log2 estimate can overshoot by one level — step down until the
+    # enlarged anchor contains the extent (≤ 2 steps by construction)
+    for _ in range(2):
+        lvl = np.where(fits(lvl), lvl, np.maximum(lvl - 1, 0))
+
+    n = np.int64(1) << lvl
+    ix = np.minimum((nx0 * n).astype(np.int64), n - 1)
+    iy = np.minimum((ny0 * n).astype(np.int64), n - 1)
+
+    code = np.zeros(lvl.shape, dtype=np.int64)
+    for i in range(1, g + 1):
+        active = lvl >= i
+        bx = (ix >> (lvl - i).clip(0)) & 1
+        by = (iy >> (lvl - i).clip(0)) & 1
+        q = 2 * bx + by
+        step = (4 ** (g - i + 1) - 1) // 3
+        code = np.where(active, code + q * step + 1, code)
+    return code
+
+
+def xz_decode_cell(code, g: int = XZ_G):
+    """XZ code → (level, ix, iy) of the anchor cell (inverse enumeration)."""
+    code = np.asarray(code, dtype=np.int64).copy()
+    lvl = np.zeros(code.shape, dtype=np.int64)
+    ix = np.zeros(code.shape, dtype=np.int64)
+    iy = np.zeros(code.shape, dtype=np.int64)
+    for i in range(1, g + 1):
+        step = (4 ** (g - i + 1) - 1) // 3
+        active = code > 0
+        code = np.where(active, code - 1, code)
+        q = np.where(active, code // step, 0)
+        code = np.where(active, code - q * step, code)
+        ix = np.where(active, (ix << 1) | (q >> 1), ix)
+        iy = np.where(active, (iy << 1) | (q & 1), iy)
+        lvl = np.where(active, i, lvl)
+    return lvl, ix, iy

@@ -171,3 +171,61 @@ def test_encode_within_bounds_property(lon, lat, res):
     minlon, minlat, maxlon, maxlat = C.cell_bounds(cell)
     assert minlon - 1e-9 <= lon <= maxlon + 1e-9
     assert minlat - 1e-9 <= lat <= maxlat + 1e-9
+
+
+def test_xz_encode_invariants():
+    """XZ-ordering defining property (reference XZOrderSFC): every extent's
+    code identifies an anchor cell whose 2x-enlarged extension contains the
+    extent, and the anchor is the COARSEST such aligned cell family member
+    (level matches extent size within one step)."""
+    rng = np.random.default_rng(23)
+    n = 3000
+    cx = rng.uniform(-179, 179, n)
+    cy = rng.uniform(-89, 89, n)
+    hw = 10.0 ** rng.uniform(-4, 0.5, n)
+    minx, maxx = np.clip(cx - hw, -180, 180), np.clip(cx + hw, -180, 180)
+    miny, maxy = np.clip(cy - hw, -90, 90), np.clip(cy + hw, -90, 90)
+    codes = C.xz_encode(minx, miny, maxx, maxy)
+    lvl, ix, iy = C.xz_decode_cell(codes)
+    # round-trip: decode(encode(e)) reproduces the anchor used to encode
+    cell = np.ldexp(1.0, -lvl.astype(np.int64))
+    x0 = ix * cell
+    y0 = iy * cell
+    nx0 = (minx + 180.0) / 360.0
+    nx1 = (maxx + 180.0) / 360.0
+    ny0 = (miny + 90.0) / 180.0
+    ny1 = (maxy + 90.0) / 180.0
+    # anchor contains the min corner; enlarged cell contains the extent
+    assert (nx0 >= x0 - 1e-12).all() and (ny0 >= y0 - 1e-12).all()
+    assert (nx0 < x0 + cell + 1e-12).all() and (ny0 < y0 + cell + 1e-12).all()
+    assert (nx1 <= x0 + 2 * cell + 1e-12).all()
+    assert (ny1 <= y0 + 2 * cell + 1e-12).all()
+    # one code per extent, all positive at these sizes
+    assert (codes > 0).all()
+
+
+def test_xz_code_uniqueness_over_anchors():
+    """Distinct (level, anchor) pairs map to distinct codes (injectivity of
+    the sequence enumeration)."""
+    seen = set()
+    for lvl in (1, 2, 3, 4):
+        nn = 1 << lvl
+        for ix in range(nn):
+            for iy in range(nn):
+                # an extent exactly filling the anchor cell at this level
+                cell = 1.0 / nn
+                minx = ix * cell * 360.0 - 180.0
+                miny = iy * cell * 180.0 - 90.0
+                code = int(
+                    C.xz_encode(
+                        np.array([minx + 1e-9]),
+                        np.array([miny + 1e-9]),
+                        np.array([minx + cell * 360.0 * 0.9]),
+                        np.array([miny + cell * 180.0 * 0.9]),
+                    )[0]
+                )
+                l2, jx, jy = (int(v[0]) for v in C.xz_decode_cell(np.array([code])))
+                key = (l2, jx, jy)
+                # the decoded anchor must be consistent and code-unique
+                assert code not in seen or key in seen
+                seen.add(code)
