@@ -875,7 +875,7 @@ from geowave_spark.operators import clustering as OC  # noqa: E402
 
 def q_dbscan(spark, sf_dir):
     geo = TB.geo_events(spark, sf_dir)
-    return OC.dbscan(geo, eps_milli=200, min_pts=5)
+    return OC.dbscan(geo, eps_milli=50, min_pts=5)
 
 
 register("dbscan", q_dbscan)  # rows-only (iterative label propagation)
