@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geowave_spark.functions import cells as C
+from geowave_spark.functions import cols as X
 from geowave_spark.functions import udfs as U
 from geowave_spark.operators.index import PARTITION_RES as OI_PARTITION_RES
 from geowave_spark.plans import planner as P
@@ -211,4 +212,120 @@ def query_knn(
     )
     return spark.createDataFrame(
         [(r.query_id, r["rank"], r[id_col], r[dist_name]) for r in results], schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-scale kNN join (no driver loop, no collect) — the actual shape of
+# the reference's NN machinery: every left row is a query.
+# ---------------------------------------------------------------------------
+
+
+def knn_join_res(max_dist_milli: int, max_res: int = C.MAX_RES) -> int:
+    """Finest grid resolution whose cell height covers ``max_dist_milli``.
+
+    With lat cell height 180000/2^r >= max_dist (lon width is 2x that), any
+    pair within planar distance max_dist lies within one Chebyshev ring of
+    each other's cell — the reference's partitioner invariant
+    (analytics/api/.../partitioner/AbstractPartitioner.java:88-137: cell
+    size derived from the NN distance so primary + expansion neighborhood
+    is a complete candidate set).
+    """
+    r = 0
+    while r + 1 <= max_res and (C.LAT_SPAN_MILLI >> (r + 1)) >= max_dist_milli:
+        r += 1
+    return r
+
+
+def _neighbor_keys(ix, iy, res: int):
+    """Array column of the 3x3 neighbor cell keys at literal ``res``
+    (longitude wraps mod 2^res; latitude clamps off the poles). Pure
+    codegen bit math; NULL slots (off-world latitudes) are filtered out."""
+    n = 1 << res
+    keys = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            nx = F.pmod(ix + F.lit(dx), F.lit(n))
+            ny = iy + F.lit(dy)
+            keys.append(
+                F.when((ny >= 0) & (ny < n), X._pack(nx, ny.cast("long"), res))
+            )
+    arr = F.array_distinct(F.filter(F.array(*keys), lambda c: c.isNotNull()))
+    return arr
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    max_dist_milli: int,
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    lon_milli: str = "lon_milli",
+    lat_milli: str = "lat_milli",
+    exclude_self: bool = True,
+    res: int | None = None,
+) -> DataFrame:
+    """All-rows kNN join: for EVERY left row, its top-k right rows within
+    ``max_dist_milli`` (exact planar milli-deg metric with date-line wrap).
+
+    The Spark re-expression of NNMapReduce
+    (analytics/mapreduce/.../nn/NNMapReduce.java:129-340): the reference
+    duplicates each entry into its primary + expansion partition cells and
+    does within-partition pairwise scoring; here the LEFT side explodes to
+    its 3x3 neighbor keys (<=9x, usually <=6x after lat clamp), the right
+    side keeps its single primary key, and a shuffle equi-join on the key
+    replaces the MR partitioner.  Cell resolution is derived from the
+    distance bound (cell >= max_dist), so the neighborhood is a provably
+    complete candidate set — the join is EXACT, not approximate.  Per-left
+    top-k is one window; ties break on the right id (deterministic).
+
+    100 TB posture: one explode (<=9x on the smaller side — pass the
+    smaller relation as ``left``), one shuffle join on a fine spatial key
+    (res auto-picked fine => bounded per-cell density; AQE splits residual
+    hot-blob skew), one window shuffle on left id.  No driver loop, no
+    collect, no broadcast requirement on either side.
+
+    Returns (query_id, rank, neighbor_id, dist2_milli).
+    """
+    if res is None:
+        res = knn_join_res(max_dist_milli)
+
+    l_ix = X.grid_milli_col(F.col(lon_milli), 180_000, C.LON_SPAN_MILLI, F.lit(res))
+    l_iy = X.grid_milli_col(F.col(lat_milli), 90_000, C.LAT_SPAN_MILLI, F.lit(res))
+    lhs = (
+        left.select(
+            F.col(left_id).alias("query_id"),
+            F.col(lon_milli).alias("_qlon"),
+            F.col(lat_milli).alias("_qlat"),
+            _neighbor_keys(l_ix, l_iy, res).alias("_keys"),
+        )
+        .withColumn("_jkey", F.explode("_keys"))
+        .drop("_keys")
+    )
+    rhs = right.select(
+        F.col(right_id).alias("neighbor_id"),
+        F.col(lon_milli).alias("_nlon"),
+        F.col(lat_milli).alias("_nlat"),
+        X.cell_encode_milli_col(F.col(lon_milli), F.col(lat_milli), res).alias("_jkey"),
+    )
+
+    pairs = lhs.join(rhs, "_jkey").withColumn(
+        "_d",
+        U.planar_wrap_dist2_col(
+            F.col("_qlon"), F.col("_qlat"), F.col("_nlon"), F.col("_nlat")
+        ),
+    )
+    pred = F.col("_d") <= F.lit(int(max_dist_milli) ** 2)
+    if exclude_self:
+        pred = pred & (F.col("query_id") != F.col("neighbor_id"))
+    pairs = pairs.filter(pred)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.col("_d").alias("dist2_milli"))
     )

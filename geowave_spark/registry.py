@@ -203,6 +203,49 @@ SELECT query_id, rank, event_id, dist2_milli FROM ranked WHERE rank <= k
 register("knn", q_knn, _knn_oracle())
 
 
+# Dataset-scale kNN join (NNMapReduce parity — every left row is a query;
+# no driver loop, no collect).  Left = deterministic ~9% slice of events.
+KNN_JOIN_K = 4
+KNN_JOIN_DIST = 2000  # milli-degrees
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geo = TB.geo_events(spark, sf_dir)
+    left = geo.filter(F.col("event_id") % 11 == 0)
+    return OK.knn_join(left, geo, KNN_JOIN_K, KNN_JOIN_DIST)
+
+
+def _knn_join_oracle() -> str:
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+l AS (
+  SELECT event_id AS query_id, lon_milli AS qlon, lat_milli AS qlat
+  FROM geo_events WHERE event_id % 11 = 0
+),
+d AS (
+  SELECT l.query_id, e.event_id AS neighbor_id,
+         LEAST(ABS(e.lon_milli - l.qlon),
+               360000 - ABS(e.lon_milli - l.qlon)) AS dlon,
+         ABS(e.lat_milli - l.qlat) AS dlat
+  FROM l JOIN geo_events e ON e.event_id <> l.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(dlon * dlon + dlat * dlat AS BIGINT) AS dist2_milli,
+         CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY dlon * dlon + dlat * dlat, neighbor_id) AS INTEGER) AS rank
+  FROM d
+  WHERE dlon * dlon + dlat * dlat <= {KNN_JOIN_DIST ** 2}
+)
+SELECT query_id, rank, neighbor_id, dist2_milli FROM ranked
+WHERE rank <= {KNN_JOIN_K}
+"""
+
+
+register("knn_join", q_knn_join, _knn_join_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Spatial-temporal compound (SURVEY §2.4 SpatialTemporalQuery, §1.4 binning)
 # ---------------------------------------------------------------------------

@@ -48,3 +48,58 @@ def test_knn_k_larger_than_table(spark, geo):
     q = OK.KnnQuery("all", 0.0, 0.0, int(n + 50))
     got = OK.query_knn(geo, [q])
     assert got.count() == n
+
+
+# ---------------------------------------------------------------------------
+# Dataset-scale knn_join (NNMapReduce parity, no driver loop)
+# ---------------------------------------------------------------------------
+
+
+def brute_knn_join(pts, k, max_dist):
+    """numpy brute force over all pairs (wrap metric, id ties, self-excluded)."""
+    lon = pts.lon_milli.to_numpy()
+    lat = pts.lat_milli.to_numpy()
+    ids = pts.event_id.to_numpy()
+    out = {}
+    for i in range(len(pts)):
+        d2 = G.planar_wrap_dist2_milli(lon, lat, int(lon[i]), int(lat[i]))
+        mask = (d2 <= max_dist * max_dist) & (ids != ids[i])
+        cand_ids, cand_d = ids[mask], d2[mask]
+        order = np.lexsort((cand_ids, cand_d))[:k]
+        out[int(ids[i])] = [(int(cand_ids[j]), int(cand_d[j])) for j in order]
+    return out
+
+
+def test_knn_join_matches_brute_force(spark, geo):
+    pts = geo.select("event_id", "lon_milli", "lat_milli").toPandas()
+    got = OK.knn_join(geo, geo, k=3, max_dist_milli=1500).toPandas()
+    want = brute_knn_join(pts, 3, 1500)
+    by_q = {
+        int(q): list(zip(g.sort_values("rank").neighbor_id.astype(int),
+                         g.sort_values("rank").dist2_milli.astype(int)))
+        for q, g in got.groupby("query_id")
+    }
+    for qid, expect in want.items():
+        assert by_q.get(qid, []) == expect, f"query {qid}"
+
+
+def test_knn_join_dateline_wrap(spark):
+    """Pair straddling the antimeridian must be found (lon cell wrap)."""
+    df = spark.createDataFrame(
+        [(1, 179_900, 0), (2, -179_900, 0), (3, 0, 0)],
+        "event_id long, lon_milli long, lat_milli long",
+    )
+    got = OK.knn_join(df, df, k=1, max_dist_milli=1000).toPandas()
+    pairs = {(int(r.query_id), int(r.neighbor_id), int(r.dist2_milli))
+             for r in got.itertuples()}
+    # wrap distance: |179900 - (-179900)| -> 360000 - 359800 = 200
+    assert (1, 2, 200 * 200) in pairs and (2, 1, 200 * 200) in pairs
+    assert not any(q == 3 for q, _, _ in pairs)  # isolated point: no neighbor
+
+
+def test_knn_join_resolution_rule():
+    # cell lat height must cover max_dist: 180000 >> r >= d
+    for d in (1, 100, 1500, 2000, 45_000, 90_000, 180_000):
+        r = OK.knn_join_res(d)
+        assert (180_000 >> r) >= d
+        assert r == OK.C.MAX_RES or (180_000 >> (r + 1)) < d or r == OK.C.MAX_RES
