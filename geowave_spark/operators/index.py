@@ -137,12 +137,20 @@ def index_envelopes_milli(
     ix1 = X.grid_milli_col(F.col(mxx), 180_000, C.LON_SPAN_MILLI, t)
     iy0 = X.grid_milli_col(F.col(mny), 90_000, C.LAT_SPAN_MILLI, t)
     iy1 = X.grid_milli_col(F.col(mxy), 90_000, C.LAT_SPAN_MILLI, t)
-    cap = F.lit(max_cells_per_dim - 1).cast("long")
+    # The extent tier rule guarantees ≤2 cells/dim; a wider span means the
+    # invariant was violated (e.g. inverted envelope) — fail fast, never
+    # silently truncate the cover.  The guard is folded into _ix1 so column
+    # pruning can never skip evaluating it.
+    bad = (ix1 - ix0 + 1 > max_cells_per_dim) | (iy1 - iy0 + 1 > max_cells_per_dim)
+    err = F.expr(
+        "raise_error('index_envelopes_milli: envelope cover exceeds "
+        "max_cells_per_dim at its selected tier — tier-rule invariant violated')"
+    ).cast("long")
     d = (
         d.withColumn("_ix0", ix0)
-        .withColumn("_ix1", F.least(ix1, ix0 + cap))
+        .withColumn("_ix1", F.when(bad, err).otherwise(ix1))
         .withColumn("_iy0", iy0)
-        .withColumn("_iy1", F.least(iy1, iy0 + cap))
+        .withColumn("_iy1", iy1)
     )
     d = d.withColumn(
         "n_dup",

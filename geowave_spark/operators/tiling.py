@@ -52,6 +52,7 @@ def assign_tiles(
     min_pyramid_level: int = 3,
     env_cols: tuple[str, str, str, str] = ("minx_m", "miny_m", "maxx_m", "maxy_m"),
     max_cells_per_dim: int = 4,
+    max_explode_cells: int = 65_536,
 ) -> DataFrame:
     """footprint rows → (row × tile_cell) assignment — pure JVM codegen.
 
@@ -59,11 +60,21 @@ def assign_tiles(
     RasterDataAdapter rule, re-expressed as functions/cols.py column math);
     ``build_pyramid`` additionally assigns every coarser level down to
     ``min_pyramid_level`` (RasterDataAdapter.java:497 'increment and
-    continue' pyramid walk).  The cover is two ``sequence()`` explodes over
-    the spanned grid range — the DataFrame analogue of getInsertionIds'
-    multi-row-ID emission (TieredSFCIndexStrategy.java:175-231) with zero
-    Python in the path.  Adds columns: ``level``, ``tile_cell``,
-    ``tile_ix``, ``tile_iy``.
+    continue' pyramid walk); a footprint whose native level is already
+    coarser than ``min_pyramid_level`` emits just its native level (the
+    sequence is guarded — Spark ``sequence`` DESCENDS when stop < start).
+    The cover is two ``sequence()`` explodes over the spanned grid range —
+    the DataFrame analogue of getInsertionIds' multi-row-ID emission
+    (TieredSFCIndexStrategy.java:175-231) with zero Python in the path.
+
+    The cover is NEVER silently truncated.  In native-level mode the tier
+    rule guarantees ≤2 cells/dim; a span above ``max_cells_per_dim`` means
+    the invariant was violated and the job fails with ``raise_error``.  At
+    an explicit ``level`` the FULL cover is emitted (a large image at a
+    fine level legitimately spans many tiles — the reference's mosaic walk,
+    MosaicPerPyramidLevelBuilder.convert); a per-row cover above
+    ``max_explode_cells`` fails fast instead of exploding unboundedly.
+    Adds columns: ``level``, ``tile_cell``, ``tile_ix``, ``tile_iy``.
     """
     from geowave_spark.functions import cols as X
 
@@ -80,7 +91,10 @@ def assign_tiles(
         df = df.withColumn(
             "level",
             F.explode(
-                F.sequence(F.lit(min_pyramid_level).cast("long"), F.col("level"))
+                F.sequence(
+                    F.least(F.lit(min_pyramid_level).cast("long"), F.col("level")),
+                    F.col("level"),
+                )
             ),
         )
 
@@ -89,12 +103,28 @@ def assign_tiles(
     ix1 = X.grid_milli_col(F.col(mxx), 180_000, C.LON_SPAN_MILLI, lvl)
     iy0 = X.grid_milli_col(F.col(mny), 90_000, C.LAT_SPAN_MILLI, lvl)
     iy1 = X.grid_milli_col(F.col(mxy), 90_000, C.LAT_SPAN_MILLI, lvl)
-    cap = F.lit(max_cells_per_dim - 1).cast("long")
+    df = df.withColumn("_ix0", ix0).withColumn("_iy0", iy0)
+    nx = ix1 - F.col("_ix0") + 1
+    ny = iy1 - F.col("_iy0") + 1
+    if level is None:
+        # tier-rule invariant: ≤2 cells/dim; above the cap = broken invariant
+        bad = (nx > max_cells_per_dim) | (ny > max_cells_per_dim)
+        msg = (
+            "assign_tiles: footprint cover exceeds max_cells_per_dim at its "
+            "native tier — tier-selection invariant violated"
+        )
+    else:
+        bad = nx * ny > max_explode_cells
+        msg = (
+            f"assign_tiles: footprint covers more than {max_explode_cells} "
+            f"tiles at level {level}; use a coarser level or raise "
+            "max_explode_cells"
+        )
+    # the guard is folded into _ix1 so column pruning can never skip it
+    err = F.expr(f"raise_error('{msg}')").cast("long")
     df = (
-        df.withColumn("_ix0", ix0)
-        .withColumn("_ix1", F.least(ix1, ix0 + cap))
-        .withColumn("_iy0", iy0)
-        .withColumn("_iy1", F.least(iy1, iy0 + cap))
+        df.withColumn("_ix1", F.when(bad, err).otherwise(ix1))
+        .withColumn("_iy1", iy1)
         .withColumn("tile_ix", F.explode(F.sequence(F.col("_ix0"), F.col("_ix1"))))
         .withColumn("tile_iy", F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))))
         .drop("_ix0", "_ix1", "_iy0", "_iy1")

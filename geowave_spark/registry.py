@@ -730,7 +730,7 @@ def _tile_pyramid_oracle() -> str:
 WITH geo_footprints AS ({TB.GEO_FOOTPRINTS_SQL}),
 lv AS (
   SELECT event_id, minx_m, miny_m, maxx_m, maxy_m,
-         unnest(generate_series({PYRAMID_MIN_LEVEL}, native_level)) AS level
+         unnest(generate_series(LEAST({PYRAMID_MIN_LEVEL}, native_level), native_level)) AS level
   FROM geo_footprints
 ),
 b AS (

@@ -205,3 +205,47 @@ def test_overview_stats(spark, sf_dir):
     ov = OTL.overview_stats(tiles).collect()
     assert len(ov) == 1 and ov[0]["level"] == 6
     assert ov[0]["n_tiles"] > 0 and ov[0]["total_contributions"] >= 120
+
+
+def test_assign_tiles_explicit_level_full_cover(spark):
+    """A footprint spanning >4 cells/dim at an explicit fine level must emit
+    its FULL cover — no silent truncation (reference mosaic walk emits every
+    intersecting tile, MosaicPerPyramidLevelBuilder.convert)."""
+    # world cell at level 7 = 2812.5 milli lon x 1406.25 milli lat; a
+    # 20000-milli-wide footprint spans 8 lon cells and 15 lat cells.
+    fp = spark.createDataFrame(
+        [(1, -10_000, -10_000, 10_000, 10_000)],
+        "event_id long, minx_m long, miny_m long, maxx_m long, maxy_m long",
+    )
+    got = OTL.assign_tiles(fp, level=7).toPandas()
+    n = 1 << 7
+    ix0 = (-10_000 + 180_000) * n // 360_000
+    ix1 = (10_000 + 180_000) * n // 360_000
+    iy0 = (-10_000 + 90_000) * n // 180_000
+    iy1 = (10_000 + 90_000) * n // 180_000
+    want = {(ix, iy) for ix in range(ix0, ix1 + 1) for iy in range(iy0, iy1 + 1)}
+    assert len(want) > 16  # genuinely above the old 4x4 cap
+    assert {(int(r.tile_ix), int(r.tile_iy)) for r in got.itertuples()} == want
+
+
+def test_assign_tiles_explicit_level_explode_guard(spark):
+    """A cover above max_explode_cells fails fast instead of exploding."""
+    fp = spark.createDataFrame(
+        [(1, -170_000, -80_000, 170_000, 80_000)],
+        "event_id long, minx_m long, miny_m long, maxx_m long, maxy_m long",
+    )
+    with pytest.raises(Exception, match="max_explode_cells"):
+        OTL.assign_tiles(fp, level=12, max_explode_cells=1000).toPandas()
+
+
+def test_assign_tiles_pyramid_native_coarser_than_min(spark):
+    """Native level below min_pyramid_level: emit just the native level
+    (Spark sequence would DESCEND and fabricate finer-than-native levels)."""
+    # extent 100_000 milli -> native level 0 (world/2 cells already smaller)
+    fp = spark.createDataFrame(
+        [(1, -60_000, -60_000, 60_000, 60_000)],
+        "event_id long, minx_m long, miny_m long, maxx_m long, maxy_m long",
+    )
+    got = OTL.assign_tiles(fp, build_pyramid=True, min_pyramid_level=3).toPandas()
+    native = got.level.min()
+    assert set(got.level) == {native}, "must not fabricate finer levels"
