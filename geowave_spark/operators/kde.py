@@ -1,0 +1,123 @@
+"""Gaussian-smoothed kernel-density pyramid (the reference's KDE job).
+
+Re-expresses analytics/mapreduce/.../kde/ as one declarative plan:
+
+* GaussianFilter.java:27-35 — the fixed 7-tap major smoothing kernel
+  (sigma=1, x=-3..3): [.006, .061, .242, .383, .242, .061, .006].  All taps
+  are exact multiples of 1/1000, so the engine carries integer fixed-point
+  weights (tap*1000; a 2-D contribution is the product of two taps, an
+  integer <= 383^2) and sums BIGINTs — bit-reproducible in the SQL oracle.
+* GaussianCellMapper.java:100-112 — per level L the posts grid is
+  2^(L+1) x 2^L (TILE_SIZE=1, KDEJobRunner.java:96): square degree cells,
+  lon split twice as often as lat.  Bin = floor((v - min)/span * bins); the
+  milli-degree integer floor-division reproduces the float floor exactly.
+* GaussianFilter.incrementPtFast:112-162 — scatter-add: each point
+  contributes K[dx]*K[dy] to bin (floor_x+dx, floor_y+dy) for
+  dx,dy in [-3,3]^2; out-of-bounds targets are DROPPED (no wrap/clamp).
+* CellSummationCombiner/Reducer — groupBy(cell).sum(): Spark's partial
+  aggregation IS the combiner; the 49x offset explode collapses map-side
+  before any shuffle, so the shuffle carries only distinct touched cells.
+* AccumuloKDEReducer.java:137-196 — per level: normalized = value/max and
+  percentile = rank/totalCells with cells ordered by weight ascending and
+  ties sharing the FIRST tied rank (RANK(), not ROW_NUMBER — the reducer
+  computes the percentile once per distinct weight key).
+
+100 TB posture: one 49x map-side explode (pure literal-array column math,
+no Python), one shuffle keyed by (level, gx, gy) with map-side partial
+sums, one per-level window for the ranks.  The window's partition is a
+whole level — at extreme scale swap the rank window for a two-pass
+histogram quantile; the grid itself never bottlenecks because the explode
+pre-aggregates within partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# GaussianFilter.majorSmoothingGaussianKernel x 1000 — exact integers.
+KERNEL_FP = (6, 61, 242, 383, 242, 61, 6)
+KERNEL_SCALE = 1000  # one tap; a 2-D weight is scaled by 1000^2
+
+
+def kde_grid(
+    points: DataFrame,
+    levels: list[int],
+    lon_milli: str = "lon_milli",
+    lat_milli: str = "lat_milli",
+) -> DataFrame:
+    """Smoothed density posts per pyramid level.
+
+    Returns (level, gx, gy, weight_fp, weight): ``weight_fp`` is the exact
+    integer fixed-point sum (scale 10^-6 per unit contribution), ``weight``
+    its double value.
+    """
+    r = 3  # kernel radius (GaussianFilter: maxOffset = 7/2)
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(int(lv)).cast("long").alias("lvl"),
+                F.lit(dx).cast("long").alias("dx"),
+                F.lit(dy).cast("long").alias("dy"),
+                F.lit(KERNEL_FP[dx + r] * KERNEL_FP[dy + r]).cast("long").alias("w"),
+            )
+            for lv in levels
+            for dx in range(-r, r + 1)
+            for dy in range(-r, r + 1)
+        ]
+    )
+    d = points.select(
+        F.col(lon_milli).alias("_lon"), F.col(lat_milli).alias("_lat")
+    ).withColumn("_o", F.explode(offs))
+    lvl = F.col("_o.lvl")
+    # column shift amounts need the SQL builtin (PySpark wrapper takes
+    # int literals only)
+    nx = F.call_function("shiftleft", F.lit(2).cast("long"), lvl.cast("int"))  # 2^(L+1)
+    ny = F.call_function("shiftleft", F.lit(1).cast("long"), lvl.cast("int"))  # 2^L
+
+    def bin_of(v, offset: int, span: int, bins):
+        shifted = v.cast("long") + F.lit(offset)
+        num = shifted * bins
+        return ((num - F.pmod(num, F.lit(span))) / F.lit(span)).cast("long")
+
+    gx = bin_of(F.col("_lon"), 180_000, 360_000, nx) + F.col("_o.dx")
+    gy = bin_of(F.col("_lat"), 90_000, 180_000, ny) + F.col("_o.dy")
+    d = (
+        d.withColumn("gx", gx)
+        .withColumn("gy", gy)
+        .filter(
+            (F.col("gx") >= 0) & (F.col("gx") < nx)
+            & (F.col("gy") >= 0) & (F.col("gy") < ny)
+        )
+        .groupBy(lvl.alias("level"), "gx", "gy")
+        .agg(F.sum("_o.w").alias("weight_fp"))
+    )
+    return d.withColumn(
+        "weight", F.col("weight_fp").cast("double") / F.lit(float(KERNEL_SCALE**2))
+    )
+
+
+def kde_levels(grid: DataFrame) -> DataFrame:
+    """Attach the reducer's per-level bands (AccumuloKDEReducer.java:137-196):
+    ``normalized`` = weight/max(level), ``percentile`` = rank/totalCells with
+    ascending-weight RANK (ties share the first rank)."""
+    by_level = Window.partitionBy("level")
+    order = by_level.orderBy(F.col("weight_fp").asc())
+    return (
+        grid.withColumn("_max", F.max("weight_fp").over(by_level))
+        .withColumn("_n", F.count("*").over(by_level))
+        .withColumn("_rank", F.rank().over(order))
+        .select(
+            "level",
+            "gx",
+            "gy",
+            "weight_fp",
+            "weight",
+            (F.col("weight_fp").cast("double") / F.col("_max").cast("double")).alias(
+                "normalized"
+            ),
+            (F.col("_rank").cast("double") / F.col("_n").cast("double")).alias(
+                "percentile"
+            ),
+        )
+    )

@@ -247,6 +247,64 @@ register("knn_join", q_knn_join, _knn_join_oracle())
 
 
 # ---------------------------------------------------------------------------
+# KDE Gaussian-smoothed density pyramid (SURVEY §2.9 KDE gap —
+# analytics/mapreduce/.../kde/GaussianFilter.java fixed 7-tap kernel,
+# GaussianCellMapper 2^(L+1) x 2^L posts grid, AccumuloKDEReducer bands)
+# ---------------------------------------------------------------------------
+
+from geowave_spark.operators import kde as OKDE  # noqa: E402
+
+KDE_LEVELS = [4, 5, 6]
+
+
+def q_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geo = TB.geo_events(spark, sf_dir)
+    return OKDE.kde_levels(OKDE.kde_grid(geo, KDE_LEVELS))
+
+
+def _kde_oracle() -> str:
+    r = 3
+    offs = ", ".join(
+        f"({lv}, {dx}, {dy}, {OKDE.KERNEL_FP[dx + r] * OKDE.KERNEL_FP[dy + r]})"
+        for lv in KDE_LEVELS
+        for dx in range(-r, r + 1)
+        for dy in range(-r, r + 1)
+    )
+
+    def idiv(a: str, b: str) -> str:
+        return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS BIGINT)"
+
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+o(lvl, dx, dy, w) AS (VALUES {offs}),
+scat AS (
+  SELECT o.lvl AS level,
+         {idiv("(e.lon_milli + 180000) * (2::BIGINT << o.lvl)", "360000")} + o.dx AS gx,
+         {idiv("(e.lat_milli + 90000) * (1::BIGINT << o.lvl)", "180000")} + o.dy AS gy,
+         o.w, o.lvl
+  FROM geo_events e CROSS JOIN o
+),
+grid AS (
+  SELECT level, gx, gy, CAST(SUM(w) AS BIGINT) AS weight_fp
+  FROM scat
+  WHERE gx >= 0 AND gx < (2::BIGINT << lvl)
+    AND gy >= 0 AND gy < (1::BIGINT << lvl)
+  GROUP BY level, gx, gy
+)
+SELECT level, gx, gy, weight_fp,
+       CAST(weight_fp AS DOUBLE) / CAST(1000000 AS DOUBLE) AS weight,
+       CAST(weight_fp AS DOUBLE)
+         / CAST(MAX(weight_fp) OVER (PARTITION BY level) AS DOUBLE) AS normalized,
+       CAST(RANK() OVER (PARTITION BY level ORDER BY weight_fp ASC) AS DOUBLE)
+         / CAST(COUNT(*) OVER (PARTITION BY level) AS DOUBLE) AS percentile
+FROM grid
+"""
+
+
+register("kde_grid", q_kde_grid, _kde_oracle())
+
+
+# ---------------------------------------------------------------------------
 # Spatial-temporal compound (SURVEY §2.4 SpatialTemporalQuery, §1.4 binning)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,59 @@
+"""KDE closed-form tests: one point scatters the exact outer product of the
+reference's 7-tap kernel (GaussianFilter.majorSmoothingGaussianKernel);
+out-of-bounds taps are dropped, never wrapped; reducer bands match the
+rank/max formulas (AccumuloKDEReducer)."""
+
+import numpy as np
+
+from geowave_spark.operators import kde as OKDE
+
+K = np.array(OKDE.KERNEL_FP, dtype=np.int64)
+
+
+def test_single_point_outer_product(spark):
+    # point at lon=0.5deg, lat=0.5deg, level 4: grid 32x16, bin centers well
+    # inside bounds -> all 49 taps land
+    df = spark.createDataFrame([(500, 500)], "lon_milli long, lat_milli long")
+    got = OKDE.kde_grid(df, [4]).toPandas()
+    assert len(got) == 49
+    bx = (500 + 180_000) * 32 // 360_000
+    by = (500 + 90_000) * 16 // 180_000
+    want = {
+        (bx + dx, by + dy): int(K[dx + 3] * K[dy + 3])
+        for dx in range(-3, 4)
+        for dy in range(-3, 4)
+    }
+    have = {(int(r.gx), int(r.gy)): int(r.weight_fp) for r in got.itertuples()}
+    assert have == want
+    # total mass = (sum K)^2 (kernel not exactly 1.0 -> 1001^2 fixed-point)
+    assert got.weight_fp.sum() == int(K.sum()) ** 2
+
+
+def test_boundary_taps_dropped_not_wrapped(spark):
+    # point in the corner cell (0,0) at level 3: taps with gx<0 or gy<0 drop
+    df = spark.createDataFrame(
+        [(-179_990, -89_990)], "lon_milli long, lat_milli long"
+    )
+    got = OKDE.kde_grid(df, [3]).toPandas()
+    assert len(got) == 16  # only dx,dy in [0,3]^2 survive
+    assert (got.gx >= 0).all() and (got.gy >= 0).all()
+    assert got.gx.max() == 3 and got.gy.max() == 3
+
+
+def test_two_point_sum_and_bands(spark):
+    # two points in the same cell: weights double; bands follow rank/max
+    df = spark.createDataFrame(
+        [(500, 500), (501, 501)], "lon_milli long, lat_milli long"
+    )
+    out = OKDE.kde_levels(OKDE.kde_grid(df, [4])).toPandas()
+    assert len(out) == 49
+    center = out.loc[out.weight_fp.idxmax()]
+    assert int(center.weight_fp) == 2 * 383 * 383
+    assert center.normalized == 1.0
+    assert center.percentile == 1.0
+    # percentile of the minimum-weight cells = RANK()/n with shared first rank
+    nmin = (out.weight_fp == out.weight_fp.min()).sum()
+    assert np.isclose(
+        out[out.weight_fp == out.weight_fp.min()].percentile.unique(), 1.0 / 49
+    ).all()
+    assert nmin >= 1
