@@ -192,19 +192,16 @@ def make_geom_predicate(op: str):
     """Arrow-batched pairwise geometry predicate over two WKB columns —
     the engine's version of the reference's registered geometry UDFs
     (GeomFunctionRegistry.java UDF2<String,String,Boolean> over WKT, which
-    parsed both geometries per row; here per Arrow batch with exact numpy
-    kernels — see geometry.geom_op for the supported type matrix)."""
+    parsed both geometries per row).  Each distinct geometry in the batch
+    is parsed once and point-vs-area rows sharing an area geometry are one
+    vectorized PIP call (geometry.geom_op_batch) — the common shape
+    `geomIntersects(point_col, lit(query_wkb))` costs one polygon parse
+    per batch plus a single numpy crossing test."""
     opl = op.lower()
 
     @F.pandas_udf(T.BooleanType())
     def pred(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                None if wa is None or wb is None else G.geom_op(opl, bytes(wa), bytes(wb))
-                for wa, wb in zip(a, b)
-            ],
-            dtype="object",
-        )
+        return pd.Series(G.geom_op_batch(opl, a.to_list(), b.to_list()), dtype="object")
 
     return pred
 
