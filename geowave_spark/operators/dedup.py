@@ -400,16 +400,41 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     block_col: str = "source",
     tau: float = JACCARD_TAU,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard ≥ tau for pairs sharing the blocking key.
 
     |A∩B| by token equi-join within the block, |A∪B| = |A|+|B|−|A∩B|.
-    Output: (id_a, id_b, inter, union_sz, jaccard rounded 6dp)."""
+    Output: (id_a, id_b, inter, union_sz, jaccard rounded 6dp).
+
+    ``max_df`` is the 100 TB skew guard (the doc-frequency stoplist —
+    standard prefix-filter dedup practice): tokens whose document frequency
+    within their block exceeds ``max_df`` are excluded from CANDIDATE
+    GENERATION, bounding the equi-join fan-out per token to
+    max_df*(max_df-1)/2 pairs.  Candidate pairs then get their EXACT
+    intersection recounted over the full (unfiltered) token sets, so every
+    reported (inter, union_sz, jaccard) is exact; the only semantic change
+    is that a pair sharing NO token rarer than max_df is never considered —
+    for near-dup thresholds that pair would be all-stopword overlap.
+    ``max_df=None`` keeps the exhaustive single-join path.
+    """
     tok = docs.select(
         F.col(id_col), F.col(block_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
     ).distinct()
     sizes = tok.groupBy(id_col).agg(F.count("*").alias("n_tok"))
-    a, b = tok.alias("a"), tok.alias("b")
+
+    if max_df is None:
+        join_tok = tok
+    else:
+        rare = (
+            tok.groupBy(block_col, "tok")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select(block_col, "tok")
+        )
+        join_tok = tok.join(rare, [block_col, "tok"])
+
+    a, b = join_tok.alias("a"), join_tok.alias("b")
     inter = (
         a.join(
             b,
@@ -422,6 +447,19 @@ def jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
+
+    if max_df is not None:
+        # exact recount over full token sets, restricted to candidates
+        cand = inter.select("id_a", "id_b")
+        ta = tok.select(F.col(id_col).alias("id_a"), F.col("tok").alias("_ta"))
+        tb = tok.select(F.col(id_col).alias("_idb"), F.col("tok").alias("_tb"))
+        inter = (
+            cand.join(ta, "id_a")
+            .join(tb, (F.col("id_b") == F.col("_idb")) & (F.col("_ta") == F.col("_tb")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
     j = (
@@ -434,19 +472,46 @@ def jaccard_pairs(
     return j.select("id_a", "id_b", "inter", "union_sz", "jaccard")
 
 
-def jaccard_pairs_oracle(table: str = "documents", tau: float = JACCARD_TAU) -> str:
+def jaccard_pairs_oracle(
+    table: str = "documents", tau: float = JACCARD_TAU, max_df: int | None = None
+) -> str:
     toks = duck_tokens("text")
-    return f"""
-WITH tok AS (
-  SELECT DISTINCT doc_id, source, unnest({toks}) AS tok FROM {table}
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    if max_df is None:
+        inter_cte = """
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
   FROM tok a JOIN tok b
     ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+    else:
+        inter_cte = f"""
+rare AS (
+  SELECT source, tok FROM tok GROUP BY source, tok HAVING COUNT(*) <= {max_df}
+),
+jtok AS (
+  SELECT t.doc_id, t.source, t.tok
+  FROM tok t JOIN rare r ON t.source = r.source AND t.tok = r.tok
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM jtok a JOIN jtok b
+    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN tok a ON a.doc_id = c.id_a
+  JOIN tok b ON b.doc_id = c.id_b AND b.tok = a.tok
+  GROUP BY 1, 2
+)"""
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, source, unnest({toks}) AS tok FROM {table}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+{inter_cte}
 SELECT id_a, id_b, inter,
        sa.n_tok + sb.n_tok - inter AS union_sz,
        round(CAST(inter AS DOUBLE) / (sa.n_tok + sb.n_tok - inter), 6) AS jaccard

@@ -280,3 +280,153 @@ def ann_lsh(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", F.col(id_col), "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Computed-quantizer near-dup (round 2): blocking key DERIVED from the
+# embedding itself — no given label/cluster column required.  This is the
+# scale path for all-pairs semantic near-dup over a corpus: bucket count is
+# 2^planes (a dial — at 10^12 rows use 24-30 planes, possibly as several
+# independent tables), candidate pairs live in same-or-nearby buckets, and
+# the whole thing is one explode + one shuffle equi-join — no broadcast,
+# no driver participation, no all-pairs block.
+# ---------------------------------------------------------------------------
+
+IVF_PLANES = 4
+IVF_WSCALE = 127  # integer weight scale for cross-engine-exact projections
+
+
+def _plane_weight_int(p: int, d: int) -> int:
+    return int(round(_plane_weight(p, d) * IVF_WSCALE))
+
+
+def quantizer_bucket_col(qvec_col: str, dim: int, planes: int = IVF_PLANES) -> Column:
+    """Coarse bucket id = sign bits of ``planes`` INTEGER hyperplane
+    projections of the pre-quantized (int64) embedding.
+
+    All-integer arithmetic (weights are fixed ints, vector is fixed-point)
+    so an external SQL engine reproduces bucket assignment bit-for-bit —
+    unlike the float-projection ann_lsh bucket, this one is oracle-exact.
+    Ties (projection exactly 0) take bit 0."""
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        w = F.array(
+            *[F.lit(_plane_weight_int(p, d)).cast("long") for d in range(dim)]
+        )
+        proj = F.aggregate(
+            F.zip_with(F.col(qvec_col), w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def _probe_masks(planes: int, probe_hamming: int) -> list[int]:
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << p for p in range(planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << p1) | (1 << p2)
+            for p1 in range(planes)
+            for p2 in range(p1 + 1, planes)
+        ]
+    return masks
+
+
+def neardup_pairs_q(
+    emb: DataFrame,
+    tau: float = NEARDUP_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = IVF_PLANES,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """All-pairs cosine near-dup with a COMPUTED coarse quantizer.
+
+    A pair is a candidate iff their bucket ids differ in at most
+    ``probe_hamming`` sign bits; candidates get the exact fixed-point
+    cosine and the tau filter.  Each (a,b) candidate is generated exactly
+    once: the left side probes bucket XOR m over all masks of popcount <=
+    probe_hamming, and for a pair at hamming distance h <= probe_hamming
+    exactly one mask matches.
+
+    Blocking recall is a dial (planes down / probe_hamming up => recall
+    up); candidate generation is part of the operator's DEFINITION, so the
+    DuckDB oracle reproduces the result exactly.  Output matches
+    :func:`neardup_pairs`: (id_a, id_b, cos).
+    """
+    base = emb.select(
+        F.col(id_col), quant_col(F.col(vec_col)).alias("_qv")
+    ).withColumn("_bkt", quantizer_bucket_col("_qv", dim, planes))
+    masks = _probe_masks(planes, probe_hamming)
+    probes = F.array(*[F.col("_bkt").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_qv").alias("_va"),
+        F.explode(probes).alias("_blk"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("_qv").alias("_vb"), F.col("_bkt").alias("_blk")
+    )
+    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    zero = F.lit(0).cast("long")
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        / (
+            F.sqrt(F.aggregate(F.col("_va"), zero, lambda acc, x: acc + x * x))
+            * F.sqrt(F.aggregate(F.col("_vb"), zero, lambda acc, x: acc + x * x))
+        ),
+        6,
+    )
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= tau)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def neardup_pairs_q_oracle(
+    table: str = "embeddings",
+    tau: float = NEARDUP_TAU,
+    dim: int = 64,
+    planes: int = IVF_PLANES,
+    probe_hamming: int = 2,
+) -> str:
+    qv = duck_quant("embedding")
+    proj_bits = " + ".join(
+        f"(CASE WHEN CAST(list_dot_product(qv, "
+        f"[{', '.join(str(_plane_weight_int(p, d)) for d in range(dim))}]) "
+        f"AS BIGINT) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    masks = ", ".join(f"({m})" for m in _probe_masks(planes, probe_hamming))
+    return f"""
+WITH base AS (
+  SELECT vec_id, {qv} AS qv FROM {table}
+),
+bkt AS (
+  SELECT vec_id, qv, {proj_bits} AS bucket FROM base
+),
+probes AS (
+  SELECT b.vec_id, b.qv, xor(b.bucket, m.v) AS blk
+  FROM bkt b CROSS JOIN (VALUES {masks}) m(v)
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.qv, b.qv) /
+             (sqrt(list_dot_product(a.qv, a.qv)) *
+              sqrt(list_dot_product(b.qv, b.qv))), 6) AS cos
+FROM probes a JOIN bkt b
+  ON a.blk = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.qv, b.qv) /
+            (sqrt(list_dot_product(a.qv, a.qv)) *
+             sqrt(list_dot_product(b.qv, b.qv))), 6) >= {tau}
+"""

@@ -459,11 +459,18 @@ def q_simhash_pairs(spark, sf_dir):
 register("simhash_pairs", q_simhash_pairs, OD.simhash_pairs_oracle())
 
 
+JACCARD_MAX_DF = 50  # doc-frequency stoplist: hot tokens skip candidate gen
+
+
 def q_jaccard_pairs(spark, sf_dir):
-    return OD.jaccard_pairs(_docs(spark, sf_dir))
+    return OD.jaccard_pairs(_docs(spark, sf_dir), max_df=JACCARD_MAX_DF)
 
 
-register("jaccard_pairs", q_jaccard_pairs, OD.jaccard_pairs_oracle())
+register(
+    "jaccard_pairs",
+    q_jaccard_pairs,
+    OD.jaccard_pairs_oracle(max_df=JACCARD_MAX_DF),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -518,10 +525,21 @@ register("embed_topk", q_embed_topk, OE.cosine_topk_oracle())
 
 
 def q_embed_neardup(spark, sf_dir):
+    """Computed-quantizer blocking (round 2): the blocking key is derived
+    from the embedding (integer hyperplane signs), not a given label."""
+    return OE.neardup_pairs_q(_emb(spark, sf_dir))
+
+
+register("embed_neardup", q_embed_neardup, OE.neardup_pairs_q_oracle())
+
+
+def q_embed_neardup_label(spark, sf_dir):
+    """Given-key blocking variant (kept: the IVF path when an upstream
+    cluster/label assignment already exists)."""
     return OE.neardup_pairs(_emb(spark, sf_dir))
 
 
-register("embed_neardup", q_embed_neardup, OE.neardup_pairs_oracle())
+register("embed_neardup_label", q_embed_neardup_label, OE.neardup_pairs_oracle())
 
 
 def q_embed_ann_lsh(spark, sf_dir):
