@@ -33,9 +33,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _input_identity(path: str) -> list:
+    """Content identity of one input: (relpath, size, mtime_ns) per file.
+
+    A rewritten-in-place input (same path, new bytes) must invalidate the
+    checkpoint; size+mtime is the parquet-on-filesystem stand-in for a
+    table snapshot id (the Iceberg production case uses the snapshot id)."""
+    out = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return [[os.path.basename(path), st.st_size, st.st_mtime_ns]]
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                out.append([os.path.relpath(fp, path), st.st_size, st.st_mtime_ns])
+    return sorted(out)
+
+
 def _fingerprint(stage: str, inputs: list[str], params: dict) -> str:
-    blob = json.dumps({"stage": stage, "inputs": sorted(inputs), "params": params},
-                      sort_keys=True)
+    blob = json.dumps(
+        {
+            "stage": stage,
+            "inputs": sorted(inputs),
+            "identity": [_input_identity(p) for p in sorted(inputs)],
+            "params": params,
+        },
+        sort_keys=True,
+    )
     return hashlib.sha256(blob.encode()).hexdigest()[:32]
 
 

@@ -131,6 +131,16 @@ def dbscan(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation converges in O(component diameter) rounds;
+        # a chain longer than max_rounds would silently split clusters —
+        # fail loudly instead (production swap-in: large-star/small-star
+        # connected components, O(log n) rounds).
+        raise RuntimeError(
+            f"dbscan label propagation did not converge in {max_rounds} "
+            "rounds (component diameter exceeds max_rounds); raise "
+            "max_rounds or use the large-star/small-star variant"
+        )
 
     # attach border points: non-core points within eps of a core point
     border = (

@@ -50,19 +50,39 @@ def index_points(
     res: int = C.MAX_RES,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     id_col: str | None = None,
+    salt_mode: str = "hash",
 ) -> DataFrame:
     """Attach ``cell`` (res 29 by default), ``cell_p`` and ``salt`` columns.
 
     The encode is pure JVM column math (functions/cols.py) — no Python
     worker in the ingest hot path; the pandas-UDF variant (functions/udfs.py)
-    is kept for SQL registration and per-row-resolution cases."""
+    is kept for SQL registration and per-row-resolution cases.
+
+    ``salt_mode``: 'hash' = content-deterministic hash prefix (reference
+    HashKeyIndexStrategy.java); 'round_robin' = per-task rotating prefix
+    (reference RoundRobinKeyIndexStrategy — perfectly even write spread,
+    NOT content-deterministic, so reads must fan over all buckets; prefer
+    'hash' unless the write path is the bottleneck)."""
     out = df.withColumn(
         "cell", X.cell_encode_col(F.col(lon_col), F.col(lat_col), res)
     ).withColumn("tier", F.lit(res).cast("long"))
     out = out.withColumn("cell_p", parent_cell_col("cell", PARTITION_RES))
-    salt_src = F.col(id_col) if id_col else F.col(lon_col) * 100000 + F.col(lat_col)
-    out = out.withColumn("salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)))
-    return out.withColumn("n_dup", F.lit(0))
+    if salt_mode == "round_robin":
+        # monotonically_increasing_id is (partition << 33) | seq — taking it
+        # mod buckets rotates within each task, the reference's per-writer
+        # round-robin counter re-expressed without shared state
+        out = out.withColumn(
+            "salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+        )
+    elif salt_mode == "hash":
+        salt_src = F.col(id_col) if id_col else F.col(lon_col) * 100000 + F.col(lat_col)
+        out = out.withColumn("salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)))
+    else:
+        raise ValueError(salt_mode)
+    out = out.withColumn("n_dup", F.lit(0))
+    # statically-known tier metadata: queries skip the tier-discovery scan
+    out._gw_tiers = [res]
+    return out
 
 
 def index_envelopes(
@@ -108,10 +128,30 @@ def write_indexed(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         .partitionBy("cell_p")
         .parquet(path)
     )
+    # co-write the stats store (reference DataStatistics metadata table):
+    # tier occupancy drives query-side tier selection with NO discovery
+    # scan (TieredSFCIndexStrategy.java:131-138 tier metadata analogue)
+    from geowave_spark import stats as ST
+
+    ST.tier_counts(df).write.mode("overwrite").parquet(
+        f"{path}/_stats/tier_counts"
+    )
 
 
 def read_indexed(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Read an indexed table; attaches occupied-tier metadata from the
+    co-written stats store so cover joins skip the tier-discovery scan."""
+    df = spark.read.parquet(path)
+    try:
+        df._gw_tiers = [
+            int(r["tier"])
+            for r in spark.read.parquet(f"{path}/_stats/tier_counts")
+            .filter(F.col("n_rows") > 0)
+            .collect()
+        ]
+    except Exception:
+        pass  # no stats store (externally-written table): queries fall back
+    return df
 
 
 def index_envelopes_milli(

@@ -51,6 +51,10 @@ def points_in_envelopes_join(
         env_id, "cell", "tier", "n_dup", "minx_m", "miny_m", "maxx_m", "maxy_m"
     )
     if env_tiers is None:
+        # stats-store hint first (read_indexed attaches it); discovery scan
+        # only as a last resort — at 100 TB that is an extra full pass
+        env_tiers = getattr(envelopes, "_gw_tiers", None)
+    if env_tiers is None:
         env_tiers = [int(r[0]) for r in env.select("tier").distinct().collect()]
     env_tiers = sorted(set(env_tiers))
 

@@ -82,7 +82,12 @@ def query_spatial_temporal(
             & (F.col(ts_col) <= F.to_timestamp("q_t1"))
         )
     )
-    if "n_dup" in data.columns:
+    # DedupeFilter gating (mirrors operators/bbox.py): a point table at
+    # MAX_RES is duplicate-free by construction — skip the global shuffle.
+    from geowave_spark.functions import cells as C
+
+    point_table = tiers is not None and all(int(t) == C.MAX_RES for t in tiers)
+    if "n_dup" in data.columns and not point_table:
         refined = refined.dropDuplicates(["query_id", *id_cols])
     return refined.drop("q_minx", "q_miny", "q_maxx", "q_maxy", "q_t0", "q_t1")
 

@@ -102,6 +102,11 @@ def cover_join(
     """
     spark = data.sparkSession
     if tiers is None:
+        # tier metadata travels with the DataFrame when known (index_points
+        # static tier; read_indexed stats store) — the discovery scan is the
+        # LAST resort (at 100 TB it is a full extra pass per query)
+        tiers = getattr(data, "_gw_tiers", None)
+    if tiers is None:
         tiers = [row[0] for row in data.select("tier").distinct().collect()]
     tiers = sorted(int(t) for t in tiers)
 

@@ -111,3 +111,83 @@ def fixed_bin_histogram(
     raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(nbins))
     bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
     return df.groupBy(bin_.alias("bin")).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch statistic (reference FeatureCountMinSketchStatistics,
+# extensions/adapters/vector/.../stats/FeatureCountMinSketchStatistics.java —
+# 254 LoC of stream-lib plumbing; here: the built-in Catalyst aggregate plus
+# a pure-python decoder for estimation and merge).
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+import numpy as _np
+
+
+def count_min_sketch(
+    df: DataFrame, col: str, eps: float = 0.001, confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """One-row (sketch binary) aggregate — map-side partial, mergeable.
+
+    String keys: pre-hash to long with ``F.xxhash64`` before sketching (the
+    decoder below implements Spark's LONG item hashing)."""
+    return df.agg(
+        F.count_min_sketch(
+            F.col(col), F.lit(float(eps)), F.lit(float(confidence)), F.lit(int(seed))
+        ).alias("cms")
+    )
+
+
+def cms_decode(b: bytes):
+    """Parse Spark's CountMinSketch serialization (big-endian stream-lib
+    layout: version, totalCount, depth, width, hashA[depth],
+    table[depth][width])."""
+    ver, total = _struct.unpack_from(">iq", b, 0)
+    if ver != 1:
+        raise ValueError(f"unsupported CountMinSketch version {ver}")
+    depth, width = _struct.unpack_from(">ii", b, 12)
+    off = 20
+    hash_a = _np.frombuffer(b, dtype=">i8", count=depth, offset=off).astype(_np.int64)
+    off += depth * 8
+    table = (
+        _np.frombuffer(b, dtype=">i8", count=depth * width, offset=off)
+        .astype(_np.int64)
+        .reshape(depth, width)
+    )
+    return total, depth, width, hash_a, table
+
+
+_CMS_PRIME = (1 << 31) - 1
+
+
+def cms_estimate(b: bytes, items) -> _np.ndarray:
+    """Frequency estimates for int64 items (Spark's LONG-item hash:
+    h = hashA[i]*x; h += h >> 32 (arithmetic, 64-bit wrap); h &= 2^31-1;
+    column = h % width; estimate = min over rows)."""
+    total, depth, width, hash_a, table = cms_decode(b)
+    x = _np.asarray(items, dtype=_np.int64)
+    est = _np.full(x.shape, _np.iinfo(_np.int64).max, dtype=_np.int64)
+    with _np.errstate(over="ignore"):
+        for i in range(depth):
+            h = hash_a[i] * x  # wraps mod 2^64, signed — Java semantics
+            h = h + (h >> 32)  # numpy int64 >> is arithmetic, like Java
+            h = h & _CMS_PRIME
+            est = _np.minimum(est, table[i, h % width])
+    return est
+
+
+def cms_merge(b1: bytes, b2: bytes) -> bytes:
+    """Merge two sketches built with identical (eps, confidence, seed) —
+    element-wise table sum (the mergeable-statistics contract the
+    reference's stats recompute/merge commands rely on)."""
+    t1, d1, w1, a1, tab1 = cms_decode(b1)
+    t2, d2, w2, a2, tab2 = cms_decode(b2)
+    if d1 != d2 or w1 != w2 or not _np.array_equal(a1, a2):
+        raise ValueError("incompatible sketches (different dims or seed)")
+    out = bytearray(b1)
+    _struct.pack_into(">q", out, 4, t1 + t2)
+    merged = (tab1 + tab2).astype(">i8").tobytes()
+    out[20 + d1 * 8 :] = merged
+    return bytes(out)

@@ -114,3 +114,34 @@ def test_stats_driven_query_planning(spark, sf_dir, tmp_path):
         for r in OB.query_bbox(geo, [q], tiers=[OI.C.MAX_RES]).select("event_id").collect()
     )
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch statistic (round 2)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimates_and_merge(spark):
+    from geowave_spark import stats as ST
+    import numpy as np
+
+    # skewed values: value v appears (v+1)*100 times for v in 0..9
+    rows = [(v,) for v in range(10) for _ in range((v + 1) * 100)]
+    df = spark.createDataFrame(rows, "v long")
+    b = bytes(ST.count_min_sketch(df, "v", eps=0.001, confidence=0.99).collect()[0].cms)
+    total, depth, width, _, _ = ST.cms_decode(b)
+    assert total == len(rows)
+    est = ST.cms_estimate(b, np.arange(10))
+    true = np.array([(v + 1) * 100 for v in range(10)])
+    # CMS guarantee: never undercounts; overshoot <= eps * total w.h.p.
+    assert (est >= true).all()
+    assert (est <= true + 0.001 * total + 1).all()
+
+    # mergeability: sketch(first half) + sketch(second half) == sketch(all)
+    h1 = spark.createDataFrame(rows[: len(rows) // 2], "v long")
+    h2 = spark.createDataFrame(rows[len(rows) // 2 :], "v long")
+    b1 = bytes(ST.count_min_sketch(h1, "v").collect()[0].cms)
+    b2 = bytes(ST.count_min_sketch(h2, "v").collect()[0].cms)
+    merged = ST.cms_merge(b1, b2)
+    ball = bytes(ST.count_min_sketch(df, "v").collect()[0].cms)
+    assert merged == ball

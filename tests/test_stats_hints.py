@@ -1,0 +1,101 @@
+"""Stats-driven defaults (round 2): tier metadata travels with the
+DataFrame (index_points static tier, read_indexed stats store) so cover
+joins never pay a tier-discovery scan; checkpoint fingerprints include
+input content identity."""
+
+import numpy as np
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geowave_spark import checkpoint as CP
+from geowave_spark.operators import index as OI
+from geowave_spark.operators import join as OJ
+from geowave_spark.plans import planner as P
+from geowave_spark.sources import tables as TB
+
+
+def test_index_points_carries_tier_hint(spark, sf_dir):
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    assert geo._gw_tiers == [OI.C.MAX_RES]
+
+
+def test_cover_join_uses_hint_no_discovery_scan(spark, sf_dir, monkeypatch):
+    """With the hint attached, building the cover-join plan must trigger NO
+    eager job — the tier-discovery distinct().collect() is gone."""
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+
+    def boom(self):
+        raise AssertionError("eager collect during plan construction")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    plan = P.cover_join(geo, [P.BoxQuery("q", -74.5, 40.2, -73.5, 41.2)])
+    monkeypatch.undo()
+    # and the plan is still correct
+    n = plan.filter(
+        P.bbox_residual(-74.5, 40.2, -73.5, 41.2)
+    ).count()
+    assert n > 0
+
+
+def test_write_read_indexed_roundtrip_tiers(spark, sf_dir, tmp_path):
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    path = str(tmp_path / "idx")
+    OI.write_indexed(geo, path)
+    back = OI.read_indexed(spark, path)
+    assert back._gw_tiers == [OI.C.MAX_RES]
+    assert back.count() == geo.count()
+
+
+def test_spatial_join_uses_envelope_hint(spark, sf_dir, monkeypatch):
+    fps = TB.geo_footprints(spark, sf_dir)
+    pts = TB.geo_events(spark, sf_dir).select(
+        F.col("event_id").alias("point_id"), "lon_milli", "lat_milli"
+    )
+    # discovery path still works...
+    want = OJ.points_in_envelopes_join(
+        pts, fps.select("event_id", "minx_m", "miny_m", "maxx_m", "maxy_m")
+        .withColumnRenamed("event_id", "env_id")
+    ).count()
+    # ...and the hinted path produces the identical result with no eager job
+    env = fps.select("event_id", "minx_m", "miny_m", "maxx_m", "maxy_m").withColumnRenamed(
+        "event_id", "env_id"
+    )
+    env._gw_tiers = list(range(6, 12))  # geo_footprints native levels
+
+    def boom(self):
+        raise AssertionError("eager collect during plan construction")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    plan = OJ.points_in_envelopes_join(pts, env)
+    monkeypatch.undo()
+    assert plan.count() == want
+
+
+def test_checkpoint_invalidated_by_inplace_rewrite(tmp_path):
+    p = tmp_path / "input.parquet"
+    p.write_bytes(b"v1-bytes")
+    f1 = CP._fingerprint("stage", [str(p)], {"k": 1})
+    # same path, same params, different content -> different fingerprint
+    import os
+    import time
+
+    p.write_bytes(b"v2-bytes!")
+    os.utime(p, ns=(time.time_ns(), time.time_ns() + 1))
+    f2 = CP._fingerprint("stage", [str(p)], {"k": 1})
+    assert f1 != f2
+    # unchanged content -> stable fingerprint
+    assert f2 == CP._fingerprint("stage", [str(p)], {"k": 1})
+
+
+def test_round_robin_salt_spreads_evenly(spark, sf_dir):
+    geo = OI.index_points(
+        TB.geo_events(spark, sf_dir), id_col="event_id", salt_mode="round_robin"
+    )
+    counts = geo.groupBy("salt").count().toPandas()
+    n = geo.count()
+    assert len(counts) == OI.DEFAULT_SALT_BUCKETS
+    # round-robin = near-perfect balance (within one per task)
+    spread = counts["count"].max() - counts["count"].min()
+    assert spread <= spark.sparkContext.defaultParallelism * 2
+    assert counts["count"].sum() == n
