@@ -144,17 +144,23 @@ def _render_one(
     fp: tuple[float, float, float, float],
     tile: tuple[float, float, float, float],
     tile_size: int,
+    method: str = "nearest",
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Nearest-neighbor resample of one image's footprint onto the tile
-    grid.  Returns (canvas uint8, valid mask bool).  Row 0 of the image is
-    the footprint's NORTH edge (image convention)."""
+    """Resample one image's footprint onto the tile grid.
+
+    ``pixels``: (h, w) or (h, w, bands), any dtype.  ``method``: 'nearest'
+    or 'bilinear' (edge-clamped, pixel-center aligned) — the reference
+    defaults to bilinear and drops to nearest for float data
+    (RasterDataAdapter.java:700-860 interpolation choice).  Returns
+    (canvas same dtype/bands, valid mask bool).  Row 0 of the image is the
+    footprint's NORTH edge (image convention)."""
     h, w = pixels.shape[:2]
     fminx, fminy, fmaxx, fmaxy = fp
     tminx, tminy, tmaxx, tmaxy = tile
     # tile pixel centers in world coords
     xs = tminx + (np.arange(tile_size) + 0.5) * (tmaxx - tminx) / tile_size
     ys = tmaxy - (np.arange(tile_size) + 0.5) * (tmaxy - tminy) / tile_size
-    # inverse affine into source pixel indices
+    # inverse affine into continuous source pixel coords
     sx = (xs - fminx) / (fmaxx - fminx) * w
     sy = (fmaxy - ys) / (fmaxy - fminy) * h
     jx = np.floor(sx).astype(np.int64)
@@ -162,11 +168,42 @@ def _render_one(
     okx = (jx >= 0) & (jx < w)
     oky = (jy >= 0) & (jy < h)
     mask = oky[:, None] & okx[None, :]
-    canvas = np.zeros((tile_size, tile_size), dtype=np.uint8)
-    jyc = np.clip(jy, 0, h - 1)
-    jxc = np.clip(jx, 0, w - 1)
-    canvas[:] = pixels[jyc][:, jxc]
+    shape = (tile_size, tile_size) + pixels.shape[2:]
+    if method == "nearest":
+        jyc = np.clip(jy, 0, h - 1)
+        jxc = np.clip(jx, 0, w - 1)
+        canvas = pixels[jyc][:, jxc].copy()
+    elif method == "bilinear":
+        # sample at pixel CENTERS (j + 0.5); edge-clamp the 2x2 support
+        px = sx - 0.5
+        py = sy - 0.5
+        x0 = np.clip(np.floor(px).astype(np.int64), 0, w - 1)
+        y0 = np.clip(np.floor(py).astype(np.int64), 0, h - 1)
+        x1 = np.clip(x0 + 1, 0, w - 1)
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        fx = np.clip(px - np.floor(px), 0.0, 1.0)
+        fy = np.clip(py - np.floor(py), 0.0, 1.0)
+        # kill the fraction where the support was clamped (pure edge clamp)
+        fx = np.where(np.floor(px) < 0, 0.0, np.where(np.floor(px) >= w - 1, 0.0, fx))
+        fy = np.where(np.floor(py) < 0, 0.0, np.where(np.floor(py) >= h - 1, 0.0, fy))
+        p = pixels.astype(np.float64)
+        wx = fx[None, :]
+        wy = fy[:, None]
+        if pixels.ndim == 3:
+            wx = wx[..., None]
+            wy = wy[..., None]
+        top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+        bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+        blend = top * (1 - wy) + bot * wy
+        if np.issubdtype(pixels.dtype, np.integer):
+            canvas = np.floor(blend + 0.5).astype(pixels.dtype)
+        else:
+            canvas = blend.astype(pixels.dtype)
+    else:
+        raise ValueError(method)
+    canvas = np.ascontiguousarray(canvas)
     canvas[~mask] = 0
+    assert canvas.shape == shape
     return canvas, mask
 
 
@@ -176,13 +213,18 @@ def render_tiles(
     bytes_col: str = "bytes",
     fmt_col: str = "fmt",
     seq_cols: tuple[str, ...] = ("ts", "image_id"),
+    resample: str = "auto",
 ) -> DataFrame:
-    """groupBy(tile_cell) → one mosaic PNG per tile.
+    """groupBy(tile_cell) → one mosaic tile per cell.
 
     Merge semantics = NoDataMergeStrategy: iterate contributions newest →
     oldest (stable explicit order on ``seq_cols``), fill only still-empty
-    (NoData) pixels.  Output: tile_cell, level, tile_ix, tile_iy, n_src,
-    valid_frac, tile_png.
+    (NoData) pixels.  ``resample='auto'`` follows the reference's rule
+    (RasterDataAdapter.java:700-860): BILINEAR for integer rasters,
+    NEAREST for float data; pass 'nearest'/'bilinear' to force.  Bands and
+    dtype come from the contributions (grayscale, RGB, or float): uint8
+    tiles serialize as PNG, float tiles as the RAWF container.  Output:
+    tile_cell, level, tile_ix, tile_iy, n_src, valid_frac, tile_png.
     """
     out_schema = T.StructType(
         [
@@ -202,23 +244,44 @@ def render_tiles(
         tminx, tminy, tmaxx, tmaxy = (float(v[0]) for v in C.cell_bounds(np.asarray([cell])))
         # stable newest-first ingest order — never task order
         pdf = pdf.sort_values(list(seq_cols), ascending=False, kind="mergesort")
-        canvas = np.zeros((tile_size, tile_size), dtype=np.uint8)
+        canvas = None
         filled = np.zeros((tile_size, tile_size), dtype=bool)
         n = 0
         for r in pdf.itertuples():
             pix = PNG.decode_image(getattr(r, bytes_col), getattr(r, fmt_col))
+            if resample == "auto":
+                method = (
+                    "nearest" if np.issubdtype(pix.dtype, np.floating) else "bilinear"
+                )
+            else:
+                method = resample
             cv, mask = _render_one(
                 pix,
                 (r.fp_minx, r.fp_miny, r.fp_maxx, r.fp_maxy),
                 (tminx, tminy, tmaxx, tmaxy),
                 tile_size,
+                method=method,
             )
+            if canvas is None:
+                canvas = np.zeros_like(cv)
+            elif canvas.shape != cv.shape or canvas.dtype != cv.dtype:
+                raise ValueError(
+                    "mixed band counts/dtypes within one mosaic tile "
+                    f"({canvas.shape}/{canvas.dtype} vs {cv.shape}/{cv.dtype})"
+                )
             take = mask & ~filled
             canvas[take] = cv[take]
             filled |= mask
             n += 1
             if filled.all():
                 break  # remaining older tiles fully occluded
+        if canvas is None:
+            canvas = np.zeros((tile_size, tile_size), dtype=np.uint8)
+        blob = (
+            PNG.raw_encode(canvas)
+            if np.issubdtype(canvas.dtype, np.floating)
+            else PNG.png_encode(canvas)
+        )
         return pd.DataFrame(
             {
                 "tile_cell": [cell],
@@ -227,7 +290,7 @@ def render_tiles(
                 "tile_iy": [int(iy[0])],
                 "n_src": [n],
                 "valid_frac": [float(filled.mean())],
-                "tile_png": [PNG.png_encode(canvas)],
+                "tile_png": [blob],
             }
         )
 
@@ -268,25 +331,37 @@ def retile_coarser(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
         lvl = int(pdf.level.iloc[0]) - 1
         pix = int(pdf.tile_ix.iloc[0]) >> 1
         piy = int(pdf.tile_iy.iloc[0]) >> 1
-        canvas = np.zeros((tile_size, tile_size), dtype=np.uint8)
+        canvas = None
         n = 0
         for r in pdf.itertuples():
             child = PNG.decode_image(r.tile_png)
+            if canvas is None:
+                canvas = np.zeros((tile_size, tile_size) + child.shape[2:], child.dtype)
             # 2x2 box mean then paste into the child's quadrant; row 0 is
             # NORTH, so a child with odd iy (northern half) goes to the top
-            ds = child.reshape(tile_size // 2, 2, tile_size // 2, 2).mean(
-                axis=(1, 3)
-            ).astype(np.uint8)
+            # (bands, if any, ride along on the trailing axis)
+            ds = (
+                child.reshape((tile_size // 2, 2, tile_size // 2, 2) + child.shape[2:])
+                .mean(axis=(1, 3))
+                .astype(child.dtype)
+            )
             qx = (int(r.tile_ix) & 1) * half
             qy = (1 - (int(r.tile_iy) & 1)) * half
             canvas[qy : qy + half, qx : qx + half] = ds
             n += 1
+        if canvas is None:
+            canvas = np.zeros((tile_size, tile_size), dtype=np.uint8)
         cell = int(
             C.pack(
                 np.asarray([lvl], dtype=np.int64),
                 np.asarray([pix], dtype=np.int64),
                 np.asarray([piy], dtype=np.int64),
             )[0]
+        )
+        blob = (
+            PNG.raw_encode(canvas)
+            if np.issubdtype(canvas.dtype, np.floating)
+            else PNG.png_encode(canvas)
         )
         return pd.DataFrame(
             {
@@ -295,7 +370,7 @@ def retile_coarser(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
                 "tile_ix": [pix],
                 "tile_iy": [piy],
                 "n_children": [n],
-                "tile_png": [PNG.png_encode(canvas)],
+                "tile_png": [blob],
             }
         )
 

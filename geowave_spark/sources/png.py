@@ -124,7 +124,25 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown fmt {fmt}")
 
 
+def raw_encode(pixels: np.ndarray) -> bytes:
+    """Float-raster container: 'RAWF' + (h, w, bands) + float32 data —
+    the storage path for non-uint8 coverages (the reference's non-byte
+    DataBuffer raster tiles), which PNG cannot carry."""
+    p = np.ascontiguousarray(pixels, dtype=np.float32)
+    h, w = p.shape[:2]
+    bands = p.shape[2] if p.ndim == 3 else 0  # 0 marks a 2-D raster
+    return b"RAWF" + struct.pack(">III", h, w, bands) + p.tobytes()
+
+
+def raw_decode(buf: bytes) -> np.ndarray:
+    h, w, bands = struct.unpack_from(">III", buf, 4)
+    arr = np.frombuffer(buf, dtype=np.float32, offset=16)
+    return arr.reshape((h, w, bands) if bands else (h, w)).copy()
+
+
 def decode_image(buf: bytes, fmt: str | None = None) -> np.ndarray:
+    if buf[:4] == b"RAWF":
+        return raw_decode(buf)
     if buf[:4] == b"LOSY":
         return png_decode(buf[4:])
     return png_decode(buf)

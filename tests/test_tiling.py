@@ -99,7 +99,7 @@ def test_render_single_image_exact(spark):
     row = _mk_row("a", pix, (tminx, tminy, tmaxx, tmaxy), "2020-01-01")
     row["tile_cell"] = cell
     sdf = spark.createDataFrame(pd.DataFrame([row]))
-    out = OTL.render_tiles(sdf).collect()[0]
+    out = OTL.render_tiles(sdf, resample="nearest").collect()[0]
     assert out.n_src == 1 and out.valid_frac == 1.0
     got = PNG.png_decode(bytes(out.tile_png))
     # expected: each source pixel repeated 4x (256/64)
@@ -249,3 +249,95 @@ def test_assign_tiles_pyramid_native_coarser_than_min(spark):
     got = OTL.assign_tiles(fp, build_pyramid=True, min_pyramid_level=3).toPandas()
     native = got.level.min()
     assert set(got.level) == {native}, "must not fabricate finer levels"
+
+
+# ---------------------------------------------------------------------------
+# Round 2: bilinear resample, multi-band, float rasters
+# ---------------------------------------------------------------------------
+
+
+def test_bilinear_closed_form_weights():
+    """2x2 source onto a 4x4 tile: pinned bilinear weights (0.25/0.75 mix,
+    edge clamp at the border, half-up rounding)."""
+    src = np.array([[0, 100], [200, 60]], dtype=np.uint8)
+    fp = (0.0, 0.0, 1.0, 1.0)
+    canvas, mask = OTL._render_one(src, fp, fp, 4, method="bilinear")
+    want = np.array(
+        [
+            [0, 25, 75, 100],
+            [50, 60, 80, 90],
+            [150, 130, 90, 70],
+            [200, 165, 95, 60],
+        ],
+        dtype=np.uint8,
+    )
+    assert mask.all()
+    assert np.array_equal(canvas, want)
+
+
+def test_bilinear_invariances():
+    """Bilinear preserves constants exactly, interpolates within the value
+    range, and identity-size aligned sampling returns the source."""
+    const = np.full((8, 8), 123, np.uint8)
+    fp = (10.0, 10.0, 11.0, 11.0)
+    bi, _ = OTL._render_one(const, fp, fp, 16, method="bilinear")
+    assert (bi == 123).all()
+    src = SYN.pixels_for(11, 8, 8)
+    bi, _ = OTL._render_one(src, fp, fp, 16, method="bilinear")
+    assert bi.min() >= src.min() and bi.max() <= src.max()
+    # same size, same extent: centers align exactly -> identity
+    same, _ = OTL._render_one(src, fp, fp, 8, method="bilinear")
+    assert np.array_equal(same, src)
+
+
+def test_render_rgb_mosaic_latest_wins(spark):
+    cell = int(C.pack(5, 9, 12)[()])
+    tminx, tminy, tmaxx, tmaxy = (float(v[0]) for v in C.cell_bounds(np.asarray([cell])))
+    midx = (tminx + tmaxx) / 2
+    old = _mk_row("old", np.full((16, 16, 3), 40, np.uint8), (tminx, tminy, tmaxx, tmaxy), "2020-01-01")
+    new = _mk_row("new", np.full((16, 16, 3), 220, np.uint8), (tminx, tminy, midx, tmaxy), "2020-06-01")
+    for r in (old, new):
+        r["tile_cell"] = cell
+    out = OTL.render_tiles(spark.createDataFrame(pd.DataFrame([old, new]))).collect()[0]
+    got = PNG.png_decode(bytes(out.tile_png))
+    assert got.shape == (256, 256, 3)
+    assert (got[:, :128] == 220).all() and (got[:, 128:] == 40).all()
+
+
+def test_render_float_raster_nearest_rawf(spark):
+    """Float coverage: auto-resample drops to NEAREST (reference rule) and
+    the tile serializes via the RAWF container, round-tripping float32."""
+    cell = int(C.pack(5, 17, 20)[()])
+    b = (float(v[0]) for v in C.cell_bounds(np.asarray([cell])))
+    fp = tuple(b)
+    src = (np.arange(64 * 64, dtype=np.float32) / 7.0).reshape(64, 64)
+    row = {
+        "image_id": "f", "tile_cell": cell,
+        "bytes": PNG.raw_encode(src), "fmt": "raw",
+        "fp_minx": fp[0], "fp_miny": fp[1], "fp_maxx": fp[2], "fp_maxy": fp[3],
+        "ts": pd.Timestamp("2020-01-01"),
+    }
+    out = OTL.render_tiles(spark.createDataFrame(pd.DataFrame([row]))).collect()[0]
+    got = PNG.decode_image(bytes(out.tile_png))
+    assert got.dtype == np.float32 and got.shape == (256, 256)
+    want = np.repeat(np.repeat(src, 4, axis=0), 4, axis=1)
+    assert np.array_equal(got, want)
+
+
+def test_retile_rgb(spark):
+    """RGB children stitch into an RGB parent with per-band 2x2 means."""
+    rows = []
+    for (ix, iy), v in [((4, 6), 10), ((5, 6), 30), ((4, 7), 50), ((5, 7), 90)]:
+        cell = int(C.pack(4, ix, iy)[()])
+        rows.append({
+            "tile_cell": cell, "level": 4, "tile_ix": ix, "tile_iy": iy,
+            "tile_png": PNG.png_encode(np.full((256, 256, 3), v, np.uint8)),
+        })
+    out = OTL.retile_coarser(spark.createDataFrame(pd.DataFrame(rows))).collect()
+    assert len(out) == 1
+    got = PNG.png_decode(bytes(out[0].tile_png))
+    assert got.shape == (256, 256, 3)
+    assert (got[:128, :128] == 50).all()   # NW quadrant = child (4,7)
+    assert (got[:128, 128:] == 90).all()   # NE = (5,7)
+    assert (got[128:, :128] == 10).all()   # SW = (4,6)
+    assert (got[128:, 128:] == 30).all()   # SE = (5,6)
