@@ -233,11 +233,16 @@ def ann_lsh(
 
     Candidates share the query's bucket or (``multiprobe``) any hamming-1
     neighbor bucket; exact cosine re-rank inside the candidate set.  Output
-    schema matches :func:`cosine_topk` (rank may differ — approximate)."""
+    schema matches :func:`cosine_topk` (rank may differ — approximate).
+
+    Buckets are INTEGER hyperplane projections of the fixed-point vector
+    (round 2): deterministic and bit-reproducible in SQL, which is what
+    lets the driver hold this approximate operator to an exact oracle —
+    the candidate-set DEFINITION is part of the operator contract."""
     from pyspark.sql import Window
 
-    data = emb.withColumn("_bkt", lsh_bucket_col(vec_col, dim, planes)).withColumn(
-        "_qv", quant_col(F.col(vec_col))
+    data = emb.withColumn("_qv", quant_col(F.col(vec_col))).withColumn(
+        "_bkt", quantizer_bucket_col("_qv", dim, planes)
     )
     q = (
         data.filter(F.col(id_col) < n_queries)
@@ -429,4 +434,55 @@ FROM probes a JOIN bkt b
 WHERE round(list_dot_product(a.qv, b.qv) /
             (sqrt(list_dot_product(a.qv, a.qv)) *
              sqrt(list_dot_product(b.qv, b.qv))), 6) >= {tau}
+"""
+
+
+def ann_lsh_oracle(
+    table: str = "embeddings",
+    n_queries: int = 8,
+    k: int = 10,
+    dim: int = 64,
+    planes: int = LSH_PLANES,
+) -> str:
+    """Exact oracle for :func:`ann_lsh` (multiprobe variant): the
+    approximate operator's candidate-set definition is deterministic
+    integer math, so the WHOLE query — buckets, hamming<=2 probes,
+    dedup, exact re-rank — replays in SQL."""
+    qv = duck_quant("embedding")
+    proj_bits = " + ".join(
+        f"(CASE WHEN CAST(list_dot_product(qv, "
+        f"[{', '.join(str(_plane_weight_int(p, d)) for d in range(dim))}]) "
+        f"AS BIGINT) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    masks = ", ".join(f"({m})" for m in _probe_masks(planes, 2))
+    return f"""
+WITH base AS (
+  SELECT vec_id, {qv} AS qv FROM {table}
+),
+bkt AS (
+  SELECT vec_id, qv, {proj_bits} AS bucket FROM base
+),
+q AS (
+  SELECT vec_id AS q_id, qv AS q_emb, bucket AS qb FROM bkt
+  WHERE vec_id < {n_queries}
+),
+probes AS (
+  SELECT q.q_id, q.q_emb, xor(q.qb, m.v) AS blk
+  FROM q CROSS JOIN (VALUES {masks}) m(v)
+),
+cand AS (
+  SELECT DISTINCT p.q_id, b.vec_id,
+         round(list_dot_product(b.qv, p.q_emb) /
+               (sqrt(list_dot_product(b.qv, b.qv)) *
+                sqrt(list_dot_product(p.q_emb, p.q_emb))), 6) AS cos
+  FROM probes p JOIN bkt b ON b.bucket = p.blk AND b.vec_id <> p.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM cand
+)
+SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= {k}
 """

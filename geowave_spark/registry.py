@@ -149,7 +149,35 @@ def q_pip_concave_hole(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OP.query_polygon(geo, [q], tiers=[OI.C.MAX_RES]).select("event_id", "lon", "lat")
 
 
-register("pip_concave_hole", q_pip_concave_hole)  # rows-only driver check
+def _evenodd_pred(rings: list[np.ndarray]) -> str:
+    """Even-odd ray-casting parity as SQL — the same IEEE operation order
+    as geometry._pip_ring (xint = x0 + (py-y0)*(x1-x0)/(y1-y0)), so the
+    crossing test is bit-identical; holes ride on parity for free."""
+    terms = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        for i in range(len(r) - 1):
+            x0, y0 = (float(v) for v in r[i])
+            x1, y1 = (float(v) for v in r[i + 1])
+            terms.append(
+                f"(CASE WHEN ({y0!r} > lat) <> ({y1!r} > lat) "
+                f"AND lon < {x0!r} + (lat - {y0!r}) * ({x1!r} - {x0!r}) "
+                f"/ ({y1!r} - {y0!r}) THEN 1 ELSE 0 END)"
+            )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+register(
+    "pip_concave_hole",
+    q_pip_concave_hole,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f"SELECT event_id, lon, lat FROM geo_events WHERE {_evenodd_pred(PARIS_LSHAPE)}",
+    ),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -546,7 +574,9 @@ def q_embed_ann_lsh(spark, sf_dir):
     return OE.ann_lsh(_emb(spark, sf_dir))
 
 
-register("embed_ann_lsh", q_embed_ann_lsh)  # approximate → rows-only check
+register("embed_ann_lsh", q_embed_ann_lsh, OE.ann_lsh_oracle())
+# (approximate operator, EXACT oracle: the integer bucket + probe + re-rank
+# candidate-set definition is deterministic and replayed in SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -992,12 +1022,77 @@ register("compound_bias", q_compound_bias, _compound_bias_oracle())
 from geowave_spark.operators import clustering as OC  # noqa: E402
 
 
+DBSCAN_EPS = 50
+DBSCAN_MIN_PTS = 5
+
+
 def q_dbscan(spark, sf_dir):
     geo = TB.geo_events(spark, sf_dir)
-    return OC.dbscan(geo, eps_milli=50, min_pts=5)
+    return OC.dbscan(geo, eps_milli=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
 
 
-register("dbscan", q_dbscan)  # rows-only (iterative label propagation)
+def _dbscan_oracle() -> str:
+    """Exact mirror of grid-DBSCAN: same 3x3-cell candidate generation,
+    same core rule (self-inclusive degree), components via a recursive-CTE
+    transitive closure over core-core edges, border points labeled by min
+    core-neighbor cluster."""
+    res = 0
+    while (CE.LAT_SPAN_MILLI >> (res + 1)) >= DBSCAN_EPS and res < 20:
+        res += 1
+    n = 1 << res
+
+    def idiv(a: str, b: str) -> str:
+        return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS BIGINT)"
+
+    dlon = "LEAST(ABS(nb.px - p.px), 360000 - ABS(nb.px - p.px))"
+    return f"""
+WITH RECURSIVE geo_events AS ({TB.GEO_EVENTS_SQL}),
+pts AS (
+  SELECT event_id AS pid, lon_milli AS px, lat_milli AS py,
+         {idiv(f"(lon_milli + 180000) * {n}", "360000")} AS gx,
+         {idiv(f"(lat_milli + 90000) * {n}", "180000")} AS gy
+  FROM geo_events
+),
+nb AS (
+  SELECT pid, px, py, (gx + dx.v + {n}) % {n} AS nx, gy + dy.v AS ny
+  FROM pts
+  CROSS JOIN (VALUES (-1), (0), (1)) dx(v)
+  CROSS JOIN (VALUES (-1), (0), (1)) dy(v)
+  WHERE gy + dy.v >= 0 AND gy + dy.v < {n}
+),
+pairs AS (
+  SELECT DISTINCT nb.pid, p.pid AS qid
+  FROM nb JOIN pts p ON p.gx = nb.nx AND p.gy = nb.ny
+  WHERE {dlon} * {dlon} + (nb.py - p.py) * (nb.py - p.py)
+        <= {DBSCAN_EPS ** 2}
+),
+core AS (SELECT pid FROM pairs GROUP BY pid HAVING COUNT(*) >= {DBSCAN_MIN_PTS}),
+cp AS (
+  SELECT p.pid, p.qid FROM pairs p
+  JOIN core a ON a.pid = p.pid JOIN core b ON b.pid = p.qid
+  WHERE p.pid <> p.qid
+),
+comp(pid, lbl) AS (
+  SELECT pid, pid FROM core
+  UNION
+  SELECT cp.pid, c.lbl FROM comp c JOIN cp ON cp.qid = c.pid
+),
+labels AS (SELECT pid, MIN(lbl) AS cluster FROM comp GROUP BY pid),
+border AS (
+  SELECT p.pid, MIN(l.cluster) AS cluster
+  FROM pairs p
+  JOIN core c ON c.pid = p.qid
+  JOIN labels l ON l.pid = p.qid
+  WHERE p.pid NOT IN (SELECT pid FROM core)
+  GROUP BY p.pid
+)
+SELECT pid AS event_id, cluster FROM labels
+UNION ALL
+SELECT pid AS event_id, cluster FROM border
+"""
+
+
+register("dbscan", q_dbscan, _dbscan_oracle())
 
 
 def q_kmeans(spark, sf_dir):
