@@ -606,3 +606,39 @@ def geom_op_batch(op: str, a_list, b_list) -> np.ndarray:
         for j, v in zip(idx, verdict):
             out[j] = bool(v)
     return out
+
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Convex hull of (N,2) points — Andrew's monotone chain (public
+    algorithm), returning the CCW ring WITHOUT the closing vertex.
+    Collinear boundary points are dropped (strict turns only); degenerate
+    inputs (N<3 or all collinear) return the unique sorted points."""
+    p = np.unique(np.asarray(pts, dtype=np.float64), axis=0)  # lex-sorted
+    if len(p) <= 2:
+        return p
+
+    def half(points):
+        chain: list = []
+        for q in points:
+            while (
+                len(chain) >= 2
+                and (chain[-1][0] - chain[-2][0]) * (q[1] - chain[-2][1])
+                - (chain[-1][1] - chain[-2][1]) * (q[0] - chain[-2][0])
+                <= 0
+            ):
+                chain.pop()
+            chain.append(q)
+        return chain
+
+    lower = half(p)
+    upper = half(p[::-1])
+    ring = np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
+    return ring if len(ring) >= 3 else p
+
+
+def ring_area2(ring: np.ndarray) -> float:
+    """Twice the signed shoelace area of a ring (CCW positive).  Over
+    integer (milli-degree) coordinates the value is integer-exact."""
+    r = np.asarray(ring, dtype=np.float64)
+    x, y = r[:, 0], r[:, 1]
+    return float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))

@@ -214,3 +214,65 @@ def kmeans(
             break
         centroids = new_centroids
     return assigned.select(F.col("pid").alias(id_col), "cluster")
+
+
+def cluster_hulls(
+    labeled: DataFrame,
+    points: DataFrame,
+    id_col: str = "event_id",
+    x_col: str = "lon_milli",
+    y_col: str = "lat_milli",
+) -> DataFrame:
+    """Per-cluster convex hull — the reference's cluster-output geometry
+    (analytics/api/.../GeometryHullTool.java, 1112 LoC of JTS hull
+    stitching; DBScanIT expects hull geometries, not bare labels).
+
+    One groupBy(cluster).applyInPandas with a numpy monotone chain per
+    group: clusters are small relative to the corpus, and the shuffle is
+    keyed by cluster id, so hull construction parallelizes per cluster.
+    Returns (cluster, n_points, n_vertices, area2_milli, hull_wkb):
+    ``area2_milli`` is the integer-exact doubled shoelace area over
+    milli-degree coords; ``hull_wkb`` a standard WKB polygon (CCW).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from geowave_spark.functions import geometry as G
+
+    joined = labeled.join(
+        points.select(F.col(id_col), F.col(x_col).alias("_hx"), F.col(y_col).alias("_hy")),
+        id_col,
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster", T.LongType()),
+            T.StructField("n_points", T.LongType()),
+            T.StructField("n_vertices", T.IntegerType()),
+            T.StructField("area2_milli", T.DoubleType()),
+            T.StructField("hull_wkb", T.BinaryType()),
+        ]
+    )
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pts = pdf[["_hx", "_hy"]].to_numpy(dtype=np.float64)
+        ring = G.convex_hull(pts)
+        if len(ring) >= 3:
+            wkb = G.wkb_polygon([ring])
+            area2 = G.ring_area2(ring)
+        else:  # degenerate cluster (point/segment): zero-area ring
+            pad = np.vstack([ring, ring[:1], ring[:1]])[:3]
+            wkb = G.wkb_polygon([pad])
+            area2 = 0.0
+        return pd.DataFrame(
+            {
+                "cluster": [int(pdf.cluster.iloc[0])],
+                "n_points": [len(pdf)],
+                "n_vertices": [int(len(ring))],
+                "area2_milli": [area2],
+                "hull_wkb": [wkb],
+            }
+        )
+
+    return joined.groupBy("cluster").applyInPandas(one, out_schema)

@@ -1,0 +1,140 @@
+"""CQL/ECQL string front door: parse a WHERE string, extract the spatial
+and temporal constraints into index-accelerated plans, run the remainder
+as a Catalyst residual.
+
+The reference's main user surface is a CQL *string*
+(extensions/adapters/vector/.../query/cql/CQLQuery.java:125-258
+``createOptimalQuery``: ExtractGeometryFilterVisitor pulls the geometry,
+ExtractTimeFilterVisitor the time range, the full filter re-runs as the
+fine filter).  The re-expression: a small regex grammar over the clauses
+the reference's visitors actually extract —
+
+* ``BBOX(geom, minx, miny, maxx, maxy)``
+* ``INTERSECTS(geom, POLYGON((x y, ...)[, (hole ...)]))``
+* ``DWITHIN(geom, POINT(x y), dist[, units])``  (dist in milli-degrees)
+* ``ts BETWEEN 'iso' AND 'iso'``
+* anything else — untouched residual handed to ``F.expr`` (Catalyst gets
+  pushdown/pruning for free, the reference's "fine filter" stage)
+
+Top-level composition is AND (the same restriction createOptimalQuery
+imposes when extracting index constraints: an OR over geometries falls
+back to a full scan in the reference too — pass such filters entirely as
+residual by quoting them in parentheses).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geowave_spark.functions import geometry as G
+from geowave_spark.operators import bbox as OB
+from geowave_spark.operators import polygon as OP
+from geowave_spark.operators import scan as OS
+from geowave_spark.plans import planner as P
+
+_NUM = r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+_BBOX = re.compile(
+    rf"BBOX\s*\(\s*(\w+)\s*,\s*({_NUM})\s*,\s*({_NUM})\s*,\s*({_NUM})\s*,\s*({_NUM})\s*\)",
+    re.I,
+)
+_INTERSECTS = re.compile(
+    r"INTERSECTS\s*\(\s*(\w+)\s*,\s*POLYGON\s*\(\s*(\(.*?\))\s*\)\s*\)", re.I | re.S
+)
+_DWITHIN = re.compile(
+    rf"DWITHIN\s*\(\s*(\w+)\s*,\s*POINT\s*\(\s*({_NUM})\s+({_NUM})\s*\)\s*,"
+    rf"\s*({_NUM})\s*(?:,\s*(\w+)\s*)?\)",
+    re.I,
+)
+_BETWEEN = re.compile(r"(\w+)\s+BETWEEN\s+'([^']+)'\s+AND\s+'([^']+)'", re.I)
+
+
+def _parse_rings(body: str) -> list[np.ndarray]:
+    """'(x y, x y, ...), (hole...)' → list of (N,2) rings."""
+    rings = []
+    for m in re.finditer(r"\(([^()]*)\)", body):
+        pts = []
+        for pair in m.group(1).split(","):
+            x, y = pair.split()
+            pts.append((float(x), float(y)))
+        rings.append(np.asarray(pts, dtype=np.float64))
+    return rings
+
+
+def _cut(where: str, span: tuple[int, int]) -> str:
+    return where[: span[0]] + " TRUE " + where[span[1]:]
+
+
+def _residual(where: str) -> str:
+    """Collapse dangling ANDs/TRUEs left by clause extraction."""
+    s = where.strip()
+    s = re.sub(r"\bTRUE\s+AND\s+", "", s, flags=re.I)
+    s = re.sub(r"\s+AND\s+TRUE\b", "", s, flags=re.I)
+    s = s.strip()
+    return "" if s.upper() in ("", "TRUE") else s
+
+
+def cql_query(
+    data: DataFrame,
+    where: str,
+    tiers: list[int] | None = None,
+    max_cells: int = 1024,
+) -> DataFrame:
+    """Run a CQL-style WHERE string through the index-accelerated planner.
+
+    Exactly one spatial clause (BBOX / INTERSECTS / DWITHIN) becomes the
+    cover-join prefilter (none → the query is a pure Catalyst filter, the
+    reference's unconstrained-CQL full-scan path); BETWEEN on a timestamp
+    column and every remaining predicate run as residuals.
+    """
+    spatial = None  # (kind, payload)
+    for pat, kind in ((_BBOX, "bbox"), (_INTERSECTS, "intersects"), (_DWITHIN, "dwithin")):
+        m = pat.search(where)
+        if m:
+            if spatial is not None:
+                raise ValueError(
+                    "cql_query supports one spatial clause per query (the "
+                    "reference's createOptimalQuery extracts one geometry too)"
+                )
+            spatial = (kind, m)
+            where = _cut(where, m.span())
+
+    time_pred = None
+    tm = _BETWEEN.search(where)
+    if tm:
+        col, t0, t1 = tm.group(1), tm.group(2), tm.group(3)
+        time_pred = (F.col(col) >= F.to_timestamp(F.lit(t0))) & (
+            F.col(col) <= F.to_timestamp(F.lit(t1))
+        )
+        where = _cut(where, tm.span())
+
+    residual = _residual(where)
+
+    if spatial is None:
+        out = data
+    elif spatial[0] == "bbox":
+        m = spatial[1]
+        q = P.BoxQuery("cql", *(float(m.group(i)) for i in range(2, 6)))
+        out = OB.query_bbox(data, [q], tiers=tiers, max_cells=max_cells).drop("query_id")
+    elif spatial[0] == "intersects":
+        m = spatial[1]
+        rings = _parse_rings(m.group(2))
+        q = OP.PolygonQuery("cql", G.wkb_polygon(rings), "INTERSECTS")
+        out = OP.query_polygon(data, [q], tiers=tiers, max_cells=max_cells).drop(
+            "query_id"
+        )
+    else:  # dwithin
+        m = spatial[1]
+        lon, lat, dist = float(m.group(2)), float(m.group(3)), float(m.group(4))
+        out = OS.dwithin(data, lon, lat, int(round(dist)), tiers=tiers).drop(
+            "dist2_milli"
+        )
+
+    if time_pred is not None:
+        out = out.filter(time_pred)
+    if residual:
+        out = out.filter(F.expr(residual))
+    return out

@@ -931,20 +931,24 @@ def _bbox_env_oracle() -> str:
 register("bbox_envelopes", q_bbox_envelopes, _bbox_env_oracle())
 
 
+CQL_STRING = (
+    "BBOX(geom, -74.5, 40.2, -73.5, 41.2) "
+    "AND ts BETWEEN '2024-01-01 00:00:00' AND '2024-01-20 23:59:59' "
+    "AND event_type IN ('click', 'purchase')"
+)
+
+
 def q_compound_cql(spark, sf_dir):
-    """WHERE st_intersects(box) AND ts BETWEEN ... AND event_type = ... —
-    the geometry predicate becomes the cover join, the rest rides along as
-    Catalyst-pushed residuals (CQLQuery.createOptimalQuery parity)."""
+    """The CQL STRING front door (round 2 — CQLQuery.createOptimalQuery
+    parity): the WHERE string is parsed, the BBOX clause becomes the cover
+    join, BETWEEN and the IN predicate ride along as Catalyst residuals."""
+    from geowave_spark.plans import cql as PC
+
     geo = OT.with_time_bin(
         OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id"),
         periodicity="day",
     )
-    st = OT.STQuery(
-        "cql_nyc", -74.5, 40.2, -73.5, 41.2,
-        "2024-01-01 00:00:00", "2024-01-20 23:59:59",
-    )
-    out = OT.query_spatial_temporal(geo, [st], tiers=[OI.C.MAX_RES])
-    return out.filter(F.col("event_type").isin("click", "purchase")).select(
+    return PC.cql_query(geo, CQL_STRING, tiers=[OI.C.MAX_RES]).select(
         "event_id", "event_type", "ts", "lon", "lat"
     )
 
@@ -1101,6 +1105,20 @@ def q_kmeans(spark, sf_dir):
 
 
 register("kmeans", q_kmeans)  # rows-only (iterative Lloyd's)
+
+
+def q_cluster_hulls(spark, sf_dir):
+    """DBSCAN clusters → convex hull geometries (GeometryHullTool
+    analogue; hull_wkb dropped for the driver compare — binary column)."""
+    geo = TB.geo_events(spark, sf_dir)
+    labels = OC.dbscan(geo, eps_milli=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
+    return OC.cluster_hulls(labels, geo).select(
+        "cluster", "n_points", "n_vertices", "area2_milli"
+    )
+
+
+register("cluster_hulls", q_cluster_hulls)  # hulls not SQL-expressible;
+# pytest pins the monotone chain against brute force (test_clustering.py)
 
 
 # ---------------------------------------------------------------------------

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from geowave_spark.operators.clustering import dbscan, kmeans
+from geowave_spark.operators import clustering as OC
 
 
 def _mkdf(spark, xs, ys):
@@ -113,3 +114,63 @@ def test_kmeans_separated_blobs(spark):
     # determinism
     out2 = kmeans(df, k=3).toPandas()
     assert out.sort_values("event_id").cluster.tolist() == out2.sort_values("event_id").cluster.tolist()
+
+
+# ---------------------------------------------------------------------------
+# Cluster hull output (round 2 — GeometryHullTool analogue)
+# ---------------------------------------------------------------------------
+
+
+def test_convex_hull_brute_force():
+    """Monotone chain vs brute force: every input point inside-or-on the
+    hull, hull vertices are input points, turns strictly CCW."""
+    import numpy as np
+
+    from geowave_spark.functions import geometry as G
+
+    rng = np.random.default_rng(7)
+    pts = rng.integers(-1000, 1000, size=(200, 2)).astype(np.float64)
+    ring = G.convex_hull(pts)
+    assert len(ring) >= 3
+    # all vertices are input points
+    ptset = {tuple(p) for p in pts}
+    assert all(tuple(v) in ptset for v in ring)
+    # CCW strict turns
+    n = len(ring)
+    for i in range(n):
+        a, b, c = ring[i], ring[(i + 1) % n], ring[(i + 2) % n]
+        cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        assert cross > 0
+    # every point inside or on the hull (all half-plane tests >= 0)
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        s = (b[0] - a[0]) * (pts[:, 1] - a[1]) - (b[1] - a[1]) * (pts[:, 0] - a[0])
+        assert (s >= 0).all()
+    assert G.ring_area2(ring) > 0
+
+
+def test_cluster_hulls_over_dbscan(spark, sf_dir):
+    import numpy as np
+
+    from geowave_spark.functions import geometry as G
+    from geowave_spark.sources import tables as TB
+
+    geo = TB.geo_events(spark, sf_dir)
+    labels = OC.dbscan(geo, eps_milli=200, min_pts=5)
+    hulls = OC.cluster_hulls(labels, geo).toPandas()
+    assert len(hulls) >= 1
+    assert hulls.n_points.sum() == labels.count()
+    # spot-check the biggest cluster against a local recompute
+    big = hulls.loc[hulls.n_points.idxmax()]
+    members = set(
+        r.event_id for r in labels.filter(F.col("cluster") == int(big.cluster)).collect()
+    )
+    pdf = geo.filter(F.col("event_id").isin(list(members))).toPandas()
+    ring = G.convex_hull(pdf[["lon_milli", "lat_milli"]].to_numpy(np.float64))
+    assert int(big.n_vertices) == len(ring)
+    assert big.area2_milli == G.ring_area2(ring)
+    # WKB round-trips to the same ring
+    polys = G.polygon_rings(bytes(big.hull_wkb))
+    assert np.array_equal(np.asarray(polys[0][0])[:-1], ring) or np.array_equal(
+        np.asarray(polys[0][0]), ring
+    )

@@ -1,0 +1,80 @@
+"""CQL string front door vs the programmatic planner (createOptimalQuery
+parity: same rows whichever surface builds the plan)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark import registry as R
+from geowave_spark.functions import geometry as G
+from geowave_spark.operators import bbox as OB
+from geowave_spark.operators import index as OI
+from geowave_spark.operators import polygon as OP
+from geowave_spark.operators import scan as OS
+from geowave_spark.plans import cql as PC
+from geowave_spark.plans import planner as P
+from geowave_spark.sources import tables as TB
+
+
+@pytest.fixture(scope="module")
+def geo(spark, sf_dir):
+    return OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id").cache()
+
+
+def _ids(df):
+    return sorted(r.event_id for r in df.select("event_id").collect())
+
+
+def test_cql_bbox_matches_programmatic(spark, geo):
+    got = PC.cql_query(geo, "BBOX(geom, -74.5, 40.2, -73.5, 41.2)", tiers=[OI.C.MAX_RES])
+    want = OB.query_bbox(
+        geo, [P.BoxQuery("q", -74.5, 40.2, -73.5, 41.2)], tiers=[OI.C.MAX_RES]
+    )
+    assert _ids(got) == _ids(want)
+
+
+def test_cql_intersects_polygon_with_hole(spark, geo):
+    wkt = (
+        "INTERSECTS(geom, POLYGON((1.4 48.0, 3.4 48.0, 3.4 49.0, 2.4 49.0, "
+        "2.4 49.8, 1.4 49.8), (2.0 48.4, 2.6 48.4, 2.6 48.7, 2.0 48.7)))"
+    )
+    got = PC.cql_query(geo, wkt, tiers=[OI.C.MAX_RES])
+    q = OP.PolygonQuery("q", G.wkb_polygon(R.PARIS_LSHAPE), "INTERSECTS")
+    want = OP.query_polygon(geo, [q], tiers=[OI.C.MAX_RES])
+    assert _ids(got) == _ids(want)
+
+
+def test_cql_dwithin(spark, geo):
+    got = PC.cql_query(geo, "DWITHIN(geom, POINT(-73.985 40.758), 100)", tiers=[OI.C.MAX_RES])
+    want = OS.dwithin(geo, -73.985, 40.758, 100, tiers=[OI.C.MAX_RES])
+    assert _ids(got) == _ids(want)
+
+
+def test_cql_compound_with_residuals(spark, geo):
+    from geowave_spark.operators import temporal as OT
+
+    data = OT.with_time_bin(geo, periodicity="day")
+    got = PC.cql_query(data, R.CQL_STRING, tiers=[OI.C.MAX_RES])
+    # brute-force reference
+    want = data.filter(
+        (F.col("lon") >= -74.5) & (F.col("lon") <= -73.5)
+        & (F.col("lat") >= 40.2) & (F.col("lat") <= 41.2)
+        & (F.col("ts") >= F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+        & (F.col("ts") <= F.to_timestamp(F.lit("2024-01-20 23:59:59")))
+        & F.col("event_type").isin("click", "purchase")
+    )
+    assert _ids(got) == _ids(want)
+
+
+def test_cql_pure_residual_no_spatial(spark, geo):
+    got = PC.cql_query(geo, "event_type = 'click' AND value > 50.0")
+    want = geo.filter((F.col("event_type") == "click") & (F.col("value") > 50.0))
+    assert _ids(got) == _ids(want)
+
+
+def test_cql_rejects_two_spatial_clauses(spark, geo):
+    with pytest.raises(ValueError):
+        PC.cql_query(
+            geo,
+            "BBOX(geom, 0, 0, 1, 1) AND DWITHIN(geom, POINT(0 0), 10)",
+        )
