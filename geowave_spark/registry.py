@@ -1122,6 +1122,42 @@ register("cluster_hulls", q_cluster_hulls)  # hulls not SQL-expressible;
 
 
 # ---------------------------------------------------------------------------
+# CRS query support (GeometryUtils CRS transforms / CustomCRS ITs): a query
+# envelope given in Web Mercator metres is transformed driver-side to the
+# index CRS, then planned normally.  Both engines see the identical
+# transformed literals (computed once here), so the check is exact.
+# ---------------------------------------------------------------------------
+
+from geowave_spark.functions import crs as CRS  # noqa: E402
+
+# NYC box in EPSG:3857 metres
+_CRS_BOX_3857 = (-8_292_000.0, 4_900_000.0, -8_180_000.0, 5_035_000.0)
+CRS_BOX_4326 = CRS.transform_box(*_CRS_BOX_3857, "EPSG:3857")
+
+
+def q_crs_bbox(spark, sf_dir):
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    minx, miny, maxx, maxy = CRS_BOX_4326
+    q = P.BoxQuery("crs_nyc", minx, miny, maxx, maxy)
+    return OB.query_bbox(geo, [q], tiers=[OI.C.MAX_RES]).select(
+        "event_id", "lon", "lat"
+    )
+
+
+register(
+    "crs_bbox_3857",
+    q_crs_bbox,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f"SELECT event_id, lon, lat FROM geo_events "
+        f"WHERE lon >= {CRS_BOX_4326[0]!r} AND lon <= {CRS_BOX_4326[2]!r} "
+        f"AND lat >= {CRS_BOX_4326[1]!r} AND lat <= {CRS_BOX_4326[3]!r}",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # Dataset-to-dataset spatial join (the BASELINE metric's general form:
 # large × large, sort-merge on cell keys — no broadcast side)
 # ---------------------------------------------------------------------------
