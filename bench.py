@@ -40,15 +40,19 @@ HEADLINE_INPUTS = {
     "pip_convex": "events",
     "pip_concave_hole": "events",
     "knn": "events",
+    "knn_join": "events",  # round 2: dataset-scale kNN join (every left row a query)
     "spatial_temporal": "events",
     "tile_assign": "events",
+    "kde_grid": "events",  # round 2: Gaussian-smoothed density pyramid
     "spatial_join": "events",  # large×large join; output-bound (~38M pairs at sf0.1)
     # training-data pipeline suites (first-class operators)
     "exact_dedup": "documents",
     "minhash_lsh_pairs": "documents",
     "simhash_pairs": "documents",
+    "jaccard_pairs": "documents",  # round 2: df-stoplist candidate gen
     "winnow_fingerprints": "documents",
     "embed_topk": "embeddings",
+    "embed_neardup": "embeddings",  # round 2: computed-quantizer blocking
     "image_features": "events",  # synthetic images, count independent of sf
 }
 HEADLINE = list(HEADLINE_INPUTS)

@@ -365,8 +365,10 @@ def neardup_pairs_q(
     DuckDB oracle reproduces the result exactly.  Output matches
     :func:`neardup_pairs`: (id_a, id_b, cos).
     """
-    base = emb.select(
-        F.col(id_col), quant_col(F.col(vec_col)).alias("_qv")
+    from geowave_spark.session import spread
+
+    base = spread(
+        emb.select(F.col(id_col), quant_col(F.col(vec_col)).alias("_qv"))
     ).withColumn("_bkt", quantizer_bucket_col("_qv", dim, planes))
     masks = _probe_masks(planes, probe_hamming)
     probes = F.array(*[F.col("_bkt").bitwiseXOR(F.lit(m).cast("long")) for m in masks])

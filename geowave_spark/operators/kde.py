@@ -66,8 +66,10 @@ def kde_grid(
             for dy in range(-r, r + 1)
         ]
     )
-    d = points.select(
-        F.col(lon_milli).alias("_lon"), F.col(lat_milli).alias("_lat")
+    from geowave_spark.session import spread
+
+    d = spread(
+        points.select(F.col(lon_milli).alias("_lon"), F.col(lat_milli).alias("_lat"))
     ).withColumn("_o", F.explode(offs))
     lvl = F.col("_o.lvl")
     # column shift amounts need the SQL builtin (PySpark wrapper takes

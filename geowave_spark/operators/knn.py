@@ -237,21 +237,27 @@ def knn_join_res(max_dist_milli: int, max_res: int = C.MAX_RES) -> int:
     return r
 
 
-def _neighbor_keys(ix, iy, res: int):
-    """Array column of the 3x3 neighbor cell keys at literal ``res``
-    (longitude wraps mod 2^res; latitude clamps off the poles). Pure
-    codegen bit math; NULL slots (off-world latitudes) are filtered out."""
-    n = 1 << res
-    keys = []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            nx = F.pmod(ix + F.lit(dx), F.lit(n))
-            ny = iy + F.lit(dy)
-            keys.append(
-                F.when((ny >= 0) & (ny < n), X._pack(nx, ny.cast("long"), res))
-            )
-    arr = F.array_distinct(F.filter(F.array(*keys), lambda c: c.isNotNull()))
-    return arr
+_OFFSETS_3X3 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def _offset_explode():
+    """Literal (dx, dy) 3x3 offset explode.  Explode-then-compute keeps the
+    key expression in whole-stage codegen: building an ARRAY of 9 keys and
+    filtering it with a higher-order function drops the whole expression
+    (with the per-key re-inlined input derivation) into interpreted
+    evaluation — measured 70s vs ~2s on 9k rows (the Catalyst re-inlining
+    trap, see CLAUDE.md)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dx).cast("long").alias("dx"),
+                    F.lit(dy).cast("long").alias("dy"),
+                )
+                for dx, dy in _OFFSETS_3X3
+            ]
+        )
+    )
 
 
 def knn_join(
@@ -291,17 +297,31 @@ def knn_join(
     if res is None:
         res = knn_join_res(max_dist_milli)
 
-    l_ix = X.grid_milli_col(F.col(lon_milli), 180_000, C.LON_SPAN_MILLI, F.lit(res))
-    l_iy = X.grid_milli_col(F.col(lat_milli), 90_000, C.LAT_SPAN_MILLI, F.lit(res))
+    # fan-out-dense: make sure a tiny (few-split) input doesn't serialize
+    # the whole join onto one core (no-op when the source has real splits)
+    from geowave_spark.session import spread
+
+    left = spread(left)
+    right = spread(right)
+
+    n = 1 << res
+    lhs = left.select(
+        F.col(left_id).alias("query_id"),
+        F.col(lon_milli).alias("_qlon"),
+        F.col(lat_milli).alias("_qlat"),
+    ).withColumn("_o", _offset_explode())
+    l_ix = X.grid_milli_col(F.col("_qlon"), 180_000, C.LON_SPAN_MILLI, F.lit(res))
+    l_iy = X.grid_milli_col(F.col("_qlat"), 90_000, C.LAT_SPAN_MILLI, F.lit(res))
+    nx = F.pmod(l_ix + F.col("_o.dx"), F.lit(n))
+    ny = l_iy + F.col("_o.dy")
+    # lat clamps off the poles (rows whose neighbor row is off-world drop);
+    # lon wraps via pmod.  With n > 3 the 9 keys are distinct by
+    # construction, so no dedup is needed (assert guards tiny grids).
+    assert n > 3, "knn_join needs res >= 2 (coarser grids alias neighbors)"
     lhs = (
-        left.select(
-            F.col(left_id).alias("query_id"),
-            F.col(lon_milli).alias("_qlon"),
-            F.col(lat_milli).alias("_qlat"),
-            _neighbor_keys(l_ix, l_iy, res).alias("_keys"),
-        )
-        .withColumn("_jkey", F.explode("_keys"))
-        .drop("_keys")
+        lhs.withColumn("_jkey", X._pack(nx, ny.cast("long"), res))
+        .filter((ny >= 0) & (ny < n))
+        .drop("_o")
     )
     rhs = right.select(
         F.col(right_id).alias("neighbor_id"),

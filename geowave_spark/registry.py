@@ -234,7 +234,7 @@ register("knn", q_knn, _knn_oracle())
 # Dataset-scale kNN join (NNMapReduce parity — every left row is a query;
 # no driver loop, no collect).  Left = deterministic ~9% slice of events.
 KNN_JOIN_K = 4
-KNN_JOIN_DIST = 2000  # milli-degrees
+KNN_JOIN_DIST = 250  # milli-degrees (~3x the hot-blob mean NN spacing)
 
 
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:

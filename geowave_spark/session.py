@@ -51,3 +51,20 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread(df, partitions: int | None = None):
+    """Unlock cores for compute-dense operators whose INPUT is tiny.
+
+    A few-MB parquet table arrives as ONE split, so an operator whose cost
+    is fan-out (explode x join x window) runs single-threaded no matter how
+    many cores exist.  Round-robin repartition the slim input first — the
+    shuffle moves only the small input, not the fan-out.  Conditional: a
+    source that already has enough splits (the 100 TB case — thousands of
+    file splits) is left untouched, so this is a no-op knob at scale.
+    """
+    sc = df.sparkSession.sparkContext
+    n = partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(n // 2, 1):
+        return df
+    return df.repartition(n)
