@@ -123,3 +123,77 @@ def kde_levels(grid: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def kde_tiles(
+    points: DataFrame,
+    level: int,
+    lon_milli: str = "lon_milli",
+    lat_milli: str = "lat_milli",
+    tile_size: int = 256,
+) -> DataFrame:
+    """KDE → raster pyramid tiles — the reference KDE job's actual OUTPUT
+    (AccumuloKDEReducer writes GridCoverage tiles with three double bands:
+    value, normalized=value/max, percentile; fromCellIndexToTileInfo maps
+    post (xPost, yPost) → tile (xPost/TILE_SIZE, yPost/TILE_SIZE), pixel
+    (xPost%TILE_SIZE, TILE_SIZE-1 - yPost%TILE_SIZE) — 'java rasters go
+    from top to bottom').
+
+    Post grid for tile level L at tile_size T = 2^(L+1)·T × 2^L·T — i.e.
+    the kde_grid at level L + log2(T).  Tile assembly is one
+    groupBy(tile).applyInPandas scatter; each tile serializes as a 3-band
+    float32 RAWF raster (sources/png.raw_encode — PNG cannot carry float
+    bands).  Output: (level, tile_x, tile_y, n_posts, max_norm, tile_raw).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from geowave_spark.sources import png as PNG
+
+    shift = int(math.log2(tile_size))
+    if 1 << shift != tile_size:
+        raise ValueError("tile_size must be a power of two")
+    grid = kde_levels(kde_grid(points, [level + shift], lon_milli, lat_milli))
+    d = grid.select(
+        F.lit(int(level)).cast("long").alias("level"),
+        F.shiftright(F.col("gx"), shift).alias("tile_x"),
+        F.shiftright(F.col("gy"), shift).alias("tile_y"),
+        F.col("gx").bitwiseAND(F.lit(tile_size - 1)).alias("_px"),
+        F.col("gy").bitwiseAND(F.lit(tile_size - 1)).alias("_py"),
+        "weight",
+        "normalized",
+        "percentile",
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("level", T.LongType()),
+            T.StructField("tile_x", T.LongType()),
+            T.StructField("tile_y", T.LongType()),
+            T.StructField("n_posts", T.IntegerType()),
+            T.StructField("max_norm", T.DoubleType()),
+            T.StructField("tile_raw", T.BinaryType()),
+        ]
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        canvas = np.zeros((tile_size, tile_size, 3), dtype=np.float32)
+        px = pdf._px.to_numpy(np.int64)
+        py = tile_size - 1 - pdf._py.to_numpy(np.int64)  # row 0 = NORTH
+        canvas[py, px, 0] = pdf.weight.to_numpy(np.float64)
+        canvas[py, px, 1] = pdf.normalized.to_numpy(np.float64)
+        canvas[py, px, 2] = pdf.percentile.to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "level": [int(pdf.level.iloc[0])],
+                "tile_x": [int(pdf.tile_x.iloc[0])],
+                "tile_y": [int(pdf.tile_y.iloc[0])],
+                "n_posts": [len(pdf)],
+                "max_norm": [float(pdf.normalized.max())],
+                "tile_raw": [PNG.raw_encode(canvas)],
+            }
+        )
+
+    return d.groupBy("level", "tile_x", "tile_y").applyInPandas(assemble, out_schema)

@@ -332,6 +332,19 @@ FROM grid
 register("kde_grid", q_kde_grid, _kde_oracle())
 
 
+def q_kde_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KDE raster-pyramid output (AccumuloKDEReducer GridCoverage tiles);
+    binary band rasters -> rows-only check (the numeric core is the
+    oracle-exact kde_grid; pixel packing pinned by pytest closed form)."""
+    geo = TB.geo_events(spark, sf_dir)
+    return OKDE.kde_tiles(geo, level=3, tile_size=64).select(
+        "level", "tile_x", "tile_y", "n_posts", "max_norm"
+    )
+
+
+register("kde_tiles", q_kde_tiles)
+
+
 # ---------------------------------------------------------------------------
 # Spatial-temporal compound (SURVEY §2.4 SpatialTemporalQuery, §1.4 binning)
 # ---------------------------------------------------------------------------

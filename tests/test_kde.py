@@ -57,3 +57,29 @@ def test_two_point_sum_and_bands(spark):
         out[out.weight_fp == out.weight_fp.min()].percentile.unique(), 1.0 / 49
     ).all()
     assert nmin >= 1
+
+
+def test_kde_tiles_single_point_placement(spark):
+    """One point: its 49 posts land in the expected tile(s) at the expected
+    pixels with band values (weight, normalized, percentile) matching the
+    reducer formulas; row 0 is NORTH (java-raster flip)."""
+    from geowave_spark.sources import png as PNG
+
+    df = spark.createDataFrame([(500, 500)], "lon_milli long, lat_milli long")
+    level, ts = 1, 16  # post grid = 2^(1+4+1) x 2^(1+4) = 64 x 32
+    tiles = OKDE.kde_tiles(df, level, tile_size=ts).toPandas()
+    # definitional posts from the oracle-exact grid
+    posts = OKDE.kde_levels(OKDE.kde_grid(df, [level + 4])).toPandas()
+    want_tiles = {(int(g.gx) // ts, int(g.gy) // ts) for g in posts.itertuples()}
+    assert {(int(t.tile_x), int(t.tile_y)) for t in tiles.itertuples()} == want_tiles
+    assert tiles.n_posts.sum() == 49
+    by_tile = {(int(t.tile_x), int(t.tile_y)): PNG.raw_decode(bytes(t.tile_raw))
+               for t in tiles.itertuples()}
+    for g in posts.itertuples():
+        tx, ty = int(g.gx) // ts, int(g.gy) // ts
+        px, py = int(g.gx) % ts, ts - 1 - (int(g.gy) % ts)
+        band = by_tile[(tx, ty)][py, px]
+        assert abs(band[0] - g.weight) < 1e-6
+        assert abs(band[1] - g.normalized) < 1e-6
+        assert abs(band[2] - g.percentile) < 1e-6
+    assert (tiles.max_norm <= 1.0).all()
