@@ -399,3 +399,77 @@ def overview_stats(tiles: DataFrame) -> DataFrame:
         F.avg("valid_frac").alias("avg_valid_frac"),
         F.sum("n_src").alias("total_contributions"),
     )
+
+
+def render_point_tiles(
+    points: DataFrame,
+    level: int,
+    tile_size: int = TILE_SIZE,
+    lon_milli: str = "lon_milli",
+    lat_milli: str = "lat_milli",
+) -> DataFrame:
+    """Distributed render: point features → per-tile grayscale PNG density
+    renders (the reference's server-side distributed render process,
+    analytics 'RenderedStyle' / GeoServer WPS path, re-expressed as two
+    aggregations).
+
+    Pixel grid = the square Morton grid at res ``level + log2(tile_size)``
+    (same tile scheme as assign_tiles, so rendered tiles align with mosaic
+    tiles).  Stage 1: groupBy (tile, pixel) count — map-side partial agg
+    collapses the point mass before any shuffle.  Stage 2: one
+    applyInPandas per tile scatters counts onto the canvas; intensity =
+    255·count/tile_max (deterministic).  Row 0 is NORTH.  Output:
+    (level, tile_ix, tile_iy, n_points, max_count, tile_png).
+    """
+    import math
+
+    from geowave_spark.functions import cols as X
+    from geowave_spark.session import spread
+
+    shift = int(math.log2(tile_size))
+    if 1 << shift != tile_size:
+        raise ValueError("tile_size must be a power of two")
+    res = level + shift
+    ix = X.grid_milli_col(F.col(lon_milli), 180_000, 360_000, F.lit(res))
+    iy = X.grid_milli_col(F.col(lat_milli), 90_000, 180_000, F.lit(res))
+    counts = (
+        spread(points.select(ix.alias("_ix"), iy.alias("_iy")))
+        .groupBy(
+            F.shiftright(F.col("_ix"), shift).alias("tile_ix"),
+            F.shiftright(F.col("_iy"), shift).alias("tile_iy"),
+            F.col("_ix").bitwiseAND(F.lit(tile_size - 1)).alias("_px"),
+            F.col("_iy").bitwiseAND(F.lit(tile_size - 1)).alias("_py"),
+        )
+        .agg(F.count("*").alias("_n"))
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("level", T.LongType()),
+            T.StructField("tile_ix", T.LongType()),
+            T.StructField("tile_iy", T.LongType()),
+            T.StructField("n_points", T.LongType()),
+            T.StructField("max_count", T.LongType()),
+            T.StructField("tile_png", T.BinaryType()),
+        ]
+    )
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        canvas = np.zeros((tile_size, tile_size), dtype=np.float64)
+        px = pdf._px.to_numpy(np.int64)
+        py = tile_size - 1 - pdf._py.to_numpy(np.int64)  # row 0 = NORTH
+        n = pdf._n.to_numpy(np.int64)
+        canvas[py, px] = n
+        mx = int(n.max())
+        img = np.floor(canvas * 255.0 / mx + 0.5).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                "level": [int(level)],
+                "tile_ix": [int(pdf.tile_ix.iloc[0])],
+                "tile_iy": [int(pdf.tile_iy.iloc[0])],
+                "n_points": [int(n.sum())],
+                "max_count": [mx],
+                "tile_png": [PNG.png_encode(img)],
+            }
+        )
+
+    return counts.groupBy("tile_ix", "tile_iy").applyInPandas(render, out_schema)

@@ -345,6 +345,18 @@ def q_kde_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("kde_tiles", q_kde_tiles)
 
 
+def q_render_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed render: point features -> per-tile density PNG renders
+    (binary pixels -> rows-only; placement/intensity pinned by pytest)."""
+    geo = TB.geo_events(spark, sf_dir)
+    return OTL.render_point_tiles(geo, level=3, tile_size=64).select(
+        "level", "tile_ix", "tile_iy", "n_points", "max_count"
+    )
+
+
+register("render_point_tiles", q_render_tiles)
+
+
 # ---------------------------------------------------------------------------
 # Spatial-temporal compound (SURVEY §2.4 SpatialTemporalQuery, §1.4 binning)
 # ---------------------------------------------------------------------------

@@ -341,3 +341,28 @@ def test_retile_rgb(spark):
     assert (got[:128, 128:] == 90).all()   # NE = (5,7)
     assert (got[128:, :128] == 10).all()   # SW = (4,6)
     assert (got[128:, 128:] == 30).all()   # SE = (5,6)
+
+
+def test_render_point_tiles_closed_form(spark):
+    """Distributed render: two points, one pixel shared — intensities are
+    255*count/max at the exact predicted pixels, tiles align with the
+    square Morton tile grid."""
+    # level 2, tile 16 -> res 6: pixel = grid cell at res 6
+    rows = [(500, 500), (501, 501), (-90_000, -45_000)]
+    df = spark.createDataFrame(rows, "lon_milli long, lat_milli long")
+    out = OTL.render_point_tiles(df, level=2, tile_size=16).toPandas()
+    n = 1 << 6
+    def cell(lon, lat):
+        return ((lon + 180_000) * n // 360_000, (lat + 90_000) * n // 180_000)
+    c1, c3 = cell(500, 500), cell(-90_000, -45_000)
+    assert c1 == cell(501, 501)  # first two points share a pixel
+    tiles = {(int(t.tile_ix), int(t.tile_iy)): t for t in out.itertuples()}
+    assert set(tiles) == {(c1[0] // 16, c1[1] // 16)} | {(c3[0] // 16, c3[1] // 16)}
+    t1 = tiles[(c1[0] // 16, c1[1] // 16)]
+    img = PNG.png_decode(bytes(t1.tile_png))
+    px, py = c1[0] % 16, 15 - (c1[1] % 16)
+    if (c1[0] // 16, c1[1] // 16) == (c3[0] // 16, c3[1] // 16):
+        pytest.skip("fixture points unexpectedly share a tile")
+    assert int(t1.max_count) == 2 and int(t1.n_points) == 2
+    assert img[py, px] == 255
+    assert img.sum() == 255  # everything else dark
