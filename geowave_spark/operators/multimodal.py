@@ -10,9 +10,10 @@ shuffle).
 The PNG path is REAL (sources/png.py is a spec-compliant encoder/decoder);
 the 'jpeg' rows use the clearly-marked stub-lossy codec from the same
 module (the container has no DCT library — see png.py docstring).  Audio
-and video kernels are STUBS with real Spark plumbing (schema, batching,
-signature) and a NotImplementedError decode, exactly as a deployment would
-slot in soundfile/av.
+and video kernels are REAL for the dependency-free standard containers —
+PCM WAVE and uncompressed AVI (sources/media.py, pure struct/numpy RIFF
+parsing); compressed codecs (mp3/h264/...) raise NotImplementedError with
+a clear message, exactly where a deployment slots in soundfile/av.
 
 Feature parity: dhash/mean are asserted against closed-form numpy in tests
 (driver check is rows-only — no SQL engine can decode PNG).
@@ -93,14 +94,23 @@ def image_features(images: DataFrame, thumb: int = 16) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Audio / video stubs — real plumbing, stubbed decode
+# Audio / video kernels — REAL for the dependency-free standard containers
+# (PCM WAVE, uncompressed AVI — sources/media.py); compressed codecs raise
+# NotImplementedError per row contract (a deployment plugs soundfile/av into
+# the same kernels).
 # ---------------------------------------------------------------------------
+
+from geowave_spark.sources import media as MEDIA  # noqa: E402
 
 AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType()),
         T.StructField("n_samples", T.LongType()),
-        T.StructField("rms_milli", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_milli", T.LongType()),   # RMS of [-1,1] signal ×1000
+        T.StructField("zcr_milli", T.LongType()),   # zero-crossing rate ×1000
     ]
 )
 
@@ -108,35 +118,63 @@ VIDEO_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType()),
         T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
         T.StructField("frame_dhash", T.ArrayType(T.LongType())),
     ]
 )
 
 
 def audio_features(audio: DataFrame) -> DataFrame:
-    """STUB: rms/sample-count over an audio ``binary`` column.  The Spark
-    plumbing (schema, Arrow batching, signature) is real; the codec is not
-    present in this environment."""
+    """PCM-WAVE decode → (duration, RMS, zero-crossing rate) per clip.
+    One Arrow batch per Python call, numpy-vectorized per clip — the same
+    embarrassingly-parallel mapInPandas shape as image_features."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "audio decode requires a codec library (e.g. soundfile) not "
-            "present in this environment; plug it into this kernel"
-        )
-        yield  # pragma: no cover
+        for b in batches:
+            rows = []
+            for r in b.itertuples():
+                s, rate = MEDIA.wav_decode(bytes(r.bytes))
+                mono = s.astype(np.float64).mean(axis=1) / 32768.0
+                n = len(mono)
+                rms = float(np.sqrt(np.mean(mono * mono))) if n else 0.0
+                zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+                rows.append(
+                    (
+                        r.media_id, n, s.shape[1], rate,
+                        int(round(n / rate * 1000)),
+                        int(round(rms * 1000)),
+                        int(round(zc * 1000)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SCHEMA.fields]
+            ).astype({"n_channels": "int32", "sample_rate": "int32"})
 
     return audio.select("media_id", "bytes").mapInPandas(kernel, AUDIO_SCHEMA)
 
 
-def video_frame_sample(video: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB: sample every ``every_n``-th frame and dhash it.  Same contract
-    as :func:`audio_features`."""
+def video_frame_sample(video: DataFrame, every_n: int = 2) -> DataFrame:
+    """Uncompressed-AVI decode → every ``every_n``-th frame dhashed (the
+    frame-sampling feature extraction a training pipeline runs; dhash
+    reuses the image kernel)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video decode requires a codec library (e.g. av) not present "
-            "in this environment; plug it into this kernel"
-        )
-        yield  # pragma: no cover
+        for b in batches:
+            rows = []
+            for r in b.itertuples():
+                frames, fps = MEDIA.avi_decode(bytes(r.bytes))
+                sampled = frames[::every_n]
+                hashes = [dhash64(fr.mean(axis=2)) for fr in sampled]
+                rows.append(
+                    (
+                        r.media_id, len(frames), fps,
+                        frames.shape[2], frames.shape[1], hashes,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_SCHEMA.fields]
+            ).astype({"n_frames": "int32", "fps": "int32", "w": "int32", "h": "int32"})
 
     return video.select("media_id", "bytes").mapInPandas(kernel, VIDEO_SCHEMA)

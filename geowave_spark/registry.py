@@ -357,6 +357,27 @@ def q_render_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("render_point_tiles", q_render_tiles)
 
 
+def q_audio_features(spark, sf_dir):
+    """PCM-WAVE decode + features over the deterministic synthetic clip
+    table (binary decode -> rows-only; closed-form sine RMS/ZCR pinned by
+    pytest test_media.py)."""
+    return OM.audio_features(SYN.audio(spark, 200, partitions=8))
+
+
+register("audio_features", q_audio_features)
+
+
+def q_video_frames(spark, sf_dir):
+    """Uncompressed-AVI frame sampling + per-frame dhash (rows-only; frame
+    hashes pinned against local recompute in pytest)."""
+    return OM.video_frame_sample(SYN.videos(spark, 100, partitions=8)).select(
+        "media_id", "n_frames", "fps", "w", "h"
+    )
+
+
+register("video_frames", q_video_frames)
+
+
 # ---------------------------------------------------------------------------
 # Spatial-temporal compound (SURVEY §2.4 SpatialTemporalQuery, §1.4 binning)
 # ---------------------------------------------------------------------------
@@ -1197,9 +1218,12 @@ def q_spatial_join(spark, sf_dir):
     envs = TB.geo_footprints(spark, sf_dir).select(
         F.col("event_id").alias("env_id"), "minx_m", "miny_m", "maxx_m", "maxy_m"
     )
-    return OJ.points_in_envelopes_join(pts, envs).select(
-        "point_id", "env_id"
-    )
+    # occupied tiers are part of the footprint table SPEC (half extents
+    # {32..1024} milli -> native levels 11..6) — stats-hint equivalent,
+    # no discovery scan (the production path reads _stats/tier_counts)
+    return OJ.points_in_envelopes_join(
+        pts, envs, env_tiers=list(range(6, 12))
+    ).select("point_id", "env_id")
 
 
 register(

@@ -153,3 +153,87 @@ def images(
             yield _gen_batch(b["id"].to_numpy(np.int64), with_bytes)
 
     return spark.range(n, numPartitions=partitions).mapInPandas(gen, SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic audio / video tables (multimodal operator inputs;
+# same no-RNG row-index derivation discipline as images)
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+    ]
+)
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+    ]
+)
+
+
+def tone_for(i: int, rate: int = 8000, dur_ms: int = 250) -> np.ndarray:
+    """Row index → int16 sine tone: freq 200 + (i%32)*25 Hz, amplitude
+    (0.25 + (i%4)*0.15) full scale — closed-form (RMS = A/sqrt(2))."""
+    n = rate * dur_ms // 1000
+    freq = 200.0 + (i % 32) * 25.0
+    amp = 0.25 + (i % 4) * 0.15
+    t = np.arange(n, dtype=np.float64) / rate
+    return np.round(np.sin(2 * np.pi * freq * t) * amp * 32767.0).astype(np.int16)
+
+
+def audio(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """Deterministic PCM-WAVE clip table."""
+    from geowave_spark.sources import media as MEDIA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].to_numpy(np.int64)
+            rows = []
+            for i in ids:
+                s = tone_for(int(i))
+                rows.append(
+                    (f"aud{int(i):09d}", MEDIA.wav_encode(s, 8000), 8000, len(s))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "bytes", "sample_rate", "n_samples"]
+            ).astype({"sample_rate": "int32", "n_samples": "int32"})
+
+    return spark.range(n, numPartitions=partitions).mapInPandas(gen, AUDIO_SCHEMA)
+
+
+def video_frames_for(i: int, n_frames: int = 8, w: int = 32, h: int = 24) -> np.ndarray:
+    """Row index → (n, h, w, 3) procedural RGB frames (per-frame shift of
+    the F1 pixel formula, one formula per channel)."""
+    out = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+    for f in range(n_frames):
+        base = pixels_for(i * 7 + f, w, h)
+        out[f, :, :, 0] = base
+        out[f, :, :, 1] = np.roll(base, f, axis=1)
+        out[f, :, :, 2] = 255 - base
+    return out
+
+
+def videos(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """Deterministic uncompressed-AVI clip table."""
+    from geowave_spark.sources import media as MEDIA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].to_numpy(np.int64)
+            rows = []
+            for i in ids:
+                nf = 6 + int(i) % 6
+                fr = video_frames_for(int(i), n_frames=nf)
+                rows.append((f"vid{int(i):09d}", MEDIA.avi_encode(fr, fps=10), nf))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "bytes", "n_frames"]
+            ).astype({"n_frames": "int32"})
+
+    return spark.range(n, numPartitions=partitions).mapInPandas(gen, VIDEO_SCHEMA)

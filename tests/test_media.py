@@ -1,0 +1,73 @@
+"""Audio/video codecs and kernels: RIFF round trips, closed-form features
+(sine RMS = A/sqrt(2)), frame sampling + dhash determinism, compressed-
+codec gating."""
+
+import numpy as np
+import pytest
+
+from geowave_spark.operators import multimodal as OM
+from geowave_spark.sources import media as MEDIA
+from geowave_spark.sources import synthetic as SYN
+
+
+def test_wav_roundtrip_mono_stereo():
+    s = SYN.tone_for(5)
+    dec, rate = MEDIA.wav_decode(MEDIA.wav_encode(s, 8000))
+    assert rate == 8000 and np.array_equal(dec[:, 0], s)
+    st = np.stack([s, -s], axis=1)
+    dec2, _ = MEDIA.wav_decode(MEDIA.wav_encode(st, 44100))
+    assert np.array_equal(dec2, st)
+
+
+def test_avi_roundtrip():
+    frames = SYN.video_frames_for(3, n_frames=5, w=20, h=14)  # non-mult-of-4 width
+    dec, fps = MEDIA.avi_decode(MEDIA.avi_encode(frames, fps=12))
+    assert fps == 12
+    assert np.array_equal(dec, frames)
+
+
+def test_compressed_codecs_gated():
+    # WAVE with format tag 2 (ADPCM) must raise, not mis-decode
+    import struct
+
+    s = SYN.tone_for(1)
+    buf = bytearray(MEDIA.wav_encode(s, 8000))
+    struct.pack_into("<H", buf, 20, 2)  # fmt chunk payload starts at 20
+    with pytest.raises(NotImplementedError, match="codec"):
+        MEDIA.wav_decode(bytes(buf))
+
+
+def test_audio_features_closed_form(spark):
+    """Sine RMS = A/sqrt(2); duration from n/rate; ZCR ≈ 2f/rate."""
+    df = SYN.audio(spark, 12, partitions=3)
+    out = OM.audio_features(df).toPandas().sort_values("media_id")
+    assert len(out) == 12
+    for r in out.itertuples():
+        i = int(r.media_id[3:])
+        amp = 0.25 + (i % 4) * 0.15
+        freq = 200.0 + (i % 32) * 25.0
+        assert r.duration_ms == 250
+        assert r.sample_rate == 8000 and r.n_channels == 1
+        assert abs(r.rms_milli - amp / np.sqrt(2) * 1000) <= 2
+        assert abs(r.zcr_milli - 2 * freq / 8000 * 1000) <= 6
+    # determinism across partitionings
+    again = OM.audio_features(SYN.audio(spark, 12, partitions=5)).toPandas()
+    assert sorted(map(tuple, again.values.tolist())) == sorted(
+        map(tuple, out.values.tolist())
+    )
+
+
+def test_video_frame_sample(spark):
+    df = SYN.videos(spark, 8, partitions=2)
+    out = OM.video_frame_sample(df, every_n=2).toPandas().sort_values("media_id")
+    assert len(out) == 8
+    for r in out.itertuples():
+        i = int(r.media_id[3:])
+        nf = 6 + i % 6
+        assert r.n_frames == nf and r.fps == 10
+        assert (r.w, r.h) == (32, 24)
+        assert len(r.frame_dhash) == (nf + 1) // 2
+        # dhash matches a local recompute of the sampled frames
+        frames = SYN.video_frames_for(i, n_frames=nf)
+        want = [OM.dhash64(fr.mean(axis=2)) for fr in frames[::2]]
+        assert list(r.frame_dhash) == want
