@@ -488,3 +488,113 @@ ranked AS (
 )
 SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= {k}
 """
+
+
+def ann_knn_join(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = IVF_PLANES,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """All-pairs approximate kNN over the embedding column: EVERY vector
+    gets its top-k nearest among candidates whose quantizer bucket is
+    within ``probe_hamming`` sign bits — the embedding analogue of
+    operators/knn.knn_join (no broadcast requirement, no small-query-set
+    assumption; the round-1 ann_lsh gap).
+
+    Candidate generation is the same multiprobe self-join as
+    :func:`neardup_pairs_q` but over ORDERED pairs (each row is a query);
+    exact fixed-point cosine re-rank inside.  Deterministic integer
+    buckets → the whole operator replays in SQL (exact oracle despite
+    being an approximate-NN operator).  Returns (query_id, rank,
+    neighbor_id, cos)."""
+    from pyspark.sql import Window
+
+    from geowave_spark.session import spread
+
+    base = spread(
+        emb.select(F.col(id_col), quant_col(F.col(vec_col)).alias("_qv"))
+    ).withColumn("_bkt", quantizer_bucket_col("_qv", dim, planes))
+    masks = _probe_masks(planes, probe_hamming)
+    probes = F.array(*[F.col("_bkt").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
+    a = base.select(
+        F.col(id_col).alias("query_id"),
+        F.col("_qv").alias("_va"),
+        F.explode(probes).alias("_blk"),
+    )
+    b = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_qv").alias("_vb"),
+        F.col("_bkt").alias("_blk"),
+    )
+    pairs = a.join(b, "_blk").filter(F.col("query_id") != F.col("neighbor_id"))
+    zero = F.lit(0).cast("long")
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        / (
+            F.sqrt(F.aggregate(F.col("_va"), zero, lambda acc, x: acc + x * x))
+            * F.sqrt(F.aggregate(F.col("_vb"), zero, lambda acc, x: acc + x * x))
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def ann_knn_join_oracle(
+    table: str = "embeddings",
+    k: int = 5,
+    dim: int = 64,
+    planes: int = IVF_PLANES,
+    probe_hamming: int = 2,
+) -> str:
+    qv = duck_quant("embedding")
+    proj_bits = " + ".join(
+        f"(CASE WHEN CAST(list_dot_product(qv, "
+        f"[{', '.join(str(_plane_weight_int(p, d)) for d in range(dim))}]) "
+        f"AS BIGINT) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    masks = ", ".join(f"({m})" for m in _probe_masks(planes, probe_hamming))
+    return f"""
+WITH base AS (
+  SELECT vec_id, {qv} AS qv FROM {table}
+),
+bkt AS (
+  SELECT vec_id, qv, {proj_bits} AS bucket FROM base
+),
+probes AS (
+  SELECT b.vec_id, b.qv, xor(b.bucket, m.v) AS blk
+  FROM bkt b CROSS JOIN (VALUES {masks}) m(v)
+),
+cand AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.qv, b.qv) /
+               (sqrt(list_dot_product(a.qv, a.qv)) *
+                sqrt(list_dot_product(b.qv, b.qv))), 6) AS cos
+  FROM probes a JOIN bkt b
+    ON a.blk = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+           AS INTEGER) AS rank
+  FROM cand
+)
+SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {k}
+"""

@@ -616,6 +616,15 @@ def q_embed_neardup_label(spark, sf_dir):
 register("embed_neardup_label", q_embed_neardup_label, OE.neardup_pairs_oracle())
 
 
+def q_embed_ann_join(spark, sf_dir):
+    """All-pairs approximate kNN (every vector a query) via quantizer
+    buckets — the embedding analogue of knn_join."""
+    return OE.ann_knn_join(_emb(spark, sf_dir))
+
+
+register("embed_ann_join", q_embed_ann_join, OE.ann_knn_join_oracle())
+
+
 def q_embed_ann_lsh(spark, sf_dir):
     return OE.ann_lsh(_emb(spark, sf_dir))
 
