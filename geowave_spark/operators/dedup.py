@@ -179,12 +179,19 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    engine: str = "catalyst",
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing ≥ 1 of ``BANDS`` band keys
     (each key = md5 of ``ROWS_PER_BAND`` concatenated signature slots).
-    Output: distinct (id_a, id_b), id_a < id_b."""
-    sig = minhash_signatures(docs, text_col, id_col)
+    Output: distinct (id_a, id_b), id_a < id_b.
+
+    ``engine='arrow'`` computes the signatures with the bit-identical
+    numpy kernel (same integers, pandas-batch speed)."""
+    if engine == "arrow":
+        sig = minhash_signatures_arrow(docs, text_col, id_col)
+    else:
+        sig = minhash_signatures(docs, text_col, id_col)
     band_structs = []
     for b in range(BANDS):
         cols = [F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
@@ -330,13 +337,17 @@ SELECT doc_id, {sim} AS simhash FROM agg
 """
 
 
-def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    engine: str = "catalyst",
+) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ ``SIM_MAX_HAMMING``.
 
     Pigeonhole banding: ≤ 3 differing bits over 4 chunks ⇒ at least one
     15-bit chunk identical → equi-join on (chunk_idx, chunk_value), then the
-    exact popcount filter.  Output: (id_a, id_b, hamming)."""
-    sh = simhash(docs, text_col, id_col)
+    exact popcount filter.  Output: (id_a, id_b, hamming).
+    ``engine='arrow'`` uses the bit-identical numpy signature kernel."""
+    sh = (simhash_arrow if engine == "arrow" else simhash)(docs, text_col, id_col)
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk"),
@@ -520,3 +531,102 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(CAST(inter AS DOUBLE) / (sa.n_tok + sb.n_tok - inter), 6) >= {tau}
 """
+
+
+# ---------------------------------------------------------------------------
+# Arrow fast paths (round 2): bit-identical signature kernels in numpy.
+# The Catalyst formulations above are the definitional oracle-parity path
+# (pure column math, zero Python) but higher-order functions evaluate
+# INTERPRETED — for signature-heavy suites the Arrow kernel computes the
+# IDENTICAL integers (same tokenizer, same md5-based h64, same mixes) at
+# pandas-batch speed, so queries can take the fast path and still match
+# the DuckDB oracle bit-for-bit (tests assert cross-path equality).
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+import re as _re
+
+_TOK_RE = _re.compile("[^a-z0-9]+")
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in _TOK_RE.split(text.lower()) if t]
+
+
+def _py_h64(s: str) -> int:
+    return int(_hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def minhash_signatures_arrow(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """numpy twin of :func:`minhash_signatures` — identical output."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [docs.schema[id_col]]
+        + [T.StructField(f"s{i}", T.LongType()) for i in range(NUM_HASHES)]
+    )
+    p1 = np.array([m[0] for m in _MIX], dtype=np.uint64)[:, None]
+    p2 = np.array([m[1] for m in _MIX], dtype=np.uint64)[:, None]
+    iv = np.arange(NUM_HASHES, dtype=np.uint64)[:, None]
+    m61 = np.uint64(MERSENNE61)
+
+    def kernel(batches):
+        for b in batches:
+            rows = []
+            for r in b.itertuples():
+                toks = _py_tokens(getattr(r, text_col))
+                if len(toks) < SHINGLE_N:
+                    continue
+                sh = set(
+                    " ".join(toks[i : i + SHINGLE_N])
+                    for i in range(len(toks) - SHINGLE_N + 1)
+                )
+                base = np.fromiter(
+                    (_py_h64(s) for s in sh), dtype=np.uint64, count=len(sh)
+                )
+                lo = base & np.uint64((1 << 30) - 1)
+                hi = base >> np.uint64(30)
+                # (H, n): products < 2^61 so uint64 arithmetic is exact
+                mixed = (lo[None, :] * p1 + hi[None, :] * p2 + iv) % m61
+                sig = mixed.min(axis=1).astype(np.int64)
+                rows.append((getattr(r, id_col), *sig.tolist()))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+def simhash_arrow(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """numpy twin of :func:`simhash` — identical output."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [docs.schema[id_col], T.StructField("simhash", T.LongType())]
+    )
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+    def kernel(batches):
+        for b in batches:
+            rows = []
+            for r in b.itertuples():
+                toks = _py_tokens(getattr(r, text_col))
+                if not toks:
+                    continue
+                uniq = set(toks)
+                h = np.fromiter(
+                    (_py_h64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+                )
+                ones = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+                bits = (2 * ones > len(uniq)).astype(np.uint64)
+                sim = int((bits << shifts).sum())
+                rows.append((getattr(r, id_col), sim))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema)

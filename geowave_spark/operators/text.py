@@ -311,3 +311,50 @@ wmin AS (
 )
 SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= npos - {WINNOW_W - 1}
 """
+
+
+def fingerprints_arrow(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """numpy twin of :func:`fingerprints` — identical output (same
+    normalization, same md5-based gram hash, same window-min winnowing) at
+    pandas-batch speed; tests assert cross-path equality."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([docs.schema[id_col], T.StructField("fp", T.LongType())])
+    ws = re.compile(r"\s+")
+
+    def kernel(batches):
+        for b in batches:
+            ids, fps = [], []
+            for r in b.itertuples():
+                norm = ws.sub(" ", getattr(r, text_col)).strip().lower()
+                n = len(norm) - KGRAM + 1
+                if n < 1:
+                    continue
+                h = np.fromiter(
+                    (
+                        int(hashlib.md5(norm[i : i + KGRAM].encode()).hexdigest()[:15], 16)
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                if n < WINNOW_W:
+                    continue
+                # window-min over WINNOW_W consecutive grams
+                mins = h[: n - WINNOW_W + 1].copy()
+                for k in range(1, WINNOW_W):
+                    np.minimum(mins, h[k : k + n - WINNOW_W + 1], out=mins)
+                # preserve the Catalyst path's order: first occurrence wins
+                uniq = pd.unique(mins)
+                ids.extend([getattr(r, id_col)] * len(uniq))
+                fps.extend(uniq.tolist())
+            yield pd.DataFrame({schema.fields[0].name: ids, "fp": fps})
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema)

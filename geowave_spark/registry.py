@@ -513,7 +513,9 @@ register("exact_dedup", q_exact_dedup, OD.exact_dedup_oracle())
 
 
 def q_minhash_lsh(spark, sf_dir):
-    return OD.minhash_lsh_pairs(_docs(spark, sf_dir))
+    # arrow engine: bit-identical numpy signature kernel (tests assert
+    # cross-path equality) at pandas-batch speed
+    return OD.minhash_lsh_pairs(_docs(spark, sf_dir), engine="arrow")
 
 
 register("minhash_lsh_pairs", q_minhash_lsh, OD.minhash_lsh_pairs_oracle())
@@ -527,7 +529,7 @@ register("simhash", q_simhash, OD.simhash_oracle())
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return OD.simhash_pairs(_docs(spark, sf_dir))
+    return OD.simhash_pairs(_docs(spark, sf_dir), engine="arrow")
 
 
 register("simhash_pairs", q_simhash_pairs, OD.simhash_pairs_oracle())
@@ -574,7 +576,8 @@ register("token_stats", q_token_stats, OTX.token_stats_oracle())
 
 
 def q_fingerprints(spark, sf_dir):
-    return OTX.fingerprints(_docs(spark, sf_dir))
+    # arrow twin: bit-identical winnowing at pandas-batch speed
+    return OTX.fingerprints_arrow(_docs(spark, sf_dir))
 
 
 register("winnow_fingerprints", q_fingerprints, OTX.fingerprints_oracle())

@@ -114,3 +114,24 @@ def test_neardup_q_bucket_fanout_bounded(spark, emb):
     occ = base.groupBy("_bkt").count().toPandas()
     assert occ["count"].max() < n
     assert len(occ) > 1
+
+
+def test_arrow_signature_paths_bit_identical(spark, sf_dir):
+    """The numpy fast-path kernels must produce byte-identical signatures
+    to the Catalyst definitional path on real documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = OD.minhash_signatures(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = OD.minhash_signatures_arrow(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    sa = OD.simhash(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    sb = OD.simhash_arrow(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert sa.equals(sb)
+
+
+def test_fingerprints_arrow_identical(spark, sf_dir):
+    from geowave_spark.operators import text as OTX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = OTX.fingerprints(docs).toPandas().sort_values(["doc_id", "fp"]).reset_index(drop=True)
+    b = OTX.fingerprints_arrow(docs).toPandas().sort_values(["doc_id", "fp"]).reset_index(drop=True)
+    assert a.equals(b)
