@@ -11,16 +11,16 @@ Spark-first re-expressions:
 * **DBSCAN** — the cell grid IS the spatial partitioner: with cell size ≥
   eps, a point's eps-neighbors live in its 3×3 cell neighborhood, so the
   neighbor count (core-point test) is one self-join on the exploded
-  neighborhood keys, and cluster formation is label propagation over the
-  core-core adjacency — iterated `min(label)` joins that converge in
-  O(log diameter) rounds (the standard distributed connected-components
-  loop, driven from the driver on a convergence count exactly like the
-  kNN ring loop).
+  neighborhood keys, and cluster formation is spatially-partitioned
+  connected components (per-coarse-cell union-find + boundary-graph
+  contraction — one distributed pass, see ``_components_spatial``; the
+  round-1 iterative label propagation needed O(diameter) rounds).
 * **KMeans** — Lloyd's algorithm as DataFrame aggregation: assign =
   broadcast-join argmin over centroids, update = one groupBy mean;
   deterministic seeding (first-k by id — reproducible, no RNG state).
-  MLlib's KMeans is the drop-in for production (this one exists so the
-  semantics are explicit and deterministic for the correctness gate).
+  :func:`kmeans_mllib` is the production drop-in (the reference's own
+  KMeansRunner wraps MLlib); the hand-rolled one is the deterministic
+  correctness gate.
 
 Both use the exact integer planar-milli metric shared with kNN.
 """
@@ -351,3 +351,32 @@ def cluster_hulls(
         )
 
     return joined.groupBy("cluster").applyInPandas(one, out_schema)
+
+
+def kmeans_mllib(
+    data: DataFrame,
+    k: int,
+    id_col: str = "event_id",
+    max_iter: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Production KMeans: Spark MLlib over the milli-degree coords — the
+    same engine the reference's KMeansRunner wraps
+    (analytics/spark/.../kmeans/KMeansRunner.java:112-240 uses
+    org.apache.spark.mllib.clustering.KMeans).  The hand-rolled
+    :func:`kmeans` above stays as the deterministic correctness gate;
+    this is the drop-in for real workloads (DataFrame-native, seeded
+    k-means||, no driver loop).  Returns (id, cluster)."""
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    pts = data.select(
+        F.col(id_col),
+        F.col("lon_milli").cast("double").alias("_px"),
+        F.col("lat_milli").cast("double").alias("_py"),
+    )
+    feats = VectorAssembler(inputCols=["_px", "_py"], outputCol="features").transform(pts)
+    model = MLKMeans(k=k, maxIter=max_iter, seed=seed).fit(feats)
+    return model.transform(feats).select(
+        F.col(id_col), F.col("prediction").cast("long").alias("cluster")
+    )

@@ -5,17 +5,23 @@ No analogue in the reference (GeoWave's NN machinery is 2-D geodesic —
 NNMapReduce.java; these are the high-dimensional versions a training-data
 pipeline needs over an ``array<double>`` embedding column).
 
-Scale posture:
-* brute-force top-k — query side broadcast, one scan, window top-k; this is
-  the exact baseline and the right plan when |queries| is small;
-* near-dup pairs — exact cosine within a blocking key (label/cluster id):
-  at 10^12 rows the blocking key comes from a coarse quantizer (IVF
-  centroid assignment) and each block is an independent sort-merge-join
-  partition — never a global cross join;
-* LSH ANN — 16 deterministic hyperplanes → bucket id; candidates share a
-  bucket (+ multiprobe over hamming-1 buckets); exact re-rank inside.
-  Approximate by design → driver checks rows-only; pytest checks recall
-  against the brute-force baseline.
+Scale posture (round 2):
+* brute-force top-k — query side broadcast, one scan, window top-k; the
+  exact baseline, right when |queries| is small;
+* near-dup pairs — :func:`neardup_pairs_q` blocks on a COMPUTED coarse
+  quantizer (integer hyperplane sign buckets, hamming≤2 multiprobe
+  self-join, each pair generated exactly once) — the all-pairs semantic
+  near-dup path with no given label and no broadcast; ``planes`` is the
+  shard dial (2^planes buckets; raise it with corpus size, optionally as
+  several independent tables).  :func:`neardup_pairs` keeps the
+  given-blocking-key variant for when a cluster/label column exists;
+* ANN — :func:`ann_lsh` (small query set, broadcast probes) and
+  :func:`ann_knn_join` (ALL-pairs approximate kNN: every vector a query,
+  shuffle equi-join on buckets, window top-k).  Buckets are integer
+  projections of the fixed-point vector, so the candidate-set definition
+  is deterministic and every one of these operators — including the
+  approximate ones — carries an EXACT DuckDB oracle; pytest additionally
+  checks recall against brute force.
 
 Dot products use ``aggregate(zip_with(...))`` — JVM higher-order functions,
 sequential left-to-right summation, which DuckDB's list_dot_product

@@ -174,3 +174,21 @@ def test_cluster_hulls_over_dbscan(spark, sf_dir):
     assert np.array_equal(np.asarray(polys[0][0])[:-1], ring) or np.array_equal(
         np.asarray(polys[0][0]), ring
     )
+
+
+def test_kmeans_mllib_production_path(spark, sf_dir):
+    """MLlib drop-in: k clusters, all rows labeled, blob centers separate
+    (each synthetic hot blob dominated by one cluster)."""
+    from geowave_spark.sources import tables as TB
+
+    geo = TB.geo_events(spark, sf_dir)
+    out = OC.kmeans_mllib(geo, k=5)
+    pdf = out.toPandas()
+    assert len(pdf) == geo.count()
+    assert pdf.cluster.nunique() == 5
+    # hot-blob rows of one blob should overwhelmingly share a cluster
+    joined = out.join(geo, "event_id").toPandas()
+    nyc = joined[(joined.lon_milli - -73_985).abs() < 1500]
+    if len(nyc) > 10:
+        top = nyc.cluster.value_counts(normalize=True).iloc[0]
+        assert top > 0.9
