@@ -89,3 +89,80 @@ def stream_cell_window_counts(
             "n_events",
         )
     )
+
+
+def stream_dedup_docs(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    watermark: str = "1 hour",
+    state_timeout_hours: int = 24,
+) -> DataFrame:
+    """Custom stateful streaming operator: continuous EXACT dedup — only
+    the first document per content hash passes (the streaming form of
+    operators/dedup.exact_dedup, the operation a continuously-ingesting
+    training pipeline runs on every batch).
+
+    ``applyInPandasWithState`` keyed by the content hash keeps one tiny
+    state row (first id + count) per distinct hash; state expires
+    ``state_timeout_hours`` after the watermark passes it, so state stays
+    bounded on an unbounded stream (re-emission after expiry is the
+    documented trade-off — size the timeout to the dedup horizon).
+    Emits (dup_key, doc_id, ts) for FIRST occurrences only.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    hashed = raw.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "dup_key",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))).cast(
+                "binary"
+            )
+        ),
+    ).withWatermark("ts", watermark)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("dup_key", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("first_id", T.LongType()), T.StructField("n_seen", T.LongType())]
+    )
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        seen = state.exists
+        total = 0
+        first_rows = None
+        for pdf in pdfs:
+            total += len(pdf)
+            if not seen and first_rows is None and len(pdf):
+                first = pdf.sort_values(["ts", "doc_id"]).iloc[0]
+                first_rows = pd.DataFrame(
+                    {
+                        "dup_key": [key[0]],
+                        "doc_id": [int(first.doc_id)],
+                        "ts": [first.ts],
+                    }
+                )
+        if seen:
+            (first_id, n_seen) = state.get
+            state.update((first_id, n_seen + total))
+        else:
+            state.update((int(first_rows.doc_id.iloc[0]), total))
+        state.setTimeoutDuration(state_timeout_hours * 3600 * 1000)
+        if not seen and first_rows is not None:
+            yield first_rows
+
+    return hashed.groupBy("dup_key").applyInPandasWithState(
+        dedup_fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

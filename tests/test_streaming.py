@@ -80,3 +80,60 @@ def test_stream_window_counts(spark, sf_dir, tmp_path):
     joined = out.join(batch, ["win_start", "cell_r"], "left")
     assert joined.count() > 0
     assert joined.filter(F.col("n_events") != F.col("n_batch")).count() == 0
+
+
+def test_stream_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: only the FIRST doc per content hash
+    passes, across micro-batches (state persists between batches)."""
+    import pandas as pd
+
+    from geowave_spark.streaming.ingest import stream_dedup_docs
+
+    src = str(tmp_path / "docs_src")
+    rows1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["hello world", "Hello   WORLD", "unique one"],
+            "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:01", "2024-01-01 10:02"]),
+        }
+    )
+    sdf1 = spark.createDataFrame(rows1)
+    sdf1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    out = stream_dedup_docs(spark, src, sdf1.schema)
+    sink = str(tmp_path / "dedup_sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(sink).toPandas()
+    # "hello world" and "Hello   WORLD" normalize to the same hash -> doc 1
+    assert sorted(got1.doc_id) == [1, 3]
+
+    # second micro-batch: a new duplicate of hash(hello world) + a new doc —
+    # state from batch 1 must suppress the duplicate
+    rows2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "text": ["HELLO world ", "another new"],
+            "ts": pd.to_datetime(["2024-01-01 10:05", "2024-01-01 10:06"]),
+        }
+    )
+    spark.createDataFrame(rows2).coalesce(1).write.mode("append").parquet(src)
+    q2 = (
+        stream_dedup_docs(spark, src, sdf1.schema)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(sink).toPandas()
+    assert sorted(got2.doc_id) == [1, 3, 5], "doc 4 duplicates batch-1 state"
