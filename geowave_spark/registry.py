@@ -333,16 +333,59 @@ register("kde_grid", q_kde_grid, _kde_oracle())
 
 
 def q_kde_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KDE raster-pyramid output (AccumuloKDEReducer GridCoverage tiles);
-    binary band rasters -> rows-only check (the numeric core is the
-    oracle-exact kde_grid; pixel packing pinned by pytest closed form)."""
+    """KDE raster-pyramid output (AccumuloKDEReducer GridCoverage tiles).
+    The binary band rasters stay pytest-pinned; the numeric per-tile
+    columns (post count, max normalized) ARE SQL-expressible from the
+    posts grid, so the driver gets an exact oracle."""
     geo = TB.geo_events(spark, sf_dir)
     return OKDE.kde_tiles(geo, level=3, tile_size=64).select(
         "level", "tile_x", "tile_y", "n_posts", "max_norm"
     )
 
 
-register("kde_tiles", q_kde_tiles)
+def _kde_tiles_oracle() -> str:
+    # posts grid at level 3 + log2(64) = 9; tile = post >> 6
+    lv, shift = 9, 6
+    r = 3
+    offs = ", ".join(
+        f"({dx}, {dy}, {OKDE.KERNEL_FP[dx + r] * OKDE.KERNEL_FP[dy + r]})"
+        for dx in range(-r, r + 1)
+        for dy in range(-r, r + 1)
+    )
+
+    def idiv(a: str, b: str) -> str:
+        return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS BIGINT)"
+
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+o(dx, dy, w) AS (VALUES {offs}),
+scat AS (
+  SELECT {idiv(f"(e.lon_milli + 180000) * {2 << lv}", "360000")} + o.dx AS gx,
+         {idiv(f"(e.lat_milli + 90000) * {1 << lv}", "180000")} + o.dy AS gy,
+         o.w
+  FROM geo_events e CROSS JOIN o
+),
+grid AS (
+  SELECT gx, gy, CAST(SUM(w) AS BIGINT) AS weight_fp
+  FROM scat
+  WHERE gx >= 0 AND gx < {2 << lv} AND gy >= 0 AND gy < {1 << lv}
+  GROUP BY gx, gy
+),
+normd AS (
+  SELECT gx, gy,
+         CAST(weight_fp AS DOUBLE) / CAST(MAX(weight_fp) OVER () AS DOUBLE)
+           AS normalized
+  FROM grid
+)
+SELECT CAST(3 AS BIGINT) AS level,
+       (gx >> {shift}) AS tile_x, (gy >> {shift}) AS tile_y,
+       CAST(COUNT(*) AS INTEGER) AS n_posts,
+       MAX(normalized) AS max_norm
+FROM normd GROUP BY 2, 3
+"""
+
+
+register("kde_tiles", q_kde_tiles, _kde_tiles_oracle())
 
 
 def q_render_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,7 +397,33 @@ def q_render_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("render_point_tiles", q_render_tiles)
+def _render_tiles_oracle() -> str:
+    # pixel grid = square Morton grid at res 3 + log2(64) = 9
+    res, shift = 9, 6
+    n = 1 << res
+
+    def idiv(a: str, b: str) -> str:
+        return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS BIGINT)"
+
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+px AS (
+  SELECT {idiv(f"(lon_milli + 180000) * {n}", "360000")} AS ix,
+         {idiv(f"(lat_milli + 90000) * {n}", "180000")} AS iy
+  FROM geo_events
+),
+cnt AS (
+  SELECT (ix >> {shift}) AS tile_ix, (iy >> {shift}) AS tile_iy, ix, iy,
+         COUNT(*) AS c
+  FROM px GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(3 AS BIGINT) AS level, tile_ix, tile_iy,
+       CAST(SUM(c) AS BIGINT) AS n_points, CAST(MAX(c) AS BIGINT) AS max_count
+FROM cnt GROUP BY 2, 3
+"""
+
+
+register("render_point_tiles", q_render_tiles, _render_tiles_oracle())
 
 
 def q_audio_features(spark, sf_dir):
