@@ -47,8 +47,10 @@ def points_in_envelopes_join(
     ``env_tiers``: occupied envelope tiers if known (stats table) — else
     one distinct scan discovers them.
     """
+    # slim shuffle width: the join needs only id + key + exact bounds
+    # (tier/n_dup/salt/cell_p would ride the 38M-pair shuffle for nothing)
     env = OI.index_envelopes_milli(envelopes, id_col=env_id).select(
-        env_id, "cell", "tier", "n_dup", "minx_m", "miny_m", "maxx_m", "maxy_m"
+        env_id, "cell", "tier", "minx_m", "miny_m", "maxx_m", "maxy_m"
     )
     if env_tiers is None:
         # stats-store hint first (read_indexed attaches it); discovery scan
@@ -57,6 +59,7 @@ def points_in_envelopes_join(
     if env_tiers is None:
         env_tiers = [int(r[0]) for r in env.select("tier").distinct().collect()]
     env_tiers = sorted(set(env_tiers))
+    env = env.drop("tier")
 
     # exact-integer point keys (same arithmetic family as the envelope
     # grid; parent shifts are exact by the nested-floor identity
