@@ -318,6 +318,38 @@ def cluster_hulls(
         points.select(F.col(id_col), F.col(x_col).alias("_hx"), F.col(y_col).alias("_hy")),
         id_col,
     )
+    # two-stage hull (convex hulls compose: hull(A∪B) = hull(verts(hull A) ∪
+    # verts(hull B))): stage 1 reduces each (cluster, shard) to its local
+    # hull vertices, so no single task ever holds a whole giant cluster —
+    # the final group sees only O(shards × hull_size) vertices.
+    n_shards = 16
+    shard_schema = T.StructType(
+        [
+            T.StructField("cluster", T.LongType()),
+            T.StructField("_hx", T.DoubleType()),
+            T.StructField("_hy", T.DoubleType()),
+        ]
+    )
+
+    def local_hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ring = G.convex_hull(pdf[["_hx", "_hy"]].to_numpy(dtype=np.float64))
+        return pd.DataFrame(
+            {
+                "cluster": int(pdf.cluster.iloc[0]),
+                "_hx": ring[:, 0],
+                "_hy": ring[:, 1],
+            }
+        )
+
+    shards = joined.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    )
+    hull_verts = shards.groupBy("cluster", "_shard").applyInPandas(
+        local_hull, shard_schema
+    )
+    sizes = joined.groupBy("cluster").agg(F.count("*").alias("_n_points"))
     out_schema = T.StructType(
         [
             T.StructField("cluster", T.LongType()),
@@ -343,14 +375,18 @@ def cluster_hulls(
         return pd.DataFrame(
             {
                 "cluster": [int(pdf.cluster.iloc[0])],
-                "n_points": [len(pdf)],
+                "n_points": [int(pdf._n_points.iloc[0])],
                 "n_vertices": [int(len(ring))],
                 "area2_milli": [area2],
                 "hull_wkb": [wkb],
             }
         )
 
-    return joined.groupBy("cluster").applyInPandas(one, out_schema)
+    return (
+        hull_verts.join(sizes, "cluster")  # AQE broadcasts when small
+        .groupBy("cluster")
+        .applyInPandas(one, out_schema)
+    )
 
 
 def kmeans_mllib(

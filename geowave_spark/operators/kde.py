@@ -102,13 +102,29 @@ def kde_grid(
 def kde_levels(grid: DataFrame) -> DataFrame:
     """Attach the reducer's per-level bands (AccumuloKDEReducer.java:137-196):
     ``normalized`` = weight/max(level), ``percentile`` = rank/totalCells with
-    ascending-weight RANK (ties share the first rank)."""
-    by_level = Window.partitionBy("level")
-    order = by_level.orderBy(F.col("weight_fp").asc())
+    ascending-weight RANK (ties share the first rank).
+
+    Scale shape: a naive ``rank() OVER (PARTITION BY level)`` puts a WHOLE
+    level's grid through one window partition — a single-reducer bottleneck
+    at fine levels.  Instead the rank is computed EXACTLY from the
+    distinct-weight histogram: RANK(cell) = 1 + Σ counts of strictly
+    smaller weights, so the only window runs over distinct weight values
+    (tiny — bounded by distinct mass sums, not cells) and everything else
+    is partial-aggregated groupBys + a shuffle join on (level, weight_fp).
+    """
+    stats = grid.groupBy("level").agg(
+        F.max("weight_fp").alias("_max"), F.count("*").alias("_n")
+    )
+    hist = grid.groupBy("level", "weight_fp").agg(F.count("*").alias("_c"))
+    w = (
+        Window.partitionBy("level")
+        .orderBy(F.col("weight_fp").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranks = hist.withColumn("_rank", F.sum("_c").over(w) - F.col("_c") + 1).drop("_c")
     return (
-        grid.withColumn("_max", F.max("weight_fp").over(by_level))
-        .withColumn("_n", F.count("*").over(by_level))
-        .withColumn("_rank", F.rank().over(order))
+        grid.join(ranks, ["level", "weight_fp"])
+        .join(F.broadcast(stats), "level")
         .select(
             "level",
             "gx",
