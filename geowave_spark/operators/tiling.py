@@ -80,9 +80,14 @@ def assign_tiles(
 
     mnx, mny, mxx, mxy = env_cols
     if level is None:
+        # 1-element explode = Generate barrier: binds the large tier-rule
+        # expression as a runtime attribute so the guard filter below can't
+        # re-inline it via predicate pushdown (see index_envelopes_milli)
         df = footprints.withColumn(
             "level",
-            X.tier_extent_milli_col(F.col(mxx) - F.col(mnx), F.col(mxy) - F.col(mny)),
+            F.explode(F.array(
+                X.tier_extent_milli_col(F.col(mxx) - F.col(mnx), F.col(mxy) - F.col(mny))
+            )),
         )
     else:
         df = footprints.withColumn("level", F.lit(level).cast("long"))
@@ -107,24 +112,33 @@ def assign_tiles(
     nx = ix1 - F.col("_ix0") + 1
     ny = iy1 - F.col("_iy0") + 1
     if level is None:
-        # tier-rule invariant: ≤2 cells/dim; above the cap = broken invariant
-        bad = (nx > max_cells_per_dim) | (ny > max_cells_per_dim)
+        # tier-rule invariant: ≤2 cells/dim; above the cap = broken
+        # invariant; inverted footprints would make sequence() DESCEND
+        bad = (
+            (nx > max_cells_per_dim) | (ny > max_cells_per_dim)
+            | (nx < 1) | (ny < 1)
+        )
         msg = (
             "assign_tiles: footprint cover exceeds max_cells_per_dim at its "
-            "native tier — tier-selection invariant violated"
+            "native tier or is inverted — tier-selection invariant violated"
         )
     else:
-        bad = nx * ny > max_explode_cells
+        bad = (nx * ny > max_explode_cells) | (nx < 1) | (ny < 1)
         msg = (
             f"assign_tiles: footprint covers more than {max_explode_cells} "
             f"tiles at level {level}; use a coarser level or raise "
             "max_explode_cells"
         )
-    # the guard is folded into _ix1 so column pruning can never skip it
-    err = F.expr(f"raise_error('{msg}')").cast("long")
+    # The guard runs ONCE per pre-explode row as a standalone filter (cannot
+    # be pruned, cannot move past the generate) so the sequence bounds stay
+    # clean whole-stage codegen — folding raise_error into the explode bound
+    # dropped the whole tree to interpreted eval (spatial_join A/B: ~11s).
+    from geowave_spark.operators.index import _invariant_guard
+
     df = (
-        df.withColumn("_ix1", F.when(bad, err).otherwise(ix1))
+        df.withColumn("_ix1", ix1)
         .withColumn("_iy1", iy1)
+        .filter(_invariant_guard(bad, msg))
         .withColumn("tile_ix", F.explode(F.sequence(F.col("_ix0"), F.col("_ix1"))))
         .withColumn("tile_iy", F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))))
         .drop("_ix0", "_ix1", "_iy0", "_iy1")
