@@ -9,11 +9,14 @@ Scale posture (round 2):
 * brute-force top-k — query side broadcast, one scan, window top-k; the
   exact baseline, right when |queries| is small;
 * near-dup pairs — :func:`neardup_pairs_q` blocks on a COMPUTED coarse
-  quantizer (integer hyperplane sign buckets, hamming≤2 multiprobe
+  quantizer (integer hyperplane sign buckets, hamming≤1 multiprobe
   self-join, each pair generated exactly once) — the all-pairs semantic
   near-dup path with no given label and no broadcast; ``planes`` is the
-  shard dial (2^planes buckets; raise it with corpus size, optionally as
-  several independent tables).  :func:`neardup_pairs` keeps the
+  shard dial (2^planes buckets; :func:`planes_for_corpus` derives it from
+  corpus size so bucket occupancy stays flat — 28 planes at 10^12 rows,
+  optionally as several independent tables).  Round 3 made the DEFAULT
+  scale-true: planes=8 / probe_hamming=1 scans 3.5% of the bucket-pair
+  space (the round-2 default scanned 69% — near-all-pairs).  :func:`neardup_pairs` keeps the
   given-blocking-key variant for when a cluster/label column exists;
 * ANN — :func:`ann_lsh` (small query set, broadcast probes) and
   :func:`ann_knn_join` (ALL-pairs approximate kNN: every vector a query,
@@ -84,10 +87,19 @@ def cosine_topk(
     ties (cos desc, id asc), cos rounded to 6dp."""
     from pyspark.sql import Window
 
-    base = emb.withColumn("_qv", quant_col(F.col(vec_col)))
+    # norms are per-ROW quantities: compute them once below the join (the
+    # join boundary stops Catalyst re-inlining them per pair) — 2/3 of the
+    # per-pair HOF work gone, arithmetic bit-identical (same sqrt operands)
+    base = emb.withColumn("_qv", quant_col(F.col(vec_col))).withColumn(
+        "_n", norm_col("_qv")
+    )
     q = (
         base.filter(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("q_id"), F.col("_qv").alias("q_emb"))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("_qv").alias("q_emb"),
+            F.col("_n").alias("_qn"),
+        )
     )
     pairs = (
         base.crossJoin(F.broadcast(q))
@@ -95,7 +107,7 @@ def cosine_topk(
         .withColumn(
             "cos",
             F.round(
-                dot_col("_qv", "q_emb") / (norm_col("_qv") * norm_col("q_emb")),
+                dot_col("_qv", "q_emb") / (F.col("_n") * F.col("_qn")),
                 6,
             ),
         )
@@ -147,27 +159,19 @@ def neardup_pairs(
 ) -> DataFrame:
     """Exact cosine near-dup pairs within a blocking key.
     Output: (id_a, id_b, cos) with cos ≥ tau, rounded 6dp."""
-    qemb = emb.withColumn("_qv", quant_col(F.col(vec_col)))
+    qemb = emb.withColumn("_qv", quant_col(F.col(vec_col))).withColumn(
+        "_n", norm_col("_qv")
+    )
     a = qemb.select(
-        F.col(id_col).alias("id_a"), F.col(block_col).alias("_blk"), F.col("_qv").alias("_va")
+        F.col(id_col).alias("id_a"), F.col(block_col).alias("_blk"),
+        F.col("_qv").alias("_va"), F.col("_n").alias("_na"),
     )
     b = qemb.select(
-        F.col(id_col).alias("id_b"), F.col(block_col).alias("_blk"), F.col("_qv").alias("_vb")
+        F.col(id_col).alias("id_b"), F.col(block_col).alias("_blk"),
+        F.col("_qv").alias("_vb"), F.col("_n").alias("_nb"),
     )
     pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
-    zero = F.lit(0).cast("long")
-    cos = F.round(
-        F.aggregate(
-            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
-            zero,
-            lambda acc, x: acc + x,
-        )
-        / (
-            F.sqrt(F.aggregate(F.col("_va"), zero, lambda acc, x: acc + x * x))
-            * F.sqrt(F.aggregate(F.col("_vb"), zero, lambda acc, x: acc + x * x))
-        ),
-        6,
-    )
+    cos = F.round(dot_col("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6)
     return (
         pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= tau)
@@ -205,26 +209,6 @@ def _plane_weight(p: int, d: int) -> float:
     return (h / 2**31) - 1.0
 
 
-def lsh_bucket_col(vec_col: str, dim: int, planes: int = LSH_PLANES) -> Column:
-    """Bucket id = sign bits of ``planes`` fixed hyperplane projections.
-
-    Each projection is ``aggregate(zip_with(vec, plane_literal, *), +)`` —
-    an array-literal dot product, keeping the expression tree small enough
-    for whole-stage codegen (a naive 12×64-term sum would not be)."""
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        plane = F.array(*[F.lit(_plane_weight(p, d)) for d in range(dim)])
-        proj = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, w: x * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return bucket
-
-
 def ann_lsh(
     emb: DataFrame,
     n_queries: int = 8,
@@ -247,8 +231,10 @@ def ann_lsh(
     the candidate-set DEFINITION is part of the operator contract."""
     from pyspark.sql import Window
 
-    data = emb.withColumn("_qv", quant_col(F.col(vec_col))).withColumn(
-        "_bkt", quantizer_bucket_col("_qv", dim, planes)
+    data = (
+        emb.withColumn("_qv", quant_col(F.col(vec_col)))
+        .withColumn("_bkt", quantizer_bucket_col("_qv", dim, planes))
+        .withColumn("_n", norm_col("_qv"))
     )
     q = (
         data.filter(F.col(id_col) < n_queries)
@@ -256,6 +242,7 @@ def ann_lsh(
             F.col(id_col).alias("q_id"),
             F.col("_qv").alias("q_emb"),
             F.col("_bkt").alias("_qbkt"),
+            F.col("_n").alias("_qn"),
         )
     )
     if multiprobe:
@@ -279,10 +266,7 @@ def ann_lsh(
         .dropDuplicates(["q_id", id_col])
         .withColumn(
             "cos",
-            F.round(
-                dot_col("_qv", "q_emb") / (norm_col("_qv") * norm_col("q_emb")),
-                6,
-            ),
+            F.round(dot_col("_qv", "q_emb") / (F.col("_n") * F.col("_qn")), 6),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
@@ -303,26 +287,50 @@ def ann_lsh(
 # no driver participation, no all-pairs block.
 # ---------------------------------------------------------------------------
 
-IVF_PLANES = 4
+IVF_PLANES = 8  # 256 buckets; hamming<=1 probing scans 9/256 = 3.5% of
+# bucket-pair space.  Round 2 shipped planes=4/probe=2 which probed 11/16
+# buckets (~69%) — near-all-pairs; the default must embody the documented
+# scale posture, not just the dial.
+IVF_PROBE_HAMMING = 1
 IVF_WSCALE = 127  # integer weight scale for cross-engine-exact projections
+
+
+def planes_for_corpus(n_rows: int, rows_per_bucket: int = 4096) -> int:
+    """Scale-true planes dial: enough sign bits that the EXPECTED bucket
+    occupancy is ~``rows_per_bucket`` (candidate work per row stays flat as
+    the corpus grows).  At 10^12 rows this yields 28 planes; floor is the
+    IVF_PLANES default so small corpora keep useful recall.  Callers pass
+    the result explicitly (the oracle builders take the same parameter) —
+    the operator itself never counts the corpus, which would cost an extra
+    full pass at 100 TB."""
+    import math
+
+    if n_rows <= rows_per_bucket:
+        return IVF_PLANES
+    return max(IVF_PLANES, min(30, math.ceil(math.log2(n_rows / rows_per_bucket))))
 
 
 def _plane_weight_int(p: int, d: int) -> int:
     return int(round(_plane_weight(p, d) * IVF_WSCALE))
 
 
-def quantizer_bucket_col(qvec_col: str, dim: int, planes: int = IVF_PLANES) -> Column:
+def quantizer_bucket_col(
+    qvec_col: str, dim: int, planes: int = IVF_PLANES, band: int = 0
+) -> Column:
     """Coarse bucket id = sign bits of ``planes`` INTEGER hyperplane
     projections of the pre-quantized (int64) embedding.
 
     All-integer arithmetic (weights are fixed ints, vector is fixed-point)
     so an external SQL engine reproduces bucket assignment bit-for-bit —
     unlike the float-projection ann_lsh bucket, this one is oracle-exact.
-    Ties (projection exactly 0) take bit 0."""
+    Ties (projection exactly 0) take bit 0.  ``band`` selects an
+    independent plane family (band b uses planes b*planes..(b+1)*planes-1)
+    for the OR-amplified multi-table variant."""
     bucket = F.lit(0).cast("long")
     for p in range(planes):
         w = F.array(
-            *[F.lit(_plane_weight_int(p, d)).cast("long") for d in range(dim)]
+            *[F.lit(_plane_weight_int(band * planes + p, d)).cast("long")
+              for d in range(dim)]
         )
         proj = F.aggregate(
             F.zip_with(F.col(qvec_col), w, lambda x, y: x * y),
@@ -355,51 +363,108 @@ def neardup_pairs_q(
     vec_col: str = "embedding",
     dim: int = 64,
     planes: int = IVF_PLANES,
-    probe_hamming: int = 2,
+    probe_hamming: int = IVF_PROBE_HAMMING,
+    bands: int = 1,
 ) -> DataFrame:
     """All-pairs cosine near-dup with a COMPUTED coarse quantizer.
 
-    A pair is a candidate iff their bucket ids differ in at most
-    ``probe_hamming`` sign bits; candidates get the exact fixed-point
-    cosine and the tau filter.  Each (a,b) candidate is generated exactly
-    once: the left side probes bucket XOR m over all masks of popcount <=
-    probe_hamming, and for a pair at hamming distance h <= probe_hamming
-    exactly one mask matches.
+    A pair is a candidate iff, in at least one of ``bands`` independent
+    plane families, their bucket ids differ in at most ``probe_hamming``
+    sign bits; candidates get the exact fixed-point cosine and the tau
+    filter.  Each (a,b) candidate is generated exactly once with NO dedup
+    shuffle: within a band the left side probes bucket XOR m over all
+    masks of popcount <= probe_hamming (exactly one mask matches a pair at
+    hamming h <= probe_hamming), and across bands a pair is emitted only
+    from its FIRST matching band (an earlier-band-miss filter over the
+    carried bucket arrays — pure column math).
 
-    Blocking recall is a dial (planes down / probe_hamming up => recall
-    up); candidate generation is part of the operator's DEFINITION, so the
-    DuckDB oracle reproduces the result exactly.  Output matches
-    :func:`neardup_pairs`: (id_a, id_b, cos).
+    Recall dials, with the candidate-fraction cost of each: ``bands`` up =>
+    OR-amplified recall up, candidate work up linearly (the standard LSH
+    multi-table construction — the right dial for genuine near-dup
+    similarity, cos >= 0.9); ``probe_hamming`` up => recall up, probes up
+    combinatorially; ``planes`` up => candidate work DOWN exponentially
+    (use :func:`planes_for_corpus` to keep bucket occupancy flat as the
+    corpus grows).  Candidate generation is part of the operator's
+    DEFINITION, so the DuckDB oracle reproduces the result exactly.
+    Output matches :func:`neardup_pairs`: (id_a, id_b, cos).
     """
     from geowave_spark.session import spread
 
     base = spread(
         emb.select(F.col(id_col), quant_col(F.col(vec_col)).alias("_qv"))
-    ).withColumn("_bkt", quantizer_bucket_col("_qv", dim, planes))
-    masks = _probe_masks(planes, probe_hamming)
-    probes = F.array(*[F.col("_bkt").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
-    a = base.select(
-        F.col(id_col).alias("id_a"),
-        F.col("_qv").alias("_va"),
-        F.explode(probes).alias("_blk"),
-    )
-    b = base.select(
-        F.col(id_col).alias("id_b"), F.col("_qv").alias("_vb"), F.col("_bkt").alias("_blk")
-    )
-    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
-    zero = F.lit(0).cast("long")
-    cos = F.round(
-        F.aggregate(
-            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
-            zero,
-            lambda acc, x: acc + x,
+    ).withColumn("_n", norm_col("_qv"))
+    if bands == 1:
+        base = base.withColumn("_bkt", quantizer_bucket_col("_qv", dim, planes))
+        masks = _probe_masks(planes, probe_hamming)
+        probes = F.array(
+            *[F.col("_bkt").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
         )
-        / (
-            F.sqrt(F.aggregate(F.col("_va"), zero, lambda acc, x: acc + x * x))
-            * F.sqrt(F.aggregate(F.col("_vb"), zero, lambda acc, x: acc + x * x))
-        ),
-        6,
-    )
+        a = base.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_qv").alias("_va"),
+            F.col("_n").alias("_na"),
+            F.explode(probes).alias("_blk"),
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_qv").alias("_vb"),
+            F.col("_n").alias("_nb"),
+            F.col("_bkt").alias("_blk"),
+        )
+        pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        # bind the band buckets as a RUNTIME attribute (1-element explode
+        # barrier) so the bands*(1+planes) probe expressions below reference
+        # a computed array instead of re-inlining bands heavy projections
+        base = base.withColumn(
+            "_bkts",
+            F.explode(F.array(F.array(
+                *[quantizer_bucket_col("_qv", dim, planes, band=bb)
+                  for bb in range(bands)]
+            ))),
+        )
+        masks = _probe_masks(planes, probe_hamming)
+        probe_structs = [
+            F.struct(
+                F.lit(bb).alias("_band"),
+                F.element_at("_bkts", bb + 1)
+                .bitwiseXOR(F.lit(m).cast("long"))
+                .alias("_blk"),
+            )
+            for bb in range(bands)
+            for m in masks
+        ]
+        a = base.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_qv").alias("_va"),
+            F.col("_n").alias("_na"),
+            F.col("_bkts").alias("_bksa"),
+            F.explode(F.array(*probe_structs)).alias("_pr"),
+        ).select("id_a", "_va", "_na", "_bksa", "_pr._band", "_pr._blk")
+        b = base.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_qv").alias("_vb"),
+            F.col("_n").alias("_nb"),
+            F.col("_bkts").alias("_bksb"),
+            F.posexplode("_bkts").alias("_band", "_blk"),
+        )
+        pairs = a.join(b, ["_band", "_blk"]).filter(F.col("id_a") < F.col("id_b"))
+        # first-matching-band emission: every band j < _band must MISS
+        # (hamming > probe_hamming) — all column math, no distinct shuffle.
+        # _band == 0 is guarded separately: sequence(0, -1) would DESCEND.
+        no_earlier = F.forall(
+            F.sequence(F.lit(0), F.col("_band") - 1),
+            lambda j: F.bit_count(
+                F.element_at(F.col("_bksa"), j + 1).bitwiseXOR(
+                    F.element_at(F.col("_bksb"), j + 1)
+                )
+            )
+            > F.lit(probe_hamming),
+        )
+        pairs = pairs.filter(
+            F.when(F.col("_band") == 0, F.lit(True)).otherwise(no_earlier)
+        )
+    cos = F.round(dot_col("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6)
     return (
         pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= tau)
@@ -412,7 +477,7 @@ def neardup_pairs_q_oracle(
     tau: float = NEARDUP_TAU,
     dim: int = 64,
     planes: int = IVF_PLANES,
-    probe_hamming: int = 2,
+    probe_hamming: int = IVF_PROBE_HAMMING,
 ) -> str:
     qv = duck_quant("embedding")
     proj_bits = " + ".join(
@@ -503,7 +568,7 @@ def ann_knn_join(
     vec_col: str = "embedding",
     dim: int = 64,
     planes: int = IVF_PLANES,
-    probe_hamming: int = 2,
+    probe_hamming: int = IVF_PROBE_HAMMING,
 ) -> DataFrame:
     """All-pairs approximate kNN over the embedding column: EVERY vector
     gets its top-k nearest among candidates whose quantizer bucket is
@@ -521,35 +586,27 @@ def ann_knn_join(
 
     from geowave_spark.session import spread
 
-    base = spread(
-        emb.select(F.col(id_col), quant_col(F.col(vec_col)).alias("_qv"))
-    ).withColumn("_bkt", quantizer_bucket_col("_qv", dim, planes))
+    base = (
+        spread(emb.select(F.col(id_col), quant_col(F.col(vec_col)).alias("_qv")))
+        .withColumn("_bkt", quantizer_bucket_col("_qv", dim, planes))
+        .withColumn("_n", norm_col("_qv"))
+    )
     masks = _probe_masks(planes, probe_hamming)
     probes = F.array(*[F.col("_bkt").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
     a = base.select(
         F.col(id_col).alias("query_id"),
         F.col("_qv").alias("_va"),
+        F.col("_n").alias("_na"),
         F.explode(probes).alias("_blk"),
     )
     b = base.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("_qv").alias("_vb"),
+        F.col("_n").alias("_nb"),
         F.col("_bkt").alias("_blk"),
     )
     pairs = a.join(b, "_blk").filter(F.col("query_id") != F.col("neighbor_id"))
-    zero = F.lit(0).cast("long")
-    cos = F.round(
-        F.aggregate(
-            F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
-            zero,
-            lambda acc, x: acc + x,
-        )
-        / (
-            F.sqrt(F.aggregate(F.col("_va"), zero, lambda acc, x: acc + x * x))
-            * F.sqrt(F.aggregate(F.col("_vb"), zero, lambda acc, x: acc + x * x))
-        ),
-        6,
-    )
+    cos = F.round(dot_col("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -566,7 +623,7 @@ def ann_knn_join_oracle(
     k: int = 5,
     dim: int = 64,
     planes: int = IVF_PLANES,
-    probe_hamming: int = 2,
+    probe_hamming: int = IVF_PROBE_HAMMING,
 ) -> str:
     qv = duck_quant("embedding")
     proj_bits = " + ".join(

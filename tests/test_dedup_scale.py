@@ -65,55 +65,115 @@ def emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
 
 
-def test_neardup_q_exact_subset_and_recall(spark, emb):
-    """Quantizer-blocked pairs are a SUBSET of brute-force tau-pairs with
-    bit-identical cosines, unique per pair, at recall >= 0.7 (tau=0.30 is a
-    weak-similarity regime; true near-dup thresholds collide harder)."""
-    got = OE.neardup_pairs_q(emb).toPandas()
-    # brute force over the same fixed-point arithmetic
-    pdf = emb.toPandas()
-    def half_away(v):  # Spark ROUND semantics (numpy rounds half-to-even)
-        return np.sign(v) * np.floor(np.abs(v) + 0.5)
+def _half_away(v):  # Spark ROUND semantics (numpy rounds half-to-even)
+    return np.sign(v) * np.floor(np.abs(v) + 0.5)
 
-    q = np.stack(
-        [half_away(np.asarray(v, dtype=np.float64) * OE.QUANT).astype(np.int64)
+
+def _quant_matrix(pdf):
+    return np.stack(
+        [_half_away(np.asarray(v, dtype=np.float64) * OE.QUANT).astype(np.int64)
          for v in pdf.embedding]
     )
+
+
+def _brute_pairs(pdf, tau):
+    q = _quant_matrix(pdf)
     ids = pdf.vec_id.to_numpy()
     dots = q @ q.T
     norms = np.sqrt((q * q).sum(axis=1, dtype=np.int64).astype(np.float64))
     cos = np.round(dots / np.outer(norms, norms), 6)
     iu = np.triu_indices(len(ids), k=1)
-    mask = cos[iu] >= OE.NEARDUP_TAU
-    true_pairs = {
+    mask = cos[iu] >= tau
+    return {
         (int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))): float(cos[i, j])
         for i, j in zip(iu[0][mask], iu[1][mask])
     }
+
+
+def test_neardup_q_exact_subset_no_duplicates(spark, emb):
+    """Quantizer-blocked pairs are a SUBSET of brute-force tau-pairs with
+    bit-identical cosines, unique per pair (exactly-once emission)."""
+    got = OE.neardup_pairs_q(emb).toPandas()
+    true_pairs = _brute_pairs(emb.toPandas(), OE.NEARDUP_TAU)
     got_pairs = {(int(r.id_a), int(r.id_b)): float(r.cos) for r in got.itertuples()}
     assert len(got_pairs) == len(got), "multiprobe must not duplicate pairs"
+    assert len(got_pairs) > 0
     for p, c in got_pairs.items():
         assert p in true_pairs and abs(true_pairs[p] - c) < 1e-9
-    recall = len(got_pairs) / max(len(true_pairs), 1)
-    assert recall >= 0.7, f"recall {recall:.2f}"
 
 
-def test_neardup_q_bucket_fanout_bounded(spark, emb):
-    """Candidate generation is bounded by bucket occupancy, not |N|^2: the
-    probe explode emits exactly 1 + P + C(P,2) rows per vector."""
-    base = emb.select(
+def test_neardup_q_recall_on_genuine_neardups(spark, emb):
+    """The DEFAULT dial must catch genuine near-duplicates.  The synthetic
+    embeddings table has NO pair above cos 0.8 (tau=0.30 there is a
+    weak-similarity regime where any sub-10%-candidate blocking scheme has
+    low recall by construction), so inject real near-dups: copies of 40
+    base vectors with small deterministic perturbations (cos >= ~0.99)."""
+    pdf = emb.toPandas().head(40).copy()
+    rows = []
+    for i, r in enumerate(pdf.itertuples()):
+        v = np.asarray(r.embedding, dtype=np.float64)
+        noise = np.cos(np.arange(64) * (i + 3) * 0.7) * 0.02 * np.abs(v).mean()
+        rows.append((10_000 + i, (v + noise).tolist()))
+        rows.append((20_000 + i, v.tolist()))
+    dup = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = OE.neardup_pairs_q(dup, tau=0.98).toPandas()
+    got_pairs = {(int(r.id_a), int(r.id_b)) for r in got.itertuples()}
+    want = {(10_000 + i, 20_000 + i) for i in range(40)}
+    recall = len(got_pairs & want) / len(want)
+    assert recall >= 0.85, f"default-dial recall on cos>=0.99 dups: {recall:.2f}"
+    # the banded OR-amplified dial recovers the rest
+    got2 = OE.neardup_pairs_q(dup, tau=0.98, bands=3).toPandas()
+    got2_pairs = {(int(r.id_a), int(r.id_b)) for r in got2.itertuples()}
+    assert len(got2_pairs & want) >= len(got_pairs & want)
+    assert len(got2_pairs & want) / len(want) >= 0.95
+
+
+def test_neardup_q_banded_exactly_once_and_subset(spark, emb):
+    """bands>1: pairs still unique (first-matching-band emission, no dedup
+    shuffle), still a subset of brute force with exact cosines, and a
+    SUPERSET of the single-band result (OR-amplification only adds)."""
+    got1 = OE.neardup_pairs_q(emb).toPandas()
+    got3 = OE.neardup_pairs_q(emb, bands=3).toPandas()
+    true_pairs = _brute_pairs(emb.toPandas(), OE.NEARDUP_TAU)
+    p1 = {(int(r.id_a), int(r.id_b)) for r in got1.itertuples()}
+    p3 = {(int(r.id_a), int(r.id_b)): float(r.cos) for r in got3.itertuples()}
+    assert len(p3) == len(got3), "banded emission must not duplicate pairs"
+    assert p1 <= set(p3)
+    for p, c in p3.items():
+        assert p in true_pairs and abs(true_pairs[p] - c) < 1e-9
+
+
+def test_neardup_q_candidate_fraction_bounded(spark):
+    """The SHIPPED default dial (planes=8, probe_hamming=1) generates < 10%
+    of the all-pairs space as candidates at bench scale (sf0.1, 2000
+    vectors) — the round-2 default scanned ~69%."""
+    emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = emb01.count()
+    base = emb01.select(
         "vec_id", OE.quant_col(F.col("embedding")).alias("_qv")
     ).withColumn("_bkt", OE.quantizer_bucket_col("_qv", 64, OE.IVF_PLANES))
-    n = emb.count()
-    masks = OE._probe_masks(OE.IVF_PLANES, 2)
+    masks = OE._probe_masks(OE.IVF_PLANES, OE.IVF_PROBE_HAMMING)
     probes = F.array(
         *[F.col("_bkt").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
     )
-    exploded = base.withColumn("_p", F.explode(probes))
-    assert exploded.count() == n * len(masks)
-    # buckets genuinely shard the corpus (no single bucket holds everything)
+    a = base.select(F.col("vec_id").alias("id_a"), F.explode(probes).alias("_blk"))
+    b = base.select(F.col("vec_id").alias("id_b"), F.col("_bkt").alias("_blk"))
+    n_cand = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b")).count()
+    frac = n_cand / (n * (n - 1) / 2)
+    assert frac < 0.10, f"candidate fraction {frac:.3f}"
+    # and the probe fan-out is exactly 1 + planes rows per vector
+    assert a.count() == n * len(masks)
+    # buckets genuinely shard the corpus
     occ = base.groupBy("_bkt").count().toPandas()
     assert occ["count"].max() < n
     assert len(occ) > 1
+
+
+def test_planes_for_corpus_scales():
+    assert OE.planes_for_corpus(1000) == OE.IVF_PLANES
+    assert OE.planes_for_corpus(10**9) > OE.IVF_PLANES
+    assert OE.planes_for_corpus(10**12) == 28
+    assert OE.planes_for_corpus(10**15) == 30  # capped
 
 
 def test_arrow_signature_paths_bit_identical(spark, sf_dir):
