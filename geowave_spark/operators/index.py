@@ -141,28 +141,87 @@ def write_indexed(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     )
     # co-write the stats store (reference DataStatistics metadata table):
     # tier occupancy drives query-side tier selection with NO discovery
-    # scan (TieredSFCIndexStrategy.java:131-138 tier metadata analogue)
+    # scan (TieredSFCIndexStrategy.java:131-138 tier metadata analogue).
+    # On append, MERGE with the existing counts — overwriting with only the
+    # appended batch's tiers would silently drop rows at the missing tiers
+    # from every later cover join.
     from geowave_spark import stats as ST
 
-    ST.tier_counts(df).write.mode("overwrite").parquet(
-        f"{path}/_stats/tier_counts"
-    )
+    tc = ST.tier_counts(df)
+    if mode == "append":
+        try:
+            prev = df.sparkSession.read.parquet(f"{path}/_stats/tier_counts")
+            tc = (
+                tc.unionByName(prev)
+                .groupBy("tier")
+                .agg(F.sum("n_rows").alias("n_rows"))
+            )
+        except Exception:
+            pass  # first write to this path: nothing to merge
+        tc = tc.localCheckpoint()  # sever lineage from the file being replaced
+    tc.write.mode("overwrite").parquet(f"{path}/_stats/tier_counts")
 
 
 def read_indexed(spark, path: str) -> DataFrame:
     """Read an indexed table; attaches occupied-tier metadata from the
-    co-written stats store so cover joins skip the tier-discovery scan."""
+    co-written stats store so cover joins skip the tier-discovery scan.
+
+    The ``_gw_tiers`` attribute is a fast-path hint only — ANY DataFrame
+    transformation returns a new object and drops it.  The DURABLE channel
+    is the stats store itself: query builders recover it through
+    :func:`stats_tiers_for`, which walks the (transformation-surviving)
+    plan back to the source files and reads ``_stats/tier_counts``."""
     df = spark.read.parquet(path)
     try:
-        df._gw_tiers = [
-            int(r["tier"])
-            for r in spark.read.parquet(f"{path}/_stats/tier_counts")
-            .filter(F.col("n_rows") > 0)
-            .collect()
-        ]
+        df._gw_tiers = read_stats_tiers(spark, path)
     except Exception:
         pass  # no stats store (externally-written table): queries fall back
     return df
+
+
+def read_stats_tiers(spark, path: str) -> list[int]:
+    """Occupied tiers from a table's co-written stats store."""
+    return sorted(
+        int(r["tier"])
+        for r in spark.read.parquet(f"{path}/_stats/tier_counts")
+        .filter(F.col("n_rows") > 0)
+        .collect()
+    )
+
+
+def stats_tiers_for(df: DataFrame) -> list[int] | None:
+    """Occupied tiers for ``df`` from its source table's co-written stats
+    store — survives arbitrary DataFrame transformations (filter/select/
+    alias), unlike the ``_gw_tiers`` attribute.
+
+    Walks the plan's input files up past ``key=value`` partition dirs to
+    the table root(s) and reads ``_stats/tier_counts`` (a tiny metadata
+    parquet — reading it is O(tiers), not a data scan).  Returns None when
+    ``df`` is not file-backed or no source has a stats store, in which
+    case callers fall back to a tier-discovery scan.  Production callers
+    that know the store path should pass ``tiers=``/``stats_path=``
+    explicitly and skip even this driver-side file listing."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    roots = set()
+    for f in files[:256]:
+        d = os.path.dirname(f)
+        while "=" in os.path.basename(d):
+            d = os.path.dirname(d)
+        roots.add(d)
+    tiers: set[int] = set()
+    found = False
+    for root in roots:
+        try:
+            tiers.update(read_stats_tiers(df.sparkSession, root))
+            found = True
+        except Exception:
+            continue
+    return sorted(tiers) if found else None
 
 
 def index_envelopes_milli(

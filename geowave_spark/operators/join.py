@@ -38,14 +38,18 @@ def points_in_envelopes_join(
     point_id: str = "point_id",
     env_id: str = "env_id",
     env_tiers: list[int] | None = None,
+    stats_path: str | None = None,
 ) -> DataFrame:
     """All (point, envelope) pairs where the point lies inside the
     envelope (closed bounds, exact integer milli coords).
 
     ``points`` needs (point_id, lon, lat, lon_milli, lat_milli);
     ``envelopes`` needs (env_id, minx_m, miny_m, maxx_m, maxy_m).
-    ``env_tiers``: occupied envelope tiers if known (stats table) — else
-    one distinct scan discovers them.
+    ``env_tiers``: occupied envelope tiers if known (spec constants or
+    stats table); else ``stats_path`` or the envelope table's own
+    co-written stats store (recovered from the plan — survives any
+    DataFrame transformation) supplies them; one distinct scan discovers
+    them only as the last resort (at 100 TB that is an extra full pass).
     """
     # slim shuffle width: the join needs only id + key + exact bounds
     # (tier/n_dup/salt/cell_p would ride the 38M-pair shuffle for nothing)
@@ -53,9 +57,14 @@ def points_in_envelopes_join(
         env_id, "cell", "tier", "minx_m", "miny_m", "maxx_m", "maxy_m"
     )
     if env_tiers is None:
-        # stats-store hint first (read_indexed attaches it); discovery scan
-        # only as a last resort — at 100 TB that is an extra full pass
         env_tiers = getattr(envelopes, "_gw_tiers", None)
+    if env_tiers is None and stats_path is not None:
+        env_tiers = OI.read_stats_tiers(envelopes.sparkSession, stats_path)
+    if env_tiers is None and "tier" in envelopes.columns:
+        # only auto-recover a stats store when ``envelopes`` IS an indexed
+        # table (carries its tier column) — a store co-written for some
+        # OTHER indexing of the same files would silently drop tiers
+        env_tiers = OI.stats_tiers_for(envelopes)
     if env_tiers is None:
         env_tiers = [int(r[0]) for r in env.select("tier").distinct().collect()]
     env_tiers = sorted(set(env_tiers))

@@ -92,6 +92,7 @@ def cover_join(
     queries: list[BoxQuery],
     tiers: list[int] | None = None,
     max_cells: int = 1024,
+    stats_path: str | None = None,
 ) -> DataFrame:
     """Broadcast cover join: returns ``data`` rows × matching ``query_id``.
 
@@ -102,10 +103,21 @@ def cover_join(
     """
     spark = data.sparkSession
     if tiers is None:
-        # tier metadata travels with the DataFrame when known (index_points
-        # static tier; read_indexed stats store) — the discovery scan is the
-        # LAST resort (at 100 TB it is a full extra pass per query)
+        # resolution order: the attribute fast path (index_points static
+        # tier — survives only on the unmodified object), then an explicit
+        # stats store path, then the stats store RECOVERED from the plan's
+        # source files (survives filter/select — operators/index.py
+        # stats_tiers_for); the tier-discovery distinct scan is the LAST
+        # resort (at 100 TB it is a full extra pass per query)
         tiers = getattr(data, "_gw_tiers", None)
+    if tiers is None and stats_path is not None:
+        from geowave_spark.operators.index import read_stats_tiers
+
+        tiers = read_stats_tiers(spark, stats_path)
+    if tiers is None:
+        from geowave_spark.operators.index import stats_tiers_for
+
+        tiers = stats_tiers_for(data)
     if tiers is None:
         tiers = [row[0] for row in data.select("tier").distinct().collect()]
     tiers = sorted(int(t) for t in tiers)

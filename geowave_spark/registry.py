@@ -590,11 +590,12 @@ def q_minhash_lsh(spark, sf_dir):
 register("minhash_lsh_pairs", q_minhash_lsh, OD.minhash_lsh_pairs_oracle())
 
 
-def q_simhash(spark, sf_dir):
-    return OD.simhash(_docs(spark, sf_dir))
-
-
-register("simhash", q_simhash, OD.simhash_oracle())
+# NOTE: the per-doc `simhash` query was retired from the registry in round
+# 3 to keep the roster at the driver's 50-row gate (round 2 registered 51
+# and the 51st, json_props, was silently dropped from CORRECTNESS_r02).
+# Coverage is unchanged: simhash_pairs' oracle re-derives every signature
+# in SQL (transitively oracle-exact), and pytest pins the per-doc values
+# plus Arrow/Catalyst cross-path equality (test_dedup_scale.py).
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -1292,6 +1293,22 @@ register(
 from geowave_spark.operators import join as OJ  # noqa: E402
 
 
+def _footprint_spec_tiers() -> list[int]:
+    """Occupied tiers DERIVED from the footprint spec constants (half
+    extents {32..1024} milli), not a hardcoded literal: a world-box-clamped
+    envelope's span lies in [half, 2*half], so its tier-rule tier lies in
+    {tier(2*half), tier(half)} — evaluate the same kernel the indexer uses
+    over both endpoints.  A spec change can therefore never silently drop
+    envelopes at unlisted tiers (the round-2 hardcoded range(6,12) hazard)."""
+    import numpy as np
+
+    from geowave_spark.functions import cells as C
+
+    exts = sorted({e for h in (32, 64, 128, 256, 512, 1024) for e in (h, 2 * h)})
+    arr = np.asarray(exts, dtype=np.int64)
+    return sorted({int(t) for t in C.tier_select_extent_milli(arr, arr)})
+
+
 def q_spatial_join(spark, sf_dir):
     pts = TB.geo_events(spark, sf_dir).select(
         F.col("event_id").alias("point_id"), "lon", "lat", "lon_milli", "lat_milli"
@@ -1299,11 +1316,10 @@ def q_spatial_join(spark, sf_dir):
     envs = TB.geo_footprints(spark, sf_dir).select(
         F.col("event_id").alias("env_id"), "minx_m", "miny_m", "maxx_m", "maxy_m"
     )
-    # occupied tiers are part of the footprint table SPEC (half extents
-    # {32..1024} milli -> native levels 11..6) — stats-hint equivalent,
+    # occupied tiers from the footprint table SPEC — stats-hint equivalent,
     # no discovery scan (the production path reads _stats/tier_counts)
     return OJ.points_in_envelopes_join(
-        pts, envs, env_tiers=list(range(6, 12))
+        pts, envs, env_tiers=_footprint_spec_tiers()
     ).select("point_id", "env_id")
 
 

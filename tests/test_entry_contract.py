@@ -42,6 +42,18 @@ def test_query_matches_oracle(spark, name):
             assert (g == w).all(), f"{name}.{c} mismatch"
 
 
+def test_registry_fits_driver_gate():
+    """The driver checks (at most) the first 50 queries() entries: round 2
+    registered 51 and the 51st (json_props) silently vanished from
+    CORRECTNESS_r02.json.  Pin the roster at <= 50 so every registered
+    query gets a correctness row, and pin the queries that regressed out
+    of the gate before."""
+    q = E.queries()
+    assert len(q) <= 50, f"{len(q)} queries registered; driver gates 50"
+    assert "json_props" in q
+    assert set(E.oracle_sql()) <= set(q)
+
+
 def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() >= 0

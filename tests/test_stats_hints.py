@@ -72,6 +72,75 @@ def test_spatial_join_uses_envelope_hint(spark, sf_dir, monkeypatch):
     assert plan.count() == want
 
 
+def test_stats_tiers_survive_transformations(spark, sf_dir, tmp_path, monkeypatch):
+    """The _gw_tiers attribute dies on ANY transformation; the stats store
+    is the durable channel.  read_indexed(...).filter(...) followed by a
+    cover join must recover tiers from _stats/tier_counts — no
+    tier-discovery distinct scan over the data."""
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    path = str(tmp_path / "idx")
+    OI.write_indexed(geo, path)
+    back = OI.read_indexed(spark, path).filter(F.col("lat") > -80.0)
+    assert not hasattr(back, "_gw_tiers")  # the attribute is gone...
+    assert OI.stats_tiers_for(back) == [OI.C.MAX_RES]  # ...the store is not
+
+    def boom(self):
+        raise AssertionError("tier-discovery distinct scan ran")
+
+    monkeypatch.setattr(DataFrame, "distinct", boom)
+    plan = P.cover_join(back, [P.BoxQuery("q", -74.5, 40.2, -73.5, 41.2)])
+    monkeypatch.undo()
+    n = plan.filter(P.bbox_residual(-74.5, 40.2, -73.5, 41.2)).count()
+    assert n > 0
+
+
+def test_write_indexed_append_merges_tier_counts(spark, sf_dir, tmp_path):
+    """Appending a batch must MERGE tier_counts with the existing store —
+    overwriting with only the new batch's tiers would silently drop rows
+    at the missing tiers from every later cover join."""
+    geo = TB.geo_events(spark, sf_dir)
+    a = OI.index_points(geo, id_col="event_id", res=10)
+    b = OI.index_points(geo, id_col="event_id", res=14)
+    path = str(tmp_path / "idx")
+    OI.write_indexed(a, path)
+    OI.write_indexed(b, path, mode="append")
+    assert OI.read_stats_tiers(spark, path) == [10, 14]
+    tc = spark.read.parquet(f"{path}/_stats/tier_counts").toPandas()
+    n = geo.count()
+    assert sorted(tc.n_rows) == [n, n]
+
+
+def test_spatial_join_recovers_tiers_from_indexed_envelope_table(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """An envelope table written with its stats store, read back and
+    transformed, still supplies env_tiers with no discovery scan."""
+    fps = TB.geo_footprints(spark, sf_dir).select(
+        F.col("event_id").alias("env_id"), "minx_m", "miny_m", "maxx_m", "maxy_m"
+    )
+    indexed = OI.index_envelopes_milli(fps, id_col="env_id")
+    path = str(tmp_path / "envs")
+    OI.write_indexed(indexed, path)
+    back = OI.read_indexed(spark, path).filter(F.col("env_id") >= 0)
+    pts = TB.geo_events(spark, sf_dir).select(
+        F.col("event_id").alias("point_id"), "lon_milli", "lat_milli"
+    )
+    want = OJ.points_in_envelopes_join(pts, fps, env_tiers=None).count()
+
+    def boom(self):
+        raise AssertionError("tier-discovery distinct scan ran")
+
+    monkeypatch.setattr(DataFrame, "distinct", boom)
+    # the stored table is exploded one-row-per-(entry, cell): collapse back
+    # to one row per envelope before re-indexing (lazy — runs after undo)
+    env_back = back.select(
+        "env_id", "tier", "minx_m", "miny_m", "maxx_m", "maxy_m"
+    ).dropDuplicates(["env_id"])
+    plan = OJ.points_in_envelopes_join(pts, env_back)
+    monkeypatch.undo()
+    assert plan.count() == want
+
+
 def test_checkpoint_invalidated_by_inplace_rewrite(tmp_path):
     p = tmp_path / "input.parquet"
     p.write_bytes(b"v1-bytes")
