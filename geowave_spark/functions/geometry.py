@@ -15,6 +15,7 @@ Geometry model (all the reference's vector tests need):
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -642,3 +643,200 @@ def ring_area2(ring: np.ndarray) -> float:
     r = np.asarray(ring, dtype=np.float64)
     x, y = r[:, 0], r[:, 1]
     return float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+# ---------------------------------------------------------------------------
+# Concave hull: Park & Oh's "dig" refinement of the convex hull (Jin-Seo
+# Park, Se-Jong Oh, "A New Concave Hull Algorithm and Concaveness Measure
+# for n-dimensional Datasets", 2010 — a published public algorithm).  The
+# reference's cluster geometry tool builds the same construction with the
+# same guards (GeometryHullTool.java:279-392 concaveHullParkOhMethod,
+# concaveThreshold=1.8); this is an original Python re-expression, not a
+# translation.
+# ---------------------------------------------------------------------------
+
+CONCAVE_THRESHOLD = 1.8  # Park & Oh's N; reference GeometryHullTool.java:53
+
+
+class _Edge:
+    __slots__ = ("s", "e", "length", "last", "next", "alive")
+
+    def __init__(self, s, e):
+        self.s = s
+        self.e = e
+        self.length = math.hypot(e[0] - s[0], e[1] - s[1])
+        self.last = self.next = None
+        self.alive = True
+
+
+def _seg_profile(s, e, p):
+    """(t, d): projection parameter of p on segment s→e and distance from
+    p to the segment (closest endpoint when t falls outside [0, 1])."""
+    ex, ey = e[0] - s[0], e[1] - s[1]
+    px, py = p[0] - s[0], p[1] - s[1]
+    l2 = ex * ex + ey * ey
+    t = 0.0 if l2 == 0.0 else (px * ex + py * ey) / l2
+    if t < 0.0:
+        d = math.hypot(p[0] - s[0], p[1] - s[1])
+    elif t > 1.0:
+        d = math.hypot(p[0] - e[0], p[1] - e[1])
+    else:
+        d = math.hypot(p[0] - (s[0] + t * ex), p[1] - (s[1] + t * ey))
+    return t, d
+
+
+def _edge_dist(s, e, p):
+    """Distance from p to edge s→e, or -1 when p projects outside the
+    edge's strip (the candidate 'belongs' to some other edge)."""
+    t, d = _seg_profile(s, e, p)
+    return -1.0 if (t < 0.0 or t > 1.0) else d
+
+
+def _segs_cross(a0, a1, b0, b1) -> bool:
+    """True when segments a and b intersect or touch (the conservative
+    test the dig uses to reject hull-breaking swaps)."""
+
+    def orient(p, q, r):
+        return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+
+    def on_seg(p, q, r):
+        return (
+            min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+            and min(p[1], q[1]) <= r[1] <= max(p[1], q[1])
+        )
+
+    o1, o2 = orient(a0, a1, b0), orient(a0, a1, b1)
+    o3, o4 = orient(b0, b1, a0), orient(b0, b1, a1)
+    if ((o1 > 0) != (o2 > 0) and o1 != 0 and o2 != 0) and (
+        (o3 > 0) != (o4 > 0) and o3 != 0 and o4 != 0
+    ):
+        return True
+    if o1 == 0 and on_seg(a0, a1, b0):
+        return True
+    if o2 == 0 and on_seg(a0, a1, b1):
+        return True
+    if o3 == 0 and on_seg(b0, b1, a0):
+        return True
+    if o4 == 0 and on_seg(b0, b1, a1):
+        return True
+    return False
+
+
+def _swap_intersects_ring(new_s, new_e, edge) -> bool:
+    """Would segment new_s→new_e cross any ring edge other than ``edge``
+    and its two neighbors (which share endpoints by construction)?"""
+    cur = edge.next.next
+    stop = edge.last
+    while cur is not stop:
+        if _segs_cross(new_s, new_e, cur.s, cur.e):
+            return True
+        cur = cur.next
+    return False
+
+
+def concave_hull(
+    pts: np.ndarray, threshold: float = CONCAVE_THRESHOLD, eps: float = 1e-9
+) -> np.ndarray:
+    """Concave hull of (N,2) points: Park & Oh dig refinement of the convex
+    hull, returning a simple CCW ring WITHOUT the closing vertex.
+
+    Longest edge first: find the nearest interior point p within the
+    edge's strip; if the edge is more than ``threshold`` times longer than
+    min(|start-p|, |end-p|) AND p is not closer to some other hull edge
+    AND the swap does not cross the ring, replace the edge with
+    (start→p, p→end).  Every input point remains on or inside the ring.
+    Degenerate inputs (N<3, collinear) return the convex-hull result."""
+    import heapq
+
+    ring = convex_hull(pts)
+    if len(ring) < 3:
+        return ring
+    verts = [tuple(v) for v in ring]
+    vset = set(verts)
+    inner = {
+        tuple(p)
+        for p in np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+        if tuple(p) not in vset
+    }
+    edges = [_Edge(verts[i], verts[(i + 1) % len(verts)]) for i in range(len(verts))]
+    for i, ed in enumerate(edges):
+        ed.last = edges[i - 1]
+        ed.next = edges[(i + 1) % len(edges)]
+    heap: list = []
+    seq = 0  # tie-break: heapq must never compare _Edge objects
+    for ed in edges:
+        heapq.heappush(heap, (-ed.length, seq, ed))
+        seq += 1
+    head = edges[0]
+    while heap and inner:
+        _, _, edge = heapq.heappop(heap)
+        if not edge.alive:
+            continue
+        head = edge
+        score, cand = math.inf, None
+        for p in inner:
+            d = _edge_dist(edge.s, edge.e, p)
+            if 0.0 <= d < eps:  # on the edge itself
+                score, cand = 0.0, p
+                break
+            if 0.0 < d < score:
+                score, cand = d, p
+        if cand is None:
+            continue  # edge permanently retired (no point in its strip)
+        if score == 0.0:
+            # splice the on-edge point INTO the ring (two collinear edges)
+            # rather than discarding it: a discarded point could leak
+            # outside after a later dig of this same edge (the reference
+            # has that leak — GeometryHullTool.java:335-339 removes it)
+            inner.discard(cand)
+            e1, e2 = _Edge(edge.s, cand), _Edge(cand, edge.e)
+            e1.last, e1.next = edge.last, e2
+            e2.last, e2.next = e1, edge.next
+            edge.last.next = e1
+            edge.next.last = e2
+            edge.alive = False
+            edges.append(e1)
+            edges.append(e2)
+            heapq.heappush(heap, (-e1.length, seq, e1))
+            heapq.heappush(heap, (-e2.length, seq + 1, e2))
+            seq += 2
+            head = e1
+            continue
+        # the candidate may genuinely belong to a different edge
+        closer_elsewhere = False
+        for other in edges:
+            if other is edge or not other.alive:
+                continue
+            d = _edge_dist(other.s, other.e, cand)
+            if 0.0 <= d < score:
+                closer_elsewhere = True
+                break
+        if closer_elsewhere:
+            continue
+        inner.discard(cand)
+        d_s = math.hypot(cand[0] - edge.s[0], cand[1] - edge.s[1])
+        d_e = math.hypot(cand[0] - edge.e[0], cand[1] - edge.e[1])
+        if min(d_s, d_e) <= 0.0 or edge.length / min(d_s, d_e) <= threshold:
+            continue
+        if _swap_intersects_ring(edge.s, cand, edge) or _swap_intersects_ring(
+            cand, edge.e, edge
+        ):
+            continue
+        e1, e2 = _Edge(edge.s, cand), _Edge(cand, edge.e)
+        e1.last, e1.next = edge.last, e2
+        e2.last, e2.next = e1, edge.next
+        edge.last.next = e1
+        edge.next.last = e2
+        edge.alive = False
+        edges.append(e1)
+        edges.append(e2)
+        heapq.heappush(heap, (-e1.length, seq, e1))
+        heapq.heappush(heap, (-e2.length, seq + 1, e2))
+        seq += 2
+        head = e1
+    out = [head.s]
+    cur = head.next
+    while cur is not head:
+        out.append(cur.s)
+        cur = cur.next
+    return np.asarray(out, dtype=np.float64)

@@ -297,10 +297,13 @@ def cluster_hulls(
     id_col: str = "event_id",
     x_col: str = "lon_milli",
     y_col: str = "lat_milli",
+    concave_threshold: float | None = None,
 ) -> DataFrame:
-    """Per-cluster convex hull — the reference's cluster-output geometry
-    (analytics/api/.../GeometryHullTool.java, 1112 LoC of JTS hull
-    stitching; DBScanIT expects hull geometries, not bare labels).
+    """Per-cluster convex (and optionally concave) hull — the reference's
+    cluster-output geometry (analytics/api/.../GeometryHullTool.java, 1112
+    LoC of JTS hull stitching; DBScanIT expects hull geometries, not bare
+    labels; its concave path is the Park & Oh dig with concaveThreshold
+    1.8, GeometryHullTool.java:279-392).
 
     One groupBy(cluster).applyInPandas with a numpy monotone chain per
     group: clusters are small relative to the corpus, and the shuffle is
@@ -308,7 +311,15 @@ def cluster_hulls(
     Returns (cluster, n_points, n_vertices, area2_milli, hull_wkb):
     ``area2_milli`` is the integer-exact doubled shoelace area over
     milli-degree coords; ``hull_wkb`` a standard WKB polygon (CCW).
-    """
+
+    ``concave_threshold`` (e.g. 1.8, the reference default) adds
+    (concave_n_vertices, concave_area2_milli, concave_wkb) columns.  Scale
+    note: stage 1 then reduces each shard to its local CONCAVE hull
+    vertices (for convex hulls the two-stage reduction is lossless; for
+    concave it keeps each shard's notch-defining boundary points and drops
+    only shard-interior points, so the cluster-level dig is an
+    approximation whose candidate set is the union of shard boundaries —
+    exact when a cluster's points land in one shard)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -334,7 +345,11 @@ def cluster_hulls(
     def local_hull(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        ring = G.convex_hull(pdf[["_hx", "_hy"]].to_numpy(dtype=np.float64))
+        pts = pdf[["_hx", "_hy"]].to_numpy(dtype=np.float64)
+        if concave_threshold is None:
+            ring = G.convex_hull(pts)
+        else:
+            ring = G.concave_hull(pts, threshold=concave_threshold)
         return pd.DataFrame(
             {
                 "cluster": int(pdf.cluster.iloc[0]),
@@ -350,37 +365,52 @@ def cluster_hulls(
         local_hull, shard_schema
     )
     sizes = joined.groupBy("cluster").agg(F.count("*").alias("_n_points"))
-    out_schema = T.StructType(
-        [
-            T.StructField("cluster", T.LongType()),
-            T.StructField("n_points", T.LongType()),
-            T.StructField("n_vertices", T.IntegerType()),
-            T.StructField("area2_milli", T.DoubleType()),
-            T.StructField("hull_wkb", T.BinaryType()),
+    fields = [
+        T.StructField("cluster", T.LongType()),
+        T.StructField("n_points", T.LongType()),
+        T.StructField("n_vertices", T.IntegerType()),
+        T.StructField("area2_milli", T.DoubleType()),
+        T.StructField("hull_wkb", T.BinaryType()),
+    ]
+    if concave_threshold is not None:
+        fields += [
+            T.StructField("concave_n_vertices", T.IntegerType()),
+            T.StructField("concave_area2_milli", T.DoubleType()),
+            T.StructField("concave_wkb", T.BinaryType()),
         ]
-    )
+    out_schema = T.StructType(fields)
+
+    def _ring_out(ring, np):
+        if len(ring) >= 3:
+            return G.wkb_polygon([ring]), G.ring_area2(ring), len(ring)
+        # degenerate cluster (point/segment): zero-area ring
+        pad = np.vstack([ring, ring[:1], ring[:1]])[:3]
+        return G.wkb_polygon([pad]), 0.0, len(ring)
 
     def one(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         pts = pdf[["_hx", "_hy"]].to_numpy(dtype=np.float64)
         ring = G.convex_hull(pts)
-        if len(ring) >= 3:
-            wkb = G.wkb_polygon([ring])
-            area2 = G.ring_area2(ring)
-        else:  # degenerate cluster (point/segment): zero-area ring
-            pad = np.vstack([ring, ring[:1], ring[:1]])[:3]
-            wkb = G.wkb_polygon([pad])
-            area2 = 0.0
-        return pd.DataFrame(
-            {
-                "cluster": [int(pdf.cluster.iloc[0])],
-                "n_points": [int(pdf._n_points.iloc[0])],
-                "n_vertices": [int(len(ring))],
-                "area2_milli": [area2],
-                "hull_wkb": [wkb],
-            }
-        )
+        wkb, area2, nv = _ring_out(ring, np)
+        row = {
+            "cluster": [int(pdf.cluster.iloc[0])],
+            "n_points": [int(pdf._n_points.iloc[0])],
+            "n_vertices": [int(nv)],
+            "area2_milli": [area2],
+            "hull_wkb": [wkb],
+        }
+        if concave_threshold is not None:
+            cring = G.concave_hull(pts, threshold=concave_threshold)
+            cwkb, carea2, cnv = _ring_out(cring, np)
+            row.update(
+                {
+                    "concave_n_vertices": [int(cnv)],
+                    "concave_area2_milli": [carea2],
+                    "concave_wkb": [cwkb],
+                }
+            )
+        return pd.DataFrame(row)
 
     return (
         hull_verts.join(sizes, "cluster")  # AQE broadcasts when small

@@ -1236,12 +1236,15 @@ register("kmeans", q_kmeans)  # rows-only (iterative Lloyd's)
 
 
 def q_cluster_hulls(spark, sf_dir):
-    """DBSCAN clusters → convex hull geometries (GeometryHullTool
-    analogue; hull_wkb dropped for the driver compare — binary column)."""
+    """DBSCAN clusters → convex + concave hull geometries
+    (GeometryHullTool analogue incl. the Park & Oh concave dig at the
+    reference's concaveThreshold=1.8; wkb columns dropped for the driver
+    compare — binary)."""
     geo = TB.geo_events(spark, sf_dir)
     labels = OC.dbscan(geo, eps_milli=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
-    return OC.cluster_hulls(labels, geo).select(
-        "cluster", "n_points", "n_vertices", "area2_milli"
+    return OC.cluster_hulls(labels, geo, concave_threshold=1.8).select(
+        "cluster", "n_points", "n_vertices", "area2_milli",
+        "concave_n_vertices", "concave_area2_milli",
     )
 
 

