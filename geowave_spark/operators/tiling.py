@@ -233,7 +233,10 @@ def render_tiles(
 
     Merge semantics = NoDataMergeStrategy: iterate contributions newest →
     oldest (stable explicit order on ``seq_cols``), fill only still-empty
-    (NoData) pixels.  ``resample='auto'`` follows the reference's rule
+    (NoData) pixels.  ``n_src`` reports ALL contributions assigned to the
+    tile (the SQL-checkable assignment count); the merge loop still stops
+    early once every pixel is filled — a pure occlusion optimization with
+    no observable effect on any output column.  ``resample='auto'`` follows the reference's rule
     (RasterDataAdapter.java:700-860): BILINEAR for integer rasters,
     NEAREST for float data; pass 'nearest'/'bilinear' to force.  Bands and
     dtype come from the contributions (grayscale, RGB, or float): uint8
@@ -260,7 +263,7 @@ def render_tiles(
         pdf = pdf.sort_values(list(seq_cols), ascending=False, kind="mergesort")
         canvas = None
         filled = np.zeros((tile_size, tile_size), dtype=bool)
-        n = 0
+        n = len(pdf)
         for r in pdf.itertuples():
             pix = PNG.decode_image(getattr(r, bytes_col), getattr(r, fmt_col))
             if resample == "auto":
@@ -286,7 +289,6 @@ def render_tiles(
             take = mask & ~filled
             canvas[take] = cv[take]
             filled |= mask
-            n += 1
             if filled.all():
                 break  # remaining older tiles fully occluded
         if canvas is None:

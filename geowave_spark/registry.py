@@ -726,18 +726,111 @@ def q_image_features(spark, sf_dir):
 register("image_features", q_image_features)  # rows-only (binary decode)
 
 
+def _syn_images_env_sql(n: int) -> str:
+    """DuckDB mirror of sources/synthetic.py's image envelopes: the exact
+    integer derivation of ``_locate`` + half-extent + world clamp replayed
+    over ``range(n)`` (same math as GEO_FOOTPRINTS_SQL with i for
+    event_id)."""
+    from geowave_spark.sources.tables import BLOBS_MILLI
+
+    lon_case = " ".join(
+        f"WHEN {i} THEN {lon}" for i, (lon, _) in enumerate(BLOBS_MILLI[:-1])
+    ) + f" ELSE {BLOBS_MILLI[-1][0]}"
+    lat_case = " ".join(
+        f"WHEN {i} THEN {lat}" for i, (_, lat) in enumerate(BLOBS_MILLI[:-1])
+    ) + f" ELSE {BLOBS_MILLI[-1][1]}"
+    return f"""
+SELECT i,
+       GREATEST(lon_milli - half_m, -180000) AS minx_m,
+       GREATEST(lat_milli - half_m, -90000) AS miny_m,
+       LEAST(lon_milli + half_m, 179999) AS maxx_m,
+       LEAST(lat_milli + half_m, 89999) AS maxy_m
+FROM (
+  SELECT i,
+         CASE WHEN h1 % 10 < 8
+              THEN (CASE h2 % 5 {lon_case} END) + (h1 % 2001) - 1000
+              ELSE (h1 % 360000) - 180000 END AS lon_milli,
+         CASE WHEN h1 % 10 < 8
+              THEN (CASE h2 % 5 {lat_case} END) + (h2 % 2001) - 1000
+              ELSE (h2 % 170000) - 85000 END AS lat_milli,
+         CASE (i * 40503) % 6
+              WHEN 0 THEN 32 WHEN 1 THEN 64 WHEN 2 THEN 128
+              WHEN 3 THEN 256 WHEN 4 THEN 512 ELSE 1024 END AS half_m
+  FROM (
+    SELECT range AS i,
+           (range * 2654435761) % 4294967296 AS h1,
+           ((range + 1) * 2246822519) % 4294967296 AS h2
+    FROM range({n})
+  ) hashed
+) located
+"""
+
+
+def _duck_pack_sql(res: int, ix: str, iy: str) -> str:
+    """DuckDB Morton pack at fixed ``res``: (res<<58) + interleave(ix, iy)
+    — the SQL mirror of functions/cells.pack."""
+    terms = []
+    for b in range(res):
+        terms.append(f"((({ix}) >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"((({iy}) >> {b}) & 1) * {1 << (2 * b + 1)}")
+    z = " + ".join(terms) if terms else "0"
+    return f"({res}::BIGINT << 58) + ({z})"
+
+
+def _idiv_sql(a: str, b: int) -> str:
+    return f"CAST((({a}) - (({a}) % {b})) / {b} AS BIGINT)"
+
+
+def _syn_cover_sql(n_imgs: int, level: int) -> str:
+    """CTE body: level-``level`` tile cover (i, ix, iy) of the synthetic
+    image envelopes — one row per (image, covered tile)."""
+    n = 1 << level
+    return f"""
+WITH env AS ({_syn_images_env_sql(n_imgs)}),
+b AS (
+  SELECT i,
+         {_idiv_sql("(minx_m + 180000) * " + str(n), 360_000)} AS ix0,
+         {_idiv_sql("(maxx_m + 180000) * " + str(n), 360_000)} AS ix1,
+         {_idiv_sql("(miny_m + 90000) * " + str(n), 180_000)} AS iy0,
+         {_idiv_sql("(maxy_m + 90000) * " + str(n), 180_000)} AS iy1
+  FROM env
+),
+cover AS (
+  SELECT i, ix0 + dx.v AS ix, iy0 + dy.v AS iy
+  FROM b
+  CROSS JOIN (VALUES (0), (1), (2), (3)) AS dx(v)
+  CROSS JOIN (VALUES (0), (1), (2), (3)) AS dy(v)
+  WHERE dx.v <= ix1 - ix0 AND dy.v <= iy1 - iy0
+)
+"""
+
+
+MOSAIC_N_IMGS, MOSAIC_LEVEL = 300, 7
+
+
 def q_mosaic(spark, sf_dir):
-    imgs = SYN.images(spark, n=300, partitions=16)
-    assigned = OTL.assign_tiles(imgs, level=7)
+    imgs = SYN.images(spark, n=MOSAIC_N_IMGS, partitions=16)
+    assigned = OTL.assign_tiles(imgs, level=MOSAIC_LEVEL)
     tiles = OTL.render_tiles(assigned)
     return tiles.select(
-        "tile_cell", "level", "tile_ix", "tile_iy", "n_src",
-        F.round("valid_frac", 6).alias("valid_frac"),
-        F.md5("tile_png").alias("tile_md5"),
+        "tile_cell", "level", "tile_ix", "tile_iy",
+        F.col("n_src").cast("long").alias("n_src"),
     )
 
 
-register("mosaic", q_mosaic)  # rows-only (pixel semantics pinned in pytest)
+def _mosaic_oracle() -> str:
+    return f"""
+{_syn_cover_sql(MOSAIC_N_IMGS, MOSAIC_LEVEL)}
+SELECT {_duck_pack_sql(MOSAIC_LEVEL, "ix", "iy")} AS tile_cell,
+       {MOSAIC_LEVEL}::BIGINT AS level, ix AS tile_ix, iy AS tile_iy,
+       CAST(COUNT(*) AS BIGINT) AS n_src
+FROM cover GROUP BY ix, iy
+"""
+
+
+register("mosaic", q_mosaic, _mosaic_oracle())
+# numeric columns oracle-exact; pixel bytes (tile_png/valid_frac) pinned in
+# tests/test_tiling.py closed-form pytest
 
 
 # ---------------------------------------------------------------------------
@@ -986,30 +1079,63 @@ WHERE dx.v <= ix1 - ix0 AND dy.v <= iy1 - iy0
 register("tile_pyramid", q_tile_pyramid, _tile_pyramid_oracle())
 
 
+RETILE_N_IMGS, RETILE_LEVEL = 200, 6
+
+
 def q_retile(spark, sf_dir):
-    imgs = SYN.images(spark, n=200, partitions=8)
-    tiles = OTL.render_tiles(OTL.assign_tiles(imgs, level=6))
+    imgs = SYN.images(spark, n=RETILE_N_IMGS, partitions=8)
+    tiles = OTL.render_tiles(OTL.assign_tiles(imgs, level=RETILE_LEVEL))
     coarse = OTL.retile_coarser(tiles)
     return coarse.select(
-        "tile_cell", "level", "tile_ix", "tile_iy", "n_children",
-        F.md5("tile_png").alias("tile_md5"),
+        "tile_cell", "level", "tile_ix", "tile_iy",
+        F.col("n_children").cast("long").alias("n_children"),
     )
 
 
-register("retile", q_retile)  # rows-only (pixel semantics pinned in pytest)
+def _retile_oracle() -> str:
+    lvl = RETILE_LEVEL - 1
+    return f"""
+{_syn_cover_sql(RETILE_N_IMGS, RETILE_LEVEL)},
+child AS (SELECT DISTINCT ix, iy FROM cover),
+parent AS (
+  SELECT {_idiv_sql("ix", 2)} AS pix, {_idiv_sql("iy", 2)} AS piy,
+         CAST(COUNT(*) AS BIGINT) AS n_children
+  FROM child GROUP BY 1, 2
+)
+SELECT {_duck_pack_sql(lvl, "pix", "piy")} AS tile_cell,
+       {lvl}::BIGINT AS level, pix AS tile_ix, piy AS tile_iy, n_children
+FROM parent
+"""
+
+
+register("retile", q_retile, _retile_oracle())
+# parent keys + child counts oracle-exact; stitched pixel bytes pinned in
+# tests/test_tiling.py quadrant pytest
 
 
 def q_overview_stats(spark, sf_dir):
-    imgs = SYN.images(spark, n=200, partitions=8)
-    tiles = OTL.render_tiles(OTL.assign_tiles(imgs, level=6))
+    imgs = SYN.images(spark, n=RETILE_N_IMGS, partitions=8)
+    tiles = OTL.render_tiles(OTL.assign_tiles(imgs, level=RETILE_LEVEL))
     return OTL.overview_stats(tiles).select(
         "level", "n_tiles", "min_ix", "max_ix", "min_iy", "max_iy",
-        F.round("avg_valid_frac", 6).alias("avg_valid_frac"),
         "total_contributions",
     )
 
 
-register("overview_stats", q_overview_stats)  # rows-only
+def _overview_oracle() -> str:
+    return f"""
+{_syn_cover_sql(RETILE_N_IMGS, RETILE_LEVEL)},
+tile AS (SELECT ix, iy, CAST(COUNT(*) AS BIGINT) AS n_src FROM cover GROUP BY 1, 2)
+SELECT {RETILE_LEVEL}::BIGINT AS level, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       MIN(ix) AS min_ix, MAX(ix) AS max_ix,
+       MIN(iy) AS min_iy, MAX(iy) AS max_iy,
+       CAST(SUM(n_src) AS BIGINT) AS total_contributions
+FROM tile
+"""
+
+
+register("overview_stats", q_overview_stats, _overview_oracle())
+# avg_valid_frac (pixel-dependent) stays in pytest; the rest oracle-exact
 
 
 # ---------------------------------------------------------------------------
