@@ -4,8 +4,10 @@ exactly-once sink semantics, plus watermarked per-cell window aggregation.
 The reference's only streaming-adjacent piece is Kafka ingest staging
 (core/ingest/.../kafka/IngestFromKafkaDriver.java, StageToKafkaDriver.java)
 — consume records, decode, hand to the same IndexWriter as batch.  The
-Spark-native re-expression: ``readStream`` on a source (file source here;
-``format("kafka")`` is a one-line swap), the IDENTICAL codegen indexing
+Spark-native re-expression: ``open_stream`` reads either a staging
+directory (file source) or a :class:`KafkaSource` (``format("kafka")`` +
+JSON value decode — the decode transform is batch-contract-tested since no
+broker exists in the sandbox), then the IDENTICAL codegen indexing
 transforms as batch ingest (operators/index.py — streaming and batch share
 one code path), and a partitioned parquet sink with a checkpoint — Spark's
 offset tracking gives the restart/exactly-once behavior the reference gets
@@ -18,29 +20,73 @@ entirely — listed in SURVEY §2.10 as absent there, present here.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geowave_spark.operators import index as OI
 
 
+@dataclass
+class KafkaSource:
+    """Kafka staging source (the reference's IngestFromKafkaDriver role):
+    records are JSON-encoded rows in the Kafka ``value``.  Requires the
+    spark-sql-kafka connector on the classpath (not in this sandbox — the
+    decode transform is contract-tested on batch rows with the exact Kafka
+    wire schema instead; see tests/test_streaming.py)."""
+
+    bootstrap_servers: str
+    topic: str
+    starting_offsets: str = "earliest"
+    options: dict = field(default_factory=dict)
+
+
+def decode_kafka_records(records: DataFrame, schema) -> DataFrame:
+    """Kafka wire rows (key/value binary + topic/partition/offset/…) →
+    typed rows: parse the JSON ``value`` against ``schema``.  A plain
+    DataFrame transform — identical on a stream and on a batch DataFrame,
+    which is how it is tested without a broker."""
+    return records.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("r")
+    ).select("r.*")
+
+
+def open_stream(spark: SparkSession, source, schema) -> DataFrame:
+    """One streaming-source surface: a directory path → file source; a
+    ``KafkaSource`` → kafka source + JSON decode.  Everything downstream
+    (indexing, windows, stateful dedup) is source-agnostic."""
+    if isinstance(source, KafkaSource):
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", source.bootstrap_servers)
+            .option("subscribe", source.topic)
+            .option("startingOffsets", source.starting_offsets)
+        )
+        for k, v in source.options.items():
+            reader = reader.option(k, v)
+        return decode_kafka_records(reader.load(), schema)
+    return spark.readStream.schema(schema).parquet(source)
+
+
 def stream_index_events(
     spark: SparkSession,
-    source_dir: str,
+    source_dir,
     sink_dir: str,
     checkpoint_dir: str,
     schema,
     res: int | None = None,
     available_now: bool = True,
 ):
-    """File-source streaming ingest → cell-indexed partitioned parquet.
+    """Streaming ingest → cell-indexed partitioned parquet.  ``source_dir``
+    is a staging directory or a :class:`KafkaSource`.
 
     ``available_now=True`` drains everything currently staged and stops
     (micro-batch catch-up — the test/backfill mode); ``False`` runs
     continuously.  Restarting with the same checkpoint resumes from the
     recorded offsets — already-ingested files are not re-read.
     """
-    raw = spark.readStream.schema(schema).parquet(source_dir)
+    raw = open_stream(spark, source_dir, schema)
     indexed = OI.index_points(
         raw, res=res if res is not None else OI.C.MAX_RES, id_col="event_id"
     )
@@ -72,7 +118,7 @@ def stream_cell_window_counts(
     Returns the streaming DataFrame (caller attaches a sink)."""
     from geowave_spark.functions import cols as X
 
-    raw = spark.readStream.schema(schema).parquet(source_dir)
+    raw = open_stream(spark, source_dir, schema)
     # event-time watermarks require TIMESTAMP (with timezone); NTZ sources
     # (like the parquet testdata) cast losslessly under the UTC session tz
     with_cell = raw.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
@@ -104,17 +150,18 @@ def stream_dedup_docs(
     training pipeline runs on every batch).
 
     ``applyInPandasWithState`` keyed by the content hash keeps one tiny
-    state row (first id + count) per distinct hash; state expires
-    ``state_timeout_hours`` after the watermark passes it, so state stays
-    bounded on an unbounded stream (re-emission after expiry is the
-    documented trade-off — size the timeout to the dedup horizon).
-    Emits (dup_key, doc_id, ts) for FIRST occurrences only.
+    state row (first id + count) per distinct hash; a PROCESSING-TIME
+    timeout removes a hash's state ``state_timeout_hours`` after its last
+    arrival, so state stays bounded on an unbounded stream (a duplicate
+    arriving after its key expired re-emits — the documented trade-off;
+    size the timeout to the dedup horizon).  Emits (dup_key, doc_id, ts)
+    for FIRST occurrences only.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
 
-    raw = spark.readStream.schema(schema).parquet(source_dir)
+    raw = open_stream(spark, source_dir, schema)
     hashed = raw.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
         "dup_key",
         F.md5(
@@ -136,28 +183,30 @@ def stream_dedup_docs(
     )
 
     def dedup_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # expiry invocation (no data): drop the state, emit nothing —
+            # re-arming here would keep every key alive forever
+            state.remove()
+            return
         seen = state.exists
         total = 0
-        first_rows = None
-        for pdf in pdfs:
+        first = None  # running min over ALL chunks — a key's rows may
+        for pdf in pdfs:  # span multiple Arrow chunks in one micro-batch
             total += len(pdf)
-            if not seen and first_rows is None and len(pdf):
-                first = pdf.sort_values(["ts", "doc_id"]).iloc[0]
-                first_rows = pd.DataFrame(
-                    {
-                        "dup_key": [key[0]],
-                        "doc_id": [int(first.doc_id)],
-                        "ts": [first.ts],
-                    }
-                )
+            if not seen and len(pdf):
+                c = pdf.sort_values(["ts", "doc_id"]).iloc[0]
+                if first is None or (c.ts, int(c.doc_id)) < (first[1], first[0]):
+                    first = (int(c.doc_id), c.ts)
         if seen:
             (first_id, n_seen) = state.get
             state.update((first_id, n_seen + total))
         else:
-            state.update((int(first_rows.doc_id.iloc[0]), total))
+            state.update((first[0], total))
         state.setTimeoutDuration(state_timeout_hours * 3600 * 1000)
-        if not seen and first_rows is not None:
-            yield first_rows
+        if not seen and first is not None:
+            yield pd.DataFrame(
+                {"dup_key": [key[0]], "doc_id": [first[0]], "ts": [first[1]]}
+            )
 
     return hashed.groupBy("dup_key").applyInPandasWithState(
         dedup_fn,

@@ -137,3 +137,56 @@ def test_stream_stateful_dedup(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = spark.read.parquet(sink).toPandas()
     assert sorted(got2.doc_id) == [1, 3, 5], "doc 4 duplicates batch-1 state"
+
+def test_kafka_decode_contract(spark, sf_dir):
+    """Kafka-source contract: rows JSON-encoded into the exact Kafka wire
+    schema (key/value binary + topic/partition/offset/timestamp) decode
+    back to the typed schema via decode_kafka_records — the same transform
+    open_stream applies to a live kafka stream — and feed the identical
+    downstream indexing path as file ingest."""
+    from pyspark.sql import types as T
+
+    from geowave_spark.streaming.ingest import decode_kafka_records
+
+    geo = TB.geo_events(spark, sf_dir).limit(200)
+    wire = geo.select(
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct(*geo.columns)).cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    decoded = decode_kafka_records(wire, geo.schema)
+    assert [f.name for f in decoded.schema.fields] == geo.columns
+    a = {r.event_id: (r.lon_milli, r.lat_milli) for r in decoded.collect()}
+    b = {r.event_id: (r.lon_milli, r.lat_milli) for r in geo.collect()}
+    assert a == b
+    idx = OI.index_points(decoded, id_col="event_id")
+    want = OI.index_points(geo, id_col="event_id")
+    assert {r.event_id: r.cell for r in idx.collect()} == {
+        r.event_id: r.cell for r in want.collect()
+    }
+
+
+def test_open_stream_sources(spark, sf_dir, tmp_path):
+    """open_stream: a directory yields a streaming file source; a
+    KafkaSource wires format('kafka') options and fails only at the
+    connector boundary (no kafka jar in this sandbox)."""
+    import pytest
+
+    from geowave_spark.streaming.ingest import KafkaSource, open_stream
+
+    geo = TB.geo_events(spark, sf_dir)
+    src = str(tmp_path / "osrc")
+    geo.limit(10).coalesce(1).write.mode("overwrite").parquet(src)
+    sdf = open_stream(spark, src, geo.schema)
+    assert sdf.isStreaming and sdf.schema == geo.schema
+
+    with pytest.raises(Exception, match="(?i)kafka"):
+        open_stream(
+            spark,
+            KafkaSource(bootstrap_servers="localhost:9092", topic="events"),
+            geo.schema,
+        )
