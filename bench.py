@@ -66,10 +66,25 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def _sentinel(procs: int) -> float:
+    """Raw-CPU throughput probe in a fresh subprocess (no Spark JVM in the
+    forked children).  Units/sec at ``procs`` — run before and after the
+    suite so a contaminated measurement (neighbor load on this shared VM)
+    is flagged AT MEASUREMENT TIME instead of surfacing as a phantom
+    regression (round 2's image_features 5.79s-vs-0.54s artifact)."""
+    out = subprocess.run(
+        [sys.executable, __file__, "--calib", str(procs)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])["units_per_sec"]
+
+
 def run_bench(sf_dir: str = SF_DIR) -> dict:
     from geowave_spark.registry import QUERIES
     from geowave_spark.session import get_spark
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    calib_before = _sentinel(cpus)
     spark = get_spark(app_name="geowave_spark_bench")
 
     # Input sizes for rows/sec (the BASELINE metric is rows/sec over the
@@ -112,6 +127,7 @@ def run_bench(sf_dir: str = SF_DIR) -> dict:
         rps[name] = round(n_input / best, 1)
 
     total = round(sum(per_q.values()), 3)
+    calib_after = _sentinel(cpus)
     return {
         "metric": "suite_total_sec",
         "value": total,
@@ -121,6 +137,11 @@ def run_bench(sf_dir: str = SF_DIR) -> dict:
         "input_rows": rows,
         "rows_per_sec": rps,
         "parallelism": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+        # interference sentinel: raw-CPU units/sec before/after the suite.
+        # Compare against BENCH/BASELINE.md's calibration for this level —
+        # a materially lower value means the VM was contended and the suite
+        # numbers are suspect.
+        "calib": {"before": calib_before, "after": calib_after},
     }
 
 
@@ -213,14 +234,13 @@ def _calib_work(n: int) -> int:
     return acc
 
 
-def _calibrate_cpu(levels) -> dict:
+def _calibrate_cpu(levels, total: int = 2048) -> dict:
     """Raw-hardware parallel throughput (zlib+numpy, no Spark) at each
     level — documents the machine's own scaling ceiling so the job's
     efficiency can be read against it (this sandbox saturates at ~16
     hardware threads; SMT beyond that yields < 1×)."""
     import multiprocessing as mp
 
-    total = 2048
     out = {}
     for procs in levels:
         with mp.Pool(procs) as p:  # warm
@@ -345,7 +365,11 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling-job" in sys.argv:
+    if "--calib" in sys.argv:
+        procs = int(sys.argv[sys.argv.index("--calib") + 1])
+        ups = _calibrate_cpu([procs], total=512)[procs]
+        print(json.dumps({"units_per_sec": ups}))
+    elif "--scaling-job" in sys.argv:
         print(json.dumps(run_scaling_job()))
     elif "--scaling" in sys.argv:
         run_scaling()
