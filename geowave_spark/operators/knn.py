@@ -61,6 +61,12 @@ def _ring_cover(q: KnnQuery, res: int, m: int) -> pd.DataFrame:
     return pd.DataFrame({"query_id": q.query_id, "jcell": cells})
 
 
+# Above this many queries the interactive path routes through knn_join
+# (query table as the left side) — the per-round result collect of ring
+# expansion stops paying once the query set is itself a small table.
+KNN_JOIN_THRESHOLD = 32
+
+
 def query_knn(
     data: DataFrame,
     queries: list[KnnQuery],
@@ -74,14 +80,30 @@ def query_knn(
     rank_metric: str = "planar_milli",
     dedup: bool = False,
     cache_rounds: bool = True,
+    join_threshold: int = KNN_JOIN_THRESHOLD,
 ) -> DataFrame:
     """Exact top-k rows per query point.
 
     Returns (query_id, rank, <id_col>, dist2_milli | dist_m).  Ties broken
     by ``id_col`` so results are deterministic (the golden-suite requirement
     — FIXTURES.md F4).
+
+    Two physical strategies, one semantic: below ``join_threshold`` queries
+    the ring-expansion loop runs (per-round collect is ≤ Σk rows — right
+    for a handful of interactive lookups); at or above it the query set
+    becomes the LEFT side of :func:`knn_join` with distance-bound
+    escalation — no per-round result collect, only a ≤|queries|-row
+    satisfied-count check per round (exact-equivalence pytest:
+    tests/test_knn.py).  The join route needs the integer metric; haversine
+    or dedup'd inputs stay on the ring path.
     """
     spark = data.sparkSession
+    if (
+        len(queries) >= join_threshold
+        and rank_metric == "planar_milli"
+        and not dedup
+    ):
+        return _query_knn_via_join(data, queries, id_col, max_rounds)
     lat_cell_milli = 180_000.0 / (1 << res)
 
     if rank_metric == "planar_milli":
@@ -213,6 +235,84 @@ def query_knn(
     return spark.createDataFrame(
         [(r.query_id, r["rank"], r[id_col], r[dist_name]) for r in results], schema
     )
+
+
+def _query_knn_via_join(
+    data: DataFrame,
+    queries: list,
+    id_col: str,
+    max_rounds: int,
+    start_dist_milli: int = 1000,
+) -> DataFrame:
+    """query_knn for moderate query sets: the queries become a small left
+    table for :func:`knn_join`, the distance bound escalating 4× per round
+    until every query holds its k rows (a query with ≥k rows inside bound D
+    provably has its exact global top-k — the k-th distance is ≤ D).  The
+    per-round driver traffic is one ≤|queries|-row count, never result
+    rows.  Queries still unsatisfied at the coarsest join-able bound (45°)
+    finish on a distributed broadcast brute-force arm — no collect there
+    either."""
+    spark = data.sparkSession
+    cap = C.LAT_SPAN_MILLI >> 2  # coarsest bound knn_join's 3x3 ring covers
+    kmax = max(q.k for q in queries)
+    need = {q.query_id: q.k for q in queries}
+    qdf = spark.createDataFrame(
+        [(q.query_id, q.lon_milli, q.lat_milli, q.k) for q in queries],
+        "query_id string, lon_milli long, lat_milli long, k int",
+    )
+    slim = data.select(id_col, "lon_milli", "lat_milli")
+
+    d = min(start_dist_milli, cap)
+    best, unsat = None, list(need)
+    for _ in range(max_rounds):
+        best = knn_join(
+            qdf, slim, k=kmax, max_dist_milli=d,
+            left_id="query_id", right_id=id_col, exclude_self=False,
+        ).localCheckpoint()  # bound: reused for the count AND the output
+        got = {
+            r.query_id: r.n
+            for r in best.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+        }
+        unsat = [qid for qid, k in need.items() if got.get(qid, 0) < k]
+        if not unsat or d >= cap:
+            break
+        d = min(d * 4, cap)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col(id_col).asc()
+    )
+    out = (
+        best.join(F.broadcast(qdf.select("query_id", "k")), "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select(
+            "query_id", "rank",
+            F.col("neighbor_id").alias(id_col),
+            "dist2_milli",
+        )
+    )
+    if unsat:
+        # sparse stragglers: exact brute force, still fully distributed
+        pend = qdf.filter(F.col("query_id").isin(unsat)).select(
+            "query_id",
+            F.col("lon_milli").alias("_qlon"),
+            F.col("lat_milli").alias("_qlat"),
+            "k",
+        )
+        brute = (
+            slim.crossJoin(F.broadcast(pend))
+            .withColumn(
+                "_d",
+                U.planar_wrap_dist2_col(
+                    F.col("lon_milli"), F.col("lat_milli"),
+                    F.col("_qlon"), F.col("_qlat"),
+                ),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", id_col, F.col("_d").alias("dist2_milli"))
+        )
+        out = out.filter(~F.col("query_id").isin(unsat)).unionByName(brute)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -103,3 +103,31 @@ def test_knn_join_resolution_rule():
         r = OK.knn_join_res(d)
         assert (180_000 >> r) >= d
         assert r == OK.C.MAX_RES or (180_000 >> (r + 1)) < d or r == OK.C.MAX_RES
+
+
+def test_query_knn_join_route_exact_equivalence(spark, geo):
+    """The knn_join-routed path (|queries| >= threshold) returns exactly
+    the ring-expansion path's rows — same ids, ranks, and distances — on a
+    mixed dense/sparse/wrap suite, including a sparse query that must
+    escalate the distance bound."""
+    suite = list(R.KNN_SUITE) + [
+        OK.KnnQuery("jr_paris", 2.352, 48.857, 12),
+        OK.KnnQuery("jr_sparse2", 100.0, -60.0, 7),
+    ]
+    ring = OK.query_knn(geo, suite, join_threshold=10_000).toPandas()
+    join = OK.query_knn(geo, suite, join_threshold=1).toPandas()
+    key = ["query_id", "rank"]
+    ring = ring.sort_values(key).reset_index(drop=True)
+    join = join.sort_values(key).reset_index(drop=True)
+    assert len(ring) == len(join)
+    assert (ring[key + ["event_id", "dist2_milli"]].values
+            == join[key + ["event_id", "dist2_milli"]].values).all()
+
+
+def test_query_knn_join_route_k_larger_than_table(spark, geo):
+    """Join route with k above the table size: brute-force arm returns all
+    rows, exactly once each."""
+    n = geo.count()
+    qs = [OK.KnnQuery(f"big{i}", float(i), 0.0, int(n + 10)) for i in range(3)]
+    got = OK.query_knn(geo, qs, join_threshold=1)
+    assert got.count() == 3 * n
