@@ -169,10 +169,11 @@ def build_covering_index(
     id_col: str = "event_id",
     buckets: int = 8,
 ) -> None:
-    """FULL-materialization secondary index (SecondaryIndexType.FULL,
-    core/store/.../index/SecondaryIndexType.java): the attribute plus the
-    covered columns written sorted by attribute — a covering index scan
-    answers attribute queries without touching the primary table.
+    """Materialized secondary index (SecondaryIndexType,
+    core/store/.../index/SecondaryIndexType.java:17-18): ``include_cols``
+    picks the materialization — all payload columns = FULL (covering scans
+    never touch the primary), a subset = PARTIAL (covered projections are
+    index-only, the rest join back), empty = JOIN (ids only).
 
     Layout: repartitionByRange(attr) + sortWithinPartitions(attr) →
     parquet row-group min/max stats give range pushdown on the attribute
@@ -187,7 +188,35 @@ def build_covering_index(
     )
 
 
-def covering_index_query(spark, path: str, values: list) -> DataFrame:
-    """Answer an attribute lookup entirely from the covering index —
-    no join back to the primary (the FULL-materialization payoff)."""
-    return spark.read.parquet(path).filter(F.col("attr").isin(values))
+def covering_index_query(
+    spark,
+    path: str,
+    values: list,
+    select_cols: tuple[str, ...] | None = None,
+    primary: DataFrame | None = None,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Answer an attribute lookup from the covering index.
+
+    A projection the index materializes (FULL, or PARTIAL with the columns
+    stored) is served index-only — no primary-table touch.  A projection
+    needing unstored columns takes the PARTIAL path
+    (SecondaryIndexType.java:18): the index narrows to matching ids first,
+    then ONE equi-join against ``primary`` fetches the uncovered columns —
+    the join input is the post-filter id set, not the table, so at 100 TB
+    the primary side is a keyed probe (broadcast of the narrowed ids under
+    AQE), never a full-table shuffle."""
+    idx = spark.read.parquet(path).filter(F.col("attr").isin(values))
+    if select_cols is None:
+        return idx
+    stored = set(idx.columns)
+    missing = [c for c in select_cols if c not in stored]
+    if not missing:
+        return idx.select(*select_cols)
+    if primary is None:
+        raise ValueError(
+            f"columns {missing} are not materialized in the index at {path}; "
+            "pass the primary table for the PARTIAL join-back path"
+        )
+    back = primary.select(id_col, *missing)
+    return idx.join(back, id_col).select(*select_cols)

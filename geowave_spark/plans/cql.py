@@ -50,6 +50,12 @@ _DWITHIN = re.compile(
     re.I,
 )
 _BETWEEN = re.compile(r"(\w+)\s+BETWEEN\s+'([^']+)'\s+AND\s+'([^']+)'", re.I)
+_TS_LIT = re.compile(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2})?)?$")
+
+# DWITHIN distances are interpreted in integer milli-degrees (the engine's
+# exact planar metric).  ECQL's linear units (meters, kilometers, …) need a
+# latitude-dependent conversion this engine does not silently guess at.
+_DWITHIN_UNITS = {"milli_degrees", "millidegrees", "millidegree"}
 
 
 def _parse_rings(body: str) -> list[np.ndarray]:
@@ -104,7 +110,10 @@ def cql_query(
 
     time_pred = None
     tm = _BETWEEN.search(where)
-    if tm:
+    if tm and _TS_LIT.match(tm.group(2)) and _TS_LIT.match(tm.group(3)):
+        # only timestamp-shaped literals take the temporal fast path; any
+        # other BETWEEN stays in the residual (Catalyst evaluates it as-is
+        # with the column's own type — no blind to_timestamp coercion)
         col, t0, t1 = tm.group(1), tm.group(2), tm.group(3)
         time_pred = (F.col(col) >= F.to_timestamp(F.lit(t0))) & (
             F.col(col) <= F.to_timestamp(F.lit(t1))
@@ -128,6 +137,14 @@ def cql_query(
         )
     else:  # dwithin
         m = spatial[1]
+        units = m.group(5)
+        if units is not None and units.lower() not in _DWITHIN_UNITS:
+            raise ValueError(
+                f"DWITHIN units {units!r} unsupported: distances are exact "
+                "integer milli-degrees (write the clause unitless or as "
+                "milli_degrees); linear units would need a latitude-"
+                "dependent conversion this planner refuses to guess"
+            )
         lon, lat, dist = float(m.group(2)), float(m.group(3)), float(m.group(4))
         out = OS.dwithin(data, lon, lat, int(round(dist)), tiers=tiers).drop(
             "dist2_milli"

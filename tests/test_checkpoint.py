@@ -145,3 +145,49 @@ def test_cms_estimates_and_merge(spark):
     merged = ST.cms_merge(b1, b2)
     ball = bytes(ST.count_min_sketch(df, "v").collect()[0].cms)
     assert merged == ball
+
+
+def test_partial_secondary_index(spark, sf_dir, tmp_path):
+    """PARTIAL secondary index (SecondaryIndexType.PARTIAL): a covered
+    projection is served index-only; an uncovered projection joins back to
+    the primary exactly once, with the attribute filter still pushed to
+    the index scan; asking for uncovered columns without the primary is an
+    error."""
+    import pytest
+
+    from geowave_spark.operators import scan as OS
+
+    geo = TB.geo_events(spark, sf_dir)
+    path = str(tmp_path / "psecidx")
+    OS.build_covering_index(
+        geo, "event_type", path, include_cols=("lon",), id_col="event_id"
+    )
+
+    # covered projection: index-only (no join in the plan)
+    q_cov = OS.covering_index_query(
+        spark, path, ["click"], select_cols=("event_id", "lon")
+    )
+    plan_cov = q_cov._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_cov
+    want = geo.filter(geo.event_type == "click")
+    assert q_cov.count() == want.count()
+
+    # uncovered projection: one join back fetches lat; values match primary
+    q_par = OS.covering_index_query(
+        spark, path, ["click"], select_cols=("event_id", "lon", "lat"),
+        primary=geo,
+    )
+    got = q_par.toPandas().sort_values("event_id").reset_index(drop=True)
+    exp = (
+        want.select("event_id", "lon", "lat")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert got.equals(exp)
+    plan_par = q_par._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(attr,click)" in plan_par or "In(attr" in plan_par
+
+    with pytest.raises(ValueError, match="lat"):
+        OS.covering_index_query(
+            spark, path, ["click"], select_cols=("event_id", "lat")
+        )
+

@@ -78,3 +78,26 @@ def test_cql_rejects_two_spatial_clauses(spark, geo):
             geo,
             "BBOX(geom, 0, 0, 1, 1) AND DWITHIN(geom, POINT(0 0), 10)",
         )
+
+
+def test_cql_dwithin_units_guard(spark, geo):
+    """ECQL linear units (meters) are refused loudly — distances here are
+    exact milli-degrees; an explicit milli_degrees token is accepted."""
+    with pytest.raises(ValueError, match="(?i)units"):
+        PC.cql_query(geo, "DWITHIN(geom, POINT(2.352 48.857), 500, meters)")
+    a = PC.cql_query(
+        geo, "DWITHIN(geom, POINT(2.352 48.857), 500, milli_degrees)",
+        tiers=[OI.C.MAX_RES],
+    )
+    b = PC.cql_query(
+        geo, "DWITHIN(geom, POINT(2.352 48.857), 500)", tiers=[OI.C.MAX_RES]
+    )
+    assert _ids(a) == _ids(b)
+
+
+def test_cql_between_non_timestamp_stays_residual(spark, geo):
+    """BETWEEN over non-timestamp literals is NOT coerced through
+    to_timestamp — it evaluates in the residual with the column's type."""
+    got = PC.cql_query(geo, "event_type BETWEEN 'click' AND 'purchase'")
+    want = geo.filter("event_type BETWEEN 'click' AND 'purchase'")
+    assert _ids(got) == _ids(want)
