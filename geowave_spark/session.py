@@ -62,9 +62,27 @@ def spread(df, partitions: int | None = None):
     shuffle moves only the small input, not the fan-out.  Conditional: a
     source that already has enough splits (the 100 TB case — thousands of
     file splits) is left untouched, so this is a no-op knob at scale.
+
+    The probe is the Catalyst size estimate (optimizedPlan().stats()), not
+    ``df.rdd.getNumPartitions()`` — the RDD probe forces a full physical
+    translation of the plan per call, noticeable on wide plans; the stats
+    estimate is already computed for join planning and costs nothing.  A
+    source too small to yield ``n/2`` scan splits at maxPartitionBytes
+    gets repartitioned; unknown stats fall back to the RDD probe.
     """
-    sc = df.sparkSession.sparkContext
-    n = partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(n // 2, 1):
-        return df
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    want = max(n // 2, 1)
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        max_pb = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+        if est >= want * max_pb:
+            return df
+    except Exception:
+        if df.rdd.getNumPartitions() >= want:
+            return df
     return df.repartition(n)
