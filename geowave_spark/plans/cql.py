@@ -16,10 +16,12 @@ the reference's visitors actually extract —
 * anything else — untouched residual handed to ``F.expr`` (Catalyst gets
   pushdown/pruning for free, the reference's "fine filter" stage)
 
-Top-level composition is AND (the same restriction createOptimalQuery
-imposes when extracting index constraints: an OR over geometries falls
-back to a full scan in the reference too — pass such filters entirely as
-residual by quoting them in parentheses).
+Top-level composition is AND, with ONE linearized exception mirroring
+CQLQuery.java:228-236 (``setExact(false)``): a top-level OR *of spatial
+clauses* — ``(BBOX(...) OR DWITHIN(...)) AND residual`` — runs each
+clause's exact index plan, unions the results with an id-dedup, and
+applies the residual.  Spatial clauses in any other boolean position
+still raise (a silent full-scan would hide a planning bug).
 """
 
 from __future__ import annotations
@@ -83,30 +85,87 @@ def _residual(where: str) -> str:
     return "" if s.upper() in ("", "TRUE") else s
 
 
+def _spatial_matches(where: str) -> list[tuple[str, re.Match]]:
+    out = []
+    for pat, kind in (
+        (_BBOX, "bbox"), (_INTERSECTS, "intersects"), (_DWITHIN, "dwithin")
+    ):
+        out.extend((kind, m) for m in pat.finditer(where))
+    out.sort(key=lambda km: km[1].span()[0])
+    return out
+
+
+_OR_GROUP = re.compile(r"\(?\s*§(?:\s+OR\s+§)+\s*\)?", re.I)
+
+
+def _linearize_or(data, where, matches, tiers, max_cells, id_col):
+    """CQLQuery.java:228-236 linearization: WHERE whose spatial clauses
+    form one top-level OR group → union of each clause's exact index plan,
+    id-dedup'd, then the non-spatial remainder as residual.  Returns None
+    when the clauses are NOT a recognizable OR group (caller raises)."""
+    skel, spans = where, [m.span() for _, m in matches]
+    for s in reversed(spans):
+        skel = skel[: s[0]] + "§" + skel[s[1]:]
+    g = _OR_GROUP.search(skel)
+    if g is None or skel.count("§") != len(matches):
+        return None
+    rest = skel[: g.span()[0]] + " TRUE " + skel[g.span()[1]:]
+    if "§" in rest:
+        return None  # a spatial clause outside the OR group
+    arms = [
+        cql_query(data, where[m.span()[0]: m.span()[1]], tiers=tiers,
+                  max_cells=max_cells)
+        for _, m in matches
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    out = out.dropDuplicates([id_col])
+    residual = _residual(rest)
+    return out, residual
+
+
 def cql_query(
     data: DataFrame,
     where: str,
     tiers: list[int] | None = None,
     max_cells: int = 1024,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Run a CQL-style WHERE string through the index-accelerated planner.
 
-    Exactly one spatial clause (BBOX / INTERSECTS / DWITHIN) becomes the
+    One spatial clause (BBOX / INTERSECTS / DWITHIN) becomes the
     cover-join prefilter (none → the query is a pure Catalyst filter, the
     reference's unconstrained-CQL full-scan path); BETWEEN on a timestamp
-    column and every remaining predicate run as residuals.
+    column and every remaining predicate run as residuals.  Several
+    spatial clauses are accepted when they form one top-level OR group
+    (see module docstring).
     """
+    matches = _spatial_matches(where)
+    if len(matches) > 1:
+        lin = _linearize_or(data, where, matches, tiers, max_cells, id_col)
+        if lin is None:
+            raise ValueError(
+                "cql_query supports one spatial clause per query, or "
+                "several combined in a single top-level OR group (the "
+                "reference's createOptimalQuery linearization)"
+            )
+        out, residual = lin
+        tm = _BETWEEN.search(residual)
+        if tm and _TS_LIT.match(tm.group(2)) and _TS_LIT.match(tm.group(3)):
+            col, t0, t1 = tm.group(1), tm.group(2), tm.group(3)
+            out = out.filter(
+                (F.col(col) >= F.to_timestamp(F.lit(t0)))
+                & (F.col(col) <= F.to_timestamp(F.lit(t1)))
+            )
+            residual = _residual(_cut(residual, tm.span()))
+        if residual:
+            out = out.filter(F.expr(residual))
+        return out
     spatial = None  # (kind, payload)
-    for pat, kind in ((_BBOX, "bbox"), (_INTERSECTS, "intersects"), (_DWITHIN, "dwithin")):
-        m = pat.search(where)
-        if m:
-            if spatial is not None:
-                raise ValueError(
-                    "cql_query supports one spatial clause per query (the "
-                    "reference's createOptimalQuery extracts one geometry too)"
-                )
-            spatial = (kind, m)
-            where = _cut(where, m.span())
+    if matches:
+        spatial = matches[0]
+        where = _cut(where, matches[0][1].span())
 
     time_pred = None
     tm = _BETWEEN.search(where)

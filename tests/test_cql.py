@@ -101,3 +101,32 @@ def test_cql_between_non_timestamp_stays_residual(spark, geo):
     got = PC.cql_query(geo, "event_type BETWEEN 'click' AND 'purchase'")
     want = geo.filter("event_type BETWEEN 'click' AND 'purchase'")
     assert _ids(got) == _ids(want)
+
+
+def test_cql_or_of_geometries_linearized(spark, geo):
+    """A top-level OR of spatial clauses (CQLQuery.java:228-236
+    setExact(false) linearization) returns the exact union, with residual
+    and time predicates still applied; a spatial clause in a non-OR
+    position still raises."""
+    where = (
+        "(BBOX(geom, -74.5, 40.2, -73.5, 41.2) OR "
+        "DWITHIN(geom, POINT(2.352 48.857), 800)) AND event_type = 'click'"
+    )
+    got = PC.cql_query(geo, where, tiers=[OI.C.MAX_RES])
+    in_box = (
+        (F.col("lon") >= -74.5) & (F.col("lon") <= -73.5)
+        & (F.col("lat") >= 40.2) & (F.col("lat") <= 41.2)
+    )
+    dlon = F.abs(F.col("lon_milli") - F.lit(2352))
+    dlon = F.least(dlon, F.lit(360000) - dlon)
+    dlat = F.col("lat_milli") - F.lit(48857)
+    in_disc = (dlon * dlon + dlat * dlat) <= F.lit(800 * 800)
+    want = geo.filter((in_box | in_disc) & (F.col("event_type") == "click"))
+    assert _ids(got) == _ids(want)
+    assert len(_ids(got)) > 0
+
+    with pytest.raises(ValueError, match="OR group"):
+        PC.cql_query(
+            geo,
+            "BBOX(geom, 0, 0, 1, 1) AND DWITHIN(geom, POINT(0 0), 10)",
+        )
