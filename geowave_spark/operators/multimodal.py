@@ -16,7 +16,10 @@ parsing); compressed codecs (mp3/h264/...) raise NotImplementedError with
 a clear message, exactly where a deployment slots in soundfile/av.
 
 Feature parity: dhash/mean are asserted against closed-form numpy in tests
-(driver check is rows-only — no SQL engine can decode PNG).
+AND — for the procedural synthetic corpus — against a DuckDB oracle that
+replays the pixel formula + quantization + dhash arithmetic in pure SQL
+(registry ``image_features``): the oracle computes what decode MUST yield,
+so the PNG/LOSY encode→decode round trip is checked end-to-end.
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("w", T.IntegerType()),
         T.StructField("h", T.IntegerType()),
         T.StructField("fmt", T.StringType()),
+        T.StructField("sum_lum", T.LongType()),           # exact luminance sum
         T.StructField("mean_lum_milli", T.LongType()),   # mean luminance ×1000, integer
         T.StructField("dhash", T.LongType()),             # 8x8 difference hash
         T.StructField("thumb_png", T.BinaryType()),       # 16x16 nearest resize
@@ -81,6 +85,7 @@ def image_features(images: DataFrame, thumb: int = 16) -> DataFrame:
                         pix.shape[1],
                         pix.shape[0],
                         r.fmt,
+                        int(pix.sum(dtype=np.int64)),
                         int(round(float(pix.mean()) * 1000)),
                         dhash64(pix),
                         PNG.png_encode(_resize_nearest(pix, thumb, thumb)),
@@ -88,7 +93,8 @@ def image_features(images: DataFrame, thumb: int = 16) -> DataFrame:
                 )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
-            ).astype({"w": "int32", "h": "int32", "mean_lum_milli": "int64", "dhash": "int64"})
+            ).astype({"w": "int32", "h": "int32", "sum_lum": "int64",
+                      "mean_lum_milli": "int64", "dhash": "int64"})
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, FEATURE_SCHEMA)
 

@@ -716,14 +716,77 @@ from geowave_spark.operators import multimodal as OM  # noqa: E402
 from geowave_spark.sources import synthetic as SYN  # noqa: E402
 
 
+IMGFEAT_N = 500
+
+
 def q_image_features(spark, sf_dir):
-    imgs = SYN.images(spark, n=500, partitions=16)
+    imgs = SYN.images(spark, n=IMGFEAT_N, partitions=16)
     return OM.image_features(imgs).select(
-        "image_id", "w", "h", "fmt", "mean_lum_milli", "dhash"
+        "image_id", "w", "h", "fmt", "sum_lum", "dhash"
     )
 
 
-register("image_features", q_image_features)  # rows-only (binary decode)
+def _image_features_oracle() -> str:
+    """The synthetic pixels are procedural ((i*31 + x*7 + y*13) % 256) and
+    the stub-lossy 'jpeg' quantization is v - v%4, so the WHOLE feature
+    pipeline — PNG/LOSY encode, decode, luminance sum, 9x8 nearest-resize
+    difference hash — replays in pure SQL: the oracle states what decode
+    must yield, making this an end-to-end codec check, not just a feature
+    check.  (mean_lum_milli / thumb_png stay pytest-pinned: float rounding
+    and PNG bytes don't belong in SQL.)"""
+    return f"""
+WITH imgs AS (
+  SELECT range AS i,
+         CASE range % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS w,
+         CASE range % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 256 END AS h,
+         CASE range % 3 WHEN 2 THEN 'jpeg' ELSE 'png' END AS fmt
+  FROM range({IMGFEAT_N})
+),
+pix AS (
+  SELECT i, CASE WHEN fmt='jpeg' THEN v - (v % 4) ELSE v END AS vq
+  FROM (
+    SELECT imgs.i, imgs.fmt, (imgs.i*31 + x.x*7 + y.y*13) % 256 AS v
+    FROM imgs,
+         LATERAL unnest(generate_series(0, w-1)) AS x(x),
+         LATERAL unnest(generate_series(0, h-1)) AS y(y)
+  )
+),
+sums AS (SELECT i, CAST(SUM(vq) AS BIGINT) AS sum_lum FROM pix GROUP BY i),
+grid AS (
+  SELECT i, by, bx,
+         CASE WHEN fmt='jpeg' THEN vv - (vv % 4) ELSE vv END AS g
+  FROM (
+    SELECT imgs.i, imgs.fmt, by.by, bx.bx,
+      (imgs.i*31
+        + CAST(((bx.bx*imgs.w) - ((bx.bx*imgs.w) % 9)) / 9 AS BIGINT) * 7
+        + CAST(((by.by*imgs.h) - ((by.by*imgs.h) % 8)) / 8 AS BIGINT) * 13) % 256 AS vv
+    FROM imgs,
+         LATERAL unnest(generate_series(0, 7)) AS by(by),
+         LATERAL unnest(generate_series(0, 8)) AS bx(bx)
+  )
+),
+bits AS (
+  SELECT a.i AS i, a.by AS by, a.bx AS bx,
+         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+  FROM grid a JOIN grid b ON a.i = b.i AND a.by = b.by AND b.bx = a.bx + 1
+  WHERE a.bx < 8
+),
+dh AS (
+  SELECT i,
+    CAST(SUM(CASE WHEN by*8+bx < 63 THEN bit * (1::BIGINT << (by*8+bx)) ELSE 0 END) AS BIGINT)
+      + CASE WHEN MAX(CASE WHEN by*8+bx = 63 THEN bit ELSE 0 END) = 1
+             THEN -9223372036854775807 - 1 ELSE 0 END AS dhash
+  FROM bits GROUP BY i
+)
+SELECT 'img' || lpad(CAST(imgs.i AS VARCHAR), 12, '0') AS image_id,
+       imgs.w, imgs.h, imgs.fmt, sums.sum_lum, dh.dhash
+FROM imgs JOIN sums ON imgs.i = sums.i JOIN dh ON imgs.i = dh.i
+"""
+
+
+register("image_features", q_image_features, _image_features_oracle())
+# full-pipeline oracle: procedural pixels + stub-lossy quantization + dhash
+# replayed in SQL; thumbnails/mean stay pytest-pinned
 
 
 def _syn_images_env_sql(n: int) -> str:
