@@ -436,15 +436,71 @@ def q_audio_features(spark, sf_dir):
 register("audio_features", q_audio_features)
 
 
+VIDEO_N = 100
+
+
 def q_video_frames(spark, sf_dir):
-    """Uncompressed-AVI frame sampling + per-frame dhash (rows-only; frame
-    hashes pinned against local recompute in pytest)."""
-    return OM.video_frame_sample(SYN.videos(spark, 100, partitions=8)).select(
-        "media_id", "n_frames", "fps", "w", "h"
+    """Uncompressed-AVI frame sampling + per-frame dhash, one row per
+    sampled frame.  Oracle-exact end-to-end: the procedural RGB frames
+    make the channel mean (R + roll(R) + (255-R))/3 collapse to integer
+    math on the G channel alone, so the AVI encode→decode→dhash pipeline
+    replays in pure SQL."""
+    vf = OM.video_frame_sample(SYN.videos(spark, VIDEO_N, partitions=8))
+    return vf.select(
+        "media_id", "n_frames", "fps", "w", "h",
+        F.posexplode("frame_dhash").alias("pos", "frame_dhash"),
+    ).select(
+        "media_id", "n_frames", "fps", "w", "h",
+        (F.col("pos") * 2).cast("long").alias("frame_idx"),  # every_n = 2
+        "frame_dhash",
     )
 
 
-register("video_frames", q_video_frames)
+def _video_frames_oracle() -> str:
+    # g = truncated mean of the 3 channels at the 9x8 resize sample point:
+    # (255 + p(i*7+f, (jx-f) mod 32, 3*by)) // 3 with p the F1 pixel
+    # formula — R and B cancel, G is the rolled base frame
+    p = (
+        "(255 + ((i*7 + frame_idx)*31"
+        " + ((((CAST((bx*32 - (bx*32) % 9) / 9 AS BIGINT)) - frame_idx)"
+        " % 32 + 32) % 32) * 7"
+        " + (by*3)*13) % 256)"
+    )
+    return f"""
+WITH vids AS (SELECT range AS i, 6 + range % 6 AS nf FROM range({VIDEO_N})),
+fr AS (
+  SELECT i, nf, f.f AS frame_idx
+  FROM vids, LATERAL unnest(generate_series(0, nf-1, 2)) AS f(f)
+),
+grid AS (
+  SELECT i, frame_idx, by, bx,
+         CAST(({p} - {p} % 3) / 3 AS BIGINT) AS g
+  FROM fr,
+       LATERAL unnest(generate_series(0, 7)) AS by(by),
+       LATERAL unnest(generate_series(0, 8)) AS bx(bx)
+),
+bits AS (
+  SELECT a.i AS i, a.frame_idx AS frame_idx, a.by AS by, a.bx AS bx,
+         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+  FROM grid a JOIN grid b
+    ON a.i = b.i AND a.frame_idx = b.frame_idx AND a.by = b.by AND b.bx = a.bx + 1
+  WHERE a.bx < 8
+),
+dh AS (
+  SELECT i, frame_idx,
+    CAST(SUM(CASE WHEN by*8+bx < 63 THEN bit * (1::BIGINT << (by*8+bx)) ELSE 0 END) AS BIGINT)
+      + CASE WHEN MAX(CASE WHEN by*8+bx = 63 THEN bit ELSE 0 END) = 1
+             THEN -9223372036854775807 - 1 ELSE 0 END AS frame_dhash
+  FROM bits GROUP BY i, frame_idx
+)
+SELECT 'vid' || lpad(CAST(vids.i AS VARCHAR), 9, '0') AS media_id,
+       CAST(vids.nf AS INTEGER) AS n_frames, 10 AS fps,
+       32 AS w, 24 AS h, dh.frame_idx, dh.frame_dhash
+FROM vids JOIN dh ON vids.i = dh.i
+"""
+
+
+register("video_frames", q_video_frames, _video_frames_oracle())
 
 
 # ---------------------------------------------------------------------------
