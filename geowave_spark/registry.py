@@ -426,14 +426,51 @@ FROM cnt GROUP BY 2, 3
 register("render_point_tiles", q_render_tiles, _render_tiles_oracle())
 
 
+AUDIO_N = 200
+
+
 def q_audio_features(spark, sf_dir):
     """PCM-WAVE decode + features over the deterministic synthetic clip
-    table (binary decode -> rows-only; closed-form sine RMS/ZCR pinned by
-    pytest test_media.py)."""
-    return OM.audio_features(SYN.audio(spark, 200, partitions=8))
+    table; oracle-exact end-to-end (closed-form sine RMS/ZCR additionally
+    pinned by pytest test_media.py)."""
+    return OM.audio_features(SYN.audio(spark, AUDIO_N, partitions=8))
 
 
-register("audio_features", q_audio_features)
+def _audio_features_oracle() -> str:
+    """Replays tone generation + WAVE round trip + features in SQL.  The
+    int16 quantization step is bit-identical between numpy's sin and
+    DuckDB's (verified over every sample of every clip on this platform —
+    a 1-ulp libm divergence would surface as a red driver row, which is
+    the desired behavior for a codec oracle).  Energy and zero-crossing
+    counts are exact integers; the two float divisions + sqrt are the same
+    IEEE ops in both engines."""
+    return f"""
+WITH clips AS (SELECT range AS i FROM range({AUDIO_N})),
+smp AS (
+  SELECT i, t.t AS t,
+    CAST(round(sin(2*pi()*(200.0 + (i%32)*25.0)*(t.t/8000.0))
+         * (0.25 + (i%4)*0.15) * 32767.0) AS BIGINT) AS s
+  FROM clips, LATERAL unnest(generate_series(0, 1999)) AS t(t)
+),
+lagd AS (
+  SELECT i, t, s, lag(s) OVER (PARTITION BY i ORDER BY t) AS ps FROM smp
+),
+agg AS (
+  SELECT i,
+    CAST(SUM(s*s) AS BIGINT) AS energy,
+    CAST(SUM(CASE WHEN ps IS NOT NULL AND ((s < 0) != (ps < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zc
+  FROM lagd GROUP BY i
+)
+SELECT 'aud' || lpad(CAST(i AS VARCHAR), 9, '0') AS media_id,
+  2000::BIGINT AS n_samples, 1 AS n_channels, 8000 AS sample_rate,
+  250::BIGINT AS duration_ms,
+  CAST(round(sqrt((energy / 1073741824.0) / 2000.0) * 1000) AS BIGINT) AS rms_milli,
+  CAST(round((zc / 1999.0) * 1000) AS BIGINT) AS zcr_milli
+FROM agg
+"""
+
+
+register("audio_features", q_audio_features, _audio_features_oracle())
 
 
 VIDEO_N = 100
