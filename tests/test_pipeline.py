@@ -30,7 +30,9 @@ def duck(sf_dir):
 ORACLE_CHECKED = [
     "exact_dedup",
     "minhash_lsh_pairs",
-    "simhash",
+    # per-doc "simhash" was folded out of the 50-entry driver registry in
+    # round 3 (json_props restored); its signature math stays transitively
+    # verified by simhash_pairs' oracle + the perturbation pytest below
     "simhash_pairs",
     "jaccard_pairs",
     "lang_id",
