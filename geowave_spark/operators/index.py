@@ -239,6 +239,11 @@ def index_envelopes_milli(
     extra copies for the reference's DedupeFilter gating.  Integer
     milli-degree arithmetic end-to-end → bit-reproducible in SQL oracles.
     """
+    from geowave_spark.session import spread
+
+    # fan-out-dense: don't let a few-split source serialize the cover
+    df = spread(df)
+
     mnx, mny, mxx, mxy = env_cols
     tier = X.tier_extent_milli_col(F.col(mxx) - F.col(mnx), F.col(mxy) - F.col(mny))
     # Bind tier as a RUNTIME attribute (1-element explode = a Generate

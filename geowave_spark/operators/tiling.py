@@ -77,6 +77,12 @@ def assign_tiles(
     Adds columns: ``level``, ``tile_cell``, ``tile_ix``, ``tile_iy``.
     """
     from geowave_spark.functions import cols as X
+    from geowave_spark.session import spread
+
+    # fan-out-dense (three Generates per row): a few-split source would
+    # serialize the whole cover on one core — conditional repartition
+    # first (no-op at scale / on well-partitioned generators)
+    footprints = spread(footprints)
 
     mnx, mny, mxx, mxy = env_cols
     if level is None:
