@@ -102,6 +102,26 @@ def stream_index_events(
     return writer.start()
 
 
+def finalize_stream_stats(spark: SparkSession, sink_dir: str) -> None:
+    """Co-write ``_stats/tier_counts`` for a STREAMED sink, giving it the
+    same stats-driven tier hints as a batch `write_indexed` table.
+
+    The file sink keeps Spark's exactly-once guarantee, so stats are
+    recomputed from the sink after a drain (`availableNow` backfill mode)
+    rather than per micro-batch — a `foreachBatch` dual-write would
+    downgrade the data path to at-least-once on parquet.  Continuous
+    deployments on an idempotent table format (Delta/Iceberg MERGE) would
+    move this into `foreachBatch`; on plain parquet, re-run after each
+    drain (one aggregation over the sink — O(rows) but backfill-cadence).
+    """
+    from geowave_spark import stats as ST
+
+    indexed = spark.read.parquet(sink_dir)
+    ST.tier_counts(indexed).write.mode("overwrite").parquet(
+        f"{sink_dir}/_stats/tier_counts"
+    )
+
+
 def stream_cell_window_counts(
     spark: SparkSession,
     source_dir: str,

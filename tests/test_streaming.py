@@ -190,3 +190,28 @@ def test_open_stream_sources(spark, sf_dir, tmp_path):
             KafkaSource(bootstrap_servers="localhost:9092", topic="events"),
             geo.schema,
         )
+
+
+def test_stream_sink_gains_tier_hints(spark, sf_dir, tmp_path):
+    """finalize_stream_stats gives a streamed sink the same stats-driven
+    tier hints as a batch write_indexed table: read_indexed attaches
+    _gw_tiers and they match the sink's actual tier occupancy."""
+    from geowave_spark.streaming.ingest import finalize_stream_stats
+
+    src = str(tmp_path / "tstage")
+    sink = str(tmp_path / "tsink")
+    geo = TB.geo_events(spark, sf_dir)
+    geo.limit(2000).coalesce(1).write.mode("overwrite").parquet(src)
+    q = stream_index_events(spark, src, sink, str(tmp_path / "tckpt"), geo.schema)
+    q.awaitTermination(120)
+
+    finalize_stream_stats(spark, sink)
+    got = OI.read_indexed(spark, sink)
+    want = sorted(
+        r.tier
+        for r in spark.read.parquet(sink)
+        .select(F.shiftright("cell", 58).alias("tier"))
+        .distinct()
+        .collect()
+    )
+    assert got._gw_tiers == want and len(want) >= 1
