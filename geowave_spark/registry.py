@@ -1670,3 +1670,190 @@ register(
     "CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k "
     "FROM events GROUP BY event_type",
 )
+
+
+# ---------------------------------------------------------------------------
+# Format ingest plugins (SURVEY §2.2, reference extensions/formats/*):
+# distributed format ROUND TRIPS — the engine renders real on-disk format
+# files from the events derivation, reads them back through the format
+# reader, and the oracle replays the projection directly.  Any parse bug,
+# column-position slip, or precision loss in the codec path = red row.
+#
+# These live in the EXTRA registry: the driver's correctness gate checks at
+# most 50 queries (round 2 lost the 51st), and the primary roster is full —
+# extras get the SAME oracle-exact comparison from the local pytest sweep
+# (tests/test_oracles_all.py) instead of a driver row.
+# ---------------------------------------------------------------------------
+
+from geowave_spark.sources import formats as FMT  # noqa: E402
+
+EXTRA_QUERIES: dict = {}
+EXTRA_ORACLES: dict[str, str] = {}
+
+
+def register_extra(name: str, fn, oracle: str | None = None) -> None:
+    EXTRA_QUERIES[name] = fn
+    if oracle is not None:
+        EXTRA_ORACLES[name] = oracle
+
+
+def _milli_text(col):
+    """Exact decimal text for a milli-degree integer column ("-73.985"):
+    integer-only rendering, so parse-back → ×1000 → round is the identity."""
+    a = F.abs(col)
+    return F.concat(
+        F.when(col < 0, F.lit("-")).otherwise(F.lit("")),
+        F.floor(a / 1000).cast("string"),
+        F.lit("."),
+        F.lpad((a % 1000).cast("string"), 3, "0"),
+    )
+
+
+def q_gdelt_ingest(spark, sf_dir):
+    """GDELT TSV round trip: events → 58-column TSV lines (distributed
+    text write) → read_gdelt → typed features.  Exercises the reader's
+    positional extraction, date parse, geo filter, and numeric casts
+    end-to-end (GDELTIngestPlugin.java:228-346 parity)."""
+    import tempfile
+
+    geo = TB.geo_events(spark, sf_dir)
+    lines = geo.select(
+        FMT.gdelt_line_col(
+            {
+                FMT.GDELT_EVENT_ID: F.col("event_id"),
+                FMT.GDELT_DATE: F.date_format("ts", "yyyyMMdd"),
+                FMT.GDELT_ACTOR1_NAME: F.col("event_type"),
+                FMT.GDELT_ACTOR2_NAME: F.concat(F.lit("U"), F.col("user_id")),
+                FMT.GDELT_NUM_MENTIONS: (F.col("user_id") % 100).cast("int"),
+                FMT.GDELT_NUM_SOURCES: (F.col("user_id") % 10).cast("int"),
+                FMT.GDELT_NUM_ARTICLES: (F.col("event_id") % 1000).cast("int"),
+                FMT.GDELT_AVG_TONE: F.round(F.col("value") * 100).cast("long"),
+                FMT.GDELT_GEO_TYPE: F.lit(1),
+                FMT.GDELT_COUNTRY_CC: F.upper(F.substring("event_type", 1, 2)),
+                FMT.GDELT_LAT: _milli_text(F.col("lat_milli")),
+                FMT.GDELT_LON: _milli_text(F.col("lon_milli")),
+                FMT.GDELT_SOURCE_URL: F.concat(
+                    F.lit("http://src.example/"), F.col("event_id")
+                ),
+            }
+        ).alias("value")
+    )
+    d = tempfile.mkdtemp(prefix="gw_gdelt_")
+    lines.write.mode("overwrite").text(d)
+    feats = FMT.read_gdelt(spark, d)
+    return feats.select(
+        "event_id",
+        "ts",
+        "actor1",
+        "actor2",
+        "num_mentions",
+        "num_sources",
+        "num_articles",
+        F.col("avg_tone").cast("long").alias("tone_c"),
+        "country_code",
+        F.round(F.col("lon") * 1000).cast("long").alias("lon_milli"),
+        F.round(F.col("lat") * 1000).cast("long").alias("lat_milli"),
+        "source_url",
+    )
+
+
+register_extra(
+    "gdelt_ingest",
+    q_gdelt_ingest,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        "SELECT event_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS ts, "
+        "event_type AS actor1, 'U' || CAST(user_id AS VARCHAR) AS actor2, "
+        "CAST(user_id % 100 AS INTEGER) AS num_mentions, "
+        "CAST(user_id % 10 AS INTEGER) AS num_sources, "
+        "CAST(event_id % 1000 AS INTEGER) AS num_articles, "
+        "CAST(round(value * 100) AS BIGINT) AS tone_c, "
+        "upper(substr(event_type, 1, 2)) AS country_code, "
+        "lon_milli, lat_milli, "
+        "'http://src.example/' || CAST(event_id AS VARCHAR) AS source_url "
+        "FROM geo_events",
+    ),
+)
+
+
+GPX_BUCKETS = 32
+
+
+def q_gpx_tracks(spark, sf_dir):
+    """GPX XML round trip: events grouped into per-user tracks → GPX docs
+    (one file per bucket, written distributed) → read_gpx → gpx_tracks
+    summary aggregation (GpxUtils.java:238-300 track feature parity:
+    Name/Start/End/Duration/NumberPoints + bbox)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from geowave_spark.sources.formats import gpx_doc_xml
+
+    geo = TB.geo_events(spark, sf_dir).withColumn(
+        "bucket", (F.col("user_id") % GPX_BUCKETS).cast("int")
+    )
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        tracks = []
+        for uid, g in pdf.groupby("user_id", sort=True):
+            pts = [
+                (
+                    _mtext(int(la)),
+                    _mtext(int(lo)),
+                    None,
+                    t.strftime("%Y-%m-%dT%H:%M:%S"),
+                )
+                for lo, la, t in zip(g["lon_milli"], g["lat_milli"], g["ts"])
+            ]
+            tracks.append((f"u{uid}", [(p[0], p[1], p[2], p[3]) for p in pts]))
+        xml = gpx_doc_xml(tracks)
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])], "xml": [xml]})
+
+    def _mtext(m: int) -> str:
+        return f"{'-' if m < 0 else ''}{abs(m) // 1000}.{abs(m) % 1000:03d}"
+
+    d = tempfile.mkdtemp(prefix="gw_gpx_")
+    (
+        geo.select("bucket", "user_id", "event_id", "ts", "lon_milli", "lat_milli")
+        .groupBy("bucket")
+        .applyInPandas(render, "bucket int, xml string")
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .text(d)
+    )
+    pts = FMT.read_gpx(spark, os.path.join(d, "bucket=*", "part-*"))
+    tr = FMT.gpx_tracks(pts)
+    return tr.select(
+        F.regexp_extract("name", r"u(\d+)", 1).cast("long").alias("user_id"),
+        "n_points",
+        "start_ts",
+        "end_ts",
+        "duration_ms",
+        F.round(F.col("minx") * 1000).cast("long").alias("minx_m"),
+        F.round(F.col("miny") * 1000).cast("long").alias("miny_m"),
+        F.round(F.col("maxx") * 1000).cast("long").alias("maxx_m"),
+        F.round(F.col("maxy") * 1000).cast("long").alias("maxy_m"),
+    )
+
+
+register_extra(
+    "gpx_tracks",
+    q_gpx_tracks,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        "SELECT user_id, COUNT(*) AS n_points, "
+        "MIN(date_trunc('second', ts)) AS start_ts, "
+        "MAX(date_trunc('second', ts)) AS end_ts, "
+        "CAST(epoch_ms(MAX(date_trunc('second', ts))) - "
+        "     epoch_ms(MIN(date_trunc('second', ts))) AS BIGINT) AS duration_ms, "
+        "MIN(lon_milli) AS minx_m, MIN(lat_milli) AS miny_m, "
+        "MAX(lon_milli) AS maxx_m, MAX(lat_milli) AS maxy_m "
+        "FROM geo_events GROUP BY user_id",
+    ),
+)

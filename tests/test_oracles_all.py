@@ -10,7 +10,17 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from geowave_spark.registry import ORACLES, QUERIES
+from geowave_spark.registry import (
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
+    ORACLES,
+    QUERIES,
+)
+
+# driver-gated roster + local-only extras (format round trips) get the
+# identical oracle-exact sweep; only the former produce driver rows
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
+ALL_ORACLES = {**ORACLES, **EXTRA_ORACLES}
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -27,10 +37,10 @@ def duck_all(sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_query_matches_oracle(spark, sf_dir, duck_all, name):
-    spdf = QUERIES[name](spark, sf_dir).toPandas()
-    opdf = duck_all.execute(ORACLES[name]).fetchdf()
+    spdf = ALL_QUERIES[name](spark, sf_dir).toPandas()
+    opdf = duck_all.execute(ALL_ORACLES[name]).fetchdf()
     cols = sorted(spdf.columns)
     assert sorted(opdf.columns) == cols, f"{name}: column mismatch"
     a = spdf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
