@@ -1857,3 +1857,145 @@ register_extra(
         "FROM geo_events GROUP BY user_id",
     ),
 )
+
+
+def q_shp_roundtrip(spark, sf_dir):
+    """Shapefile round trip (GeoTools-vector ingest parity): footprint
+    envelopes → rectangle Polygon records + dBASE attributes, one .shp/.dbf
+    shard per bucket written by the export sink → read_shapefile → envelope
+    + attribute projection.  Exercises both codecs (struct-level .shp
+    geometry, fixed-width .dbf attributes) and the binaryFile scan path
+    end-to-end; the float64 coordinates survive binary round trip exactly,
+    so the milli-degree envelope reconstruction is oracle-exact."""
+    import tempfile
+
+    from geowave_spark.sources import shapefile as SHP
+
+    fp = TB.geo_footprints(spark, sf_dir)
+    deg = lambda c: (F.col(c) / F.lit(1000.0)).cast("double")  # noqa: E731
+    ring = F.array(
+        F.array(deg("minx_m"), deg("miny_m")),
+        F.array(deg("maxx_m"), deg("miny_m")),
+        F.array(deg("maxx_m"), deg("maxy_m")),
+        F.array(deg("minx_m"), deg("maxy_m")),
+        F.array(deg("minx_m"), deg("miny_m")),
+    )
+    shaped = fp.select(
+        (F.col("event_id") % 32).cast("int").alias("bucket"),
+        F.struct(
+            F.lit(SHP.SHP_POLYGON).alias("t"), F.array(ring).alias("parts")
+        ).alias("shape"),
+        "event_id",
+        F.col("native_level").cast("long").alias("nat_level"),
+    )
+    d = tempfile.mkdtemp(prefix="gw_shp_")
+    SHP.write_shapefile_shards(
+        shaped,
+        d,
+        fields=[("event_id", "N", 18, 0), ("nat_level", "N", 4, 0)],
+        attr_cols=["event_id", "nat_level"],
+    )
+    feats = SHP.read_shapefile(spark, f"{d}/*.shp")
+    return feats.select(
+        F.get_json_object("attrs_json", "$.event_id").cast("long").alias("event_id"),
+        "shape_type",
+        "n_parts",
+        "n_points",
+        F.round(F.col("minx") * 1000).cast("long").alias("minx_m"),
+        F.round(F.col("miny") * 1000).cast("long").alias("miny_m"),
+        F.round(F.col("maxx") * 1000).cast("long").alias("maxx_m"),
+        F.round(F.col("maxy") * 1000).cast("long").alias("maxy_m"),
+        F.get_json_object("attrs_json", "$.nat_level").cast("long").alias("native_level"),
+    )
+
+
+register_extra(
+    "shp_roundtrip",
+    q_shp_roundtrip,
+    TB.oracle_with(
+        TB.GEO_FOOTPRINTS_SQL,
+        "geo_footprints",
+        "SELECT event_id, 5 AS shape_type, 1 AS n_parts, 5 AS n_points, "
+        "minx_m, miny_m, maxx_m, maxy_m, "
+        "CAST(native_level AS BIGINT) AS native_level "
+        "FROM geo_footprints",
+    ),
+)
+
+
+GEOTIFF_MOD = 50  # every 50th footprint becomes a scene file
+
+
+def q_geotiff_tiles(spark, sf_dir):
+    """GeoTIFF round trip (GeoTools-raster / Landsat8 ingest parity):
+    footprint-georeferenced procedural scenes → baseline GeoTIFF files
+    (one per scene, written by the tasks) → read_geotiff → envelope +
+    pixel-sum projection.  The F1 pixel formula and the float64 geo tags
+    replay exactly in SQL, so the whole encode→decode→georeference path is
+    oracle-checked."""
+    import os
+    import tempfile
+
+    fp = TB.geo_footprints(spark, sf_dir).filter(
+        F.col("event_id") % GEOTIFF_MOD == 0
+    )
+    d = tempfile.mkdtemp(prefix="gw_tif_")
+
+    def write_scenes(rows):
+        from geowave_spark.sources import tiff as TIF
+        from geowave_spark.sources.synthetic import pixels_for
+
+        for r in rows:
+            pix = pixels_for(int(r.event_id) % 256, 32, 32)
+            minx, miny = r.minx_m / 1000.0, r.miny_m / 1000.0
+            maxx, maxy = r.maxx_m / 1000.0, r.maxy_m / 1000.0
+            buf = TIF.encode_geotiff(
+                pix, (minx, maxy), ((maxx - minx) / 32.0, (maxy - miny) / 32.0)
+            )
+            with open(os.path.join(d, f"ev{int(r.event_id):012d}.tif"), "wb") as fh:
+                fh.write(buf)
+
+    fp.select("event_id", "minx_m", "miny_m", "maxx_m", "maxy_m").foreachPartition(
+        write_scenes
+    )
+
+    from geowave_spark.sources import tiff as TIF
+
+    feats = TIF.read_geotiff(spark, f"{d}/*.tif")
+    return feats.select(
+        F.regexp_extract("file", r"ev(\d+)\.tif", 1).cast("long").alias("event_id"),
+        "w",
+        "h",
+        "bands",
+        "px_sum",
+        F.round(F.col("minx") * 1000).cast("long").alias("minx_m"),
+        F.round(F.col("miny") * 1000).cast("long").alias("miny_m"),
+        F.round(F.col("maxx") * 1000).cast("long").alias("maxx_m"),
+        F.round(F.col("maxy") * 1000).cast("long").alias("maxy_m"),
+    )
+
+
+register_extra(
+    "geotiff_tiles",
+    q_geotiff_tiles,
+    TB.oracle_with(
+        TB.GEO_FOOTPRINTS_SQL,
+        "geo_footprints",
+        f"""
+SELECT s.event_id, 32 AS w, 32 AS h, 1 AS bands,
+       CAST(px.px_sum AS BIGINT) AS px_sum,
+       s.minx_m, s.miny_m, s.maxx_m, s.maxy_m
+FROM (SELECT event_id, minx_m, miny_m, maxx_m, maxy_m
+      FROM geo_footprints WHERE event_id % {GEOTIFF_MOD} = 0) s
+JOIN (
+  SELECT f.event_id,
+         SUM(((f.event_id % 256) * 31 + x.x * 7 + y.y * 13) % 256) AS px_sum
+  FROM geo_footprints f,
+       LATERAL unnest(generate_series(0, 31)) AS x(x),
+       LATERAL unnest(generate_series(0, 31)) AS y(y)
+  WHERE f.event_id % {GEOTIFF_MOD} = 0
+  GROUP BY f.event_id
+) px ON s.event_id = px.event_id
+""",
+    ),
+)
