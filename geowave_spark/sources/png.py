@@ -113,9 +113,17 @@ def png_decode(buf: bytes) -> np.ndarray:
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """fmt ∈ {png, jpeg}; 'jpeg' is the STUB lossy codec (see module doc)."""
+    """fmt ∈ {png, jpeg, jpg}.  'jpg' is the REAL baseline JPEG codec
+    (sources/jpeg.py, round 3).  'jpeg' stays the round-2 STUB lossy codec
+    (see module doc) because its quantization is SQL-replayable — the
+    driver's image_features oracle depends on that; real-JPEG rows are
+    pinned by PSNR pytest instead (DCT rounding has no SQL twin)."""
     if fmt == "png":
         return png_encode(pixels)
+    if fmt == "jpg":
+        from geowave_spark.sources.jpeg import jpeg_encode
+
+        return jpeg_encode(pixels)
     if fmt == "jpeg":
         quant = (
             np.ascontiguousarray(pixels, dtype=np.uint8) // LOSSY_QUANT
@@ -145,6 +153,10 @@ def decode_image(buf: bytes, fmt: str | None = None) -> np.ndarray:
         return raw_decode(buf)
     if buf[:4] == b"LOSY":
         return png_decode(buf[4:])
+    if buf[:2] == b"\xff\xd8":  # JPEG SOI
+        from geowave_spark.sources.jpeg import jpeg_decode
+
+        return jpeg_decode(buf)
     return png_decode(buf)
 
 
