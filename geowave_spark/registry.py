@@ -1999,3 +1999,205 @@ JOIN (
 """,
     ),
 )
+
+
+AVRO_BUCKETS = 32
+
+AVRO_FEATURE_SCHEMA = {
+    "type": "record",
+    "name": "feature",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "etype", "type": ["null", "string"]},
+        {"name": "lon", "type": "double"},
+        {"name": "lat", "type": "double"},
+        {"name": "tags", "type": {"type": "array", "items": "long"}},
+    ],
+}
+
+
+def q_avro_roundtrip(spark, sf_dir):
+    """Avro Object Container round trip (AvroIngestPlugin.java /
+    VectorLocalExportCommand parity): geo events → avro records (one
+    deflate container per bucket, written by the tasks) → read_avro →
+    typed projection.  Exercises the whole binary surface — zigzag longs,
+    IEEE doubles, null/string union, long arrays, deflate blocks — and
+    float64 coordinates survive exactly, so the milli reconstruction is
+    oracle-checked."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from geowave_spark.sources import avro as AV
+
+    geo = TB.geo_events(spark, sf_dir)
+    shaped = geo.select(
+        (F.col("event_id") % AVRO_BUCKETS).cast("int").alias("bucket"),
+        "event_id",
+        F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ).alias("etype"),
+        "lon",
+        "lat",
+        (F.col("user_id") % 5).cast("int").alias("n_tags"),
+    )
+    d = tempfile.mkdtemp(prefix="gw_avro_")
+
+    def write_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("event_id")
+        recs = [
+            {
+                "event_id": int(r.event_id),
+                "etype": None if pd.isna(r.etype) else str(r.etype),
+                "lon": float(r.lon),
+                "lat": float(r.lat),
+                "tags": [int(r.event_id) + i for i in range(int(r.n_tags))],
+            }
+            for r in pdf.itertuples()
+        ]
+        buf = AV.avro_encode(AVRO_FEATURE_SCHEMA, recs, codec="deflate")
+        b = int(pdf.bucket.iloc[0])
+        with open(os.path.join(d, f"b{b:03d}.avro"), "wb") as fh:
+            fh.write(buf)
+        return pd.DataFrame({"bucket": [b], "n": [len(recs)]})
+
+    shaped.groupBy("bucket").applyInPandas(write_bucket, "bucket int, n long").collect()
+
+    rec = F.from_json(
+        F.col("record_json"),
+        "struct<event_id:bigint, etype:string, lon:double, lat:double, tags:array<bigint>>",
+    ).alias("r")
+    feats = AV.read_avro(spark, f"{d}/*.avro").select(rec)
+    return feats.select(
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.etype").alias("etype"),
+        F.round(F.col("r.lon") * 1000).cast("long").alias("lon_milli"),
+        F.round(F.col("r.lat") * 1000).cast("long").alias("lat_milli"),
+        F.size("r.tags").alias("n_tags"),
+        F.aggregate(
+            "r.tags", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_tags"),
+    )
+
+
+register_extra(
+    "avro_roundtrip",
+    q_avro_roundtrip,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        "SELECT event_id, "
+        "CASE WHEN user_id % 7 = 0 THEN NULL ELSE event_type END AS etype, "
+        "lon_milli, lat_milli, "
+        "CAST(user_id % 5 AS INTEGER) AS n_tags, "
+        "CAST((user_id % 5) * event_id "
+        "     + (user_id % 5) * ((user_id % 5) - 1) // 2 AS BIGINT) AS sum_tags "
+        "FROM geo_events",
+    ),
+)
+
+
+STANAG_BUCKETS = 32
+
+
+def q_stanag_tracks(spark, sf_dir):
+    """STANAG 4676 round trip (Stanag4676IngestPlugin parity): geo events
+    grouped into per-user tracks → TrackMessage XML docs (one per bucket,
+    written by the tasks) → read_stanag4676 → per-track aggregation over
+    the point features the reference's IngestMessageHandler extracts
+    (uuid/number/status/classification/time/position/speed).  Coordinates
+    ride as exact decimal text and speeds as small integers, so the whole
+    encode→decode→aggregate path replays exactly in SQL."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from geowave_spark.sources.formats import stanag_doc_xml
+
+    geo = TB.geo_events(spark, sf_dir).withColumn(
+        "bucket", (F.col("user_id") % STANAG_BUCKETS).cast("int")
+    )
+
+    def _mtext(m: int) -> str:
+        return f"{'-' if m < 0 else ''}{abs(m) // 1000}.{abs(m) % 1000:03d}"
+
+    _STATUS = ["CONFIRMED", "TENTATIVE"]
+    _CLS = ["UNCLASSIFIED", "NATO_RESTRICTED", "NATO_SECRET"]
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        tracks = []
+        for uid, g in pdf.groupby("user_id", sort=True):
+            uid = int(uid)
+            pts = [
+                (
+                    f"p{int(ev)}",
+                    t.strftime("%Y-%m-%dT%H:%M:%S") + ".000Z",
+                    _mtext(int(la)),
+                    _mtext(int(lo)),
+                    int(ev) % 97,
+                    int(ev) % 360,
+                )
+                for ev, lo, la, t in zip(
+                    g["event_id"], g["lon_milli"], g["lat_milli"], g["ts"]
+                )
+            ]
+            tracks.append(
+                (f"u{uid}", f"T{uid}", _STATUS[uid % 2], _CLS[uid % 3], pts)
+            )
+        xml = stanag_doc_xml(tracks)
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])], "xml": [xml]})
+
+    d = tempfile.mkdtemp(prefix="gw_stanag_")
+    (
+        geo.select("bucket", "user_id", "event_id", "ts", "lon_milli", "lat_milli")
+        .groupBy("bucket")
+        .applyInPandas(render, "bucket int, xml string")
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .text(d)
+    )
+    pts = FMT.read_stanag4676(spark, os.path.join(d, "bucket=*", "part-*"))
+    p = pts.withColumn(
+        "ts", F.to_timestamp("time_raw", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    )
+    return p.groupBy(
+        F.regexp_extract("track_number", r"T(\d+)", 1).cast("long").alias("user_id"),
+        "track_status",
+        "track_classification",
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.round(F.min("lon") * 1000).cast("long").alias("minx_m"),
+        F.round(F.min("lat") * 1000).cast("long").alias("miny_m"),
+        F.round(F.max("lon") * 1000).cast("long").alias("maxx_m"),
+        F.round(F.max("lat") * 1000).cast("long").alias("maxy_m"),
+        F.sum("speed").cast("long").alias("sum_speed"),
+    )
+
+
+register_extra(
+    "stanag_tracks",
+    q_stanag_tracks,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        "SELECT user_id, "
+        "CASE WHEN user_id % 2 = 0 THEN 'CONFIRMED' ELSE 'TENTATIVE' END "
+        "  AS track_status, "
+        "CASE user_id % 3 WHEN 0 THEN 'UNCLASSIFIED' "
+        "  WHEN 1 THEN 'NATO_RESTRICTED' ELSE 'NATO_SECRET' END "
+        "  AS track_classification, "
+        "COUNT(*) AS n_points, "
+        "MIN(date_trunc('second', ts)) AS start_ts, "
+        "MAX(date_trunc('second', ts)) AS end_ts, "
+        "MIN(lon_milli) AS minx_m, MIN(lat_milli) AS miny_m, "
+        "MAX(lon_milli) AS maxx_m, MAX(lat_milli) AS maxy_m, "
+        "CAST(SUM(event_id % 97) AS BIGINT) AS sum_speed "
+        "FROM geo_events GROUP BY user_id",
+    ),
+)

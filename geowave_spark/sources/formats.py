@@ -349,3 +349,196 @@ def read_twitter(spark: SparkSession, path: str) -> DataFrame:
         lat.cast("double").alias("lat"),
     )
     return out.filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# STANAG 4676 (NATO track XML; Stanag4676IngestPlugin.java,
+# parser/NATO4676Decoder.java:248-470 readTrackMessage/readTrackEvent/
+# readTrackPoint, parser/NATO4676Encoder.java:264-368 the emit shape,
+# IngestMessageHandler.java:85-244 the per-point feature projection)
+# ---------------------------------------------------------------------------
+
+_XSI = "{http://www.w3.org/2001/XMLSchema-instance}type"
+
+STANAG_POINT_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("track_uuid", T.StringType()),
+        T.StructField("track_number", T.StringType()),
+        T.StructField("track_status", T.StringType()),
+        T.StructField("track_classification", T.StringType()),
+        T.StructField("item_uuid", T.StringType()),
+        T.StructField("time_raw", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("speed", T.DoubleType()),
+        T.StructField("course", T.DoubleType()),
+    ]
+)
+
+
+def read_stanag4676(spark: SparkSession, path: str) -> DataFrame:
+    """STANAG 4676 TrackMessage XML files → one row per TrackPoint.
+
+    Mirrors the reference decode surface that its ingest actually consumes
+    (NATO4676Decoder.readTrackMessage → readTrackEvent → readTrackPoint;
+    IngestMessageHandler keeps track uuid/number/status/classification +
+    point uuid/time/position/speed/course): ``tracks`` children of the
+    message, ``items`` children with ``xsi:type="TrackPoint"`` (other item
+    kinds — classification/management/motion-imagery — are skipped, like
+    the handler's point-only loop), nested ``trackPointPosition``
+    latitude/longitude.  One XML parse per file inside an Arrow-batched
+    kernel (same grain as the GPX reader); unparseable files and points
+    without a position are skipped like the plugin's catch-continue."""
+
+    def kernel(batches):
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        def local(tag: str) -> str:
+            return tag.rsplit("}", 1)[-1]
+
+        def text(el) -> str | None:
+            return el.text.strip() if el.text and el.text.strip() else None
+
+        cols = [f.name for f in STANAG_POINT_SCHEMA.fields]
+
+        def point_row(item, fname, trk):
+            uuid = tm = None
+            lat = lon = speed = course = None
+            for ch in item:
+                lt = local(ch.tag)
+                if lt == "trackItemUUID":
+                    uuid = text(ch)
+                elif lt == "trackItemTime":
+                    tm = text(ch)
+                elif lt == "trackPointPosition":
+                    for p in ch:
+                        pt = local(p.tag)
+                        try:
+                            if pt == "latitude":
+                                lat = float(p.text)
+                            elif pt == "longitude":
+                                lon = float(p.text)
+                        except (TypeError, ValueError):
+                            pass
+                elif lt == "trackPointSpeed":
+                    try:
+                        speed = float(ch.text)
+                    except (TypeError, ValueError):
+                        speed = None
+                elif lt == "trackPointCourse":
+                    try:
+                        course = float(ch.text)
+                    except (TypeError, ValueError):
+                        course = None
+            if lat is None or lon is None:
+                return None  # positionless point: skip, like the handler
+            return (fname, *trk, uuid, tm, lat, lon, speed, course)
+
+        for b in batches:
+            rows = []
+            for r in b.itertuples():
+                try:
+                    root = ET.fromstring(bytes(r.content))
+                except ET.ParseError:
+                    continue
+                if local(root.tag) != "TrackMessage":
+                    continue  # MissionSummaryMessage etc: no point features
+                for track in root:
+                    if local(track.tag) != "tracks":
+                        continue
+                    uuid = num = status = cls = None
+                    for ch in track:
+                        lt = local(ch.tag)
+                        if lt == "trackUUID":
+                            uuid = text(ch)
+                        elif lt == "trackNumber":
+                            num = text(ch)
+                        elif lt == "trackStatus":
+                            status = text(ch)
+                        elif lt == "trackSecurity":
+                            cls = next(
+                                (
+                                    text(c)
+                                    for c in ch
+                                    if local(c.tag) == "securityClassification"
+                                ),
+                                None,
+                            )
+                    trk = (uuid, num, status, cls)
+                    for item in track:
+                        if (
+                            local(item.tag) == "items"
+                            and item.get(_XSI) == "TrackPoint"
+                        ):
+                            row = point_row(item, r.path, trk)
+                            if row:
+                                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(kernel, STANAG_POINT_SCHEMA)
+
+
+def stanag_track_summary(points: DataFrame) -> DataFrame:
+    """Per-track summary (the handler's track-line feature: point count,
+    time span, bbox) — declarative groupBy over the point rows."""
+    p = points.withColumn(
+        "ts", F.to_timestamp("time_raw", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    )
+    return p.groupBy("track_uuid").agg(
+        F.max("track_number").alias("track_number"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("lon").alias("minx"),
+        F.min("lat").alias("miny"),
+        F.max("lon").alias("maxx"),
+        F.max("lat").alias("maxy"),
+    )
+
+
+def stanag_doc_xml(tracks) -> str:
+    """Single TrackMessage document from an iterable of
+    ``(track_uuid, track_number, status, classification,
+    [(item_uuid, time_iso, lat, lon, speed, course), ...])`` — the writer
+    twin of :func:`read_stanag4676`, matching the reference encoder's
+    element shape (NATO4676Encoder.java:150,226,264-368)."""
+    parts = [
+        '<?xml version="1.0"?>',
+        '<TrackMessage xmlns="urn:int:nato:stanag4676:0.14" '
+        'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" '
+        'schemaVersion="0.14">',
+        "<stanagVersion>1.0</stanagVersion>",
+    ]
+    for uuid, num, status, cls, pts in tracks:
+        parts.append(
+            f"<tracks><trackUUID>{uuid}</trackUUID>"
+            f"<trackNumber>{num}</trackNumber>"
+            f"<trackStatus>{status}</trackStatus>"
+            f"<trackSecurity><securityClassification>{cls}"
+            "</securityClassification><securityPolicyName>NATO"
+            "</securityPolicyName></trackSecurity>"
+            "<exerciseIndicator>OPERATIONAL</exerciseIndicator>"
+            "<simulationIndicator>REAL</simulationIndicator>"
+        )
+        for item_uuid, tm, lat, lon, speed, course in pts:
+            parts.append(
+                '<items xsi:type="TrackPoint">'
+                f"<trackItemUUID>{item_uuid}</trackItemUUID>"
+                "<trackItemSecurity><securityClassification>UNCLASSIFIED"
+                "</securityClassification></trackItemSecurity>"
+                f"<trackItemTime>{tm}</trackItemTime>"
+                "<trackPointPosition>"
+                f"<latitude>{lat}</latitude><longitude>{lon}</longitude>"
+                "</trackPointPosition>"
+                f"<trackPointSpeed>{speed}</trackPointSpeed>"
+                f"<trackPointCourse>{course}</trackPointCourse>"
+                "<trackPointType>MANUAL_ESTIMATED</trackPointType>"
+                "</items>"
+            )
+        parts.append("</tracks>")
+    parts.append("</TrackMessage>")
+    return "".join(parts)

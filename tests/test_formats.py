@@ -161,3 +161,54 @@ def test_format_feeds_index_points(spark, tmp_path):
     indexed = OI.index_points(feats, id_col="event_id")
     row = indexed.select("cell", "tier", "cell_p", "salt").collect()[0]
     assert row.tier == 29 and row.cell is not None
+
+
+def test_stanag4676_reader(spark, tmp_path):
+    """TrackMessage round trip: two tracks, point-only item filtering,
+    nested position, float64 coordinate exactness, track summary."""
+    doc = FMT.stanag_doc_xml(
+        [
+            (
+                "u-1",
+                "T001",
+                "CONFIRMED",
+                "NATO_SECRET",
+                [
+                    ("p-1", "2020-01-01T00:00:00.000Z", 40.7585, -73.9855, 12.0, 270.5),
+                    ("p-2", "2020-01-01T00:00:01.500Z", 40.759, -73.986, 13.0, 271.0),
+                ],
+            ),
+            (
+                "u-2",
+                "T002",
+                "TENTATIVE",
+                "UNCLASSIFIED",
+                [("p-3", "2020-01-01T01:00:00.000Z", -85.0, 179.999, 0.0, 0.0)],
+            ),
+        ]
+    )
+    # a non-point item rides along and must be skipped (xsi:type filter)
+    doc = doc.replace(
+        "</tracks></TrackMessage>",
+        '<items xsi:type="TrackClassificationInformation">'
+        "<trackItemUUID>c-1</trackItemUUID><numberofObjects>1</numberofObjects>"
+        "</items></tracks></TrackMessage>",
+    )
+    (tmp_path / "a.xml").write_text(doc)
+    (tmp_path / "junk.xml").write_text("<not even xml")  # skipped
+
+    pts = FMT.read_stanag4676(spark, str(tmp_path / "*.xml"))
+    rows = {r.item_uuid: r for r in pts.collect()}
+    assert set(rows) == {"p-1", "p-2", "p-3"}
+    r = rows["p-1"]
+    assert r.track_uuid == "u-1" and r.track_number == "T001"
+    assert r.track_status == "CONFIRMED" and r.track_classification == "NATO_SECRET"
+    assert (r.lat, r.lon) == (40.7585, -73.9855)
+    assert (r.speed, r.course) == (12.0, 270.5)
+    assert rows["p-3"].lon == 179.999
+
+    summ = {r.track_uuid: r for r in FMT.stanag_track_summary(pts).collect()}
+    assert summ["u-1"].n_points == 2
+    assert str(summ["u-1"].start_ts).startswith("2020-01-01 00:00:00")
+    assert str(summ["u-1"].end_ts).startswith("2020-01-01 00:00:01.5")
+    assert summ["u-1"].minx == -73.986 and summ["u-2"].maxx == 179.999
