@@ -337,30 +337,42 @@ SELECT doc_id, {sim} AS simhash FROM agg
 """
 
 
-def simhash_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    engine: str = "catalyst",
+def hamming_pairs(
+    keys: DataFrame,
+    key_col: str,
+    id_col: str,
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIM_CHUNKS,
+    max_hamming: int = SIM_MAX_HAMMING,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ ``SIM_MAX_HAMMING``.
+    """Generic banded hamming self-join over an int64 key column — the
+    shared machinery behind text simhash AND image phash near-dup (the
+    input-table ``phash`` column: any ≤63-bit perceptual hash).
 
-    Pigeonhole banding: ≤ 3 differing bits over 4 chunks ⇒ at least one
-    15-bit chunk identical → equi-join on (chunk_idx, chunk_value), then the
-    exact popcount filter.  Output: (id_a, id_b, hamming).
-    ``engine='arrow'`` uses the bit-identical numpy signature kernel."""
-    sh = (simhash_arrow if engine == "arrow" else simhash)(docs, text_col, id_col)
+    Pigeonhole banding: ≤ ``max_hamming`` differing bits over ``chunks``
+    equal-width chunks (requires chunks > max_hamming) ⇒ at least one chunk
+    identical → equi-join on (chunk_idx, chunk_value), then the exact
+    popcount refilter.  One bounded explode (chunks× fan-out) + one shuffle
+    equi-join; `.distinct()` collapses pairs matching on several chunks.
+    Output: (id_a, id_b, hamming)."""
+    if chunks <= max_hamming:
+        raise ValueError("pigeonhole needs chunks > max_hamming")
+    cb = bits // chunks
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * CHUNK_BITS)
-            .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+            F.shiftright(F.col(key_col), c * cb)
+            .bitwiseAND(F.lit((1 << cb) - 1))
             .alias("cval"),
         )
-        for c in range(SIM_CHUNKS)
+        for c in range(chunks)
     ]
-    chunks = sh.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_structs)).alias("ck")
-    ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.cval").alias("cval"))
-    a, b = chunks.alias("a"), chunks.alias("b")
+    ck = keys.select(
+        F.col(id_col), F.col(key_col), F.explode(F.array(*chunk_structs)).alias("ck")
+    ).select(
+        id_col, key_col, F.col("ck.chunk").alias("chunk"), F.col("ck.cval").alias("cval")
+    )
+    a, b = ck.alias("a"), ck.alias("b")
     cand = (
         a.join(
             b,
@@ -372,12 +384,26 @@ def simhash_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col(f"a.{key_col}").bitwiseXOR(F.col(f"b.{key_col}"))
             ).alias("hamming"),
         )
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= SIM_MAX_HAMMING)
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    engine: str = "catalyst",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ ``SIM_MAX_HAMMING``.
+
+    Pigeonhole banding via :func:`hamming_pairs` (≤ 3 differing bits over 4
+    chunks ⇒ at least one 15-bit chunk identical).  Output:
+    (id_a, id_b, hamming).  ``engine='arrow'`` uses the bit-identical numpy
+    signature kernel."""
+    sh = (simhash_arrow if engine == "arrow" else simhash)(docs, text_col, id_col)
+    return hamming_pairs(sh, "simhash", id_col)
 
 
 def simhash_pairs_oracle(table: str = "documents") -> str:

@@ -2201,3 +2201,56 @@ register_extra(
         "FROM geo_events GROUP BY user_id",
     ),
 )
+
+
+PHASH_GROUPS = 40
+
+
+def _planted_phash():
+    """A 60-bit perceptual-hash stand-in with PLANTED near-dup structure
+    (the synthetic images table's fnv phash is uniform — no near pairs to
+    find): docs in the same group share an md5-derived base key; each doc
+    flips at most one group-dependent bit, so intra-group pairs sit at
+    hamming ≤ 2 and cross-group pairs at ~30.  Same integer derivation on
+    both engines."""
+    from geowave_spark.operators.text import h64_col
+
+    base = h64_col(F.concat(F.lit("pg"), (F.col("doc_id") % PHASH_GROUPS).cast("string")))
+    flip = F.when(F.col("doc_id") % 5 == 0, F.lit(0).cast("long")).otherwise(
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.col("doc_id") % 59).cast("int")
+        )
+    )
+    return base.bitwiseXOR(flip)
+
+
+def q_phash_pairs(spark, sf_dir):
+    """Image phash near-dup: the generic banded hamming self-join
+    (dedup.hamming_pairs — shared with text simhash) over the input table's
+    64-bit perceptual-hash column shape."""
+    docs = _docs(spark, sf_dir).select("doc_id", _planted_phash().alias("phash"))
+    return OD.hamming_pairs(docs, "phash", "doc_id")
+
+
+def _phash_pairs_oracle() -> str:
+    from geowave_spark.operators.text import duck_h64
+
+    base = duck_h64(f"'pg' || CAST(doc_id % {PHASH_GROUPS} AS VARCHAR)")
+    return f"""
+WITH ph AS (
+  SELECT doc_id,
+         xor({base},
+             CASE WHEN doc_id % 5 = 0 THEN 0
+                  ELSE (1::BIGINT << CAST(doc_id % 59 AS INTEGER)) END) AS phash
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM ph a JOIN ph b
+  ON a.doc_id % {PHASH_GROUPS} = b.doc_id % {PHASH_GROUPS}
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
+register_extra("phash_pairs", q_phash_pairs, _phash_pairs_oracle())

@@ -195,3 +195,29 @@ def test_fingerprints_arrow_identical(spark, sf_dir):
     a = OTX.fingerprints(docs).toPandas().sort_values(["doc_id", "fp"]).reset_index(drop=True)
     b = OTX.fingerprints_arrow(docs).toPandas().sort_values(["doc_id", "fp"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_hamming_pairs_closed_form(spark):
+    """Generic banded hamming join (the phash/simhash shared machinery):
+    known keys with pinned pairwise distances, pigeonhole validity check."""
+    import pandas as pd
+    import pytest
+
+    from geowave_spark.operators import dedup as OD
+
+    base = 0b1010_1100_0011_0101
+    keys = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "k": [base, base ^ 0b1, base ^ 0b111, base ^ ((1 << 40) | (1 << 3))],
+        }
+    )
+    df = spark.createDataFrame(keys)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in OD.hamming_pairs(df, "k", "doc_id", bits=60, chunks=4, max_hamming=3).collect()
+    }
+    # hamming(1,2)=1, (1,3)=3, (2,3)=2, (1,4)=2, (2,4)=3; (3,4) = 5 > 3 out
+    assert got == {(1, 2): 1, (1, 3): 3, (2, 3): 2, (1, 4): 2, (2, 4): 3}
+    with pytest.raises(ValueError, match="pigeonhole"):
+        OD.hamming_pairs(df, "k", "doc_id", chunks=3, max_hamming=3)
