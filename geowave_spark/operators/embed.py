@@ -661,3 +661,156 @@ ranked AS (
 )
 SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (round 3): centroid-bucketed approximate NN — the inverted-file
+# scale path next to the hyperplane-LSH one.  Coarse quantizer = nearest of
+# K seed centroids (deterministic: the quantized embeddings of the K
+# smallest ids; production swap = clustering.kmeans_mllib cluster centers —
+# the bucketing/probing machinery below is unchanged by where centroids
+# come from).  All distances are exact integers over the fixed-point
+# vectors, so assignment, probing, and ranking replay in SQL.
+# ---------------------------------------------------------------------------
+
+IVF_N_CENTROIDS = 16  # dial: ~sqrt(n)..n/4096 lists at corpus scale
+IVF_N_PROBES = 4      # nearest lists scanned per query (recall dial)
+
+
+def dist2_col(a: str, b: str) -> Column:
+    """Exact integer squared L2 distance of two pre-quantized vectors."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ivf_centroids(base: DataFrame, n_centroids: int, id_col: str) -> DataFrame:
+    return base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("_cid"), F.col("_qv").alias("_cv")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = IVF_N_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse assignment: every vector → its nearest centroid
+    (ties by centroid id).  One broadcast fan-out (n_centroids×, bounded)
+    + one map-side-combinable argmin aggregation — no all-pairs, no
+    driver loop.  Output: (id, _qv, _n, bucket)."""
+    from geowave_spark.session import spread
+
+    base = spread(emb.select(F.col(id_col), quant_col(F.col(vec_col)).alias("_qv")))
+    scored = base.crossJoin(F.broadcast(_ivf_centroids(base, n_centroids, id_col))).withColumn(
+        "_d2", dist2_col("_qv", "_cv")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by("_cid", F.struct("_d2", "_cid")).alias("bucket"),
+            F.any_value("_qv").alias("_qv"),  # constant within the group
+        )
+        .withColumn("_n", norm_col("_qv"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    n_probes: int = IVF_N_PROBES,
+    n_centroids: int = IVF_N_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate cosine top-k: each query scans only its ``n_probes``
+    nearest inverted lists (bucket equi-join), exact fixed-point cosine
+    re-rank inside.  Candidate fraction ≈ n_probes/n_centroids of the
+    corpus per query — the knob pair the 100 TB deployment sizes
+    (n_centroids ~ sqrt(n), n_probes for recall).  Output matches
+    :func:`cosine_topk`: (q_id, rank, vec_id, cos)."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
+    cents = _ivf_centroids(
+        assigned.select(id_col, "_qv"), n_centroids, id_col
+    )
+    q = assigned.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"),
+        F.col("_qv").alias("q_emb"),
+        F.col("_n").alias("_qn"),
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("_d2").asc(), F.col("_cid").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", dist2_col("q_emb", "_cv"))
+        .withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= n_probes)
+        .select("q_id", "q_emb", "_qn", F.col("_cid").alias("bucket"))
+    )
+    cand = assigned.join(probes, "bucket").filter(F.col(id_col) != F.col("q_id"))
+    cos = F.round(dot_col("_qv", "q_emb") / (F.col("_n") * F.col("_qn")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", F.col(id_col), "cos")
+    )
+
+
+def ivf_topk_oracle(
+    table: str = "embeddings",
+    n_queries: int = 8,
+    k: int = 10,
+    n_probes: int = IVF_N_PROBES,
+    n_centroids: int = IVF_N_CENTROIDS,
+) -> str:
+    qv = duck_quant("embedding")
+    d2 = (
+        "CAST(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {c}) "
+        "+ list_dot_product({c}, {c}) AS BIGINT)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, {qv} AS qv FROM {table}
+),
+cents AS (
+  SELECT vec_id AS cid, qv AS cv FROM base WHERE vec_id < {n_centroids}
+),
+assigned AS (
+  SELECT vec_id, qv, bucket FROM (
+    SELECT b.vec_id, b.qv, c.cid AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY {d2.format(a='b.qv', c='c.cv')} ASC, c.cid ASC) AS rk
+    FROM base b CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT q_id, q_emb, bucket FROM (
+    SELECT q.vec_id AS q_id, q.qv AS q_emb, c.cid AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {d2.format(a='q.qv', c='c.cv')} ASC, c.cid ASC) AS rk
+    FROM base q CROSS JOIN cents c WHERE q.vec_id < {n_queries}
+  ) WHERE rk <= {n_probes}
+),
+cand AS (
+  SELECT p.q_id, a.vec_id,
+         round(list_dot_product(a.qv, p.q_emb) /
+               (sqrt(list_dot_product(a.qv, a.qv)) *
+                sqrt(list_dot_product(p.q_emb, p.q_emb))), 6) AS cos
+  FROM probes p JOIN assigned a ON a.bucket = p.bucket
+  WHERE a.vec_id <> p.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM cand
+)
+SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= {k}
+"""

