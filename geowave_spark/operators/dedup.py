@@ -27,7 +27,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from geowave_spark.operators.text import duck_h64, duck_tokens, h64_col, tokens_col
+from geowave_spark.operators.text import (
+    base60_col,
+    duck_h64,
+    duck_tokens,
+    h64_col,
+    tokens_col,
+)
 
 
 def let(value: Column, fn) -> Column:
@@ -143,22 +149,24 @@ def _duck_mix(base: str, i: int) -> str:
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """(id, s0..s{H-1}) — H min-hashes over the distinct shingle set.
 
     A document's signature depends only on its own shingles, so this is a
     pure per-row array computation — NO explode, NO groupBy, no shuffle at
     all (the previous explode+16-min-aggregates formulation shuffled every
-    (doc, shingle) pair).  tokens, shingles and the md5 base hashes are
+    (doc, shingle) pair).  tokens, shingles and the base hashes are
     let-bound (computed once per row); the H hash functions are integer
-    mixes of the single base (see ``_MIX``)."""
+    mixes of the single base (see ``_MIX``).  ``hash_impl='xxhash64'`` =
+    the production base hash (text.base60_col)."""
     sig = let(
         tokens_col(F.col(text_col)),
         lambda toks: let(
             F.array_distinct(shingles_from_tokens(toks)),
             lambda sh: let(
-                F.transform(sh, lambda s: h64_col(s)),
+                F.transform(sh, lambda s: base60_col(s, hash_impl)),
                 lambda base: F.struct(
                     *[
                         F.array_min(F.transform(base, lambda h: _mix_col(h, i))).alias(
@@ -180,18 +188,22 @@ def minhash_signatures(
 
 def minhash_lsh_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    engine: str = "catalyst",
+    engine: str = "catalyst", hash_impl: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing ≥ 1 of ``BANDS`` band keys
     (each key = md5 of ``ROWS_PER_BAND`` concatenated signature slots).
     Output: distinct (id_a, id_b), id_a < id_b.
 
     ``engine='arrow'`` computes the signatures with the bit-identical
-    numpy kernel (same integers, pandas-batch speed)."""
+    numpy kernel (same integers, pandas-batch speed);
+    ``hash_impl='xxhash64'`` (catalyst engine) swaps in the production
+    base hash."""
     if engine == "arrow":
+        if hash_impl != "md5":
+            raise ValueError("arrow engine implements the md5 base hash only")
         sig = minhash_signatures_arrow(docs, text_col, id_col)
     else:
-        sig = minhash_signatures(docs, text_col, id_col)
+        sig = minhash_signatures(docs, text_col, id_col, hash_impl)
     band_structs = []
     for b in range(BANDS):
         cols = [F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
@@ -259,9 +271,13 @@ CHUNK_BITS = SIMHASH_BITS // SIM_CHUNKS
 SIM_MAX_HAMMING = 3
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_impl: str = "md5",
+) -> DataFrame:
     """60-bit SimHash over the distinct token set: bit b is the sign of
     Σ_tokens (±1 by bit b of the portable token hash).  Output: (id, simhash).
+    ``hash_impl='xxhash64'`` = the production token hash (text.base60_col).
 
     Like the minhash signature, this depends only on the row's own tokens —
     a pure per-row computation: token-hash array is let-bound (computed
@@ -307,7 +323,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     sim = let(
         F.array_distinct(tokens_col(F.col(text_col))),
-        lambda toks: let(F.transform(toks, lambda t: h64_col(t)), bits),
+        lambda toks: let(F.transform(toks, lambda t: base60_col(t, hash_impl)), bits),
     )
     # docs with zero tokens have no simhash (the explode formulation and
     # the oracle emit no row for them)
@@ -394,15 +410,20 @@ def hamming_pairs(
 
 def simhash_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    engine: str = "catalyst",
+    engine: str = "catalyst", hash_impl: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ ``SIM_MAX_HAMMING``.
 
     Pigeonhole banding via :func:`hamming_pairs` (≤ 3 differing bits over 4
     chunks ⇒ at least one 15-bit chunk identical).  Output:
     (id_a, id_b, hamming).  ``engine='arrow'`` uses the bit-identical numpy
-    signature kernel."""
-    sh = (simhash_arrow if engine == "arrow" else simhash)(docs, text_col, id_col)
+    signature kernel; ``hash_impl='xxhash64'`` the production token hash."""
+    if engine == "arrow":
+        if hash_impl != "md5":
+            raise ValueError("arrow engine implements the md5 base hash only")
+        sh = simhash_arrow(docs, text_col, id_col)
+    else:
+        sh = simhash(docs, text_col, id_col, hash_impl)
     return hamming_pairs(sh, "simhash", id_col)
 
 

@@ -44,6 +44,26 @@ def h64_col(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
 
+def h64_fast_col(s: Column) -> Column:
+    """PRODUCTION 60-bit string hash: native ``xxhash64`` folded to 60 bits
+    — pure codegen integer work (no hex string + base-16 conv per gram like
+    the md5 path).  Not DuckDB-replayable, so the md5 :func:`h64_col` stays
+    the oracle-parity default; the sketch operators take
+    ``hash_impl='xxhash64'`` to swap this in at deployment (same uniformity
+    contract, candidate quality pinned by tests)."""
+    return F.xxhash64(s).bitwiseAND(F.lit((1 << 60) - 1))
+
+
+def base60_col(s: Column, hash_impl: str = "md5") -> Column:
+    """The 60-bit base hash behind every text sketch, dial between the
+    oracle-parity md5 and the production xxhash64."""
+    if hash_impl == "md5":
+        return h64_col(s)
+    if hash_impl == "xxhash64":
+        return h64_fast_col(s)
+    raise ValueError(f"hash_impl {hash_impl!r} (md5 | xxhash64)")
+
+
 def duck_tokens(col: str) -> str:
     """DuckDB fragment equivalent to :func:`tokens_col`."""
     return (
@@ -240,11 +260,18 @@ KGRAM = 8
 WINNOW_W = 4
 
 
-def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_impl: str = "md5",
+) -> DataFrame:
     """Winnowing document fingerprints: hash every ``KGRAM``-char gram of the
     normalized text, keep the window-min over ``WINNOW_W`` consecutive grams,
     dedupe.  Standard near-copy detection (Schleimer et al. winnowing);
-    output (id, fp) — one row per distinct fingerprint."""
+    output (id, fp) — one row per distinct fingerprint.
+    ``hash_impl='xxhash64'`` = the production gram hash (see
+    :func:`base60_col`)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     d = docs.select(F.col(id_col), norm.alias("_norm")).filter(
         F.length("_norm") >= F.lit(KGRAM)
@@ -269,7 +296,7 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     fps = let(
         grams,
         lambda g: let(
-            F.transform(g, lambda gram: h64_col(gram)),
+            F.transform(g, lambda gram: base60_col(gram, hash_impl)),
             lambda h: F.when(
                 F.size(h) >= WINNOW_W,
                 F.array_distinct(

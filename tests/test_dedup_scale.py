@@ -221,3 +221,48 @@ def test_hamming_pairs_closed_form(spark):
     assert got == {(1, 2): 1, (1, 3): 3, (2, 3): 2, (1, 4): 2, (2, 4): 3}
     with pytest.raises(ValueError, match="pigeonhole"):
         OD.hamming_pairs(df, "k", "doc_id", chunks=3, max_hamming=3)
+
+
+def test_production_hash_path_finds_planted_dups(spark):
+    """hash_impl='xxhash64' (the production base hash — codegen xxhash64
+    instead of the oracle-parity md5+conv) must detect the same planted
+    duplicates across all three sketch families; bad impl names rejected."""
+    import pandas as pd
+    import pytest
+
+    from geowave_spark.operators import dedup as OD
+    from geowave_spark.operators import text as OT
+
+    texts = []
+    for i in range(12):
+        body = f"unique document {i} " + " ".join(
+            f"tok{(i * 17 + j) % 50}" for j in range(30)
+        )
+        texts.append(body)
+    # plant exact duplicates: 12..17 copy 0..5
+    texts += texts[:6]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    want = {(i, i + 12) for i in range(6)}
+
+    for impl in ("md5", "xxhash64"):
+        mh = {
+            (r.id_a, r.id_b)
+            for r in OD.minhash_lsh_pairs(df, hash_impl=impl).collect()
+        }
+        assert want <= mh, f"minhash[{impl}] missed planted dups"
+        sh = {
+            (r.id_a, r.id_b): r.hamming
+            for r in OD.simhash_pairs(df, hash_impl=impl).collect()
+        }
+        assert all(sh.get(p) == 0 for p in want), f"simhash[{impl}]"
+        fp = OT.fingerprints(df, hash_impl=impl).toPandas()
+        by_doc = fp.groupby("doc_id")["fp"].apply(set)
+        for i in range(6):
+            assert by_doc[i] == by_doc[i + 12], f"fingerprints[{impl}]"
+
+    with pytest.raises(ValueError, match="hash_impl"):
+        OT.base60_col(F.lit("x"), "sha1")
+    with pytest.raises(ValueError, match="md5"):
+        OD.minhash_lsh_pairs(df, engine="arrow", hash_impl="xxhash64")
