@@ -127,6 +127,11 @@ def run_bench(sf_dir: str = SF_DIR) -> dict:
         rps[name] = round(n_input / best, 1)
 
     total = round(sum(per_q.values()), 3)
+    # Stop Spark BEFORE the after-probe: the sentinel must measure the
+    # machine, not the bench's own idle JVM + pyspark worker pool (measured
+    # 1571 before / 659 "after" / 1311 once the JVM was gone — the probe
+    # was flagging its own residue as neighbor load).
+    spark.stop()
     calib_after = _sentinel(cpus)
     return {
         "metric": "suite_total_sec",
