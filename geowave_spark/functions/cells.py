@@ -458,10 +458,11 @@ def cover_bbox_hilbert(minx, miny, maxx, maxy, res: int) -> np.ndarray:
 # XZ-ordering for spatial extents (the reference's XZOrderSFC.java:95-178 —
 # Böhm/Klump/Kriegel XZ-ordering): each extent receives ONE code, that of
 # the coarsest quadtree anchor cell whose 2×-ENLARGED extension contains
-# it.  Provided for index-strategy parity; the engine's query path keys
-# extents by bounded multi-cell cover instead (better fit for equi-joins —
-# see SURVEY §2.1), so XZ here ships encode + invariants, not range
-# decomposition.
+# it.  ``xz_encode`` is the float-degree form (encode + invariants); the
+# QUERY path uses the exact milli-integer twins below
+# (``xz_encode_milli`` / ``xz_query_nodes_milli`` — the XZOrderSFC
+# getQueryRanges analogue) so decomposition and keys share one integer
+# lattice, replayable in SQL oracles.
 # ---------------------------------------------------------------------------
 
 XZ_G = 16  # max refinement level (matches the reference's 2-D default scale)
@@ -523,3 +524,136 @@ def xz_decode_cell(code, g: int = XZ_G):
         iy = np.where(active, (iy << 1) | (q & 1), iy)
         lvl = np.where(active, i, lvl)
     return lvl, ix, iy
+
+
+def xz_step(i: int, g: int = XZ_G) -> int:
+    """Size of (= code count in) a subtree rooted at a level-``i`` node:
+    (4^(g-i+1) − 1)/3.  Identical to the per-level step of the depth-first
+    enumeration — a level-i node's subtree is the contiguous code interval
+    [code, code + xz_step(i) − 1]."""
+    return (4 ** (g - i + 1) - 1) // 3
+
+
+def xz_encode_milli(minx_m, miny_m, maxx_m, maxy_m, g: int = XZ_G):
+    """Exact-integer XZ encode over the milli-degree lattice.
+
+    Returns ``(lvl, ix, iy, prefix)`` — anchor level/coords plus the
+    (n, g+1) int64 matrix of ancestor codes ``prefix[:, i]`` = code of the
+    level-i anchor on the path root→anchor (−1 beyond ``lvl``); the
+    extent's own code is ``prefix[r, lvl[r]]``.  All comparisons are
+    integer cross-multiplications — no float anywhere — so the Catalyst
+    twin (cols.xz_prefix_codes_milli_col) and the DuckDB oracle replay it
+    bit-identically.
+
+    Level selection uses the fits-monotonicity of XZ anchoring (an extent
+    that fits the 2×-enlarged anchor at level l+1 also fits at level l),
+    so lvl = Σ_l fits(l) — no log2, no step-down fix-up."""
+    X0 = np.asarray(minx_m, np.int64) + 180_000
+    X1 = np.asarray(maxx_m, np.int64) + 180_000
+    Y0 = np.asarray(miny_m, np.int64) + 90_000
+    Y1 = np.asarray(maxy_m, np.int64) + 90_000
+    DX, DY = np.int64(LON_SPAN_MILLI), np.int64(LAT_SPAN_MILLI)
+
+    lvl = np.zeros(X0.shape, dtype=np.int64)
+    for l in range(1, g + 1):
+        n = np.int64(1) << l
+        fx = X1 * n <= ((X0 * n) // DX + 2) * DX
+        fy = Y1 * n <= ((Y0 * n) // DY + 2) * DY
+        lvl += (fx & fy).astype(np.int64)
+
+    n = np.int64(1) << lvl
+    ix = np.minimum((X0 * n) // DX, n - 1)
+    iy = np.minimum((Y0 * n) // DY, n - 1)
+
+    prefix = np.full((*lvl.shape, g + 1), -1, dtype=np.int64)
+    code = np.zeros(lvl.shape, dtype=np.int64)
+    prefix[..., 0] = 0
+    for i in range(1, g + 1):
+        active = lvl >= i
+        bx = (ix >> np.maximum(lvl - i, 0)) & 1
+        by = (iy >> np.maximum(lvl - i, 0)) & 1
+        q = 2 * bx + by
+        code = np.where(active, code + q * np.int64(xz_step(i, g)) + 1, code)
+        prefix[..., i] = np.where(active, code, -1)
+    return lvl, ix, iy, prefix
+
+
+def xz_query_nodes_milli(
+    qminx_m: int, qminy_m: int, qmaxx_m: int, qmaxy_m: int,
+    g: int = XZ_G, max_nodes: int = 2000,
+):
+    """XZ range decomposition (XZOrderSFC.getQueryRanges analogue) as two
+    node sets over the SAME integer lattice as :func:`xz_encode_milli`:
+
+    - ``contained``: [(code, level)] — query box contains the node's cell,
+      so EVERY extent anchored anywhere in the node's subtree intersects
+      the query (its min corner lies inside the cell ⊆ query).  Matched by
+      joining any ancestor code.
+    - ``overlapped``: [code] — the node's 2×-enlarged cell merely overlaps
+      the query; only extents anchored EXACTLY here are candidates.
+      Matched by joining the extent's own code.
+
+    Pruning is exact: a child's enlarged cell is contained in its parent's,
+    so a subtree whose enlarged cell misses the query holds no candidate.
+    The ``max_nodes`` budget (reference MAX_RANGE_DECOMPOSITION=2000)
+    coarsens by promoting the remaining frontier to ``contained`` —
+    always a superset, never a miss.  The two sets are disjoint code
+    regions (subtrees of stopped recursion vs anchors above them), so a
+    (extent, query) pair matches AT MOST ONCE — the join needs no dedup."""
+    X0, X1 = int(qminx_m) + 180_000, int(qmaxx_m) + 180_000
+    Y0, Y1 = int(qminy_m) + 90_000, int(qmaxy_m) + 90_000
+    DX, DY = LON_SPAN_MILLI, LAT_SPAN_MILLI
+    contained: list[tuple[int, int]] = []
+    overlapped: list[int] = []
+    frontier: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)]
+    while frontier:
+        if len(contained) + len(overlapped) + len(frontier) >= max_nodes:
+            contained.extend((c, l) for l, _, _, c in frontier)
+            break
+        l, ix, iy, c = frontier.pop()
+        n = 1 << l
+        if (
+            X0 * n <= ix * DX and (ix + 1) * DX <= X1 * n
+            and Y0 * n <= iy * DY and (iy + 1) * DY <= Y1 * n
+        ):
+            contained.append((c, l))
+            continue
+        if not (
+            ix * DX <= X1 * n and (ix + 2) * DX >= X0 * n
+            and iy * DY <= Y1 * n and (iy + 2) * DY >= Y0 * n
+        ):
+            continue
+        overlapped.append(c)
+        if l < g:
+            step = xz_step(l + 1, g)
+            for q in range(4):
+                frontier.append(
+                    (l + 1, 2 * ix + (q >> 1), 2 * iy + (q & 1), c + q * step + 1)
+                )
+    return contained, overlapped
+
+
+def xz_query_ranges_milli(
+    qminx_m: int, qminy_m: int, qmaxx_m: int, qmaxy_m: int,
+    g: int = XZ_G, max_nodes: int = 2000,
+) -> list[tuple[int, int]]:
+    """The decomposition as merged sorted [lo, hi] code ranges — what a
+    sorted KV store would seek (contained node → its whole subtree
+    interval; overlapped node → its single anchor code).  The Spark path
+    executes the node sets as an equi-join instead (operators/xz.py); this
+    form exists for index-strategy parity and file-pruning pushdown, and
+    membership is provably identical to the node-set semantics."""
+    contained, overlapped = xz_query_nodes_milli(
+        qminx_m, qminy_m, qmaxx_m, qmaxy_m, g, max_nodes
+    )
+    ivs = sorted(
+        [(c, c + xz_step(l, g) - 1) for c, l in contained]
+        + [(c, c) for c in overlapped]
+    )
+    merged: list[tuple[int, int]] = []
+    for lo, hi in ivs:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged

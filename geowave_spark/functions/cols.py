@@ -125,3 +125,62 @@ def parent_col(cell: Column, parent_res: int) -> Column:
         "shiftrightunsigned", cell.bitwiseAND(F.lit(int(C.COORD_MASK))), shift
     )
     return F.lit(parent_res << C.RES_SHIFT).bitwiseOR(z)
+
+
+def _shiftright_var(v: Column, amount: Column) -> Column:
+    """shiftrightunsigned with a *column* shift amount."""
+    return F.call_function("shiftrightunsigned", v, amount.cast("int"))
+
+
+def xz_prefix_codes_milli_col(
+    minx_m: Column, miny_m: Column, maxx_m: Column, maxy_m: Column,
+    g: int = C.XZ_G,
+) -> Column:
+    """JVM mirror of cells.xz_encode_milli's prefix matrix: the int64 array
+    ``[code(level 0), …, code(level lvl)]`` of ancestor codes on the
+    root→anchor path (last element = the extent's own XZ code).  Bit-parity
+    with the numpy kernel is pinned by tests/test_xz.py.
+
+    All integer arithmetic, unrolled over the ``g`` levels.  ``lvl``/``ix``/
+    ``iy`` are LET-BOUND (the operators/dedup.let pattern): inlined naively
+    they are copied into every level × every array slot and the expression
+    tree alone takes minutes to analyze (measured: >5 min vs 2 s)."""
+
+    def _let(value: Column, fn) -> Column:
+        return F.transform(F.array(value), fn)[0]
+
+    X0 = minx_m.cast("long") + F.lit(180_000)
+    X1 = maxx_m.cast("long") + F.lit(180_000)
+    Y0 = miny_m.cast("long") + F.lit(90_000)
+    Y1 = maxy_m.cast("long") + F.lit(90_000)
+    DX, DY = C.LON_SPAN_MILLI, C.LAT_SPAN_MILLI
+
+    # lvl = Σ fits(l): the extent fits the 2×-enlarged anchor at level l
+    # (monotone in l, so the indicator sum IS the max fitting level).
+    fits = []
+    for l in range(1, g + 1):
+        n = 1 << l
+        fx = X1 * n <= (_idiv(X0 * n, DX) + 2) * F.lit(DX)
+        fy = Y1 * n <= (_idiv(Y0 * n, DY) + 2) * F.lit(DY)
+        fits.append((fx & fy).cast("long"))
+    lvl_expr = sum(fits[1:], fits[0])
+
+    def with_lvl(lvl: Column) -> Column:
+        n = _shiftleft_var(F.lit(1).cast("long"), lvl)
+        ix_expr = F.least(_idiv_col(X0 * n, F.lit(DX).cast("long")), n - 1)
+        iy_expr = F.least(_idiv_col(Y0 * n, F.lit(DY).cast("long")), n - 1)
+
+        def with_xy(ix: Column, iy: Column) -> Column:
+            code = F.lit(0).cast("long")
+            prefix = [code]
+            for i in range(1, g + 1):
+                sh = F.greatest(lvl - i, F.lit(0).cast("long"))
+                bx = _shiftright_var(ix, sh).bitwiseAND(F.lit(1).cast("long"))
+                by = _shiftright_var(iy, sh).bitwiseAND(F.lit(1).cast("long"))
+                code = code + (bx * 2 + by) * F.lit(C.xz_step(i, g)) + 1
+                prefix.append(code)
+            return F.slice(F.array(*prefix), 1, (lvl + 1).cast("int"))
+
+        return _let(ix_expr, lambda ix: _let(iy_expr, lambda iy: with_xy(ix, iy)))
+
+    return _let(lvl_expr, with_lvl)

@@ -2264,3 +2264,81 @@ def q_embed_ivf_topk(spark, sf_dir):
 
 
 register_extra("embed_ivf_topk", q_embed_ivf_topk, OE.ivf_topk_oracle())
+
+
+# ---------------------------------------------------------------------------
+# XZ-order extent index (XZOrderSFC encode + getQueryRanges; SURVEY §2.1):
+# the oracle replays the ENTIRE integer encode — level selection, anchor
+# coords, code enumeration — plus the query residual in DuckDB, so a third
+# engine checks the codes the Spark plan joined on, not just the pairs.
+# ---------------------------------------------------------------------------
+
+XZ_BOXES = [
+    ("xz_nyc", -75_000, 40_000, -73_000, 42_000),
+    ("xz_europe", -5_000, 44_000, 8_000, 52_000),
+    ("xz_wide", -170_000, -20_000, 40_000, 20_000),
+    ("xz_sliver", 0, -90_000, 999, 89_999),
+    ("xz_point", 12_345, -45_678, 12_345, -45_678),
+]
+
+
+def q_xz_bbox(spark, sf_dir):
+    """BBOX queries over XZ-keyed event footprints: ancestor-code equi-join
+    (provably dedup-free) + exact milli-int intersect residual; output
+    carries the extent's own XZ code so the oracle checks the encode."""
+    from geowave_spark.operators import xz as OXZ
+
+    fp = TB.geo_footprints(spark, sf_dir)
+    idx = OXZ.index_extents_xz(fp)
+    return OXZ.query_bbox_xz(idx, XZ_BOXES).select("query_id", "event_id", "xz")
+
+
+def _xz_bbox_oracle() -> str:
+    from geowave_spark.functions import cells as C
+
+    g, DX, DY = C.XZ_G, C.LON_SPAN_MILLI, C.LAT_SPAN_MILLI
+    fits = " + ".join(
+        f"(CASE WHEN x1*{1 << l} <= ((x0*{1 << l})//{DX} + 2)*{DX} "
+        f"AND y1*{1 << l} <= ((y0*{1 << l})//{DY} + 2)*{DY} "
+        f"THEN 1 ELSE 0 END)"
+        for l in range(1, g + 1)
+    )
+    code = " + ".join(
+        f"(CASE WHEN lvl >= {i} THEN "
+        f"(((ix >> GREATEST(lvl-{i}, 0)) & 1)*2 + "
+        f"((iy >> GREATEST(lvl-{i}, 0)) & 1))*{C.xz_step(i, g)} + 1 "
+        f"ELSE 0 END)"
+        for i in range(1, g + 1)
+    )
+    boxes = ", ".join(
+        f"('{qid}', {x0}::BIGINT, {y0}::BIGINT, {x1}::BIGINT, {y1}::BIGINT)"
+        for qid, x0, y0, x1, y1 in XZ_BOXES
+    )
+    return f"""
+WITH geo_footprints AS ({TB.GEO_FOOTPRINTS_SQL}),
+env AS (
+  SELECT event_id, minx_m, miny_m, maxx_m, maxy_m,
+         CAST(minx_m + 180000 AS BIGINT) AS x0,
+         CAST(maxx_m + 180000 AS BIGINT) AS x1,
+         CAST(miny_m + 90000 AS BIGINT) AS y0,
+         CAST(maxy_m + 90000 AS BIGINT) AS y1
+  FROM geo_footprints
+),
+lv AS (SELECT *, CAST({fits} AS BIGINT) AS lvl FROM env),
+gxy AS (
+  SELECT *,
+         LEAST((x0*(1::BIGINT << CAST(lvl AS INTEGER)))//{DX},
+               (1::BIGINT << CAST(lvl AS INTEGER)) - 1) AS ix,
+         LEAST((y0*(1::BIGINT << CAST(lvl AS INTEGER)))//{DY},
+               (1::BIGINT << CAST(lvl AS INTEGER)) - 1) AS iy
+  FROM lv
+),
+coded AS (SELECT *, CAST({code} AS BIGINT) AS xz FROM gxy),
+q(query_id, qx0, qy0, qx1, qy1) AS (VALUES {boxes})
+SELECT q.query_id, coded.event_id, coded.xz
+FROM coded JOIN q
+  ON minx_m <= qx1 AND maxx_m >= qx0 AND miny_m <= qy1 AND maxy_m >= qy0
+"""
+
+
+register_extra("xz_bbox", q_xz_bbox, _xz_bbox_oracle())
