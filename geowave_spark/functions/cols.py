@@ -17,6 +17,15 @@ from pyspark.sql import functions as F
 
 from geowave_spark.functions import cells as C
 
+
+def let(value: Column, fn) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` ONCE and use
+    it via a lambda variable.  Catalyst re-inlines projected expressions
+    into every lambda evaluation (O(n²) traps — projection boundaries do
+    not stop it); lambda variables are the supported way to force reuse.
+    Canonical copy — operators/dedup.py and friends re-export this."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
 # Parallel-prefix spread masks (same constants as cells._B; all < 2^63).
 _MASKS = [
     (16, 0x0000_FFFF_0000_FFFF),
@@ -142,13 +151,9 @@ def xz_prefix_codes_milli_col(
     with the numpy kernel is pinned by tests/test_xz.py.
 
     All integer arithmetic, unrolled over the ``g`` levels.  ``lvl``/``ix``/
-    ``iy`` are LET-BOUND (the operators/dedup.let pattern): inlined naively
-    they are copied into every level × every array slot and the expression
-    tree alone takes minutes to analyze (measured: >5 min vs 2 s)."""
-
-    def _let(value: Column, fn) -> Column:
-        return F.transform(F.array(value), fn)[0]
-
+    ``iy`` are LET-BOUND (:func:`let`): inlined naively they are copied
+    into every level × every array slot and the expression tree alone
+    takes minutes to analyze (measured: >5 min vs 2 s)."""
     X0 = minx_m.cast("long") + F.lit(180_000)
     X1 = maxx_m.cast("long") + F.lit(180_000)
     Y0 = miny_m.cast("long") + F.lit(90_000)
@@ -181,6 +186,6 @@ def xz_prefix_codes_milli_col(
                 prefix.append(code)
             return F.slice(F.array(*prefix), 1, (lvl + 1).cast("int"))
 
-        return _let(ix_expr, lambda ix: _let(iy_expr, lambda iy: with_xy(ix, iy)))
+        return let(ix_expr, lambda ix: let(iy_expr, lambda iy: with_xy(ix, iy)))
 
-    return _let(lvl_expr, with_lvl)
+    return let(lvl_expr, with_lvl)

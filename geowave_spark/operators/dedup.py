@@ -36,12 +36,10 @@ from geowave_spark.operators.text import (
 )
 
 
-def let(value: Column, fn) -> Column:
-    """Let-binding for column expressions: evaluate ``value`` ONCE and use
-    it via a lambda variable.  Catalyst re-inlines projected expressions
-    into every lambda evaluation (O(n²) traps); lambda variables are the
-    supported way to force reuse."""
-    return F.element_at(F.transform(F.array(value), fn), 1)
+# Let-binding for column expressions (see functions/cols.let, the
+# canonical copy) — re-exported here because the dedup sketches are where
+# the trap was first measured and half the codebase imports it from here.
+from geowave_spark.functions.cols import let  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Exact dedup

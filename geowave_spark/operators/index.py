@@ -207,21 +207,24 @@ def stats_tiers_for(df: DataFrame) -> list[int] | None:
         files = df.inputFiles()
     except Exception:
         return None
+    # EVERY file's root must contribute: a truncated listing (or a root
+    # without a stats store) would yield a partial tier list, and a cover
+    # join over partial tiers silently drops rows at the missing tiers.
+    # Dirname-dedupe first — the per-file python cost is one dict op.
     roots = set()
-    for f in files[:256]:
-        d = os.path.dirname(f)
+    for d in {os.path.dirname(f) for f in files}:
         while "=" in os.path.basename(d):
             d = os.path.dirname(d)
         roots.add(d)
+    if not roots:
+        return None
     tiers: set[int] = set()
-    found = False
     for root in roots:
         try:
             tiers.update(read_stats_tiers(df.sparkSession, root))
-            found = True
         except Exception:
-            continue
-    return sorted(tiers) if found else None
+            return None  # any statless source ⇒ whole answer unusable
+    return sorted(tiers)
 
 
 def index_envelopes_milli(

@@ -260,7 +260,10 @@ def _query_knn_via_join(
         [(q.query_id, q.lon_milli, q.lat_milli, q.k) for q in queries],
         "query_id string, lon_milli long, lat_milli long, k int",
     )
-    slim = data.select(id_col, "lon_milli", "lat_milli")
+    # Persisted for the same reason the ring path caches ITS projection:
+    # every escalation round (and the brute-force arm) re-joins this slim
+    # frame — without the persist each round is a fresh source-table scan.
+    slim = data.select(id_col, "lon_milli", "lat_milli").persist()
 
     d = min(start_dist_milli, cap)
     best, unsat = None, list(need)
@@ -312,6 +315,10 @@ def _query_knn_via_join(
             .select("query_id", "rank", id_col, F.col("_d").alias("dist2_milli"))
         )
         out = out.filter(~F.col("query_id").isin(unsat)).unionByName(brute)
+    else:
+        # every round's result is localCheckpoint-materialized, so nothing
+        # downstream re-reads the cached projection — release it
+        slim.unpersist(False)
     return out
 
 

@@ -283,11 +283,8 @@ def fingerprints(
     # codegen).  The let-bindings are load-bearing: Catalyst re-inlines
     # projected expressions into every lambda evaluation (projection
     # boundaries don't stop it), which would recompute the full hash array
-    # per window — O(n²) per doc.  A lambda VARIABLE is evaluated once, so
-    # binding each intermediate through a one-element-array transform gives
-    # true reuse.
-    def let(value, fn):
-        return F.element_at(F.transform(F.array(value), fn), 1)
+    # per window — O(n²) per doc.  A lambda VARIABLE is evaluated once.
+    from geowave_spark.functions.cols import let
 
     grams = F.transform(
         F.sequence(F.lit(1), F.length("_norm") - F.lit(KGRAM - 1)),

@@ -116,6 +116,7 @@ def query_bbox_xz_hierarchical(
     queries: list[tuple],
     point_id_cols: tuple[str, ...] = ("event_id",),
     env_cols: tuple[str, str, str, str] = ("minx_m", "miny_m", "maxx_m", "maxy_m"),
+    env_id_col: str = "i",
     **xz_kw,
 ) -> DataFrame:
     """XZHierarchicalIndexStrategy composition: POINTS through the tiered
@@ -138,6 +139,8 @@ def query_bbox_xz_hierarchical(
         F.col(point_id_cols[0]).cast("long").alias("oid"),
     )
     exts = query_bbox_xz(extents_indexed, queries, env_cols=env_cols, **xz_kw).select(
-        "query_id", F.lit("extent").alias("kind"), F.col("i").cast("long").alias("oid")
+        "query_id",
+        F.lit("extent").alias("kind"),
+        F.col(env_id_col).cast("long").alias("oid"),
     )
     return pts.unionByName(exts)

@@ -20,8 +20,13 @@ Top-level composition is AND, with ONE linearized exception mirroring
 CQLQuery.java:228-236 (``setExact(false)``): a top-level OR *of spatial
 clauses* — ``(BBOX(...) OR DWITHIN(...)) AND residual`` — runs each
 clause's exact index plan, unions the results with an id-dedup, and
-applies the residual.  Spatial clauses in any other boolean position
-still raise (a silent full-scan would hide a planning bug).
+applies the residual.  Extraction is gated by a real top-level-AND
+decomposition (quote/paren aware, BETWEEN's internal AND masked): a
+spatial clause under OR or NOT mixed with other predicates raises — a
+clause silently replaced by TRUE there would change the query's meaning
+(``BBOX(..) OR x=1`` would drop x=1 rows outside the box;
+``NOT (BBOX(..) OR BBOX(..))`` would return nothing).  A BETWEEN that is
+not itself a top-level operand stays in the residual, unconverted.
 """
 
 from __future__ import annotations
@@ -72,19 +77,6 @@ def _parse_rings(body: str) -> list[np.ndarray]:
     return rings
 
 
-def _cut(where: str, span: tuple[int, int]) -> str:
-    return where[: span[0]] + " TRUE " + where[span[1]:]
-
-
-def _residual(where: str) -> str:
-    """Collapse dangling ANDs/TRUEs left by clause extraction."""
-    s = where.strip()
-    s = re.sub(r"\bTRUE\s+AND\s+", "", s, flags=re.I)
-    s = re.sub(r"\s+AND\s+TRUE\b", "", s, flags=re.I)
-    s = s.strip()
-    return "" if s.upper() in ("", "TRUE") else s
-
-
 def _spatial_matches(where: str) -> list[tuple[str, re.Match]]:
     out = []
     for pat, kind in (
@@ -95,23 +87,119 @@ def _spatial_matches(where: str) -> list[tuple[str, re.Match]]:
     return out
 
 
-_OR_GROUP = re.compile(r"\(?\s*§(?:\s+OR\s+§)+\s*\)?", re.I)
+# ---------------------------------------------------------------------------
+# Top-level boolean decomposition.  Clause extraction may ONLY lift a
+# spatial/temporal clause out of the string when it is a genuine top-level
+# AND operand — a clause under OR or NOT that is replaced by TRUE silently
+# changes the query's meaning (e.g. ``BBOX(..) OR x=1`` would prefilter to
+# the box and then pass everything, dropping x=1 rows outside the box;
+# ``NOT (BBOX(..) OR BBOX(..))`` would become NOT TRUE = nothing).  So the
+# WHERE is split at depth-0, outside-quotes ANDs (BETWEENs masked first —
+# their internal AND is not a conjunction) and each extraction checks its
+# clause IS one whole operand.
+# ---------------------------------------------------------------------------
+
+_T0 = "\x01"  # BETWEEN mask delimiters; cannot appear in CQL text
+_T1 = "\x02"
+
+
+def _mask_betweens(s: str) -> tuple[str, list[str]]:
+    out, stored, last = [], [], 0
+    for m in _BETWEEN.finditer(s):
+        out.append(s[last: m.span()[0]])
+        out.append(f"{_T0}{len(stored)}{_T1}")
+        stored.append(m.group(0))
+        last = m.span()[1]
+    out.append(s[last:])
+    return "".join(out), stored
+
+
+def _unmask(s: str, stored: list[str]) -> str:
+    for i, txt in enumerate(stored):
+        s = s.replace(f"{_T0}{i}{_T1}", txt)
+    return s
+
+
+def _strip_outer_parens(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if depth == 0 and i < len(s) - 1:
+                return s  # the outer parens do not span the whole string
+        s = s[1:-1].strip()
+    return s
+
+
+def _top_and_operands(s: str) -> list[str]:
+    """Split at top-level (paren-depth 0, outside single quotes) ANDs."""
+    s = _strip_outer_parens(s)
+    out, depth, in_q, start, i, n = [], 0, False, 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if in_q:
+            in_q = ch != "'"
+        elif ch == "'":
+            in_q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and s[i: i + 3].upper() == "AND"
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + 3 >= n or not (s[i + 3].isalnum() or s[i + 3] == "_"))
+        ):
+            out.append(s[start:i])
+            start = i + 3
+            i += 3
+            continue
+        i += 1
+    out.append(s[start:])
+    return [o.strip() for o in out if o.strip()]
+
+
+_OR_OF_MARKS = re.compile(r"§(?:\s+OR\s+§)*", re.I)
+
+
+def _decompose(where: str, matches) -> tuple[str | None, list[str]]:
+    """→ (spatial operand with clauses as ``§`` marks | None, other
+    top-level AND operands, BETWEENs unmasked).  Raises when any spatial
+    clause sits under OR/NOT mixed with non-spatial terms — the positions
+    clause extraction cannot honor."""
+    skel = where
+    for s in reversed([m.span() for _, m in matches]):
+        skel = skel[: s[0]] + "§" + skel[s[1]:]
+    masked, stored = _mask_betweens(skel)
+    ops = [_strip_outer_parens(o) for o in _top_and_operands(masked)]
+    spatial_ops = [o for o in ops if "§" in o]
+    rest = [_unmask(o, stored) for o in ops if "§" not in o]
+    if not matches:
+        return None, rest
+    if (
+        len(spatial_ops) != 1
+        or not _OR_OF_MARKS.fullmatch(spatial_ops[0])
+        or spatial_ops[0].count("§") != len(matches)
+    ):
+        raise ValueError(
+            "spatial clauses are only supported as one top-level AND "
+            "operand — a single clause, or several in a single top-level "
+            "OR group (the reference's createOptimalQuery linearization); "
+            "under OR/NOT with other predicates the index prefilter would "
+            "silently change the query's meaning"
+        )
+    return spatial_ops[0], rest
 
 
 def _linearize_or(data, where, matches, tiers, max_cells, id_col):
-    """CQLQuery.java:228-236 linearization: WHERE whose spatial clauses
-    form one top-level OR group → union of each clause's exact index plan,
-    id-dedup'd, then the non-spatial remainder as residual.  Returns None
-    when the clauses are NOT a recognizable OR group (caller raises)."""
-    skel, spans = where, [m.span() for _, m in matches]
-    for s in reversed(spans):
-        skel = skel[: s[0]] + "§" + skel[s[1]:]
-    g = _OR_GROUP.search(skel)
-    if g is None or skel.count("§") != len(matches):
-        return None
-    rest = skel[: g.span()[0]] + " TRUE " + skel[g.span()[1]:]
-    if "§" in rest:
-        return None  # a spatial clause outside the OR group
+    """CQLQuery.java:228-236 linearization: the spatial clauses form one
+    top-level OR group → union of each clause's exact index plan,
+    id-dedup'd; the caller applies the remaining operands."""
     arms = [
         cql_query(data, where[m.span()[0]: m.span()[1]], tiers=tiers,
                   max_cells=max_cells)
@@ -120,9 +208,7 @@ def _linearize_or(data, where, matches, tiers, max_cells, id_col):
     out = arms[0]
     for a in arms[1:]:
         out = out.unionByName(a)
-    out = out.dropDuplicates([id_col])
-    residual = _residual(rest)
-    return out, residual
+    return out.dropDuplicates([id_col])
 
 
 def cql_query(
@@ -142,60 +228,53 @@ def cql_query(
     (see module docstring).
     """
     matches = _spatial_matches(where)
-    if len(matches) > 1:
-        lin = _linearize_or(data, where, matches, tiers, max_cells, id_col)
-        if lin is None:
-            raise ValueError(
-                "cql_query supports one spatial clause per query, or "
-                "several combined in a single top-level OR group (the "
-                "reference's createOptimalQuery linearization)"
-            )
-        out, residual = lin
-        tm = _BETWEEN.search(residual)
-        if tm and _TS_LIT.match(tm.group(2)) and _TS_LIT.match(tm.group(3)):
+    spatial_op, rest_ops = _decompose(where, matches)
+
+    # Temporal fast path: a timestamp-literal BETWEEN that is itself a
+    # whole top-level AND operand.  Any other BETWEEN (non-timestamp
+    # literals, or embedded under OR/NOT inside an operand) stays in the
+    # residual — Catalyst evaluates it with the column's own type, no
+    # blind to_timestamp coercion and no semantics change.
+    time_pred = None
+    residual_ops: list[str] = []
+    for op in rest_ops:
+        tm = _BETWEEN.fullmatch(op)
+        if (
+            time_pred is None
+            and tm
+            and _TS_LIT.match(tm.group(2))
+            and _TS_LIT.match(tm.group(3))
+        ):
             col, t0, t1 = tm.group(1), tm.group(2), tm.group(3)
-            out = out.filter(
-                (F.col(col) >= F.to_timestamp(F.lit(t0)))
-                & (F.col(col) <= F.to_timestamp(F.lit(t1)))
+            time_pred = (F.col(col) >= F.to_timestamp(F.lit(t0))) & (
+                F.col(col) <= F.to_timestamp(F.lit(t1))
             )
-            residual = _residual(_cut(residual, tm.span()))
+        else:
+            residual_ops.append(op)
+    residual = " AND ".join(f"({o})" for o in residual_ops)
+
+    if spatial_op is None:
+        out = data
+    elif len(matches) > 1:
+        out = _linearize_or(data, where, matches, tiers, max_cells, id_col)
+        if time_pred is not None:
+            out = out.filter(time_pred)
         if residual:
             out = out.filter(F.expr(residual))
         return out
-    spatial = None  # (kind, payload)
-    if matches:
-        spatial = matches[0]
-        where = _cut(where, matches[0][1].span())
-
-    time_pred = None
-    tm = _BETWEEN.search(where)
-    if tm and _TS_LIT.match(tm.group(2)) and _TS_LIT.match(tm.group(3)):
-        # only timestamp-shaped literals take the temporal fast path; any
-        # other BETWEEN stays in the residual (Catalyst evaluates it as-is
-        # with the column's own type — no blind to_timestamp coercion)
-        col, t0, t1 = tm.group(1), tm.group(2), tm.group(3)
-        time_pred = (F.col(col) >= F.to_timestamp(F.lit(t0))) & (
-            F.col(col) <= F.to_timestamp(F.lit(t1))
-        )
-        where = _cut(where, tm.span())
-
-    residual = _residual(where)
-
-    if spatial is None:
-        out = data
-    elif spatial[0] == "bbox":
-        m = spatial[1]
+    elif matches[0][0] == "bbox":
+        m = matches[0][1]
         q = P.BoxQuery("cql", *(float(m.group(i)) for i in range(2, 6)))
         out = OB.query_bbox(data, [q], tiers=tiers, max_cells=max_cells).drop("query_id")
-    elif spatial[0] == "intersects":
-        m = spatial[1]
+    elif matches[0][0] == "intersects":
+        m = matches[0][1]
         rings = _parse_rings(m.group(2))
         q = OP.PolygonQuery("cql", G.wkb_polygon(rings), "INTERSECTS")
         out = OP.query_polygon(data, [q], tiers=tiers, max_cells=max_cells).drop(
             "query_id"
         )
     else:  # dwithin
-        m = spatial[1]
+        m = matches[0][1]
         units = m.group(5)
         if units is not None and units.lower() not in _DWITHIN_UNITS:
             raise ValueError(

@@ -130,13 +130,33 @@ class _Reader:
         raise NotImplementedError(f"avro type {t!r}")
 
 
+# python type → acceptable union branch types, most specific first (bool
+# before int: bool is an int subclass; int may land in long/int/double)
+_UNION_BRANCHES = [
+    (type(None), ("null",)),
+    (bool, ("boolean",)),
+    (int, ("long", "int", "double", "float")),
+    (float, ("double", "float")),
+    (str, ("string", "enum")),
+    ((bytes, bytearray), ("bytes", "fixed")),
+    ((list, tuple), ("array",)),
+    (dict, ("record", "map")),
+]
+
+
 def _encode_value(schema, v) -> bytes:
-    if isinstance(schema, list):  # union: pick the branch matching v
-        for i, branch in enumerate(schema):
-            bt = branch if isinstance(branch, str) else branch["type"]
-            if (v is None) == (bt == "null"):
-                return _zz_enc(i) + _encode_value(branch, v)
-        raise ValueError("no union branch for value")
+    if isinstance(schema, list):  # union: branch by the VALUE's type
+        for py, bts in _UNION_BRANCHES:
+            if isinstance(v, py):
+                for want in bts:
+                    for i, branch in enumerate(schema):
+                        bt = branch if isinstance(branch, str) else branch["type"]
+                        if bt == want:
+                            return _zz_enc(i) + _encode_value(branch, v)
+                break
+        raise ValueError(
+            f"no union branch in {schema!r} for value of type {type(v).__name__}"
+        )
     t = schema if isinstance(schema, str) else schema["type"]
     if t == "null":
         return b""

@@ -183,7 +183,14 @@ def encode_dbf(
     return bytes(out)
 
 
-def decode_dbf(buf: bytes) -> tuple[list[tuple[str, str, int, int]], list[dict]]:
+def decode_dbf(
+    buf: bytes,
+) -> tuple[list[tuple[str, str, int, int]], list[dict | None]]:
+    """→ (fields, records) with ``records`` POSITIONALLY ALIGNED to the
+    physical record slots: a deleted record (0x2A flag) yields ``None``
+    rather than being skipped — the .shp↔.dbf pairing is by position, so
+    dropping a slot would attach record k+1's attributes to shape k for
+    every feature after the deletion."""
     n_rec, hdr_size, rec_size = struct.unpack_from("<IHH", buf, 4)
     fields = []
     off = 32
@@ -191,10 +198,11 @@ def decode_dbf(buf: bytes) -> tuple[list[tuple[str, str, int, int]], list[dict]]
         name, ftype, width, dec = struct.unpack_from("<11sc4xBB14x", buf, off)
         fields.append((name.split(b"\x00")[0].decode(), ftype.decode(), width, dec))
         off += 32
-    records = []
+    records: list[dict | None] = []
     off = hdr_size
     for _ in range(n_rec):
-        if buf[off : off + 1] == b"*":  # deleted
+        if buf[off : off + 1] == b"*":  # deleted — keep the slot
+            records.append(None)
             off += rec_size
             continue
         pos = off + 1
@@ -285,7 +293,9 @@ def read_shapefile(spark: SparkSession, shp_glob: str) -> DataFrame:
                             npts,
                             *env,
                             shp_record_wkb(t, parts),
-                            json.dumps(attrs[k]) if k < len(attrs) else None,
+                            json.dumps(attrs[k])
+                            if k < len(attrs) and attrs[k] is not None
+                            else None,
                         )
                     )
             pdf = pd.DataFrame(rows, columns=cols)

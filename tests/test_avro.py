@@ -95,3 +95,31 @@ def test_read_avro_spark(spark, tmp_path):
     assert rec["fid"] == 1 and rec["name"] == "alpha"
     assert rec["wkb"] == "0102"  # bytes surface as hex in the JSON column
     assert json.loads(rows[1].record_json)["name"] is None
+
+
+def test_union_branch_selected_by_value_type():
+    """Multi-branch unions pick the branch matching the VALUE's python
+    type (round-3 review: null-ness alone sent 2.5 down a 'long' branch,
+    silently truncating to 2)."""
+    import pytest
+
+    from geowave_spark.sources.avro import _encode_value, avro_decode, avro_encode
+
+    def rt(ftype, v):
+        schema = {
+            "type": "record", "name": "R",
+            "fields": [{"name": "x", "type": ftype}],
+        }
+        _s, recs = avro_decode(avro_encode(schema, [{"x": v}]))
+        return recs[0]["x"]
+
+    u = ["null", "long", "double"]
+    assert rt(u, None) is None
+    assert rt(u, 7) == 7
+    assert rt(u, 2.5) == 2.5
+    assert rt(["null", "int", "string"], "abc") == "abc"
+    assert rt(["null", "boolean", "long"], True) is True
+    got = rt(["null", "boolean", "long"], 5)
+    assert got == 5 and not isinstance(got, bool)
+    with pytest.raises(ValueError, match="union branch"):
+        _encode_value(["null", "long"], "oops")

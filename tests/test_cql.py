@@ -130,3 +130,54 @@ def test_cql_or_of_geometries_linearized(spark, geo):
             geo,
             "BBOX(geom, 0, 0, 1, 1) AND DWITHIN(geom, POINT(0 0), 10)",
         )
+
+
+def test_cql_spatial_under_or_or_not_raises(spark, geo):
+    """A spatial clause that is not a whole top-level AND operand must
+    raise — replacing it with TRUE would silently change semantics
+    (found in round-3 review: these previously returned wrong results)."""
+    bad = [
+        # negated OR-of-geometries: old code produced residual 'NOT TRUE'
+        "NOT (BBOX(geom, 0, 0, 1, 1) OR BBOX(geom, 5, 5, 6, 6))",
+        # OR group nested under a non-spatial OR: residual 'x OR TRUE'
+        "event_type = 'click' OR "
+        "(BBOX(geom, 0, 0, 1, 1) OR BBOX(geom, 5, 5, 6, 6))",
+        # single clause OR'd with a non-spatial predicate: residual
+        # 'TRUE OR ...' passed every bbox-prefiltered row
+        "BBOX(geom, 0, 0, 1, 1) OR event_type = 'click'",
+        "NOT BBOX(geom, 0, 0, 1, 1)",
+    ]
+    for where in bad:
+        with pytest.raises(ValueError, match="OR group|top-level"):
+            PC.cql_query(geo, where)
+
+
+def test_cql_residual_or_group_still_allowed(spark, geo):
+    """Non-spatial ORs in their own top-level operand are untouched."""
+    where = (
+        "(event_type = 'click' OR event_type = 'purchase') AND "
+        "BBOX(geom, -74.5, 40.2, -73.5, 41.2)"
+    )
+    got = PC.cql_query(geo, where, tiers=[OI.C.MAX_RES])
+    want = geo.filter(
+        (F.col("lon") >= -74.5) & (F.col("lon") <= -73.5)
+        & (F.col("lat") >= 40.2) & (F.col("lat") <= 41.2)
+        & F.col("event_type").isin("click", "purchase")
+    )
+    assert _ids(got) == _ids(want)
+
+
+def test_cql_between_under_or_stays_residual(spark, geo):
+    """A timestamp BETWEEN inside an OR operand is NOT lifted to the
+    AND-composed temporal fast path — it evaluates in the residual."""
+    where = (
+        "BBOX(geom, -74.5, 40.2, -73.5, 41.2) AND "
+        "(ts BETWEEN '2024-01-01' AND '2024-01-05' OR event_type = 'click')"
+    )
+    got = PC.cql_query(geo, where, tiers=[OI.C.MAX_RES])
+    want = geo.filter(
+        (F.col("lon") >= -74.5) & (F.col("lon") <= -73.5)
+        & (F.col("lat") >= 40.2) & (F.col("lat") <= 41.2)
+    ).filter("ts BETWEEN '2024-01-01' AND '2024-01-05' OR event_type = 'click'")
+    assert _ids(got) == _ids(want)
+    assert len(_ids(got)) > 0

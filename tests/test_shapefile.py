@@ -119,3 +119,18 @@ def test_write_shapefile_shards_roundtrip(spark, tmp_path):
         (json.loads(r.attrs_json)["fid"], r.minx) for r in back.collect()
     )
     assert got == [(float(i), float(i)) for i in range(6)]
+
+
+def test_dbf_deleted_record_keeps_positional_alignment():
+    """A 0x2A-flagged (deleted) .dbf record must occupy its slot as None —
+    skipping it would misalign every subsequent shape's attributes
+    (round-3 review finding)."""
+    import struct
+
+    fields = [("ID", "N", 10, 0)]
+    records = [[i] for i in range(4)]
+    buf = bytearray(SHP.encode_dbf(fields, records))
+    n_rec, hdr_size, rec_size = struct.unpack_from("<IHH", buf, 4)
+    buf[hdr_size + rec_size] = 0x2A  # delete record index 1
+    got_fields, got = SHP.decode_dbf(bytes(buf))
+    assert [r["ID"] if r else None for r in got] == [0, None, 2, 3]

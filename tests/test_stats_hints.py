@@ -168,3 +168,27 @@ def test_round_robin_salt_spreads_evenly(spark, sf_dir):
     spread = counts["count"].max() - counts["count"].min()
     assert spread <= spark.sparkContext.defaultParallelism * 2
     assert counts["count"].sum() == n
+
+
+def test_stats_tiers_multi_root_union(spark, sf_dir, tmp_path):
+    """A union over several indexed tables must merge ALL roots' stats —
+    and a union with any STATLESS root must return None (fall back to
+    discovery), never a partial tier list that would silently drop rows
+    at the missing tiers (round-3 review: the first-256-files cap could
+    return one root's tiers for a two-root union)."""
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    pa, pb, pc = (str(tmp_path / n) for n in ("a", "b", "c"))
+    OI.write_indexed(geo, pa)
+    # second root at a DIFFERENT tier so a partial answer is detectable
+    coarse = OI.index_points(
+        TB.geo_events(spark, sf_dir), id_col="event_id", res=OI.C.MAX_RES - 2
+    )
+    OI.write_indexed(coarse, pb)
+    # statless root: plain parquet write, no co-written _stats
+    geo.write.mode("overwrite").parquet(pc)
+
+    both = OI.read_indexed(spark, pa).unionByName(OI.read_indexed(spark, pb))
+    assert OI.stats_tiers_for(both) == [OI.C.MAX_RES - 2, OI.C.MAX_RES]
+
+    mixed = OI.read_indexed(spark, pa).unionByName(spark.read.parquet(pc))
+    assert OI.stats_tiers_for(mixed) is None
