@@ -722,13 +722,15 @@ def _segs_cross(a0, a1, b0, b1) -> bool:
     return False
 
 
-def _swap_intersects_ring(new_s, new_e, edge) -> bool:
+def _swap_intersects_ring(new_s, new_e, edge, skip) -> bool:
     """Would segment new_s→new_e cross any ring edge other than ``edge``
-    and its two neighbors (which share endpoints by construction)?"""
-    cur = edge.next.next
-    stop = edge.last
-    while cur is not stop:
-        if _segs_cross(new_s, new_e, cur.s, cur.e):
+    itself and ``skip`` — the ONE neighbor that shares an endpoint with
+    the new segment?  The opposite neighbor shares no endpoint with it
+    and must be tested: skipping both neighbors let a dig thread an
+    existing concave pocket and emit a self-intersecting ring."""
+    cur = edge.next
+    while cur is not edge:
+        if cur is not skip and _segs_cross(new_s, new_e, cur.s, cur.e):
             return True
         cur = cur.next
     return False
@@ -813,15 +815,18 @@ def concave_hull(
                 break
         if closer_elsewhere:
             continue
-        inner.discard(cand)
         d_s = math.hypot(cand[0] - edge.s[0], cand[1] - edge.s[1])
         d_e = math.hypot(cand[0] - edge.e[0], cand[1] - edge.e[1])
         if min(d_s, d_e) <= 0.0 or edge.length / min(d_s, d_e) <= threshold:
-            continue
-        if _swap_intersects_ring(edge.s, cand, edge) or _swap_intersects_ring(
-            cand, edge.e, edge
+            continue  # rejected: cand stays available to OTHER edges
+        # each new segment shares an endpoint with exactly one neighbor
+        # (s→cand with edge.last at s; cand→e with edge.next at e) — test
+        # everything else, including the opposite neighbor
+        if _swap_intersects_ring(edge.s, cand, edge, skip=edge.last) or (
+            _swap_intersects_ring(cand, edge.e, edge, skip=edge.next)
         ):
-            continue
+            continue  # rejected: cand stays available to OTHER edges
+        inner.discard(cand)  # accepted — only now is cand consumed
         e1, e2 = _Edge(edge.s, cand), _Edge(cand, edge.e)
         e1.last, e1.next = edge.last, e2
         e2.last, e2.next = e1, edge.next

@@ -149,6 +149,8 @@ def write_indexed(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
     tc = ST.tier_counts(df)
     if mode == "append":
+        from pyspark.errors import AnalysisException
+
         try:
             prev = df.sparkSession.read.parquet(f"{path}/_stats/tier_counts")
             tc = (
@@ -156,8 +158,14 @@ def write_indexed(df: DataFrame, path: str, mode: str = "overwrite") -> None:
                 .groupBy("tier")
                 .agg(F.sum("n_rows").alias("n_rows"))
             )
-        except Exception:
-            pass  # first write to this path: nothing to merge
+        except AnalysisException as e:
+            # ONLY "store doesn't exist yet" means nothing-to-merge; any
+            # other failure (corrupt file, permission, concurrent writer)
+            # must abort — overwriting with batch-only counts would
+            # silently drop every historical tier from later cover joins.
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "does not exist" not in msg:
+                raise
         tc = tc.localCheckpoint()  # sever lineage from the file being replaced
     tc.write.mode("overwrite").parquet(f"{path}/_stats/tier_counts")
 
@@ -204,6 +212,19 @@ def stats_tiers_for(df: DataFrame) -> list[int] | None:
     import os
 
     try:
+        # inputFiles() only reports FILE-SCAN leaves: a plan that unions a
+        # stored table with an in-memory/RDD-backed batch would yield the
+        # stored table's files alone, and the batch's tiers would be
+        # silently missing — the exact partial-list failure this function
+        # exists to prevent.  Demand that EVERY leaf is a file relation.
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() != "LogicalRelation":
+                return None
+            rel = leaf.relation()
+            if rel.getClass().getSimpleName() != "HadoopFsRelation":
+                return None
         files = df.inputFiles()
     except Exception:
         return None

@@ -314,11 +314,17 @@ def _query_knn_via_join(
             .filter(F.col("rank") <= F.col("k"))
             .select("query_id", "rank", id_col, F.col("_d").alias("dist2_milli"))
         )
-        out = out.filter(~F.col("query_id").isin(unsat)).unionByName(brute)
-    else:
-        # every round's result is localCheckpoint-materialized, so nothing
-        # downstream re-reads the cached projection — release it
-        slim.unpersist(False)
+        # materialize the straggler union so it stops referencing the
+        # cached projection before the release below (a later re-execution
+        # of ``out`` must not silently recompute the full slim scan)
+        out = out.filter(~F.col("query_id").isin(unsat)).unionByName(
+            brute
+        ).localCheckpoint()
+    # every round's result is localCheckpoint-materialized (straggler arm
+    # included, just above), so nothing downstream re-reads the cached
+    # projection — release it on BOTH paths; leaking it accumulated a full
+    # (id, lon, lat) copy in executor storage per query_knn call
+    slim.unpersist(False)
     return out
 
 

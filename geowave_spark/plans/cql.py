@@ -135,9 +135,11 @@ def _strip_outer_parens(s: str) -> str:
     return s
 
 
-def _top_and_operands(s: str) -> list[str]:
-    """Split at top-level (paren-depth 0, outside single quotes) ANDs."""
+def _top_operands(s: str, kw: str) -> list[str]:
+    """Split at top-level (paren-depth 0, outside single quotes) ``kw``
+    keywords (``AND`` or ``OR``)."""
     s = _strip_outer_parens(s)
+    k = len(kw)
     out, depth, in_q, start, i, n = [], 0, False, 0, 0, len(s)
     while i < n:
         ch = s[i]
@@ -151,20 +153,33 @@ def _top_and_operands(s: str) -> list[str]:
             depth -= 1
         elif (
             depth == 0
-            and s[i: i + 3].upper() == "AND"
+            and s[i: i + k].upper() == kw
             and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
-            and (i + 3 >= n or not (s[i + 3].isalnum() or s[i + 3] == "_"))
+            and (i + k >= n or not (s[i + k].isalnum() or s[i + k] == "_"))
         ):
             out.append(s[start:i])
-            start = i + 3
-            i += 3
+            start = i + k
+            i += k
             continue
         i += 1
     out.append(s[start:])
     return [o.strip() for o in out if o.strip()]
 
 
-_OR_OF_MARKS = re.compile(r"§(?:\s+OR\s+§)*", re.I)
+def _top_and_operands(s: str) -> list[str]:
+    return _top_operands(s, "AND")
+
+
+def _is_pure_or_of_marks(s: str) -> bool:
+    """True when ``s`` is an arbitrarily-parenthesized OR tree whose every
+    leaf is a ``§`` spatial-clause mark — '(§ OR (§ OR §))' qualifies, not
+    just the flat '§ OR § OR §' (machine-generated CQL routinely nests
+    binary ORs)."""
+    s = _strip_outer_parens(s)
+    parts = _top_operands(s, "OR")
+    if len(parts) == 1:
+        return parts[0] == "§"
+    return all(_is_pure_or_of_marks(p) for p in parts)
 
 
 def _decompose(where: str, matches) -> tuple[str | None, list[str]]:
@@ -183,7 +198,7 @@ def _decompose(where: str, matches) -> tuple[str | None, list[str]]:
         return None, rest
     if (
         len(spatial_ops) != 1
-        or not _OR_OF_MARKS.fullmatch(spatial_ops[0])
+        or not _is_pure_or_of_marks(spatial_ops[0])
         or spatial_ops[0].count("§") != len(matches)
     ):
         raise ValueError(

@@ -1697,6 +1697,13 @@ def register_extra(name: str, fn, oracle: str | None = None) -> None:
         EXTRA_ORACLES[name] = oracle
 
 
+def _mtext(m: int) -> str:
+    """Python twin of :func:`_milli_text` (one definition for every format
+    render kernel — the parse-back-exactness invariant lives HERE and in
+    the column expression below, nowhere else)."""
+    return f"{'-' if m < 0 else ''}{abs(m) // 1000}.{abs(m) % 1000:03d}"
+
+
 def _milli_text(col):
     """Exact decimal text for a milli-degree integer column ("-73.985"):
     integer-only rendering, so parse-back → ×1000 → round is the identity."""
@@ -1812,9 +1819,6 @@ def q_gpx_tracks(spark, sf_dir):
             tracks.append((f"u{uid}", [(p[0], p[1], p[2], p[3]) for p in pts]))
         xml = gpx_doc_xml(tracks)
         return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])], "xml": [xml]})
-
-    def _mtext(m: int) -> str:
-        return f"{'-' if m < 0 else ''}{abs(m) // 1000}.{abs(m) % 1000:03d}"
 
     d = tempfile.mkdtemp(prefix="gw_gpx_")
     (
@@ -2119,9 +2123,6 @@ def q_stanag_tracks(spark, sf_dir):
     geo = TB.geo_events(spark, sf_dir).withColumn(
         "bucket", (F.col("user_id") % STANAG_BUCKETS).cast("int")
     )
-
-    def _mtext(m: int) -> str:
-        return f"{'-' if m < 0 else ''}{abs(m) // 1000}.{abs(m) % 1000:03d}"
 
     _STATUS = ["CONFIRMED", "TENTATIVE"]
     _CLS = ["UNCLASSIFIED", "NATO_RESTRICTED", "NATO_SECRET"]

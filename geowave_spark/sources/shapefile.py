@@ -174,7 +174,16 @@ def encode_dbf(
         for (name, ftype, width, dec), val in zip(fields, rec):
             if ftype in ("N", "F"):
                 txt = ("" if val is None else (f"%.{dec}f" % val if dec else str(int(val))))
-                out += txt.rjust(width).encode()[:width]
+                if len(txt) > width:
+                    # keeping the LEADING chars of an over-wide number
+                    # silently drops orders of magnitude (123456 @ width 4
+                    # → 1234) and round-trips as a plausible wrong value —
+                    # fail loudly like the ring/tile guards do
+                    raise ValueError(
+                        f"dbf field {name!r}: value {txt!r} exceeds "
+                        f"declared width {width}"
+                    )
+                out += txt.rjust(width).encode()
             elif ftype == "L":
                 out += (b"T" if val else b"F").ljust(width)
             else:

@@ -131,6 +131,24 @@ def test_cql_or_of_geometries_linearized(spark, geo):
             "BBOX(geom, 0, 0, 1, 1) AND DWITHIN(geom, POINT(0 0), 10)",
         )
 
+    # nested binary OR grouping — what query builders emit — must
+    # linearize identically to the flat form (round-3 review: the flat
+    # '§ OR §' regex rejected '(§ OR (§ OR §))')
+    nested = (
+        "((BBOX(geom, -74.5, 40.2, -73.5, 41.2) OR "
+        "(DWITHIN(geom, POINT(2.352 48.857), 800) OR "
+        "BBOX(geom, -80, 0, -79, 1)))) AND event_type = 'click'"
+    )
+    got_n = PC.cql_query(geo, nested, tiers=[OI.C.MAX_RES])
+    extra_box = (
+        (F.col("lon") >= -80) & (F.col("lon") <= -79)
+        & (F.col("lat") >= 0) & (F.col("lat") <= 1)
+    )
+    want_n = geo.filter(
+        (in_box | in_disc | extra_box) & (F.col("event_type") == "click")
+    )
+    assert _ids(got_n) == _ids(want_n)
+
 
 def test_cql_spatial_under_or_or_not_raises(spark, geo):
     """A spatial clause that is not a whole top-level AND operand must

@@ -95,6 +95,14 @@ def test_concave_hull_invariants(pts):
         [min(G._seg_profile(s, e, (px, py))[1] for s, e in segs) for px, py in arr]
     )
     assert (inside | (dmin < 1e-9)).all()
+    # simple ring: non-adjacent edges never cross (round-3 review: the dig's
+    # crossing check skipped BOTH ring neighbors for both new segments, so a
+    # dig could thread an existing pocket and self-intersect)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == (i + 1) % n or (j + 1) % n == i or (i == 0 and j == n - 1):
+                continue
+            assert not G._segs_cross(*segs[i], *segs[j]), (i, j)
 
 
 @settings(max_examples=100, deadline=None)

@@ -15,6 +15,34 @@ def test_spread_noop_on_large_estimate(spark):
     assert spread(big) is big  # identity: no Exchange, no RDD translation
 
 
+def test_spread_estimate_path_is_live(spark):
+    """The Catalyst estimate must parse through py4j's int auto-conversion:
+    a large-estimate df short-circuits WITHOUT ever materializing .rdd."""
+    big = spark.range(0, 10_000_000_000)
+    est = int(str(big._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    assert est > 8 * 10**9  # the probe value spread() branches on
+
+    class Boom:
+        def __get__(self, obj, objtype=None):
+            raise AssertionError("fast path forced plan→RDD translation")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(type(big), "rdd", Boom()):
+        assert spread(big) is big
+
+
+def test_spread_treats_maxvalue_estimate_as_unknown(spark):
+    """LogicalRDD leaves report sizeInBytes=Long.MaxValue ("unknown") —
+    that must fall through to the partition probe, not read as huge."""
+    df = spark.createDataFrame([(i,) for i in range(64)], "id long").coalesce(1)
+    est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    if est < (1 << 63) - 1:  # environment-dependent; only assert when sentinel
+        return
+    out = spread(df)
+    assert out is not df and _has_repartition(out)
+
+
 def test_spread_repartitions_small_file_source(spark, sf_dir):
     small = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = spread(small)

@@ -77,6 +77,20 @@ def test_dbf_roundtrip():
     assert got[1]["count"] is None and got[1]["active"] is False
 
 
+def test_dbf_numeric_overflow_raises():
+    """A numeric value wider than its declared field must raise — the old
+    head-truncation wrote 123456 @ width 4 as b'1234', which round-trips
+    as a plausible wrong number (silent order-of-magnitude corruption)."""
+    import pytest
+
+    fields = [("count", "N", 4, 0)]
+    with pytest.raises(ValueError, match="exceeds declared width"):
+        SHP.encode_dbf(fields, [(123456,)])
+    # boundary: exactly-width values still encode
+    _, got = SHP.decode_dbf(SHP.encode_dbf(fields, [(9999,)]))
+    assert got[0]["count"] == 9999
+
+
 def test_read_shapefile_spark(spark, tmp_path):
     shapes = [(SHP.SHP_POLYGON, [_sq(10, 20, 4)]), (SHP.SHP_POLYGON, [_sq(-5, -5, 1)])]
     (tmp_path / "a.shp").write_bytes(SHP.encode_shp(shapes))

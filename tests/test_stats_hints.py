@@ -192,3 +192,11 @@ def test_stats_tiers_multi_root_union(spark, sf_dir, tmp_path):
 
     mixed = OI.read_indexed(spark, pa).unionByName(spark.read.parquet(pc))
     assert OI.stats_tiers_for(mixed) is None
+
+    # a NON-FILE leaf contributes no entry to inputFiles() at all — the
+    # file listing alone can't see it, so the leaf scan must refuse
+    in_mem = spark.createDataFrame(
+        OI.read_indexed(spark, pa).limit(2).collect()
+    )
+    half_mem = OI.read_indexed(spark, pa).unionByName(in_mem)
+    assert OI.stats_tiers_for(half_mem) is None
