@@ -675,3 +675,124 @@ def simhash_arrow(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return docs.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup group canonicalization: candidate pairs → connected components →
+# one kept representative per group (the step a training pipeline runs AFTER
+# minhash/simhash/embedding pair generation to actually drop duplicates).
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "id_a", b: str = "id_b", max_rounds: int = 64
+) -> DataFrame:
+    """(node, comp) for every node in an undirected pair graph; ``comp`` =
+    the component's minimum node id (deterministic, partition-independent).
+
+    Min-label propagation: each round every node takes the min label over
+    itself and its neighbors — two shuffles per round, converging in
+    component-DIAMETER rounds.  Near-dup graphs are shallow (groups are
+    near-cliques because LSH links most member pairs directly), so 2-4
+    rounds is typical; contrast DBSCAN's spatial chains, which needed the
+    partitioned union-find (clustering._components_spatial).  Each round
+    is ``localCheckpoint``-severed (CLAUDE.md: driver-looped iteration
+    must checkpoint or plans explode)."""
+    e = pairs.select(
+        F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v")
+    )
+    e = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = e.select(F.col("u").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        nbr = (
+            e.join(
+                lab.select(F.col("node").alias("v"), F.col("comp").alias("_vc")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("_vc").alias("_nc"))
+        )
+        new = (
+            lab.join(nbr.select(F.col("u").alias("node"), "_nc"), "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("_nc", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(lab.select("node", F.col("comp").alias("_old")), "node")
+            .filter(F.col("comp") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            return lab
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds — "
+        "component diameter exceeds the bound; raise max_rounds"
+    )
+
+
+def canonicalize(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a: str = "id_a",
+    b: str = "id_b",
+) -> DataFrame:
+    """Label EVERY document with its near-dup group and keep decision:
+    (``id_col``, group_id, keep) — ``group_id`` = min doc id of the
+    component (singleton docs are their own group), ``keep`` = this doc IS
+    the group minimum.  ``docs DISTINCT-on-keep`` is the deduplicated
+    corpus; the labeling keeps the dropped rows auditable (which group ate
+    them) instead of silently deleting.
+
+    Because min-label components converge to the component MINIMUM, the
+    representative needs no second argmin pass — ``keep = (doc == group)``.
+    One broadcast-or-shuffle join of the (small: nodes-in-pairs only)
+    component table against the corpus."""
+    comp = connected_components(pairs, a=a, b=b)
+    return (
+        docs.join(
+            comp.select(F.col("node").alias(id_col), "comp"), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("group_id"),
+            (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias("keep"),
+        )
+    )
+
+
+def canonicalize_oracle(pairs_sql: str, table: str = "documents") -> str:
+    """DuckDB twin: recursive-CTE transitive closure over the symmetric
+    pair graph (the dbscan-oracle pattern), min label per component,
+    left-joined to the corpus."""
+    return f"""
+WITH RECURSIVE cand AS ({pairs_sql}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION
+  SELECT id_b AS u, id_a AS v FROM cand
+),
+closure(node, lbl) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT sym.u, c.lbl FROM closure c JOIN sym ON sym.v = c.node
+),
+labels AS (SELECT node, MIN(lbl) AS grp FROM closure GROUP BY node)
+SELECT d.doc_id,
+       CAST(COALESCE(l.grp, d.doc_id) AS BIGINT) AS group_id,
+       (COALESCE(l.grp, d.doc_id) = d.doc_id) AS keep
+FROM {table} d LEFT JOIN labels l ON l.node = d.doc_id
+"""

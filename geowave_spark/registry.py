@@ -2343,3 +2343,119 @@ FROM coded JOIN q
 
 
 register_extra("xz_bbox", q_xz_bbox, _xz_bbox_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/interval.py): as-of enrichment and interval
+# overlap — the 1-D twins of the spatial cover join, no reference analogue
+# (its temporal support is range constraints on the compound key only).
+# ---------------------------------------------------------------------------
+
+from geowave_spark.operators import interval as OIV  # noqa: E402
+
+
+def _raw_events(spark, sf_dir):
+    return TB.load_tables(spark, sf_dir, names=("events",))["events"]
+
+
+def q_asof_join(spark, sf_dir):
+    """Point-in-time enrichment: each click gets the same user's latest
+    at-or-before purchase (id, ts, value) — one union + one window, no
+    fan-out (operators/interval.asof_join)."""
+    ev = _raw_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("asof_value")
+    )
+    return OIV.asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        right_vals=("asof_value",),
+    )
+
+
+_ASOF_ORACLE = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+ranked AS (
+  SELECT l.event_id, l.user_id, l.ts,
+         r.event_id AS asof_id, r.ts AS asof_ts, r.value AS asof_value,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.event_id ORDER BY r.ts DESC, r.event_id DESC
+         ) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+)
+SELECT event_id, user_id, ts, asof_id, asof_ts, asof_value
+FROM ranked WHERE rn = 1
+"""
+
+register_extra("asof_join", q_asof_join, _ASOF_ORACLE)
+
+
+SESSION_MOD = 14400  # purchase "session" length: 0..4h, hash-derived
+
+
+def q_interval_join(spark, sf_dir):
+    """Session attribution: every click inside a purchase's validity
+    window [ts, ts + dur] (dur = hash-derived ≤ 4 h).  Bucketed cover
+    join on hour buckets — dedup-free, one equi-join
+    (operators/interval.interval_join)."""
+    ev = _raw_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("point_id"),
+        F.unix_timestamp("ts").alias("pos"),
+    )
+    sess = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        F.unix_timestamp("ts").alias("lo"),
+        (
+            F.unix_timestamp("ts")
+            + (F.col("event_id") * 2654435761) % SESSION_MOD
+        ).alias("hi"),
+    )
+    return OIV.interval_join(
+        clicks, sess, bucket=3600, max_buckets=8
+    )
+
+
+_INTERVAL_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS point_id, CAST(floor(epoch(ts)) AS BIGINT) AS pos
+  FROM events WHERE event_type = 'click'
+),
+iv AS (
+  SELECT event_id AS interval_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + (event_id * 2654435761) % {SESSION_MOD} AS hi
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.point_id, iv.interval_id, p.pos
+FROM p JOIN iv ON p.pos >= iv.lo AND p.pos <= iv.hi
+"""
+
+register_extra("interval_join", q_interval_join, _INTERVAL_ORACLE)
+
+
+def q_dedup_groups(spark, sf_dir):
+    """End-to-end near-dup REMOVAL decision: minhash LSH pairs →
+    distributed connected components (min-label, diameter-bounded
+    rounds) → every document labeled (group_id, keep) with exactly one
+    kept representative per group (dedup.canonicalize)."""
+    docs = _docs(spark, sf_dir)
+    pairs = OD.minhash_lsh_pairs(docs, engine="arrow")
+    return OD.canonicalize(docs.select("doc_id"), pairs)
+
+
+register_extra(
+    "dedup_groups",
+    q_dedup_groups,
+    OD.canonicalize_oracle(OD.minhash_lsh_pairs_oracle("documents")),
+)
