@@ -796,3 +796,149 @@ SELECT d.doc_id,
        (COALESCE(l.grp, d.doc_id) = d.doc_id) AS keep
 FROM {table} d LEFT JOIN labels l ON l.node = d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus preparation: the composed training-data pipeline —
+# language gate → quality gate → length gate → exact dedup → near dedup —
+# with an auditable per-document decision record (which stage dropped it).
+# ---------------------------------------------------------------------------
+
+PREP_STAGES = ("lang", "quality", "length", "exact_dup", "near_dup", "kept")
+
+
+def corpus_prep(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.3,
+    min_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, pred_lang, n_tokens, quality, stage): ``stage`` is the
+    FIRST gate that dropped the document ('lang' | 'quality' | 'length' |
+    'exact_dup' | 'near_dup') or 'kept'.  ``stage == 'kept'`` is the
+    deduplicated training corpus; every drop is attributable.
+
+    Composition of the engine's own operators — lang_id + quality_score
+    (one pass each), exact dedup (groupBy min-id on the md5 of normalized
+    text, among earlier-stage survivors), minhash LSH pairs + component
+    canonicalization among exact-dedup survivors.  Stage ORDER matters
+    and is part of the contract: each gate sees only the previous gate's
+    survivors, so e.g. a duplicate pair whose canonical member failed the
+    quality gate elects a new surviving representative.
+    """
+    from geowave_spark.operators import text as OTX
+
+    li = OTX.lang_id(docs, text_col=text_col, id_col=id_col)
+    qs = OTX.quality_score(docs, text_col=text_col, id_col=id_col)
+    base = (
+        docs.select(id_col, text_col)
+        .join(li.select(id_col, "pred_lang"), id_col)
+        .join(qs.select(id_col, "n_tokens", "quality"), id_col)
+    )
+    gate = (
+        F.when(F.col("pred_lang") != lang, F.lit("lang"))
+        .when(F.col("quality") < min_quality, F.lit("quality"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("length"))
+    )
+    base = base.withColumn("_g1", gate)
+    surv1 = base.filter(F.col("_g1").isNull()).withColumn(
+        "_dk", F.md5(norm_col(F.col(text_col)).cast("binary"))
+    )
+    canon = surv1.groupBy("_dk").agg(F.min(id_col).alias("_canon"))
+    s2 = surv1.join(canon, "_dk").withColumn(
+        "_g2", F.when(F.col(id_col) != F.col("_canon"), F.lit("exact_dup"))
+    )
+    surv2 = s2.filter(F.col("_g2").isNull()).select(id_col, text_col)
+    pairs = minhash_lsh_pairs(surv2, text_col=text_col, id_col=id_col,
+                              engine="arrow")
+    near = canonicalize(surv2.select(id_col), pairs, id_col=id_col)
+    verdicts = (
+        s2.select(id_col, "_g2")
+        .join(near.select(id_col, "keep"), id_col, "left")
+        .withColumn(
+            "_g3",
+            F.coalesce(
+                F.col("_g2"),
+                F.when(~F.col("keep"), F.lit("near_dup")).otherwise(
+                    F.lit("kept")
+                ),
+            ),
+        )
+        .select(id_col, F.col("_g3").alias("_stage"))
+    )
+    return (
+        base.join(verdicts, id_col, "left")
+        .select(
+            id_col, "pred_lang", "n_tokens", "quality",
+            F.coalesce(F.col("_g1"), F.col("_stage")).alias("stage"),
+        )
+    )
+
+
+def corpus_prep_oracle(
+    table: str = "documents",
+    lang: str = "en",
+    min_quality: float = 0.3,
+    min_tokens: int = 20,
+) -> str:
+    """DuckDB twin of :func:`corpus_prep`, chaining the per-operator oracle
+    fragments (lang/quality nested queries, md5 exact keys, the minhash
+    signature+banding CTEs on the survivor set, recursive-CTE components)."""
+    from geowave_spark.operators import text as OTX
+
+    band_arms = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ")) AS bkey FROM sig"
+        for b in range(BANDS)
+    )
+    return f"""
+WITH RECURSIVE
+l AS ({OTX.lang_id_oracle(table)}),
+q AS ({OTX.quality_score_oracle(table)}),
+base AS (
+  SELECT d.doc_id, d.text, l.pred_lang, q.n_tokens, q.quality,
+         CASE WHEN l.pred_lang <> '{lang}' THEN 'lang'
+              WHEN q.quality < {min_quality} THEN 'quality'
+              WHEN q.n_tokens < {min_tokens} THEN 'length' END AS g1
+  FROM {table} d
+  JOIN l ON l.doc_id = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id
+),
+surv1 AS (
+  SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS dk
+  FROM base WHERE g1 IS NULL
+),
+canon AS (SELECT dk, MIN(doc_id) AS m FROM surv1 GROUP BY dk),
+s2 AS (
+  SELECT surv1.*, CASE WHEN doc_id <> c.m THEN 'exact_dup' END AS g2
+  FROM surv1 JOIN canon c ON c.dk = surv1.dk
+),
+docs2 AS (SELECT doc_id, text FROM s2 WHERE g2 IS NULL),
+{_duck_sig_cte("docs2").lstrip()},
+bands AS ({band_arms}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION SELECT id_b, id_a FROM cand
+),
+closure(node, lbl) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT sym.u, c.lbl FROM closure c JOIN sym ON sym.v = c.node
+),
+labels AS (SELECT node, MIN(lbl) AS grp FROM closure GROUP BY node)
+SELECT b.doc_id, b.pred_lang, b.n_tokens, b.quality,
+       COALESCE(b.g1, s2.g2,
+                CASE WHEN COALESCE(lb.grp, s2.doc_id) <> s2.doc_id
+                     THEN 'near_dup' ELSE 'kept' END) AS stage
+FROM base b
+LEFT JOIN s2 ON s2.doc_id = b.doc_id
+LEFT JOIN labels lb ON lb.node = b.doc_id
+"""

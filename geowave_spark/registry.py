@@ -2459,3 +2459,33 @@ register_extra(
     q_dedup_groups,
     OD.canonicalize_oracle(OD.minhash_lsh_pairs_oracle("documents")),
 )
+
+
+def q_polygonize(spark, sf_dir):
+    """Raster→vector: contiguous occupied-region extraction from the
+    res-10 density mask (operators/vectorize.polygonize_occupancy) —
+    the inverse of render_point_tiles/kde (vector→raster)."""
+    from geowave_spark.operators import vectorize as OV
+
+    return OV.polygonize_occupancy(
+        TB.geo_events(spark, sf_dir), res=10, min_count=2
+    )
+
+
+def _polygonize_oracle() -> str:
+    from geowave_spark.operators import vectorize as OV
+
+    return OV.polygonize_oracle(TB.GEO_EVENTS_SQL, res=10, min_count=2)
+
+
+register_extra("polygonize", q_polygonize, _polygonize_oracle())
+
+
+def q_corpus_prep(spark, sf_dir):
+    """The composed training-data pipeline with an auditable per-document
+    decision record: language → quality → length → exact dedup → near
+    dedup (dedup.corpus_prep); stage='kept' is the training corpus."""
+    return OD.corpus_prep(_docs(spark, sf_dir))
+
+
+register_extra("corpus_prep", q_corpus_prep, OD.corpus_prep_oracle("documents"))

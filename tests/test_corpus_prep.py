@@ -1,0 +1,33 @@
+"""corpus_prep pipeline semantics: stage precedence, auditable totals,
+kept set = deduplicated survivor corpus."""
+
+from pyspark.sql import functions as F
+
+from geowave_spark.operators import dedup as OD
+
+
+def test_corpus_prep_stage_accounting(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = OD.corpus_prep(docs).cache()
+    n = docs.count()
+    by_stage = {r.stage: r.cnt for r in out.groupBy("stage").agg(F.count("*").alias("cnt")).collect()}
+    # every document gets exactly one verdict, no NULL stage
+    assert sum(by_stage.values()) == n and None not in by_stage
+    assert set(by_stage) <= set(OD.PREP_STAGES)
+    # the synthetic corpus exercises these gates at any sf (exact dups
+    # only appear at sf>=0.01, so exact_dup is not in the must-fire set)
+    for stage in ("lang", "kept", "near_dup"):
+        assert by_stage.get(stage, 0) > 0, stage
+
+    # precedence: every doc predicted non-en is labeled 'lang', never a
+    # later stage (first-gate-wins)
+    non_en = out.filter(F.col("pred_lang") != "en")
+    assert non_en.filter(F.col("stage") != "lang").count() == 0
+
+    # kept docs are pairwise exact-distinct: re-running exact dedup on the
+    # kept set finds only singleton groups
+    kept_ids = out.filter(F.col("stage") == "kept").select("doc_id")
+    kept_docs = docs.join(kept_ids, "doc_id")
+    regroup = OD.exact_dedup(kept_docs).filter(F.col("n_docs") > 1).count()
+    assert regroup == 0
+    out.unpersist()
