@@ -54,6 +54,11 @@ HEADLINE_INPUTS = {
     "embed_topk": "embeddings",
     "embed_neardup": "embeddings",  # round 2: computed-quantizer blocking
     "image_features": "events",  # synthetic images, count independent of sf
+    # round 3: temporal joins, raster→vector, composed corpus pipeline
+    "asof_join": "events",
+    "interval_join": "events",
+    "polygonize": "events",
+    "corpus_prep": "documents",
 }
 HEADLINE = list(HEADLINE_INPUTS)
 
@@ -80,8 +85,10 @@ def _sentinel(procs: int) -> float:
 
 
 def run_bench(sf_dir: str = SF_DIR) -> dict:
-    from geowave_spark.registry import QUERIES
+    from geowave_spark.registry import EXTRA_QUERIES, QUERIES
     from geowave_spark.session import get_spark
+
+    QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     calib_before = _sentinel(cpus)

@@ -202,8 +202,14 @@ def _components_spatial(
         return pd.DataFrame({"pid": nodes, "lroot": [find(v) for v in nodes]})
 
     local = internal.groupBy("ccell").applyInPandas(local_uf, uf_schema)
-    allc = core.join(local, "pid", "left").withColumn(
-        "lroot", F.coalesce("lroot", F.col("pid"))
+    # allc feeds THREE downstream subtrees (both boundary-edge joins and
+    # the final labeling) — without severing, each re-runs the Python
+    # union-find pass; one materialization here (executor-local, no
+    # driver traffic) replaces three applyInPandas executions
+    allc = (
+        core.join(local, "pid", "left")
+        .withColumn("lroot", F.coalesce("lroot", F.col("pid")))
+        .localCheckpoint()
     )
     bnd = (
         e.filter(F.col("_ca") != F.col("_cb"))

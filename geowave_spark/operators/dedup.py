@@ -589,13 +589,8 @@ WHERE round(CAST(inter AS DOUBLE) / (sa.n_tok + sb.n_tok - inter), 6) >= {tau}
 # ---------------------------------------------------------------------------
 
 import hashlib as _hashlib
-import re as _re
 
-_TOK_RE = _re.compile("[^a-z0-9]+")
-
-
-def _py_tokens(text: str) -> list[str]:
-    return [t for t in _TOK_RE.split(text.lower()) if t]
+from geowave_spark.operators.text import py_tokens as _py_tokens  # noqa: F401
 
 
 def _py_h64(s: str) -> int:
@@ -718,23 +713,24 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("_vc").alias("_nc"))
         )
+        # fold the convergence flag INTO the checkpointed frame: the
+        # changed-probe then reads the cached result instead of paying a
+        # second join job per round (the rounds are all fixed overhead at
+        # small graph sizes — one job each, not two)
         new = (
-            lab.join(nbr.select(F.col("u").alias("node"), "_nc"), "node", "left")
+            lab.withColumnRenamed("comp", "_old")
+            .join(nbr.select(F.col("u").alias("node"), "_nc"), "node", "left")
             .select(
                 "node",
-                F.least(F.col("comp"), F.coalesce("_nc", F.col("comp"))).alias(
+                F.least(F.col("_old"), F.coalesce("_nc", F.col("_old"))).alias(
                     "comp"
                 ),
+                (F.coalesce("_nc", F.col("_old")) < F.col("_old")).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.join(lab.select("node", F.col("comp").alias("_old")), "node")
-            .filter(F.col("comp") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        lab = new
+        changed = new.filter(F.col("_chg")).limit(1).count()
+        lab = new.drop("_chg")
         if changed == 0:
             return lab
     raise RuntimeError(
@@ -830,46 +826,65 @@ def corpus_prep(
     """
     from geowave_spark.operators import text as OTX
 
-    li = OTX.lang_id(docs, text_col=text_col, id_col=id_col)
+    # Arrow twin of lang_id: bit-identical integers (equality pinned by
+    # pytest), ~6x faster than the interpreted HOF aggregates in the
+    # composed pipeline's hot path
+    li = OTX.lang_id_arrow(docs, text_col=text_col, id_col=id_col)
     qs = OTX.quality_score(docs, text_col=text_col, id_col=id_col)
-    base = (
-        docs.select(id_col, text_col)
-        .join(li.select(id_col, "pred_lang"), id_col)
-        .join(qs.select(id_col, "n_tokens", "quality"), id_col)
-    )
     gate = (
         F.when(F.col("pred_lang") != lang, F.lit("lang"))
         .when(F.col("quality") < min_quality, F.lit("quality"))
         .when(F.col("n_tokens") < min_tokens, F.lit("length"))
     )
-    base = base.withColumn("_g1", gate)
-    surv1 = base.filter(F.col("_g1").isNull()).withColumn(
-        "_dk", F.md5(norm_col(F.col(text_col)).cast("binary"))
+    # feats is TEXT-FREE (id + four small columns): materialize it once —
+    # the assembly below references it from three subtrees, and without
+    # severing each re-runs both text scans (lang + quality kernels)
+    feats = (
+        docs.select(id_col)
+        .join(li.select(id_col, "pred_lang"), id_col)
+        .join(qs.select(id_col, "n_tokens", "quality"), id_col)
+        .withColumn("_g1", gate)
+        .localCheckpoint()
+    )
+    # exact-dup verdict among gate survivors; dk computed in one text pass
+    # and dropped before the shuffle (never shuffle the text column)
+    surv1 = (
+        docs.select(id_col, text_col)
+        .join(feats.filter(F.col("_g1").isNull()).select(id_col), id_col)
+        .select(
+            id_col, F.md5(norm_col(F.col(text_col)).cast("binary")).alias("_dk")
+        )
     )
     canon = surv1.groupBy("_dk").agg(F.min(id_col).alias("_canon"))
-    s2 = surv1.join(canon, "_dk").withColumn(
-        "_g2", F.when(F.col(id_col) != F.col("_canon"), F.lit("exact_dup"))
+    s2 = (
+        surv1.join(canon, "_dk")
+        .select(
+            id_col,
+            F.when(F.col(id_col) != F.col("_canon"), F.lit("exact_dup")).alias(
+                "_g2"
+            ),
+        )
+        .localCheckpoint()
     )
-    surv2 = s2.filter(F.col("_g2").isNull()).select(id_col, text_col)
+    surv2_ids = s2.filter(F.col("_g2").isNull()).select(id_col)
+    surv2 = docs.select(id_col, text_col).join(surv2_ids, id_col)
     pairs = minhash_lsh_pairs(surv2, text_col=text_col, id_col=id_col,
                               engine="arrow")
-    near = canonicalize(surv2.select(id_col), pairs, id_col=id_col)
+    near = canonicalize(surv2_ids, pairs, id_col=id_col)
     verdicts = (
-        s2.select(id_col, "_g2")
-        .join(near.select(id_col, "keep"), id_col, "left")
-        .withColumn(
-            "_g3",
+        s2.join(near.select(id_col, "keep"), id_col, "left")
+        .select(
+            id_col,
             F.coalesce(
                 F.col("_g2"),
                 F.when(~F.col("keep"), F.lit("near_dup")).otherwise(
                     F.lit("kept")
                 ),
-            ),
+            ).alias("_stage"),
         )
-        .select(id_col, F.col("_g3").alias("_stage"))
     )
     return (
-        base.join(verdicts, id_col, "left")
+        feats.join(verdicts, id_col, "left")
         .select(
             id_col, "pred_lang", "n_tokens", "quality",
             F.coalesce(F.col("_g1"), F.col("_stage")).alias("stage"),

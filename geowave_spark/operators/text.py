@@ -39,6 +39,17 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda x: x != F.lit(""))
 
 
+import re as _re  # noqa: E402
+
+_PY_TOK_RE = _re.compile(TOKEN_SPLIT)
+
+
+def py_tokens(text: str) -> list[str]:
+    """Python twin of :func:`tokens_col` — THE one definition every Arrow
+    kernel (here and in operators/dedup.py) shares."""
+    return [t for t in _PY_TOK_RE.split(text.lower()) if t]
+
+
 def h64_col(s: Column) -> Column:
     """Portable 60-bit string hash (see module doc)."""
     return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
@@ -143,6 +154,46 @@ WITH h AS (
 )
 SELECT doc_id, {pred} AS pred_lang, n_tokens, {best} AS best_hits FROM h
 """
+
+
+def lang_id_arrow(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Python/Arrow twin of :func:`lang_id` — identical integers and tie
+    rule (first language code in ascending order reaching the max), batch
+    speed: set-membership counting replaces 4 interpreted HOF aggregates
+    (measured 3.1s → ~0.5s on 5k docs; cross-path equality is pinned by
+    pytest, the SQL oracle stays the definitional check)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    langs = sorted(LANG_LEXICON)
+    lex = [(lang, frozenset(LANG_LEXICON[lang])) for lang in langs]
+    schema = T.StructType(
+        [
+            docs.schema[id_col],
+            T.StructField("pred_lang", T.StringType()),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("best_hits", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches):
+        for b in batches:
+            ids, preds, nt, bh = [], [], [], []
+            for r in b.itertuples():
+                toks = py_tokens(getattr(r, text_col))
+                hits = [sum(1 for t in toks if t in s) for _, s in lex]
+                best = max(hits)
+                ids.append(getattr(r, id_col))
+                preds.append(lex[hits.index(best)][0] if best > 0 else "und")
+                nt.append(len(toks))
+                bh.append(best)
+            yield pd.DataFrame(
+                {id_col: ids, "pred_lang": preds, "n_tokens": nt, "best_hits": bh}
+            ).astype({"n_tokens": "int32", "best_hits": "int32"})
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema)
 
 
 # ---------------------------------------------------------------------------

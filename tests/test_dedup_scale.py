@@ -188,6 +188,26 @@ def test_arrow_signature_paths_bit_identical(spark, sf_dir):
     assert sa.equals(sb)
 
 
+def test_lang_id_arrow_identical(spark, sf_dir):
+    """lang_id_arrow (corpus_prep's hot path) must reproduce the Catalyst
+    lang_id exactly — prediction, token count, hit count, and the
+    ascending-code tie rule."""
+    from geowave_spark.operators import text as OTX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = OTX.lang_id(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = OTX.lang_id_arrow(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # tie + empty-text edges the corpus may not cover
+    edge = spark.createDataFrame(
+        [(1, "the der la le"), (2, ""), (3, "zzz qqq"), (4, "el la los the a and is of")],
+        "doc_id long, text string",
+    )
+    ea = OTX.lang_id(edge).toPandas().sort_values("doc_id").reset_index(drop=True)
+    eb = OTX.lang_id_arrow(edge).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert ea.equals(eb)
+
+
 def test_fingerprints_arrow_identical(spark, sf_dir):
     from geowave_spark.operators import text as OTX
 
