@@ -59,6 +59,10 @@ HEADLINE_INPUTS = {
     "interval_join": "events",
     "polygonize": "events",
     "corpus_prep": "documents",
+    # round 3: corpus-prep additions (operators/corpus.py)
+    "pack_sequences": "documents",
+    "decontaminate": "documents",
+    "crossmodal_pairs": "documents",
 }
 HEADLINE = list(HEADLINE_INPUTS)
 
@@ -112,22 +116,37 @@ def run_bench(sf_dir: str = SF_DIR) -> dict:
         U.cell_encode(F.col("id") % 360 - 180.0, F.col("id") % 180 - 90.0, F.lit(10))
     ).write.mode("overwrite").format("noop").save()
 
+    # Two executions per query; report the faster.  The first typically pays
+    # one-time whole-stage-codegen compilation + JIT for this plan shape;
+    # the min is the steady-state throughput that extrapolates to a
+    # long-running cluster job (the BASELINE metric's regime).  The two
+    # trials run as two SEPARATED full passes over the suite (not
+    # back-to-back): transient neighbor load on this shared VM lasts
+    # minutes, so back-to-back trials both land inside the same
+    # interference window (round 3 pre-fix: knn_join measured 10.3s on
+    # both adjacent trials vs 3.0s steady state).  Same total executions,
+    # far lower correlation between a query's two samples.
+    def _run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    for _pass in range(2):
+        for name in HEADLINE:
+            samples[name].append(_run_once(name))
+    # Third targeted trial where the two passes disagree badly — one of
+    # them was contended; the min of three is then trustworthy.
+    for name in HEADLINE:
+        lo, hi = sorted(samples[name])
+        if hi > 1.4 * lo and hi - lo > 0.5:
+            samples[name].append(_run_once(name))
+
     per_q: dict[str, float] = {}
     rows: dict[str, int] = {}
     rps: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
-        # Two executions; report the faster.  The first typically pays
-        # one-time whole-stage-codegen compilation + JIT for this plan
-        # shape; min-of-two is the steady-state throughput that
-        # extrapolates to a long-running cluster job (the BASELINE
-        # metric's regime) and is robust to transient neighbor load on
-        # this shared VM.
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+        best = min(samples[name])
         n_input = n_rows[HEADLINE_INPUTS[name]]
         per_q[name] = round(best, 3)
         rows[name] = n_input

@@ -1,0 +1,393 @@
+"""Training-corpus preparation operators beyond the dedup/sketch family:
+sequence packing, benchmark decontamination, repetition (quality) stats,
+PII detection/redaction, and deterministic mixture sampling.
+
+GeoWave has no corpus surface (its closest analogue is residual attribute
+filtering, extensions/adapters/vector/.../query/cql/CQLQueryFilter.java);
+these are the operations a 100 TB LLM training-data pipeline runs between
+ingest and tokenization.  Design rules shared with operators/text.py:
+
+* hot paths are Catalyst column expressions / plain joins+aggregates
+  (whole-stage codegen, map-side partials, no Python workers);
+* every operator has a deterministic DuckDB-replayable definition
+  (integer arithmetic end-to-end) so the oracle sweep covers it exactly;
+* no driver-side loops, no collect over row-scale data — the only driver
+  traffic is a bounded per-bucket offset table in :func:`pack_sequences`
+  (≤ ``buckets`` rows by construction, independent of corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from geowave_spark.functions.cols import let
+from geowave_spark.operators import text as OTX
+
+# ---------------------------------------------------------------------------
+# Sequence packing (GPT-style: concatenate the corpus in deterministic id
+# order, cut into fixed token blocks)
+# ---------------------------------------------------------------------------
+
+PACK_BLOCK = 2048
+PACK_BUCKETS = 1024
+
+
+def pack_sequences(
+    docs: DataFrame,
+    block: int = PACK_BLOCK,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Assign every document its token span in the packed training stream.
+
+    The stream is the concatenation of all documents in ascending ``id_col``
+    order, cut into ``block``-token sequences.  Output per document:
+    ``(id, n_tokens, tok_start, seq_first, seq_last)`` — which sequences the
+    document lands in and where.  Empty documents (0 tokens) are dropped.
+
+    Scale shape — a distributed exact prefix sum with NO global-order
+    window (a single ``Window.orderBy(id)`` is one partition, the classic
+    100 TB trap): ids are range-bucketed by value, per-bucket token totals
+    (≤ ``buckets`` rows) prefix-sum on the driver, and the within-bucket
+    cumulative sum is a per-bucket window — ``buckets``-way parallel,
+    bounded partition size.  Three jobs total: id-bounds agg, bucket-totals
+    agg, and the output pass; all three scan only the two pruned columns.
+    """
+    counts = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.size(OTX.tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+    lo, hi = counts.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        return counts.select(
+            id_col,
+            "n_tokens",
+            F.lit(None).cast("long").alias("tok_start"),
+            F.lit(None).cast("long").alias("seq_first"),
+            F.lit(None).cast("long").alias("seq_last"),
+        )
+    span = max(1, -(-(hi - lo + 1) // buckets))  # ceil div
+    bucketed = counts.withColumn(
+        "_bkt", ((F.col(id_col) - F.lit(lo)) / F.lit(span)).cast("long")
+    )
+
+    totals = sorted(
+        bucketed.groupBy("_bkt").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for bkt, t in totals:
+        offsets.append((bkt, acc))
+        acc += t
+    off = docs.sparkSession.createDataFrame(offsets, "_bkt long, _off long")
+
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("_off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        bucketed.join(F.broadcast(off), "_bkt")
+        .withColumn("tok_start", start)
+        .select(
+            id_col,
+            "n_tokens",
+            "tok_start",
+            (F.col("tok_start") / block).cast("long").alias("seq_first"),
+            ((F.col("tok_start") + F.col("n_tokens") - 1) / block)
+            .cast("long")
+            .alias("seq_last"),
+        )
+    )
+
+
+def pack_sequences_oracle(table: str = "documents", block: int = PACK_BLOCK) -> str:
+    toks = OTX.duck_tokens("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM {table}
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {block} AS seq_first,
+       (tok_start + n_tokens - 1) // {block} AS seq_last
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (winnowing-fingerprint overlap)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_impl: str = "md5",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Flag training documents whose text overlaps an eval/benchmark set.
+
+    Overlap test: shared winnowing fingerprints (operators/text.py KGRAM
+    char grams, window-min selected) — the standard contamination check, a
+    guaranteed-recall superset of exact KGRAM substring matches.  Output per
+    training document: ``(id, n_hits, contaminated)`` where ``n_hits`` is
+    the count of its distinct fingerprints that appear anywhere in the
+    probe set.
+
+    Scale shape: fingerprints are per-row array-local (no shuffle); the
+    probe side (benchmark suites — thousands of documents vs billions of
+    training rows) broadcasts, so the whole check is one map-side join plus
+    one count aggregate.  ``broadcast_probes=False`` falls back to a
+    shuffle equi-join for probe sets beyond broadcast size.
+    """
+    tf = OTX.fingerprints(train, text_col, id_col, hash_impl)
+    pf = OTX.fingerprints(probes, text_col, id_col, hash_impl).select("fp").distinct()
+    if broadcast_probes:
+        pf = F.broadcast(pf)
+    hits = tf.join(pf, "fp").groupBy(id_col).agg(F.count("*").alias("_n"))
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("_n", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_oracle(train_table: str, probe_table: str) -> str:
+    tf = OTX.fingerprints_oracle(train_table)
+    pf = OTX.fingerprints_oracle(probe_table)
+    return f"""
+WITH tf AS ({tf}),
+pf AS (SELECT DISTINCT fp FROM ({pf})),
+h AS (SELECT doc_id, COUNT(*) AS n FROM tf JOIN pf USING (fp) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM (SELECT doc_id FROM {train_table}) d LEFT JOIN h USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (Gopher-style quality signals, integer ppm)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token-bigram repetition signals:
+
+    * ``top_ppm``  — share (parts-per-million) of bigram occurrences taken
+      by the single most frequent bigram (Gopher's "top n-gram fraction");
+    * ``dup_ppm``  — share of bigram occurrences beyond each bigram's first
+      (= 1 - distinct/total, "duplicate n-gram fraction").
+
+    Documents with fewer than 2 tokens are dropped (no bigrams).  Integer
+    ppm keeps the oracle comparison exact.
+
+    Scale shape: the bigram list is built array-locally in one let-bound
+    ``transform`` pass (no window/`lead` shuffle to order tokens), then one
+    explode feeds two partial-aggregated groupBys — the canonical
+    distributed frequency plan.
+    """
+    toks = OTX.tokens_col(F.col(text_col))
+    bigrams = let(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
+        ),
+    )
+    bg = (
+        docs.select(F.col(id_col), bigrams.alias("_bg"))
+        .filter(F.size("_bg") >= 1)
+        .select(id_col, F.explode("_bg").alias("bigram"))
+    )
+    per = bg.groupBy(id_col, "bigram").agg(F.count("*").alias("n"))
+    stats = per.groupBy(id_col).agg(
+        F.sum("n").alias("n_bigrams"),
+        F.max("n").alias("top_bigram_n"),
+        F.count("*").alias("_distinct"),
+    )
+    return stats.select(
+        id_col,
+        "n_bigrams",
+        "top_bigram_n",
+        F.expr("(1000000 * top_bigram_n) div n_bigrams").alias("top_ppm"),
+        F.expr("(1000000 * (n_bigrams - _distinct)) div n_bigrams").alias("dup_ppm"),
+    )
+
+
+def repetition_stats_oracle(table: str = "documents") -> str:
+    toks = OTX.duck_tokens("text")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM {table}),
+b AS (
+  SELECT doc_id, list_extract(toks, i) || ' ' || list_extract(toks, i + 1) AS bigram
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+  WHERE len(toks) >= 2
+),
+c AS (SELECT doc_id, bigram, COUNT(*) AS n FROM b GROUP BY doc_id, bigram),
+s AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, top_bigram_n,
+       (1000000 * top_bigram_n) // n_bigrams AS top_ppm,
+       (1000000 * (n_bigrams - n_distinct)) // n_bigrams AS dup_ppm
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction
+# ---------------------------------------------------------------------------
+
+# One dialect-portable pattern per class: valid and identical under Java
+# regex (Spark) and RE2 (DuckDB) — no lookaround, no backrefs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}"
+_PII = (("email", PII_EMAIL, "<EMAIL>"), ("ipv4", PII_IPV4, "<IP>"),
+        ("phone", PII_PHONE, "<PHONE>"))
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Count and redact emails / IPv4 addresses / phone numbers.
+
+    Output: ``(id, n_email, n_ipv4, n_phone, red_h)`` where ``red_h`` is
+    the portable 60-bit hash of the fully redacted text (slim enough to
+    hash-compare a 100 TB scrub without materializing the text twice).
+    Redaction applies the class patterns in the fixed order above.  Pure
+    per-row JVM regex work — embarrassingly parallel, no shuffle.
+    """
+    red: Column = F.col(text_col)
+    cols = [F.col(id_col)]
+    for name, pat, tag in _PII:
+        cols.append(F.regexp_count(text_col, F.lit(pat)).alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, tag)
+    cols.append(OTX.h64_col(red).alias("red_h"))
+    return df.select(*cols)
+
+
+def pii_scrub_oracle(table: str = "documents", text_expr: str = "text") -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all({text_expr}, '{pat}')) AS INTEGER) AS n_{name}"
+        for name, pat, _tag in _PII
+    )
+    red = text_expr
+    for _name, pat, tag in _PII:
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return f"""
+SELECT doc_id, {counts}, {OTX.duck_h64(red)} AS red_h
+FROM {table}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mixture sampling
+# ---------------------------------------------------------------------------
+
+MIX_DENOM = 1_000_000
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix1",
+) -> DataFrame:
+    """Deterministic per-domain downsampling to target mixture rates.
+
+    Keeps a row iff ``h64(salt || id) mod 1e6 < rate[domain] * 1e6`` — a
+    pure function of (id, salt), so the sample is reproducible, resumable,
+    and consistent across reruns/partitions (no RNG state).  Domains absent
+    from ``rates`` are dropped (inner join).
+
+    Scale shape: the rate table is a broadcast dim join (thousands of
+    domains vs billions of rows); the keep test is codegen integer math.
+    """
+    spark = docs.sparkSession
+    dim = spark.createDataFrame(
+        [(k, int(round(r * MIX_DENOM))) for k, r in sorted(rates.items())],
+        f"{key_col} string, _thresh long",
+    )
+    u = OTX.h64_col(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % MIX_DENOM
+    return (
+        docs.join(F.broadcast(dim), key_col)
+        .filter(u < F.col("_thresh"))
+        .drop("_thresh")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal near-dup (image phash ∧ caption simhash)
+# ---------------------------------------------------------------------------
+
+
+def crossmodal_pairs(
+    images: DataFrame,
+    docs: DataFrame,
+    phash_col: str = "phash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs that are near-duplicates in BOTH modalities of the
+    image+caption input shape: perceptual-hash hamming ≤ dedup.SIM_MAX_HAMMING
+    on the image AND simhash hamming ≤ the same bound on the caption — the
+    conjunctive dedup a multimodal corpus runs before training.
+
+    Plan (the 100 TB shape): the image side is the cheap filter — one
+    banded hamming self-join over the stored int64 ``phash`` column (no
+    decode, no text scan).  Caption simhash — the expensive per-token
+    signature — is then computed ONLY for ids appearing in some image pair
+    (semi-join pushdown), and the text distance is a direct per-pair
+    popcount lookup join, not a second banding self-join.  Output:
+    ``(id_a, id_b, img_hamming, txt_hamming)``.
+    """
+    from geowave_spark.operators import dedup as OD
+
+    ip = OD.hamming_pairs(images, phash_col, id_col).withColumnRenamed(
+        "hamming", "img_hamming"
+    )
+    ids = (
+        ip.select(F.col("id_a").alias(id_col))
+        .union(ip.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sigs = OD.simhash(docs.join(ids, id_col, "leftsemi"), text_col, id_col)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"))
+    return (
+        ip.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "txt_hamming",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int"),
+        )
+        .filter(F.col("txt_hamming") <= OD.SIM_MAX_HAMMING)
+        .select(
+            "id_a", "id_b", F.col("img_hamming").cast("int").alias("img_hamming"),
+            "txt_hamming",
+        )
+    )

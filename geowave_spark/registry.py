@@ -2489,3 +2489,135 @@ def q_corpus_prep(spark, sf_dir):
 
 
 register_extra("corpus_prep", q_corpus_prep, OD.corpus_prep_oracle("documents"))
+
+
+# ---------------------------------------------------------------------------
+# Round 3: corpus-preparation operators (operators/corpus.py) — sequence
+# packing, benchmark decontamination, repetition quality stats, PII scrub,
+# mixture sampling, and cross-modal (image phash ∧ caption simhash) dedup.
+# ---------------------------------------------------------------------------
+
+from geowave_spark.operators import corpus as OCORP  # noqa: E402
+
+DECON_MOD = 17  # every 17th doc plays the held-out benchmark
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: each document's token span in the
+    block-cut concatenated stream (distributed exact prefix sum — no
+    global-order window)."""
+    return OCORP.pack_sequences(_docs(spark, sf_dir))
+
+
+register_extra(
+    "pack_sequences", q_pack_sequences, OCORP.pack_sequences_oracle("documents")
+)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: winnowing-fingerprint overlap between the
+    training split (doc_id % 17 != 0) and the held-out probe split."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    probes = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    return OCORP.decontaminate(train, probes)
+
+
+register_extra(
+    "decontaminate",
+    q_decontaminate,
+    OCORP.decontaminate_oracle(
+        f"(SELECT * FROM documents WHERE doc_id % {DECON_MOD} <> 0)",
+        f"(SELECT * FROM documents WHERE doc_id % {DECON_MOD} = 0)",
+    ),
+)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (top-bigram / duplicate-bigram ppm)."""
+    return OCORP.repetition_stats(_docs(spark, sf_dir))
+
+
+register_extra(
+    "repetition_stats", q_repetition_stats, OCORP.repetition_stats_oracle("documents")
+)
+
+
+def _pii_text_col():
+    """Deterministic PII enrichment (the synthetic corpus contains none):
+    appended emails/IPs/phones derived from doc_id, identically in both
+    engines, so the scrub counts are non-trivially exercised."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@ex"), (F.col("doc_id") % 7).cast("string"), F.lit(".com via 10."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"), F.lit(" or +1 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+_PII_TEXT_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' "
+    "|| CAST(doc_id % 7 AS VARCHAR) || '.com via 10.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || '.0.' "
+    "|| CAST(doc_id % 100 AS VARCHAR) || ' or +1 555-' "
+    "|| lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact over the (deterministically enriched) corpus."""
+    docs = _docs(spark, sf_dir).select("doc_id", _pii_text_col().alias("text"))
+    return OCORP.pii_scrub(docs)
+
+
+register_extra(
+    "pii_scrub",
+    q_pii_scrub,
+    OCORP.pii_scrub_oracle("documents", text_expr=_PII_TEXT_SQL),
+)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic per-source mixture sampling: source srcN keeps at rate
+    (N%5+1)/5 — salt-hashed doc_id, reproducible, no RNG state."""
+    rates = {f"src{i}": (i % 5 + 1) / 5 for i in range(20)}
+    return OCORP.mixture_sample(_docs(spark, sf_dir), rates).select("doc_id", "source")
+
+
+register_extra(
+    "mixture_sample",
+    q_mixture_sample,
+    f"""
+SELECT doc_id, source FROM documents
+WHERE {OTX.duck_h64("'mix1' || CAST(doc_id AS VARCHAR)")} % {OCORP.MIX_DENOM}
+      < (CAST(substr(source, 4) AS INTEGER) % 5 + 1) * {OCORP.MIX_DENOM // 5}
+""",
+)
+
+
+def q_crossmodal_pairs(spark, sf_dir):
+    """Cross-modal near-dup for the image+caption input shape: pairs whose
+    IMAGE phash (banded hamming self-join) AND caption simhash both match —
+    the conjunctive dedup a multimodal corpus runs before training."""
+    docs = _docs(spark, sf_dir)
+    img = docs.select("doc_id", _planted_phash().alias("phash"))
+    return OCORP.crossmodal_pairs(img, docs)
+
+
+def _crossmodal_oracle() -> str:
+    ip = _phash_pairs_oracle()
+    tp = OD.simhash_pairs_oracle("documents")
+    return f"""
+WITH ip AS ({ip}), tp AS ({tp})
+SELECT ip.id_a, ip.id_b,
+       CAST(ip.hamming AS INTEGER) AS img_hamming,
+       CAST(tp.hamming AS INTEGER) AS txt_hamming
+FROM ip JOIN tp USING (id_a, id_b)
+"""
+
+
+register_extra("crossmodal_pairs", q_crossmodal_pairs, _crossmodal_oracle())

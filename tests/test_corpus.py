@@ -1,0 +1,144 @@
+"""Closed-form invariants for operators/corpus.py — the properties the
+DuckDB oracle sweep (tests/test_oracles_all.py) cannot express: packing
+contiguity/bucket-invariance, planted contamination recall, sampling-rate
+determinism, and redaction idempotence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark.operators import corpus as OC
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def test_pack_contiguous_and_bucket_invariant(spark, docs):
+    out = OC.pack_sequences(docs, block=64).orderBy("doc_id").toPandas()
+    # the packed stream is gapless: each doc starts where the previous ended
+    assert out.tok_start.iloc[0] == 0
+    assert (
+        out.tok_start.iloc[1:].values
+        == (out.tok_start + out.n_tokens).iloc[:-1].values
+    ).all()
+    # block math: a doc spans exactly the sequences its token span covers
+    assert (out.seq_first == out.tok_start // 64).all()
+    assert (out.seq_last == (out.tok_start + out.n_tokens - 1) // 64).all()
+    # the distributed prefix sum is a pure function of the data, not of the
+    # bucket count (1 bucket = the naive single-window answer)
+    for buckets in (1, 7):
+        alt = (
+            OC.pack_sequences(docs, block=64, buckets=buckets)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        assert (alt.tok_start.values == out.tok_start.values).all()
+
+
+def test_pack_drops_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "  .,!  "), (3, "gamma")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in OC.pack_sequences(df, block=2).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].tok_start == 0 and out[1].n_tokens == 2
+    assert out[3].tok_start == 2 and out[3].seq_first == 1
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_planted_overlap(spark):
+    probe_text = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix words {probe_text} suffix words"),  # contains the probe
+            (2, "completely unrelated content with no shared substring run"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(100, probe_text)], "doc_id long, text string")
+    out = {r.doc_id: r for r in OC.decontaminate(train, probes).collect()}
+    assert out[1].contaminated == 1 and out[1].n_hits > 0
+    assert out[2].contaminated == 0 and out[2].n_hits == 0
+
+
+def test_decontaminate_broadcast_off_same_rows(docs):
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    probes = docs.filter(F.col("doc_id") % 17 == 0)
+    a = sorted(map(tuple, OC.decontaminate(train, probes).collect()))
+    b = sorted(
+        map(tuple, OC.decontaminate(train, probes, broadcast_probes=False).collect())
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_closed_form(spark):
+    # "a b a b a" -> bigrams [a b, b a, a b, b a]: top=2/4, distinct=2 -> dup 2/4
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "w x y z")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in OC.repetition_stats(df).collect()}
+    assert out[1].n_bigrams == 4 and out[1].top_bigram_n == 2
+    assert out[1].top_ppm == 500_000 and out[1].dup_ppm == 500_000
+    assert out[2].top_ppm == 333_333 and out[2].dup_ppm == 0
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub
+# ---------------------------------------------------------------------------
+
+
+def test_pii_counts_and_idempotent_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io and c@d.org ip 10.0.0.1 tel +1 555-123-4567")],
+        "doc_id long, text string",
+    )
+    row = OC.pii_scrub(df).collect()[0]
+    assert (row.n_email, row.n_ipv4, row.n_phone) == (2, 1, 1)
+    # redacting already-redacted text is a no-op (tags match no pattern)
+    red = "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE>"
+    again = OC.pii_scrub(
+        spark.createDataFrame([(1, red)], "doc_id long, text string")
+    ).collect()[0]
+    assert (again.n_email, again.n_ipv4, again.n_phone) == (0, 0, 0)
+    from geowave_spark.operators.text import h64_col
+
+    expect = (
+        spark.range(1).select(h64_col(F.lit(red)).alias("h")).collect()[0].h
+    )
+    assert again.red_h == expect
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_rates_and_determinism(docs):
+    rates = {f"src{i}": (i % 5 + 1) / 5 for i in range(20)}
+    out = OC.mixture_sample(docs, rates)
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in out.collect())
+    assert a == b and 0 < len(a) < docs.count()
+    # rate-1.0 domains keep every row; dropped domains keep none
+    full = {f"src{i}" for i in range(20) if i % 5 == 4}
+    kept = OC.mixture_sample(docs, rates).filter(F.col("source").isin(*full)).count()
+    assert kept == docs.filter(F.col("source").isin(*full)).count()
+    none = OC.mixture_sample(docs, {"src0": 0.0}).count()
+    assert none == 0
