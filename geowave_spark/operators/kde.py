@@ -32,12 +32,27 @@ pre-aggregates within partitions.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # GaussianFilter.majorSmoothingGaussianKernel x 1000 — exact integers.
 KERNEL_FP = (6, 61, 242, 383, 242, 61, 6)
 KERNEL_SCALE = 1000  # one tap; a 2-D weight is scaled by 1000^2
+
+# Seasonal time-weight lookup for the comparative (seasonal-variance) KDE
+# (ComparisonGaussianCellMapper.java:74-190): contribution = e^-(t*t) with
+# t the month-progress normalized to [0, 3].  t is quantized to centi-units
+# (0..300) and the table value is round(1e6 * exp(-(t/100)^2)) — Python
+# math.exp is the SINGLE definition; Spark reads the table as a literal
+# array, the oracle joins the same literals as VALUES, so the two engines
+# cannot drift on transcendental libm ulps.
+SEASON_T_STEPS = 300
+SEASON_PPM = tuple(
+    int(round(1_000_000 * math.exp(-((t / 100.0) ** 2))))
+    for t in range(SEASON_T_STEPS + 1)
+)
 
 
 def kde_grid(
@@ -213,3 +228,169 @@ def kde_tiles(
         )
 
     return d.groupBy("level", "tile_x", "tile_y").applyInPandas(assemble, out_schema)
+
+
+def seasonal_weight_cols(ts):
+    """(is_winter, t_cent) for the comparative KDE's seasonal gaussian
+    (ComparisonGaussianCellMapper.java:74-190).
+
+    The reference splits the year into a winter accumulator (Oct-Mar) and a
+    summer accumulator (Apr-Sep): Jan-Mar ramp DOWN from the year boundary
+    (t grows with month progress), Oct-Dec ramp UP toward the next year
+    boundary (t shrinks), April ramps INTO summer (t = distance from May),
+    September ramps OUT (t = distance from Sep 1), May-Aug contribute 1.
+    Divergence from the reference, disclosed: Calendar day-of-month 0 rolls
+    to the previous month's last day there; boundaries here are clean
+    calendar-month firsts.  t in [0,3] is quantized to integer centi-units
+    so the exp() lookup is table-driven (SEASON_PPM) and engine-exact.
+    """
+    u = F.unix_micros(ts)
+    y, m = F.year(ts), F.month(ts)
+
+    def mstart(year_col, month_col):
+        return F.unix_micros(
+            F.make_timestamp(year_col, month_col, F.lit(1), F.lit(0), F.lit(0), F.lit(0))
+        )
+
+    jan1 = mstart(y, F.lit(1))
+    apr1 = mstart(y, F.lit(4))
+    may1 = mstart(y, F.lit(5))
+    sep1 = mstart(y, F.lit(9))
+    oct1 = mstart(y, F.lit(10))
+    jan1n = mstart(y + 1, F.lit(1))
+
+    is_winter = (m <= 3) | (m >= 10)
+    delta = (
+        F.when(m <= 3, u - jan1)
+        .when(m >= 10, jan1n - u)
+        .when(m == 4, may1 - u)
+        .when(m == 9, u - sep1)
+        .otherwise(F.lit(0).cast("long"))
+    )
+    span = (
+        F.when(m <= 3, apr1 - jan1)
+        .when(m >= 10, jan1n - oct1)
+        .when(m == 4, may1 - apr1)
+        .when(m == 9, oct1 - sep1)
+        .otherwise(F.lit(1).cast("long"))
+    )
+    steps = F.lit(SEASON_T_STEPS).cast("long")
+    num = delta * steps
+    t_cent = F.least(((num - F.pmod(num, span)) / span).cast("long"), steps)
+    return is_winter, t_cent
+
+
+def kde_compare(
+    points: DataFrame,
+    levels: list[int],
+    ts_col: str = "ts",
+    lon_milli: str = "lon_milli",
+    lat_milli: str = "lat_milli",
+) -> DataFrame:
+    """Comparative (seasonal-variance) KDE — the reference's kde/compare
+    package (ComparisonStatsJobRunner.java + ComparisonGaussianCellMapper +
+    ComparisonCellData): two seasonally time-weighted density grids over the
+    same posts pyramid, per-level ascending-weight percentile for each
+    season, and ``combined = summer_percentile - winter_percentile``
+    (ComparisonCellData.applyCombinationFunction:95-99) — the cells with the
+    largest |combined| are where density shifts between seasons.
+
+    One plan, no season split-and-union: the seasonal weight is a column, so
+    a single 49x offset explode + ONE shuffle on (level, gx, gy) produces
+    both seasons' sums via conditional aggregation (the MR pipeline runs two
+    full KDE jobs and joins; a cell missing from one season carries weight 0
+    exactly as ComparisonCombiningStatsReducer defaults).  Percentiles reuse
+    the histogram-rank trick of :func:`kde_levels` per season — no
+    whole-level window at scale.  weight_fp scale: ppm contribution x
+    tap^2/10^6 => 10^-12 per unit; BIGINT overflows past ~6e7 points per
+    cell — at that density lower SEASON_PPM's scale before ingest.
+    """
+    r = 3
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(int(lv)).cast("long").alias("lvl"),
+                F.lit(dx).cast("long").alias("dx"),
+                F.lit(dy).cast("long").alias("dy"),
+                F.lit(KERNEL_FP[dx + r] * KERNEL_FP[dy + r]).cast("long").alias("w"),
+            )
+            for lv in levels
+            for dx in range(-r, r + 1)
+            for dy in range(-r, r + 1)
+        ]
+    )
+    from geowave_spark.session import spread
+
+    is_winter, t_cent = seasonal_weight_cols(F.col(ts_col))
+    ppm_table = F.array(*[F.lit(v).cast("long") for v in SEASON_PPM])
+    d = spread(
+        points.select(
+            F.col(lon_milli).alias("_lon"),
+            F.col(lat_milli).alias("_lat"),
+            is_winter.alias("_wtr"),
+            F.element_at(ppm_table, t_cent.cast("int") + 1).alias("_ppm"),
+        )
+    ).withColumn("_o", F.explode(offs))
+    lvl = F.col("_o.lvl")
+    nx = F.call_function("shiftleft", F.lit(2).cast("long"), lvl.cast("int"))
+    ny = F.call_function("shiftleft", F.lit(1).cast("long"), lvl.cast("int"))
+
+    def bin_of(v, offset: int, span: int, bins):
+        shifted = v.cast("long") + F.lit(offset)
+        num = shifted * bins
+        return ((num - F.pmod(num, F.lit(span))) / F.lit(span)).cast("long")
+
+    gx = bin_of(F.col("_lon"), 180_000, 360_000, nx) + F.col("_o.dx")
+    gy = bin_of(F.col("_lat"), 90_000, 180_000, ny) + F.col("_o.dy")
+    contrib = F.col("_o.w") * F.col("_ppm")
+    grid = (
+        d.withColumn("gx", gx)
+        .withColumn("gy", gy)
+        .filter(
+            (F.col("gx") >= 0) & (F.col("gx") < nx)
+            & (F.col("gy") >= 0) & (F.col("gy") < ny)
+        )
+        .groupBy(lvl.alias("level"), "gx", "gy")
+        .agg(
+            F.sum(F.when(~F.col("_wtr"), contrib).otherwise(F.lit(0).cast("long")))
+            .alias("summer_fp"),
+            F.sum(F.when(F.col("_wtr"), contrib).otherwise(F.lit(0).cast("long")))
+            .alias("winter_fp"),
+        )
+    )
+
+    def pct(season_fp: str, out: str):
+        """RANK(asc)/count percentile from the distinct-weight histogram —
+        the kde_levels trick, once per season over the SAME grid."""
+        stats = grid.groupBy("level").agg(F.count("*").alias(f"_n_{out}"))
+        hist = grid.groupBy("level", season_fp).agg(F.count("*").alias("_c"))
+        w = (
+            Window.partitionBy("level")
+            .orderBy(F.col(season_fp).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ranks = hist.withColumn(
+            f"_rank_{out}", F.sum("_c").over(w) - F.col("_c") + 1
+        ).drop("_c")
+        return ranks, stats
+
+    s_ranks, s_stats = pct("summer_fp", "s")
+    w_ranks, w_stats = pct("winter_fp", "w")
+    out = (
+        grid.join(s_ranks, ["level", "summer_fp"])
+        .join(w_ranks, ["level", "winter_fp"])
+        .join(F.broadcast(s_stats), "level")
+        .join(F.broadcast(w_stats), "level")
+    )
+    sp = F.col("_rank_s").cast("double") / F.col("_n_s").cast("double")
+    wp = F.col("_rank_w").cast("double") / F.col("_n_w").cast("double")
+    return out.select(
+        "level",
+        "gx",
+        "gy",
+        "summer_fp",
+        "winter_fp",
+        sp.alias("summer_pct"),
+        wp.alias("winter_pct"),
+        (sp - wp).alias("combined"),
+    )

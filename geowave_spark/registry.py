@@ -2621,3 +2621,120 @@ FROM ip JOIN tp USING (id_a, id_b)
 
 
 register_extra("crossmodal_pairs", q_crossmodal_pairs, _crossmodal_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Comparative (seasonal-variance) KDE — the reference's kde/compare package
+# (ComparisonStatsJobRunner, ComparisonGaussianCellMapper, ComparisonCellData)
+# ---------------------------------------------------------------------------
+
+KDE_CMP_LEVELS = [4, 5]
+_YEAR_US = 1704067200000000  # epoch micros of 2024-01-01 UTC
+_YEAR_SECS = 31622400  # 366 days (2024 is leap)
+
+
+def _season_ts_col():
+    """Deterministic full-year timestamp (the synthetic events table spans
+    one month; the seasonal operator needs year coverage): second-of-2024
+    from the same Knuth hash the geo derivation uses."""
+    h = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return F.timestamp_micros(
+        F.lit(_YEAR_US) + (h % F.lit(_YEAR_SECS)) * F.lit(1_000_000)
+    )
+
+
+def q_kde_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geo = TB.geo_events(spark, sf_dir).withColumn("ts_season", _season_ts_col())
+    return OKDE.kde_compare(geo, KDE_CMP_LEVELS, ts_col="ts_season")
+
+
+def _kde_compare_oracle() -> str:
+    r = 3
+    offs = ", ".join(
+        f"({lv}, {dx}, {dy}, {OKDE.KERNEL_FP[dx + r] * OKDE.KERNEL_FP[dy + r]})"
+        for lv in KDE_CMP_LEVELS
+        for dx in range(-r, r + 1)
+        for dy in range(-r, r + 1)
+    )
+    ppm = ", ".join(f"({i}, {v})" for i, v in enumerate(OKDE.SEASON_PPM))
+
+    def idiv(a: str, b: str) -> str:
+        return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS BIGINT)"
+
+    mstart = (
+        "epoch_us(make_timestamp(CAST({y} AS BIGINT), CAST({m} AS BIGINT), "
+        "1, 0, 0, CAST(0 AS DOUBLE)))"
+    )
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+o(lvl, dx, dy, w) AS (VALUES {offs}),
+ppm(t_cent, v) AS (VALUES {ppm}),
+tsd AS (
+  SELECT lon_milli, lat_milli,
+         make_timestamp({_YEAR_US}
+           + (((event_id * 2654435761) % 4294967296) % {_YEAR_SECS})
+             * 1000000) AS ts
+  FROM geo_events
+),
+season AS (
+  SELECT lon_milli, lat_milli,
+         (month(ts) <= 3 OR month(ts) >= 10) AS wtr,
+         CASE WHEN month(ts) <= 3
+                THEN epoch_us(ts) - {mstart.format(y="year(ts)", m="1")}
+              WHEN month(ts) >= 10
+                THEN {mstart.format(y="year(ts) + 1", m="1")} - epoch_us(ts)
+              WHEN month(ts) = 4
+                THEN {mstart.format(y="year(ts)", m="5")} - epoch_us(ts)
+              WHEN month(ts) = 9
+                THEN epoch_us(ts) - {mstart.format(y="year(ts)", m="9")}
+              ELSE CAST(0 AS BIGINT) END AS delta,
+         CASE WHEN month(ts) <= 3
+                THEN {mstart.format(y="year(ts)", m="4")}
+                     - {mstart.format(y="year(ts)", m="1")}
+              WHEN month(ts) >= 10
+                THEN {mstart.format(y="year(ts) + 1", m="1")}
+                     - {mstart.format(y="year(ts)", m="10")}
+              WHEN month(ts) = 4
+                THEN {mstart.format(y="year(ts)", m="5")}
+                     - {mstart.format(y="year(ts)", m="4")}
+              WHEN month(ts) = 9
+                THEN {mstart.format(y="year(ts)", m="10")}
+                     - {mstart.format(y="year(ts)", m="9")}
+              ELSE CAST(1 AS BIGINT) END AS span
+  FROM tsd
+),
+weighted AS (
+  SELECT s.lon_milli, s.lat_milli, s.wtr, ppm.v AS contrib_ppm
+  FROM season s
+  JOIN ppm ON ppm.t_cent = LEAST({idiv("s.delta * 300", "s.span")}, 300)
+),
+scat AS (
+  SELECT o.lvl AS level,
+         {idiv("(e.lon_milli + 180000) * (2::BIGINT << o.lvl)", "360000")} + o.dx AS gx,
+         {idiv("(e.lat_milli + 90000) * (1::BIGINT << o.lvl)", "180000")} + o.dy AS gy,
+         CAST(o.w AS BIGINT) * e.contrib_ppm AS wc, e.wtr, o.lvl
+  FROM weighted e CROSS JOIN o
+),
+grid AS (
+  SELECT level, gx, gy,
+         CAST(SUM(CASE WHEN NOT wtr THEN wc ELSE 0 END) AS BIGINT) AS summer_fp,
+         CAST(SUM(CASE WHEN wtr THEN wc ELSE 0 END) AS BIGINT) AS winter_fp
+  FROM scat
+  WHERE gx >= 0 AND gx < (2::BIGINT << lvl)
+    AND gy >= 0 AND gy < (1::BIGINT << lvl)
+  GROUP BY level, gx, gy
+)
+SELECT level, gx, gy, summer_fp, winter_fp,
+       CAST(RANK() OVER (PARTITION BY level ORDER BY summer_fp ASC) AS DOUBLE)
+         / CAST(COUNT(*) OVER (PARTITION BY level) AS DOUBLE) AS summer_pct,
+       CAST(RANK() OVER (PARTITION BY level ORDER BY winter_fp ASC) AS DOUBLE)
+         / CAST(COUNT(*) OVER (PARTITION BY level) AS DOUBLE) AS winter_pct,
+       CAST(RANK() OVER (PARTITION BY level ORDER BY summer_fp ASC) AS DOUBLE)
+         / CAST(COUNT(*) OVER (PARTITION BY level) AS DOUBLE)
+       - CAST(RANK() OVER (PARTITION BY level ORDER BY winter_fp ASC) AS DOUBLE)
+         / CAST(COUNT(*) OVER (PARTITION BY level) AS DOUBLE) AS combined
+FROM grid
+"""
+
+
+register_extra("kde_compare", q_kde_compare, _kde_compare_oracle())

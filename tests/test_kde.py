@@ -83,3 +83,57 @@ def test_kde_tiles_single_point_placement(spark):
         assert abs(band[1] - g.normalized) < 1e-6
         assert abs(band[2] - g.percentile) < 1e-6
     assert (tiles.max_norm <= 1.0).all()
+
+
+def test_seasonal_weight_closed_form(spark):
+    """ComparisonGaussianCellMapper semantics at pinned dates: season
+    assignment and the quantized e^-(t*t) contribution."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("2024-01-01 00:00:00", True, 0),        # winter, year start: t=0
+        ("2024-03-31 23:59:59", True, None),     # winter, ~Apr: t ~= 3
+        ("2024-12-31 23:59:59", True, 0),        # winter, next-year bound
+        ("2024-10-01 00:00:00", True, 300),      # winter ramp start: t=3
+        ("2024-04-01 00:00:00", False, 300),     # April start: t=3 (ramp in)
+        ("2024-04-30 23:59:59", False, 0),       # April end: t~=0
+        ("2024-09-01 00:00:00", False, 0),       # Sept start: t=0 (ramp out)
+        ("2024-07-15 12:00:00", False, 0),       # core summer: contrib 1
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], "s string").select(
+        F.to_timestamp("s").alias("ts")
+    )
+    wtr, t_cent = OKDE.seasonal_weight_cols(F.col("ts"))
+    got = df.select(wtr.alias("w"), t_cent.alias("t")).collect()
+    for (s, want_w, want_t), r in zip(rows, got):
+        assert r.w == want_w, s
+        if want_t is not None:
+            assert r.t == want_t, s
+        else:
+            assert r.t >= 299, s
+    # table endpoints pin the exp definition
+    assert OKDE.SEASON_PPM[0] == 1_000_000
+    assert OKDE.SEASON_PPM[300] == round(1e6 * math.exp(-9.0))
+
+
+def test_kde_compare_seasonal_split(spark):
+    """A cell fed only by July points has winter_fp=0 (and vice versa);
+    combined is the percentile difference in (-1, 1)."""
+    rows = [("2024-07-10 00:00:00", 500, 500)] * 3 + [
+        ("2024-01-10 00:00:00", -90_500, -45_500)
+    ] * 2
+    df = spark.createDataFrame(rows, "s string, lon_milli long, lat_milli long")
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("ts", F.to_timestamp("s"))
+    got = OKDE.kde_compare(df, [4], ts_col="ts").toPandas()
+    assert ((got.combined > -1) & (got.combined < 1)).all()
+    summer_cells = got[got.summer_fp > 0]
+    winter_cells = got[got.winter_fp > 0]
+    assert len(summer_cells) and (summer_cells.winter_fp == 0).all()
+    assert len(winter_cells) and (winter_cells.summer_fp == 0).all()
+    # July contributes ppm=1e6: cell under 3 stacked points carries
+    # 3 * 383^2 * 1e6 at the center tap
+    assert got.summer_fp.max() == 3 * 383 * 383 * 1_000_000
