@@ -1,0 +1,393 @@
+"""geowave_spark CLI — the reference's ``geowave`` operation tree
+re-expressed over the Spark engine.
+
+Reference surface (file:line provenance):
+
+* ``config addstore / addindex / list`` — core/cli/.../operations/config/
+  (AddStoreCommand.java, AddIndexCommand.java, ListCommand.java,
+  ConfigOptions.java: a local properties file keyed by name).  Here the
+  config is a JSON file: stores map a name to a table directory (the
+  KV-store namespace collapses to a parquet path), indexes hold the
+  encode dials (resolution, salt buckets/mode) that AddIndexCommand's
+  plugin options carry.
+* ``ingest localtogw`` — core/ingest/.../operations/LocalToGeowaveCommand:
+  read a local source through a format plugin, key every row, write to
+  the store.  Format plugins: sources/formats.py etc. (SURVEY §2.2).
+* ``stat recalc / liststats`` — core/store/.../operations/remote/
+  RecalculateStatsCommand.java, ListStatsCommand.java.
+* ``query`` — the engine's CQL planner (plans/cql.py; the reference fork
+  exposes CQL through VectorQueryOptions rather than a CLI verb — the
+  verb is provided because a Spark user expects one).  ``--explain``
+  mirrors core/cli ExplainCommand.java: show the plan, don't run it.
+* ``analytic dbscan / kde / kmeans / nn`` — analytics/mapreduce/.../
+  operations/{DBScanCommand,KdeCommand,KmeansJumpCommand,
+  NearestNeighborCommand}.java and analytics/spark KmeansSparkCommand.
+* ``export`` — extensions/adapters/vector/.../export/
+  VectorLocalExportCommand.java.
+
+Scale: every verb builds one declarative DataFrame job (the session comes
+from session.get_spark, so AQE/Arrow dials are the cluster ones); nothing
+collects beyond the preview rows printed to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+__version__ = "0.3.0"
+
+DEFAULT_CONFIG = "geowave_spark_config.json"
+
+
+# ---------------------------------------------------------------------------
+# config file (ConfigOptions.java analogue)
+# ---------------------------------------------------------------------------
+
+
+def _config_path(args) -> str:
+    return args.config or os.environ.get("GEOWAVE_SPARK_CONFIG", DEFAULT_CONFIG)
+
+
+def _load_config(args) -> dict:
+    path = _config_path(args)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"stores": {}, "indexes": {}}
+
+
+def _save_config(args, cfg: dict) -> None:
+    with open(_config_path(args), "w") as f:
+        json.dump(cfg, f, indent=2, sort_keys=True)
+
+
+def _store_path(cfg: dict, name: str) -> str:
+    try:
+        return cfg["stores"][name]["path"]
+    except KeyError:
+        raise SystemExit(f"unknown store {name!r}: run `config addstore` first")
+
+
+def _index_opts(cfg: dict, name: str) -> dict:
+    try:
+        return cfg["indexes"][name]
+    except KeyError:
+        raise SystemExit(f"unknown index {name!r}: run `config addindex` first")
+
+
+# ---------------------------------------------------------------------------
+# session + io helpers
+# ---------------------------------------------------------------------------
+
+
+def _spark(args, injected):
+    if injected is not None:
+        return injected
+    from geowave_spark.session import get_spark
+
+    return get_spark(master=args.master, app_name="geowave_spark_cli")
+
+
+def _emit(df, args, out) -> int:
+    """Write the result (``--out``) or print a bounded preview; returns the
+    row count so every verb reports what it did."""
+    if getattr(args, "explain", False):
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        print(buf.getvalue(), file=out)
+        return 0
+    if getattr(args, "out", None):
+        from geowave_spark.sources.export import export_vector
+
+        export_vector(df, args.out, fmt=args.out_format)
+        n = df.sparkSession.read.format(args.out_format).load(args.out).count()
+        print(f"wrote {n} rows to {args.out}", file=out)
+        return n
+    rows = df.limit(args.limit).collect()
+    cols = df.columns
+    print("\t".join(cols), file=out)
+    for r in rows:
+        print("\t".join(str(r[c]) for c in cols), file=out)
+    return len(rows)
+
+
+def _geo_milli(df):
+    from pyspark.sql import functions as F
+
+    out = df
+    if "lon_milli" not in df.columns:
+        out = out.withColumn(
+            "lon_milli", F.round(F.col("lon") * 1000).cast("long")
+        ).withColumn("lat_milli", F.round(F.col("lat") * 1000).cast("long"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# verbs
+# ---------------------------------------------------------------------------
+
+
+def cmd_config(args, spark, out) -> int:
+    cfg = _load_config(args)
+    if args.config_cmd == "addstore":
+        cfg["stores"][args.name] = {"path": args.path}
+        _save_config(args, cfg)
+        print(f"store {args.name} -> {args.path}", file=out)
+    elif args.config_cmd == "addindex":
+        cfg["indexes"][args.name] = {
+            "res": args.res,
+            "salt_buckets": args.salt_buckets,
+            "salt_mode": args.salt_mode,
+        }
+        _save_config(args, cfg)
+        print(f"index {args.name}: res={args.res}", file=out)
+    else:  # list
+        print(json.dumps(cfg, indent=2, sort_keys=True), file=out)
+    return 0
+
+
+# format plugin table: name -> (reader, kind).  Point readers emit lon/lat
+# doubles; 'shapefile' emits envelopes (minx..maxy); generic formats need
+# --lon-col/--lat-col.
+_POINT_FORMATS = ("gdelt", "tdrive", "geolife", "gpx", "twitter")
+
+
+def _read_source(spark, fmt: str, src: str, args):
+    from geowave_spark.sources import formats as FMT
+
+    if fmt in _POINT_FORMATS:
+        return getattr(FMT, f"read_{fmt}")(spark, src), "points"
+    if fmt == "shapefile":
+        from geowave_spark.sources.shapefile import read_shapefile
+
+        return read_shapefile(spark, src), "envelopes"
+    if fmt == "avro":
+        from geowave_spark.sources.avro import read_avro
+
+        return read_avro(spark, src), "points"
+    if fmt in ("parquet", "csv", "json"):
+        r = spark.read
+        if fmt == "csv":
+            r = r.option("header", "true").option("inferSchema", "true")
+        return getattr(r, fmt)(src), "points"
+    raise SystemExit(f"unknown ingest format {fmt!r}")
+
+
+def cmd_ingest(args, spark_injected, out) -> int:
+    cfg = _load_config(args)
+    path = _store_path(cfg, args.store)
+    idx = _index_opts(cfg, args.index)
+    spark = _spark(args, spark_injected)
+    from geowave_spark.operators import index as OI
+
+    df, kind = _read_source(spark, args.format, args.src, args)
+    if kind == "points":
+        indexed = OI.index_points(
+            df,
+            lon_col=args.lon_col,
+            lat_col=args.lat_col,
+            res=idx["res"],
+            salt_buckets=idx["salt_buckets"],
+            salt_mode=idx["salt_mode"],
+            id_col=args.id_col if args.id_col in df.columns else None,
+        )
+    else:
+        indexed = OI.index_envelopes(
+            df, salt_buckets=idx["salt_buckets"], id_col="recno"
+        )
+    OI.write_indexed(indexed, path, mode="append" if args.append else "overwrite")
+    n = spark.read.parquet(path).count()
+    print(f"ingested: store {args.store} now holds {n} rows", file=out)
+    return n
+
+
+def cmd_stat(args, spark_injected, out) -> int:
+    cfg = _load_config(args)
+    path = _store_path(cfg, args.store)
+    spark = _spark(args, spark_injected)
+    from geowave_spark import stats as S
+    from geowave_spark.operators import index as OI
+
+    if args.stat_cmd == "recalc":
+        S.write_stats(OI.read_indexed(spark, path), path)
+        print("stats recalculated", file=out)
+        return 0
+    # liststats
+    summ = spark.read.parquet(os.path.join(path, "_stats", "summary")).collect()[0]
+    for k in summ.asDict():
+        print(f"{k}\t{summ[k]}", file=out)
+    tiers = OI.read_stats_tiers(spark, path)
+    print(f"tiers\t{tiers}", file=out)
+    return 0
+
+
+def cmd_query(args, spark_injected, out) -> int:
+    cfg = _load_config(args)
+    path = _store_path(cfg, args.store)
+    spark = _spark(args, spark_injected)
+    from geowave_spark.operators import index as OI
+    from geowave_spark.plans.cql import cql_query
+
+    data = OI.read_indexed(spark, path)
+    res = cql_query(data, args.cql, id_col=args.id_col)
+    return _emit(res, args, out)
+
+
+def cmd_analytic(args, spark_injected, out) -> int:
+    cfg = _load_config(args)
+    path = _store_path(cfg, args.store)
+    spark = _spark(args, spark_injected)
+    from geowave_spark.operators import index as OI
+
+    data = _geo_milli(OI.read_indexed(spark, path))
+    if args.analytic_cmd == "dbscan":
+        from geowave_spark.operators.clustering import dbscan
+
+        res = dbscan(data, eps_milli=args.eps_milli, min_pts=args.min_pts,
+                     id_col=args.id_col)
+    elif args.analytic_cmd == "kde":
+        from geowave_spark.operators.kde import kde_grid, kde_levels
+
+        res = kde_levels(
+            kde_grid(data, list(range(args.min_level, args.max_level + 1)))
+        )
+    elif args.analytic_cmd == "kmeans":
+        from geowave_spark.operators.clustering import kmeans
+
+        res = kmeans(data, k=args.k)
+    else:  # nn
+        from geowave_spark.operators.knn import KnnQuery, query_knn
+
+        res = query_knn(
+            data,
+            [KnnQuery("q0", args.lon, args.lat, args.k)],
+            id_col=args.id_col,
+        )
+    return _emit(res, args, out)
+
+
+def cmd_export(args, spark_injected, out) -> int:
+    cfg = _load_config(args)
+    path = _store_path(cfg, args.store)
+    spark = _spark(args, spark_injected)
+    from geowave_spark.operators import index as OI
+    from geowave_spark.sources.export import export_vector
+
+    df = OI.read_indexed(spark, path)
+    export_vector(df, args.dest, fmt=args.format)
+    print(f"exported {args.store} -> {args.dest} ({args.format})", file=out)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="geowave_spark")
+    p.add_argument("--config", help=f"config JSON (default {DEFAULT_CONFIG})")
+    p.add_argument("--master", help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("config")
+    cs = c.add_subparsers(dest="config_cmd", required=True)
+    a = cs.add_parser("addstore")
+    a.add_argument("name")
+    a.add_argument("--path", required=True)
+    a = cs.add_parser("addindex")
+    a.add_argument("name")
+    a.add_argument("--res", type=int, default=29)
+    a.add_argument("--salt-buckets", type=int, default=8)
+    a.add_argument("--salt-mode", choices=("hash", "round_robin"), default="hash")
+    cs.add_parser("list")
+
+    i = sub.add_parser("ingest")  # `ingest localtogw` flattened to one verb
+    i.add_argument("src")
+    i.add_argument("store")
+    i.add_argument("index")
+    i.add_argument("--format", required=True)
+    i.add_argument("--lon-col", default="lon")
+    i.add_argument("--lat-col", default="lat")
+    i.add_argument("--id-col", default="event_id")
+    i.add_argument("--append", action="store_true")
+
+    s = sub.add_parser("stat")
+    ss = s.add_subparsers(dest="stat_cmd", required=True)
+    for v in ("recalc", "liststats"):
+        a = ss.add_parser(v)
+        a.add_argument("store")
+
+    q = sub.add_parser("query")
+    q.add_argument("store")
+    q.add_argument("cql")
+    q.add_argument("--id-col", default="event_id")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--explain", action="store_true")
+    q.add_argument("--out")
+    q.add_argument("--out-format", default="parquet")
+
+    an = sub.add_parser("analytic")
+    ans = an.add_subparsers(dest="analytic_cmd", required=True)
+    d = ans.add_parser("dbscan")
+    d.add_argument("store")
+    d.add_argument("--eps-milli", type=int, required=True)
+    d.add_argument("--min-pts", type=int, required=True)
+    k = ans.add_parser("kde")
+    k.add_argument("store")
+    k.add_argument("--min-level", type=int, default=4)
+    k.add_argument("--max-level", type=int, default=6)
+    m = ans.add_parser("kmeans")
+    m.add_argument("store")
+    m.add_argument("-k", type=int, default=5)
+    n = ans.add_parser("nn")
+    n.add_argument("store")
+    n.add_argument("--lon", type=float, required=True)
+    n.add_argument("--lat", type=float, required=True)
+    n.add_argument("-k", type=int, default=10)
+    for sp in (d, k, m, n):
+        sp.add_argument("--id-col", default="event_id")
+        sp.add_argument("--limit", type=int, default=20)
+        sp.add_argument("--out")
+        sp.add_argument("--out-format", default="parquet")
+
+    e = sub.add_parser("export")
+    e.add_argument("store")
+    e.add_argument("dest")
+    e.add_argument("--format", default="parquet")
+
+    sub.add_parser("version")
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None, out=None) -> int:
+    """Entry point.  ``spark``/``out`` are injectable for in-process tests
+    (the packaged form is ``python -m geowave_spark ...``)."""
+    out = out or sys.stdout
+    args = _build_parser().parse_args(argv)
+    if args.cmd == "version":
+        print(__version__, file=out)
+        return 0
+    if args.cmd == "config":
+        cmd_config(args, spark, out)
+        return 0
+    dispatch = {
+        "ingest": cmd_ingest,
+        "stat": cmd_stat,
+        "query": cmd_query,
+        "analytic": cmd_analytic,
+        "export": cmd_export,
+    }
+    dispatch[args.cmd](args, spark, out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

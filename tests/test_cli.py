@@ -1,0 +1,111 @@
+"""CLI surface (cli.py) — the reference's `geowave` operation tree:
+config addstore/addindex, ingest, stat recalc/liststats, CQL query
+(+ --explain), analytics, export — driven in-process with an injected
+SparkSession and captured stdout."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+from geowave_spark.cli import main
+from geowave_spark.sources import tables as TB
+
+
+def _run(spark, tmp_path, *argv) -> str:
+    out = io.StringIO()
+    rc = main(
+        ["--config", str(tmp_path / "cfg.json"), *argv], spark=spark, out=out
+    )
+    assert rc == 0
+    return out.getvalue()
+
+
+def test_cli_config_roundtrip(spark, tmp_path):
+    _run(spark, tmp_path, "config", "addstore", "s1", "--path", str(tmp_path / "s1"))
+    _run(spark, tmp_path, "config", "addindex", "spatial", "--res", "12")
+    listed = _run(spark, tmp_path, "config", "list")
+    cfg = json.loads(listed)
+    assert cfg["stores"]["s1"]["path"].endswith("s1")
+    assert cfg["indexes"]["spatial"]["res"] == 12
+    assert "0." in _run(spark, tmp_path, "version")
+
+
+def test_cli_ingest_query_stats_export(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    TB.geo_events(spark, sf_dir).select(
+        "event_id", "lon", "lat", "value"
+    ).write.parquet(src)
+    store = str(tmp_path / "store")
+    _run(spark, tmp_path, "config", "addstore", "ev", "--path", store)
+    _run(spark, tmp_path, "config", "addindex", "sp")
+
+    got = _run(
+        spark, tmp_path, "ingest", src, "ev", "sp", "--format", "parquet"
+    )
+    n_src = spark.read.parquet(src).count()
+    assert f"now holds {n_src} rows" in got  # points → one row per entry
+
+    _run(spark, tmp_path, "stat", "recalc", "ev")
+    stats = _run(spark, tmp_path, "stat", "liststats", "ev")
+    assert f"n_rows\t{n_src}" in stats and "tiers\t[29]" in stats
+
+    # CQL query: count matches a direct filter
+    q = _run(
+        spark, tmp_path, "query", "ev",
+        "BBOX(geom, -10, -10, 10, 10)", "--limit", "100000",
+    )
+    n_q = len(q.strip().splitlines()) - 1  # header line
+    from pyspark.sql import functions as F
+
+    want = (
+        spark.read.parquet(src)
+        .filter(
+            (F.col("lon") >= -10) & (F.col("lon") <= 10)
+            & (F.col("lat") >= -10) & (F.col("lat") <= 10)
+        )
+        .count()
+    )
+    assert n_q == want > 0
+
+    plan = _run(
+        spark, tmp_path, "query", "ev",
+        "BBOX(geom, -10, -10, 10, 10)", "--explain",
+    )
+    assert "Physical Plan" in plan
+
+    dest = str(tmp_path / "exp")
+    _run(spark, tmp_path, "export", "ev", dest, "--format", "parquet")
+    assert spark.read.parquet(dest).count() == n_src
+
+
+def test_cli_analytics(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    TB.geo_events(spark, sf_dir).select("event_id", "lon", "lat").limit(
+        800
+    ).write.parquet(src)
+    store = str(tmp_path / "store")
+    _run(spark, tmp_path, "config", "addstore", "ev", "--path", store)
+    _run(spark, tmp_path, "config", "addindex", "sp")
+    _run(spark, tmp_path, "ingest", src, "ev", "sp", "--format", "parquet")
+
+    kde_out = str(tmp_path / "kde")
+    _run(
+        spark, tmp_path, "analytic", "kde", "ev",
+        "--min-level", "4", "--max-level", "4", "--out", kde_out,
+    )
+    kde = spark.read.parquet(kde_out)
+    assert kde.count() > 0 and "percentile" in kde.columns
+
+    nn = _run(
+        spark, tmp_path, "analytic", "nn", "ev",
+        "--lon", "0.0", "--lat", "0.0", "-k", "5", "--limit", "10",
+    )
+    assert len(nn.strip().splitlines()) == 6  # header + k rows
+
+    db = _run(
+        spark, tmp_path, "analytic", "dbscan", "ev",
+        "--eps-milli", "2000", "--min-pts", "3", "--limit", "5",
+    )
+    assert "cluster" in db.splitlines()[0]
