@@ -99,6 +99,76 @@ def image_features(images: DataFrame, thumb: int = 16) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("grad_x", T.LongType()),   # Σ|∂lum/∂x| — exact integer
+        T.StructField("grad_y", T.LongType()),   # Σ|∂lum/∂y|
+        T.StructField("grad_energy", T.LongType()),  # grad_x + grad_y
+        T.StructField("min_lum", T.IntegerType()),
+        T.StructField("max_lum", T.IntegerType()),
+        T.StructField("n_distinct_lum", T.IntegerType()),
+    ]
+)
+
+
+def image_quality(images: DataFrame) -> DataFrame:
+    """Decode → sharpness/contrast quality signals per image: total
+    absolute gradient (the integer-exact cousin of variance-of-Laplacian
+    focus measures — near-zero on blurred/flat images), luminance range,
+    and distinct-level count (1-2 levels = a solid-color or binarized
+    junk image).  The training-data curation filter for the image side of
+    the corpus, same embarrassingly-parallel mapInPandas shape as
+    :func:`image_features`; all metrics are integers so the DuckDB oracle
+    replays the procedural pixels + quantization + gradients exactly.
+    Multi-channel inputs reduce to integer mean luminance (floor)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples():
+                pix = PNG.decode_image(r.bytes, r.fmt)
+                lum = (
+                    pix.astype(np.int64)
+                    if pix.ndim == 2
+                    else pix.astype(np.int64).sum(axis=2) // pix.shape[2]
+                )
+                gx = int(np.abs(np.diff(lum, axis=1)).sum())
+                gy = int(np.abs(np.diff(lum, axis=0)).sum())
+                rows.append(
+                    (
+                        r.image_id,
+                        lum.shape[1],
+                        lum.shape[0],
+                        r.fmt,
+                        gx,
+                        gy,
+                        gx + gy,
+                        int(lum.min()),
+                        int(lum.max()),
+                        int(np.unique(lum).size),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in QUALITY_SCHEMA.fields]
+            ).astype(
+                {
+                    "w": "int32",
+                    "h": "int32",
+                    "min_lum": "int32",
+                    "max_lum": "int32",
+                    "n_distinct_lum": "int32",
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel, QUALITY_SCHEMA
+    )
+
+
 # ---------------------------------------------------------------------------
 # Audio / video kernels — REAL for the dependency-free standard containers
 # (PCM WAVE, uncompressed AVI — sources/media.py); compressed codecs raise

@@ -2738,3 +2738,96 @@ FROM grid
 
 
 register_extra("kde_compare", q_kde_compare, _kde_compare_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Image-side curation: quality metrics (full-pipeline SQL oracle over the
+# procedural pixels, like image_features) and end-to-end phash dedup groups.
+# ---------------------------------------------------------------------------
+
+IMGQ_N = 300
+
+
+def q_image_quality(spark, sf_dir):
+    """Sharpness (total absolute gradient), contrast range, and distinct
+    luminance count per decoded image — the junk-image filter for the
+    image+caption corpus."""
+    imgs = SYN.images(spark, n=IMGQ_N, partitions=16)
+    return OM.image_quality(imgs).select(
+        "image_id", "w", "h", "fmt",
+        "grad_x", "grad_y", "grad_energy",
+        "min_lum", "max_lum", "n_distinct_lum",
+    )
+
+
+def _image_quality_oracle() -> str:
+    """Replays the procedural pixels ((i*31 + x*7 + y*13) % 256, 'jpeg'
+    quantized v - v%4) and takes LAG gradients per row/column in SQL —
+    the decode→gradient pipeline stated as what it must yield."""
+    return f"""
+WITH imgs AS (
+  SELECT range AS i,
+         CASE range % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS w,
+         CASE range % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 256 END AS h,
+         CASE range % 3 WHEN 2 THEN 'jpeg' ELSE 'png' END AS fmt
+  FROM range({IMGQ_N})
+),
+pix AS (
+  SELECT i, x, y, CASE WHEN fmt='jpeg' THEN v - (v % 4) ELSE v END AS vq
+  FROM (
+    SELECT imgs.i, imgs.fmt, x.x, y.y,
+           (imgs.i*31 + x.x*7 + y.y*13) % 256 AS v
+    FROM imgs,
+         LATERAL unnest(generate_series(0, w-1)) AS x(x),
+         LATERAL unnest(generate_series(0, h-1)) AS y(y)
+  )
+),
+gx AS (
+  SELECT i, CAST(SUM(ABS(vq - prev)) AS BIGINT) AS grad_x
+  FROM (
+    SELECT i, vq,
+           LAG(vq) OVER (PARTITION BY i, y ORDER BY x) AS prev
+    FROM pix
+  ) WHERE prev IS NOT NULL GROUP BY i
+),
+gy AS (
+  SELECT i, CAST(SUM(ABS(vq - prev)) AS BIGINT) AS grad_y
+  FROM (
+    SELECT i, vq,
+           LAG(vq) OVER (PARTITION BY i, x ORDER BY y) AS prev
+    FROM pix
+  ) WHERE prev IS NOT NULL GROUP BY i
+),
+rng AS (
+  SELECT i, CAST(MIN(vq) AS INTEGER) AS min_lum,
+         CAST(MAX(vq) AS INTEGER) AS max_lum,
+         CAST(COUNT(DISTINCT vq) AS INTEGER) AS n_distinct_lum
+  FROM pix GROUP BY i
+)
+SELECT 'img' || lpad(CAST(imgs.i AS VARCHAR), 12, '0') AS image_id,
+       imgs.w, imgs.h, imgs.fmt,
+       gx.grad_x, gy.grad_y, gx.grad_x + gy.grad_y AS grad_energy,
+       rng.min_lum, rng.max_lum, rng.n_distinct_lum
+FROM imgs JOIN gx ON imgs.i = gx.i JOIN gy ON imgs.i = gy.i
+          JOIN rng ON imgs.i = rng.i
+"""
+
+
+register_extra("image_quality", q_image_quality, _image_quality_oracle())
+
+
+def q_image_dedup_groups(spark, sf_dir):
+    """End-to-end IMAGE near-dup removal: phash banded-hamming pairs →
+    connected components → (group_id, keep) per image — the image-side
+    twin of dedup_groups (minhash) for the image+caption corpus."""
+    docs = _docs(spark, sf_dir)
+    imgs = docs.select("doc_id", _planted_phash().alias("phash"))
+    pairs = OD.hamming_pairs(imgs, "phash", "doc_id")
+    return OD.canonicalize(imgs.select("doc_id"), pairs)
+
+
+register_extra(
+    "image_dedup_groups",
+    q_image_dedup_groups,
+    OD.canonicalize_oracle(_phash_pairs_oracle()),
+)

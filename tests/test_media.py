@@ -71,3 +71,36 @@ def test_video_frame_sample(spark):
         frames = SYN.video_frames_for(i, n_frames=nf)
         want = [OM.dhash64(fr.mean(axis=2)) for fr in frames[::2]]
         assert list(r.frame_dhash) == want
+
+
+def test_image_quality_closed_form(spark):
+    """Gradient/contrast metrics vs a direct numpy recompute on pinned
+    synthetic pixel grids — constant image has zero gradient energy and
+    one distinct level."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from geowave_spark.sources import png as PNG
+
+    flat = np.full((8, 8), 7, dtype=np.uint8)
+    ramp = np.tile(np.arange(8, dtype=np.uint8) * 3, (8, 1))  # dx=3 per step
+    rows = [
+        ("flat", PNG.png_encode(flat), "png"),
+        ("ramp", PNG.png_encode(ramp), "png"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("fmt", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"]), schema)
+    out = OM.image_quality(df).toPandas().set_index("image_id")
+    f = out.loc["flat"]
+    assert f.grad_energy == 0 and f.n_distinct_lum == 1
+    assert f.min_lum == f.max_lum == 7
+    r = out.loc["ramp"]
+    assert r.grad_x == 8 * 7 * 3 and r.grad_y == 0  # 8 rows x 7 steps x 3
+    assert r.grad_energy == r.grad_x + r.grad_y
+    assert (r.min_lum, r.max_lum, r.n_distinct_lum) == (0, 21, 8)
