@@ -127,19 +127,28 @@ def kde_levels(grid: DataFrame) -> DataFrame:
     (tiny — bounded by distinct mass sums, not cells) and everything else
     is partial-aggregated groupBys + a shuffle join on (level, weight_fp).
     """
-    stats = grid.groupBy("level").agg(
-        F.max("weight_fp").alias("_max"), F.count("*").alias("_n")
-    )
+    # level totals and max ALSO come from the tiny histogram (windows over
+    # distinct weights), so the expensive grid subtree is computed exactly
+    # twice — once feeding the histogram, once streaming through the final
+    # broadcast join — instead of once per derived branch (Spark recomputes
+    # a reused DataFrame subtree per reference; measured 3 scans before).
     hist = grid.groupBy("level", "weight_fp").agg(F.count("*").alias("_c"))
     w = (
         Window.partitionBy("level")
         .orderBy(F.col("weight_fp").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranks = hist.withColumn("_rank", F.sum("_c").over(w) - F.col("_c") + 1).drop("_c")
+    wl = Window.partitionBy("level")
+    ranks = (
+        hist.withColumn("_rank", F.sum("_c").over(w) - F.col("_c") + 1)
+        .withColumn("_n", F.sum("_c").over(wl))
+        .withColumn("_max", F.max("weight_fp").over(wl))
+        .drop("_c")
+    )
+    # join strategy left to AQE: ranks is usually broadcast-small (distinct
+    # weights), but at extreme scale it can grow — don't force the hint.
     return (
         grid.join(ranks, ["level", "weight_fp"])
-        .join(F.broadcast(stats), "level")
         .select(
             "level",
             "gx",
@@ -359,28 +368,51 @@ def kde_compare(
         )
     )
 
-    def pct(season_fp: str, out: str):
-        """RANK(asc)/count percentile from the distinct-weight histogram —
-        the kde_levels trick, once per season over the SAME grid."""
-        stats = grid.groupBy("level").agg(F.count("*").alias(f"_n_{out}"))
-        hist = grid.groupBy("level", season_fp).agg(F.count("*").alias("_c"))
-        w = (
-            Window.partitionBy("level")
-            .orderBy(F.col(season_fp).asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        ranks = hist.withColumn(
-            f"_rank_{out}", F.sum("_c").over(w) - F.col("_c") + 1
-        ).drop("_c")
-        return ranks, stats
-
-    s_ranks, s_stats = pct("summer_fp", "s")
-    w_ranks, w_stats = pct("winter_fp", "w")
-    out = (
-        grid.join(s_ranks, ["level", "summer_fp"])
-        .join(w_ranks, ["level", "winter_fp"])
-        .join(F.broadcast(s_stats), "level")
-        .join(F.broadcast(w_stats), "level")
+    # Percentiles via the kde_levels histogram-rank trick, but BOTH seasons'
+    # distinct-weight histograms come out of ONE extra grid pass (a 2x
+    # season explode), and the resulting rank table — tiny: distinct weight
+    # values per (level, season) — is localCheckpoint'd so the two filtered
+    # join branches don't each recompute the explode+shuffle grid subtree.
+    # Grid subtree executions: 1 (rank table) + 1 (final stream) = 2,
+    # versus 5 for the naive stats/hist-per-season derivation (measured).
+    season_fps = grid.select(
+        "level",
+        F.explode(
+            F.array(
+                F.struct(F.lit("s").alias("_season"), F.col("summer_fp").alias("_fp")),
+                F.struct(F.lit("w").alias("_season"), F.col("winter_fp").alias("_fp")),
+            )
+        ).alias("_p"),
+    ).select("level", "_p._season", "_p._fp")
+    hist = season_fps.groupBy("level", "_season", "_fp").agg(
+        F.count("*").alias("_c")
+    )
+    wrank = (
+        Window.partitionBy("level", "_season")
+        .orderBy(F.col("_fp").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlvl = Window.partitionBy("level", "_season")
+    rank_table = (
+        hist.withColumn("_rank", F.sum("_c").over(wrank) - F.col("_c") + 1)
+        .withColumn("_n", F.sum("_c").over(wlvl))
+        .drop("_c")
+        .localCheckpoint(eager=False)
+    )
+    s_ranks = rank_table.filter(F.col("_season") == "s").select(
+        "level",
+        F.col("_fp").alias("summer_fp"),
+        F.col("_rank").alias("_rank_s"),
+        F.col("_n").alias("_n_s"),
+    )
+    w_ranks = rank_table.filter(F.col("_season") == "w").select(
+        "level",
+        F.col("_fp").alias("winter_fp"),
+        F.col("_rank").alias("_rank_w"),
+        F.col("_n").alias("_n_w"),
+    )
+    out = grid.join(s_ranks, ["level", "summer_fp"]).join(
+        w_ranks, ["level", "winter_fp"]
     )
     sp = F.col("_rank_s").cast("double") / F.col("_n_s").cast("double")
     wp = F.col("_rank_w").cast("double") / F.col("_n_w").cast("double")
