@@ -1,0 +1,75 @@
+"""Driver-style correctness artifact for the EXTRA registry.
+
+The grading driver's roster is capped at 50 queries; everything beyond it
+lives in registry EXTRA_QUERIES/EXTRA_ORACLES and is enforced by
+tests/test_oracles_all.py (sf0.001).  This script runs the SAME
+row-count + sorted-value comparison the driver runs, at the driver's
+sf0.01, and writes EXTRA_CORRECTNESS.json — an auditable per-query record
+for the queries the driver cannot see.
+
+Run exclusively (Spark job):  python tools/extra_gate.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import duckdb
+
+from geowave_spark.registry import EXTRA_ORACLES, EXTRA_QUERIES
+from geowave_spark.session import get_spark
+
+SF = "/root/testdata/sf0.01"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def value_hash(pdf) -> str:
+    cols = sorted(pdf.columns)
+    a = pdf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    h = hashlib.sha256()
+    for c in cols:
+        col = a[c]
+        if str(col.dtype).startswith("float"):
+            col = col.astype(float).round(9)
+        h.update(col.astype(str).str.cat(sep="\x1f").encode())
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    spark = get_spark(app_name="extra_gate")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    out, fails = {}, []
+    for name in sorted(EXTRA_QUERIES):
+        spdf = EXTRA_QUERIES[name](spark, SF).toPandas()
+        rec = {"rows": len(spdf), "cols": sorted(spdf.columns)}
+        if name in EXTRA_ORACLES:
+            opdf = con.execute(EXTRA_ORACLES[name]).fetchdf()
+            rec["oracle_rows"] = len(opdf)
+            rec["schema_match"] = sorted(opdf.columns) == rec["cols"]
+            rec["hash_match"] = (
+                rec["schema_match"]
+                and rec["rows"] == rec["oracle_rows"]
+                and value_hash(spdf) == value_hash(opdf)
+            )
+            rec["status"] = "exact" if rec["hash_match"] else "FAIL"
+        else:
+            rec["status"] = "rows_only"
+        out[name] = rec
+        print(name, rec["status"], rec["rows"])
+        if rec["status"] == "FAIL":
+            fails.append(name)
+    with open("EXTRA_CORRECTNESS.json", "w") as f:
+        json.dump({"sf": 0.01, "queries": out, "fails": fails}, f, indent=1,
+                  sort_keys=True)
+    print("FAILS:", fails)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
