@@ -75,6 +75,35 @@ def _cover_rows(q: BoxQuery, resolutions: set[int]) -> pd.DataFrame:
     return pd.DataFrame({"query_id": q.query_id, "jcell": cells})
 
 
+def partition_prune_cells(jcells: np.ndarray, p_res: int) -> np.ndarray:
+    """The ≤ 4^p_res coarse partition keys any join-matching row can carry.
+
+    A row matches the cover join only if its parent at some resolution r
+    equals a cover cell; its ``cell_p`` (parent at ``p_res``) is then
+    forced: parent(c, p_res) when r ≥ p_res, else one of c's res-p_res
+    descendants.  Filtering ``cell_p`` to this closed set is therefore
+    implied by the join — it changes NO output row, but on the partitioned
+    store (write_indexed: partitionBy cell_p) it becomes a
+    PartitionFilters entry, so only the matching directory partitions are
+    listed/read (the Iceberg partition-pruning shape at 100 TB).
+
+    Returns None — prune nothing — when any cover cell is coarser than
+    ``p_res``: such a cell can match rows whose tier is also coarser than
+    ``p_res``, and those rows' ``cell_p`` is not a refinement of their key
+    (parent_cell_col requires tier ≥ p_res), so no closed key set exists.
+    Cover cells at res ≥ p_res only ever match rows with tier ≥ res (the
+    key embeds its resolution), whose ``cell_p`` IS the cover cell's
+    p_res ancestor — the exact case."""
+    jc = np.unique(np.asarray(jcells, dtype=np.int64)).astype(np.uint64)
+    res = (jc >> np.uint64(C.RES_SHIFT)).astype(np.int64)
+    if (res < p_res).any():
+        return None
+    z = jc & np.uint64(C.COORD_MASK)
+    p_key = np.uint64(p_res) << np.uint64(C.RES_SHIFT)
+    shift = ((res - p_res) * 2).astype(np.uint64)
+    return np.unique(p_key | (z >> shift)).astype(np.int64)
+
+
 def data_join_key(r_q: int):
     """parent(cell, min(tier, r_q)) as a codegen'd column expression.
 
@@ -144,6 +173,18 @@ def cover_join(
     # otherwise double-match that key's cover cells.  Explode factor =
     # number of distinct cover-resolution groups (small: queries bucket
     # into few resolutions), each key a pure bit-shift — all codegen.
+    # Partition pruning: the cell_p filter is implied by the join (see
+    # partition_prune_cells) — a no-op on output rows, a PartitionFilters
+    # prune on the partitioned store.
+    if "cell_p" in data.columns:
+        from geowave_spark.operators.index import PARTITION_RES
+
+        pcs = partition_prune_cells(
+            cover_pdf["jcell"].to_numpy(np.int64), PARTITION_RES
+        )
+        if pcs is not None:
+            data = data.filter(F.col("cell_p").isin([int(v) for v in pcs]))
+
     keys = F.array_distinct(F.array(*[data_join_key(r_q) for r_q in groups]))
     joined = data.withColumn("_jkey", F.explode(keys)).join(
         F.broadcast(cover), F.col("_jkey") == F.col("jcell"), "inner"

@@ -200,3 +200,55 @@ def test_stats_tiers_multi_root_union(spark, sf_dir, tmp_path):
     )
     half_mem = OI.read_indexed(spark, pa).unionByName(in_mem)
     assert OI.stats_tiers_for(half_mem) is None
+
+
+def test_cover_join_prunes_store_partitions(spark, sf_dir, tmp_path):
+    """The cell_p filter implied by the cover (planner.partition_prune_cells)
+    must (a) change no output row and (b) surface as a PartitionFilters
+    prune on the cell_p-partitioned store — only matching directory
+    partitions are listed (the Iceberg shape)."""
+    import contextlib
+    import io
+
+    store = str(tmp_path / "store")
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    OI.write_indexed(geo, store)
+    data = OI.read_indexed(spark, store)
+
+    q = P.BoxQuery("q0", -10.0, -10.0, 10.0, 10.0)
+    res = P.cover_join(data, [q])
+
+    # (a) output identity vs the unpruned formulation: same join over the
+    # same store with the prune disabled by dropping cell_p pre-join
+    res_nop = P.cover_join(data.drop("cell_p"), [q])
+    a = sorted(r.event_id for r in res.select("event_id").collect())
+    b = sorted(r.event_id for r in res_nop.select("event_id").collect())
+    assert a == b and len(a) > 0
+
+    # (b) plan shape: PartitionFilters carries the cell_p In-set and the
+    # scan reads fewer partition directories than exist
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "cell_p" in seg[: seg.index("]")]
+
+    import os
+
+    n_dirs = len([d for d in os.listdir(store) if d.startswith("cell_p=")])
+    pcs = P.partition_prune_cells(
+        np.concatenate(
+            [OI.C.cover_bbox(*b, P.cover_resolution(q, 1024)) for b in q.boxes()]
+        ),
+        OI.PARTITION_RES,
+    )
+    assert pcs is not None and 0 < len(pcs) < n_dirs
+
+
+def test_partition_prune_cells_conservative_on_coarse_cover(spark):
+    """A cover cell coarser than PARTITION_RES disables pruning (tier <
+    p_res rows carry non-refining cell_p — no closed key set exists)."""
+    coarse = OI.C.cover_bbox(-170.0, -80.0, 170.0, 80.0, 2)
+    assert P.partition_prune_cells(coarse, OI.PARTITION_RES) is None
