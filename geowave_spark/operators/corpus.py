@@ -391,3 +391,160 @@ def crossmodal_pairs(
             "txt_hamming",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram decontamination (the GPT-3 appendix-C method: flag training
+# docs sharing any exact 13-gram with an eval set — the sibling of the
+# winnowing-fingerprint check above, zero-miss for exact n-gram overlap)
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM_N = 13
+
+
+def decontaminate_ngram(
+    train: DataFrame,
+    probes: DataFrame,
+    n: int = DECON_NGRAM_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_impl: str = "md5",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """(id, n_hits, contaminated) per training doc by exact word-``n``-gram
+    overlap with the probe set.
+
+    Same scale shape as :func:`decontaminate` (per-row gram arrays — no
+    shuffle — a broadcast semi-join on the hashed gram, one aggregate); the
+    winnowing variant is the recall-superset screen, this is the exact
+    classical criterion.  Grams are hashed to 60-bit ints before the join
+    so the broadcast/shuffle carries longs, not 13-word strings.
+    """
+    from geowave_spark.operators.dedup import shingles_from_tokens
+
+    def grams(df):
+        toks = df.select(
+            F.col(id_col), OTX.tokens_col(F.col(text_col)).alias("_toks")
+        )
+        sh = toks.select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("_g"),
+        )
+        return sh.select(
+            F.col(id_col), OTX.base60_col(F.col("_g"), hash_impl).alias("_gh")
+        ).distinct()
+
+    pg = grams(probes).select("_gh").distinct()
+    if broadcast_probes:
+        pg = F.broadcast(pg)
+    hits = grams(train).join(pg, "_gh").groupBy(id_col).agg(
+        F.count("*").alias("_n")
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("_n", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_ngram_oracle(
+    train_table: str, probe_table: str, n: int = DECON_NGRAM_N
+) -> str:
+    from geowave_spark.operators.dedup import duck_shingles
+
+    gh = OTX.duck_h64("g.g")
+
+    def grams(table: str) -> str:
+        return f"""
+SELECT DISTINCT doc_id, {gh} AS gh
+FROM (SELECT doc_id, {duck_shingles("text", n)} AS gs FROM {table}) t,
+     LATERAL unnest(t.gs) AS g(g)
+"""
+
+    return f"""
+WITH tg AS ({grams(train_table)}),
+pg AS (SELECT DISTINCT gh FROM ({grams(probe_table)})),
+h AS (SELECT doc_id, COUNT(*) AS n FROM tg JOIN pg USING (gh) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM (SELECT doc_id FROM {train_table}) d LEFT JOIN h USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source caps (domain caps in a web corpus: keep the top-N docs per
+# source by quality rank — the C4/RefinedWeb-style over-represented-domain
+# control, after mixture_sample sets the coarse rates)
+# ---------------------------------------------------------------------------
+
+
+def source_cap(
+    docs: DataFrame,
+    cap: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, source, rank, keep) — rank 0 for under-cap sources: within each source, rank docs by the
+    deterministic quality composite (operators/text.quality_score,
+    descending; ties by id ascending) and keep the top ``cap``.
+
+    One shuffle on the source key; the rank window partitions by source —
+    at web scale a single domain can be huge, so the cap short-circuits:
+    rows are pre-filtered by a per-source count so only sources OVER the
+    cap pay the sort (under-cap sources — the long tail, almost all of
+    them — skip the window entirely via a broadcast anti-join shape).
+    """
+    from geowave_spark.operators.text import quality_score
+
+    q = quality_score(docs, id_col=id_col).select(id_col, "quality")
+    scored = docs.select(id_col, by).join(q, id_col)
+
+    counts = scored.groupBy(by).agg(F.count("*").alias("_n"))
+    over = counts.filter(F.col("_n") > cap).select(by)
+    # long tail: under-cap sources keep everything, no window
+    under = scored.join(F.broadcast(over), by, "left_anti").select(
+        F.col(id_col), F.col(by), F.lit(0).cast("int").alias("rank"),
+        F.lit(1).alias("keep"),
+    )
+    w = Window.partitionBy(by).orderBy(F.col("quality").desc(), F.col(id_col).asc())
+    capped = (
+        scored.join(F.broadcast(over), by)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            F.col(id_col), F.col(by), "rank",
+            (F.col("rank") <= cap).cast("int").alias("keep"),
+        )
+    )
+    return under.unionByName(capped)
+
+
+def source_cap_oracle(table: str, cap: int) -> str:
+    from geowave_spark.operators.text import quality_score_oracle
+
+    return f"""
+WITH q AS ({quality_score_oracle(table)}),
+scored AS (
+  SELECT d.doc_id, d.source, q.quality
+  FROM {table} d JOIN q USING (doc_id)
+),
+counts AS (SELECT source, COUNT(*) AS n FROM scored GROUP BY source)
+SELECT s.doc_id, s.source,
+       CASE WHEN c.n > {cap}
+            THEN CAST(ROW_NUMBER() OVER (
+                   PARTITION BY s.source
+                   ORDER BY CASE WHEN c.n > {cap} THEN s.quality END DESC,
+                            s.doc_id ASC) AS INTEGER)
+            ELSE 0 END AS rank,
+       CASE WHEN c.n <= {cap} THEN 1
+            WHEN ROW_NUMBER() OVER (
+                   PARTITION BY s.source
+                   ORDER BY CASE WHEN c.n > {cap} THEN s.quality END DESC,
+                            s.doc_id ASC) <= {cap} THEN 1
+            ELSE 0 END AS keep
+FROM scored s JOIN counts c USING (source)
+"""

@@ -2831,3 +2831,41 @@ register_extra(
     q_image_dedup_groups,
     OD.canonicalize_oracle(_phash_pairs_oracle()),
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact 13-gram decontamination (GPT-3 appendix-C criterion) and per-source
+# caps (C4-style over-represented-domain control) — operators/corpus.py
+# ---------------------------------------------------------------------------
+
+
+def q_decontaminate_ngram(spark, sf_dir):
+    """Exact word-13-gram train×eval overlap over the same mod-17 split as
+    the winnowing `decontaminate` — the zero-miss classical criterion."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    probes = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    return OCORP.decontaminate_ngram(train, probes)
+
+
+register_extra(
+    "decontaminate_ngram",
+    q_decontaminate_ngram,
+    OCORP.decontaminate_ngram_oracle(
+        f"(SELECT * FROM documents WHERE doc_id % {DECON_MOD} <> 0)",
+        f"(SELECT * FROM documents WHERE doc_id % {DECON_MOD} = 0)",
+    ),
+)
+
+SOURCE_CAP = 40
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-source top-N by quality rank (rank 0 / keep 1 for the under-cap
+    long tail, which never pays the window)."""
+    return OCORP.source_cap(_docs(spark, sf_dir), cap=SOURCE_CAP)
+
+
+register_extra(
+    "source_cap", q_source_cap, OCORP.source_cap_oracle("documents", SOURCE_CAP)
+)

@@ -142,3 +142,51 @@ def test_mixture_rates_and_determinism(docs):
     assert kept == docs.filter(F.col("source").isin(*full)).count()
     none = OC.mixture_sample(docs, {"src0": 0.0}).count()
     assert none == 0
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_ngram / source_cap
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_ngram_planted(spark):
+    """A train doc sharing an exact 13-gram with a probe is flagged; a doc
+    sharing only a 12-gram prefix is clean."""
+    g13 = " ".join(f"w{i}" for i in range(13))
+    g12 = " ".join(f"w{i}" for i in range(12))
+    train = spark.createDataFrame(
+        [
+            (1, f"intro {g13} outro"),
+            (2, f"prefix only {g12} x99 tail"),
+            (3, "completely different text " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, f"the probe contains {g13} inside")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in OC.decontaminate_ngram(train, probes).collect()
+    }
+    assert got[1][1] == 1 and got[1][0] >= 1
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+
+
+def test_source_cap_window_only_over_cap(spark):
+    """Over-cap sources keep exactly cap docs ranked by quality; under-cap
+    sources keep everything with rank 0 (no window paid)."""
+    rows = [(i, f"the and is of to word{i} " * (i % 7 + 1), "big") for i in range(10)]
+    rows += [(100 + i, "short text here", "small") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = OC.source_cap(docs, cap=4).toPandas()
+    big = out[out.source == "big"]
+    small = out[out.source == "small"]
+    assert len(big) == 10 and big.keep.sum() == 4
+    assert sorted(big[big.keep == 1]["rank"]) == [1, 2, 3, 4]
+    assert (small.keep == 1).all() and (small["rank"] == 0).all()
+    # deterministic: kept set stable across recompute
+    again = OC.source_cap(docs, cap=4).toPandas()
+    assert sorted(again[again.keep == 1].doc_id) == sorted(
+        out[out.keep == 1].doc_id
+    )
