@@ -235,3 +235,43 @@ def stream_dedup_docs(
         "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_geofence(
+    spark: SparkSession,
+    source,
+    fences,
+    schema,
+    sink_dir: str,
+    checkpoint_dir: str,
+    res: int | None = None,
+    available_now: bool = True,
+):
+    """Continuous geofencing: stream events → cell index → broadcast
+    polygon cover join + exact PIP refine → matched (query_id, event) rows
+    appended to the sink.
+
+    The SAME batch operator (operators/polygon.query_polygon) runs inside
+    the stream — covers are static driver-side numpy (broadcast
+    stream-static join, allowed by Structured Streaming), the refine is
+    the codegen half-plane / Arrow PIP predicate, and tiers are pinned to
+    the ingest resolution (a streaming plan cannot run the tier-discovery
+    collect).  Per-micro-batch cost is one broadcast join + filter: no
+    state, no watermark needed — a pure stateless map, so it scales with
+    source parallelism.  ``fences``: list of operators/polygon.PolygonQuery.
+    """
+    from geowave_spark.operators.polygon import query_polygon
+
+    r = res if res is not None else OI.C.MAX_RES
+    raw = open_stream(spark, source, schema)
+    indexed = OI.index_points(raw, res=r, id_col="event_id")
+    matched = query_polygon(indexed, fences, tiers=[r])
+    writer = (
+        matched.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

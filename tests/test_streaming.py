@@ -215,3 +215,36 @@ def test_stream_sink_gains_tier_hints(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got._gw_tiers == want and len(want) >= 1
+
+
+def test_stream_geofence_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming geofence == batch query_polygon over the same staged
+    events (stream-static broadcast cover join + exact refine)."""
+    from geowave_spark import registry as R
+    from geowave_spark.functions import geometry as G
+    from geowave_spark.operators import polygon as OP
+    from geowave_spark.streaming.ingest import stream_geofence
+
+    src = str(tmp_path / "gfsrc")
+    geo = TB.geo_events(spark, sf_dir)
+    geo.coalesce(1).write.mode("overwrite").parquet(src)
+
+    fences = [
+        OP.PolygonQuery("pent", G.wkb_polygon([R.PENTAGON]), "INTERSECTS")
+    ]
+    sink, ckpt = str(tmp_path / "gfsink"), str(tmp_path / "gfckpt")
+    q = stream_geofence(spark, src, fences, geo.schema, sink, ckpt)
+    q.awaitTermination(180)
+
+    got = {
+        (r.query_id, r.event_id)
+        for r in spark.read.parquet(sink).select("query_id", "event_id").collect()
+    }
+    batch = OI.index_points(geo, id_col="event_id")
+    want = {
+        (r.query_id, r.event_id)
+        for r in OP.query_polygon(batch, fences).select(
+            "query_id", "event_id"
+        ).collect()
+    }
+    assert got == want and len(want) > 0
