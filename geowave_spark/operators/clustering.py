@@ -452,3 +452,331 @@ def kmeans_mllib(
     return model.transform(feats).select(
         F.col(id_col), F.col("prediction").cast("long").alias("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMeans family: sampling, kmeans|| init, distortion / jump, strip-weak.
+#
+# The reference's cluster-count machinery (analytics/mapreduce/.../kmeans/
+# runner/): KSamplerJobRunner draws rank samples as initial centroids,
+# KMeansParallelJobRunner implements Bahmani et al's scalable k-means++
+# (BahmanEtAlSampleProbabilityFn.java: p(x) = l*d2(x,C)/phi),
+# KMeansDistortionJobRunner computes the Sugar–James transformed distortion
+# (KMeansDistortionMapReduce.java:238-257: (E/p)^(-p/2) with E the mean
+# squared distance, p the dimension count), and DistortionGroupManagement
+# .bestCount (DistortionGroupManagement.java:335-360) picks the k with the
+# largest jump d_k - d_{k-1}.  StripWeakCentroidsRunner.java:95-215 drops
+# the weak tail of centroids at the largest count gap (MaxChange strategy).
+#
+# Spark-first shapes: the rank sample is one ORDER BY hash LIMIT k; the
+# whole distortion table over a k-range comes out of ONE cross join with a
+# running-min window (rank-r prefix of the sample = the r-centroid set, so
+# every k shares a single pass); kmeans|| rounds are broadcast argmin +
+# hash-uniform filters (no RNG state anywhere — md5-derived uniforms keep
+# every path replayable, incl. by the DuckDB oracle).
+# ---------------------------------------------------------------------------
+
+NUM_DIMS = 2  # planar milli-degree (x, y); p in the Sugar–James transform
+
+
+def rank_sample(data: DataFrame, k: int, id_col: str = "event_id") -> DataFrame:
+    """KSampler parity: deterministic hash-rank sample of ``k`` points.
+
+    The reference samples k items by random rank (KSamplerJobRunner); the
+    md5-derived 60-bit hash replaces the RNG so the draw is reproducible
+    and oracle-replayable.  Returns (rank 0..k-1, cx, cy) — ranks are
+    ordered by (hash, id), so the rank-r prefix is itself a valid
+    r-point sample (nested samples — what :func:`kmeans_distortion_table`
+    exploits to share one pass across a whole k range).
+    """
+    from geowave_spark.operators.text import h64_col
+    from pyspark.sql import Window
+
+    # orderBy().limit(k) = distributed TakeOrdered (per-partition top-k +
+    # driver merge) — no global single-partition window over the data; the
+    # row_number window runs over the k-row result only
+    top = (
+        data.select(
+            F.col(id_col).alias("_sid"),
+            F.col("lon_milli").cast("bigint").alias("cx"),
+            F.col("lat_milli").cast("bigint").alias("cy"),
+        )
+        .withColumn("_h", h64_col(F.col("_sid").cast("string")))
+        .orderBy("_h", "_sid")
+        .limit(k)
+    )
+    w = Window.orderBy("_h", "_sid")
+    return top.withColumn("rank", F.row_number().over(w) - F.lit(1)).select(
+        "rank", "cx", "cy"
+    )
+
+
+def kmeans_distortion_table(
+    data: DataFrame,
+    k_values: list[int],
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sugar–James distortion + jump over a k range in ONE distributed pass.
+
+    For each k the centroid set is the rank-k prefix of the deterministic
+    rank sample (the KSampler -> KMeansDistortionJobRunner flow, without
+    the Lloyd refinement — :func:`kmeans_jump` adds that).  Because the
+    samples nest, a single cross join against the max-k sample plus a
+    running-min window gives every k's per-point nearest distance at once:
+
+      point x sample(kmax)  ->  d2 per (pid, rank)
+      running min over rank ->  rmin[r] = d2(x, first r+1 centroids)
+      filter rank+1 in k_values, group by k -> sum/count -> distortion
+
+    Distortion is exact-rational at p=2: (E/2)^(-p/2) = 2n/sum_d2, one
+    IEEE division on exact BIGINT sums, so the DuckDB oracle matches to
+    the bit.  Jump = d_k - d_{k-1} (0 base, ascending k;
+    DistortionGroupManagement.java:345-360); ``best`` marks the first k
+    at the maximum jump.  Output: (k, n, sum_d2, distortion, jump, best).
+    """
+    from pyspark.sql import Window
+
+    kmax = max(k_values)
+    sample = rank_sample(data, kmax, id_col=id_col)
+    pts = data.select(
+        F.col(id_col).alias("pid"),
+        F.col("lon_milli").cast("bigint").alias("px"),
+        F.col("lat_milli").cast("bigint").alias("py"),
+    )
+    d2 = (F.col("px") - F.col("cx")) * (F.col("px") - F.col("cx")) + (
+        F.col("py") - F.col("cy")
+    ) * (F.col("py") - F.col("cy"))
+    w = Window.partitionBy("pid").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per_k = (
+        pts.crossJoin(F.broadcast(sample))
+        .withColumn("_d2", d2)
+        .withColumn("_rmin", F.min("_d2").over(w))
+        .withColumn("k", F.col("rank") + F.lit(1))
+        .filter(F.col("k").isin([int(k) for k in k_values]))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_rmin").alias("sum_d2"),
+        )
+        .withColumn(
+            "distortion",
+            F.lit(float(NUM_DIMS)) * F.col("n") / F.col("sum_d2"),
+        )
+    )
+    wk = Window.orderBy("k")
+    wall = Window.partitionBy()
+    jump = F.col("distortion") - F.lag("distortion", 1, 0.0).over(wk)
+    out = (
+        per_k.withColumn("jump", jump)
+        .withColumn("_maxj", F.max("jump").over(wall))
+        .withColumn(
+            "_bestk",
+            F.min(F.when(F.col("jump") == F.col("_maxj"), F.col("k"))).over(wall),
+        )
+    )
+    return out.withColumn("best", (F.col("k") == F.col("_bestk")).cast("boolean")).select(
+        "k", "n", "sum_d2", "distortion", "jump", "best"
+    )
+
+
+def kmeans_distortion(
+    data: DataFrame, centroids: list[tuple[int, float, float]], id_col: str = "event_id"
+) -> float:
+    """Transformed distortion of one fitted centroid set
+    (KMeansDistortionMapReduce.java:238-257, p=2)."""
+    pts = data.select(
+        F.col("lon_milli").cast("double").alias("px"),
+        F.col("lat_milli").cast("double").alias("py"),
+    )
+    near = None
+    for _, cx, cy in centroids:
+        d = (F.col("px") - F.lit(float(cx))) ** 2 + (F.col("py") - F.lit(float(cy))) ** 2
+        near = d if near is None else F.least(near, d)
+    row = pts.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(near).alias("s")
+    ).collect()[0]
+    expectation = row["s"] / row["n"] / NUM_DIMS
+    return float(expectation ** (-NUM_DIMS / 2))
+
+
+def kmeans_jump(
+    data: DataFrame,
+    k_values: list[int],
+    id_col: str = "event_id",
+    max_iter: int = 10,
+) -> tuple[int, list[tuple[int, float, float]]]:
+    """Sugar–James jump over FITTED kmeans runs (KMeansJumpJobRunner flow:
+    kmeans per k -> distortion per k -> max-jump selection).
+
+    Each k runs the deterministic Lloyd :func:`kmeans` (k jobs over a small
+    k range — the reference runs one MR pipeline per k too); the winner's
+    assignment is what callers keep.  Returns (best_k, jump table rows as
+    (k, distortion, jump)).
+    """
+    table = []
+    prev = 0.0
+    best_k, best_jump = None, float("-inf")
+    for k in sorted(k_values):
+        assigned = kmeans(data, k, id_col=id_col, max_iter=max_iter)
+        cents = (
+            assigned.join(
+                data.select(F.col(id_col), "lon_milli", "lat_milli"), on=id_col
+            )
+            .groupBy("cluster")
+            .agg(
+                F.avg(F.col("lon_milli").cast("double")).alias("cx"),
+                F.avg(F.col("lat_milli").cast("double")).alias("cy"),
+            )
+            .collect()
+        )
+        cent_list = [(r["cluster"], r["cx"], r["cy"]) for r in cents]
+        d = kmeans_distortion(data, cent_list, id_col=id_col)
+        jump = d - prev
+        table.append((k, d, jump))
+        if jump > best_jump:
+            best_jump, best_k = jump, k
+        prev = d
+    return best_k, table
+
+
+def kmeans_parallel_init(
+    data: DataFrame,
+    k: int,
+    rounds: int = 3,
+    oversample: int | None = None,
+    id_col: str = "event_id",
+) -> list[tuple[int, float, float]]:
+    """Deterministic kmeans|| initialization (Bahmani et al VLDB'12; the
+    reference's KMeansParallelJobRunner + BahmanEtAlSampleProbabilityFn).
+
+    Each round keeps point x with probability min(1, l*d2(x,C)/phi) where
+    phi = sum d2(.,C); the RNG is replaced by an md5-derived uniform on
+    (id, round) so the draw is reproducible.  Candidates (a few * l rows)
+    are weighted by nearest-point counts and reduced to k seeds with
+    weighted farthest-point on the driver — the same final reclustering
+    role the reference delegates to StripWeakCentroids + local kmeans.
+    Returns k (cluster_id, cx, cy) seeds for :func:`kmeans`-style Lloyd
+    refinement or MLlib handoff.
+    """
+    from geowave_spark.operators.text import h64_col
+
+    el = oversample if oversample is not None else 2 * k
+    pts = data.select(
+        F.col(id_col).alias("pid"),
+        F.col("lon_milli").cast("double").alias("px"),
+        F.col("lat_milli").cast("double").alias("py"),
+    ).localCheckpoint()
+
+    first = pts.orderBy(
+        h64_col(F.col("pid").cast("string")), F.col("pid")
+    ).limit(1).collect()[0]
+    cand = [(float(first["px"]), float(first["py"]))]
+
+    for rnd in range(rounds):
+        near = None
+        for cx, cy in cand:
+            d = (F.col("px") - F.lit(cx)) ** 2 + (F.col("py") - F.lit(cy)) ** 2
+            near = d if near is None else F.least(near, d)
+        scored = pts.withColumn("_d2", near).localCheckpoint()
+        phi = scored.agg(F.sum("_d2")).collect()[0][0]
+        if not phi or phi <= 0:
+            break  # all points already coincide with a candidate
+        # u(x) in [0,1): 60-bit md5 hash of (pid, round) scaled; accept
+        # when u < l * d2 / phi  (Bahman p(x), clamped at 1 implicitly)
+        u = h64_col(
+            F.concat_ws(":", F.col("pid").cast("string"), F.lit(str(rnd)))
+        ).cast("double") / F.lit(float(1 << 60))
+        picked = scored.filter(
+            u * F.lit(float(phi)) < F.lit(float(el)) * F.col("_d2")
+        ).select("px", "py").collect()
+        cand.extend((float(r["px"]), float(r["py"])) for r in picked)
+        cand = sorted(set(cand))
+
+    # weight candidates by nearest-point counts (one broadcast argmin pass)
+    from pyspark.sql import Window
+
+    spark = data.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(cand)], "cid int, cx double, cy double"
+    )
+    d2 = (F.col("px") - F.col("cx")) ** 2 + (F.col("py") - F.col("cy")) ** 2
+    w = Window.partitionBy("pid").orderBy(d2.asc(), F.col("cid").asc())
+    weights = {
+        r["cid"]: r["w"]
+        for r in pts.crossJoin(F.broadcast(cdf))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    }
+
+    # weighted farthest-point reduction to k seeds (driver-side: |cand| is
+    # a few * oversample, independent of data size)
+    import numpy as np
+
+    arr = np.asarray(cand, dtype=np.float64)
+    wts = np.asarray([weights.get(i, 0) for i in range(len(cand))], dtype=np.float64)
+    seeds = [int(np.argmax(wts))]  # heaviest candidate first
+    while len(seeds) < min(k, len(cand)):
+        dmin = None
+        for s in seeds:
+            d = ((arr - arr[s]) ** 2).sum(axis=1)
+            dmin = d if dmin is None else np.minimum(dmin, d)
+        score = wts * dmin
+        nxt = int(np.argmax(score))
+        if score[nxt] <= 0:
+            break
+        seeds.append(nxt)
+    return [(i, float(arr[s][0]), float(arr[s][1])) for i, s in enumerate(seeds)]
+
+
+def strip_weak_break_point(counts: list[int]) -> int:
+    """MaxChangeBreakStrategy (StripWeakCentroidsRunner.java:163-215):
+    given association counts sorted DESCENDING, the break position is the
+    index just after the largest consecutive drop (>= keeps the LAST
+    maximal gap, matching the reference's checkDoublesEqual(max(max,chg),
+    chg) update); scanning stops at the first count <= 1."""
+    position = len(counts)
+    mx = 0.0
+    prior = None
+    count = 0
+    for c in counts:
+        if c <= 1:
+            if position == 0:
+                position = count
+            break
+        if prior is not None:
+            chg = abs(prior - c)
+            if chg >= mx:
+                position = count
+                mx = chg
+        prior = c
+        count += 1
+    return position
+
+
+def strip_weak_centroids(
+    assigned: DataFrame,
+    minimum: int = 1,
+    maximum: int = 1000,
+    cluster_col: str = "cluster",
+) -> list[int]:
+    """Which clusters survive the weak-centroid strip
+    (StripWeakCentroidsRunner.java:95-160): sort clusters by size
+    descending, cut at the MaxChange break point clamped to
+    [minimum, maximum]; returns the surviving cluster ids.  The counts
+    aggregate is distributed; the break scan runs on the k-row result."""
+    rows = (
+        assigned.groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col(cluster_col).asc())
+        .collect()
+    )
+    if len(rows) <= minimum:
+        return [r[cluster_col] for r in rows]
+    position = strip_weak_break_point([r["n"] for r in rows])
+    position = min(max(minimum, position), maximum)
+    return [r[cluster_col] for r in rows[:position]]

@@ -2869,3 +2869,76 @@ def q_source_cap(spark, sf_dir):
 register_extra(
     "source_cap", q_source_cap, OCORP.source_cap_oracle("documents", SOURCE_CAP)
 )
+
+
+# ---------------------------------------------------------------------------
+# KMeans cluster-count machinery (SURVEY §2 analytics; reference
+# KSamplerJobRunner -> KMeansDistortionJobRunner -> DistortionGroupManagement
+# .bestCount): deterministic rank sample, Sugar–James transformed distortion
+# over a whole k range in one pass, max-jump selection.  At p=2 the
+# transform is 2n/sum_d2 — exact integer sums, one IEEE division — so the
+# whole jump table is oracle-exact (operators/clustering.py).
+# ---------------------------------------------------------------------------
+
+JUMP_KS = list(range(2, 9))
+
+
+def q_kmeans_jump(spark, sf_dir):
+    """Sugar–James jump table at sampled centroids: rank-k prefixes of one
+    deterministic hash-rank sample are the centroid sets; one cross join +
+    running-min window yields every k's distortion; jump = d_k - d_{k-1},
+    best = first k at the max jump (clustering.kmeans_distortion_table)."""
+    from geowave_spark.operators import clustering as OCL
+
+    geo = TB.geo_events(spark, sf_dir)
+    return OCL.kmeans_distortion_table(geo, JUMP_KS)
+
+
+def _kmeans_jump_oracle() -> str:
+    kmax = max(JUMP_KS)
+    klist = ", ".join(str(k) for k in JUMP_KS)
+    h = OTX.duck_h64("CAST(event_id AS VARCHAR)")
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+hashed AS (
+  SELECT event_id,
+         CAST(lon_milli AS BIGINT) AS px, CAST(lat_milli AS BIGINT) AS py,
+         {h} AS h
+  FROM geo_events
+),
+sample AS (
+  SELECT px AS cx, py AS cy,
+         ROW_NUMBER() OVER (ORDER BY h, event_id) - 1 AS rank
+  FROM hashed ORDER BY h, event_id LIMIT {kmax}
+),
+crossd AS (
+  SELECT p.event_id AS pid, s.rank,
+         (p.px - s.cx)*(p.px - s.cx) + (p.py - s.cy)*(p.py - s.cy) AS d2
+  FROM hashed p CROSS JOIN sample s
+),
+rmin AS (
+  SELECT pid, rank + 1 AS k,
+         MIN(d2) OVER (PARTITION BY pid ORDER BY rank
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+  FROM crossd
+),
+per_k AS (
+  SELECT k, COUNT(*) AS n, CAST(SUM(rm) AS BIGINT) AS sum_d2
+  FROM rmin WHERE k IN ({klist}) GROUP BY k
+),
+tbl AS (
+  SELECT CAST(k AS INTEGER) AS k, n, sum_d2,
+         CAST(2 AS DOUBLE) * n / sum_d2 AS distortion
+  FROM per_k
+),
+j AS (
+  SELECT *, distortion - LAG(distortion, 1, CAST(0 AS DOUBLE)) OVER (ORDER BY k) AS jump
+  FROM tbl
+),
+m AS (SELECT *, MAX(jump) OVER () AS maxj FROM j),
+b AS (SELECT *, MIN(CASE WHEN jump = maxj THEN k END) OVER () AS bestk FROM m)
+SELECT k, n, sum_d2, distortion, jump, (k = bestk) AS best FROM b
+"""
+
+
+register_extra("kmeans_jump", q_kmeans_jump, _kmeans_jump_oracle())

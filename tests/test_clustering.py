@@ -289,3 +289,107 @@ def test_kmeans_mllib_production_path(spark, sf_dir):
     if len(nyc) > 10:
         top = nyc.cluster.value_counts(normalize=True).iloc[0]
         assert top > 0.9
+
+
+# ---------------------------------------------------------------------------
+# KMeans family: jump (Sugar–James), kmeans|| init, strip-weak centroids
+# ---------------------------------------------------------------------------
+
+
+def _blobs(spark, centers, per=40, spread=400):
+    """Deterministic integer blobs: `per` points in a ±spread box around
+    each center (no RNG — integer lattice offsets)."""
+    xs, ys = [], []
+    for cx, cy in centers:
+        for i in range(per):
+            xs.append(cx + (i * 37) % (2 * spread) - spread)
+            ys.append(cy + (i * 59) % (2 * spread) - spread)
+    return _mkdf(spark, xs, ys)
+
+
+def test_kmeans_jump_picks_true_k(spark):
+    """The fitted (Lloyd) jump statistic recovers the true cluster count
+    on well-separated blobs — KMeansJumpJobRunner's contract."""
+    centers = [(-50_000, -30_000), (60_000, 10_000), (0, 45_000), (120_000, -40_000)]
+    _, df = _blobs(spark, centers)
+    best_k, table = OC.kmeans_jump(df, list(range(2, 7)), max_iter=8)
+    assert best_k == len(centers)
+    ks = [k for k, _, _ in table]
+    assert ks == sorted(ks)
+    # distortion increases sharply at true k: jump at k=4 dominates
+    jumps = {k: j for k, _, j in table}
+    assert jumps[4] == max(jumps.values())
+
+
+def test_kmeans_distortion_table_matches_numpy(spark):
+    """Sampled-centroid distortion table == brute-force numpy replay of
+    the same deterministic rank sample."""
+    import hashlib
+
+    pdf, df = _blobs(spark, [(0, 0), (80_000, 20_000)], per=30)
+    ks = [2, 3, 4]
+    got = {r["k"]: r for r in OC.kmeans_distortion_table(df, ks).collect()}
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    order = sorted(
+        range(len(pdf)), key=lambda i: (h60(str(int(pdf.event_id[i]))), int(pdf.event_id[i]))
+    )
+    px, py = pdf.lon_milli.to_numpy(), pdf.lat_milli.to_numpy()
+    for k in ks:
+        cents = [(px[i], py[i]) for i in order[:k]]
+        d2 = np.min(
+            [(px - cx) ** 2 + (py - cy) ** 2 for cx, cy in cents], axis=0
+        )
+        assert int(got[k]["sum_d2"]) == int(d2.sum())
+        assert got[k]["n"] == len(pdf)
+        want_d = 2.0 * len(pdf) / float(d2.sum())
+        assert got[k]["distortion"] == pytest.approx(want_d, rel=1e-15)
+
+
+def test_kmeans_parallel_init_quality_and_determinism(spark):
+    """kmeans|| seeds: k distinct seeds, deterministic across runs, and a
+    Lloyd refinement from them reaches the blob optimum (the same final
+    SSE as the farthest-point-seeded kmeans)."""
+    centers = [(-40_000, 0), (40_000, 0), (0, 60_000)]
+    _, df = _blobs(spark, centers, per=25)
+    seeds1 = OC.kmeans_parallel_init(df, 3, rounds=3)
+    seeds2 = OC.kmeans_parallel_init(df, 3, rounds=3)
+    assert seeds1 == seeds2
+    assert len(seeds1) == 3 and len({(x, y) for _, x, y in seeds1}) == 3
+    # each true blob center captured by a distinct nearest seed
+    owners = set()
+    for cx, cy in centers:
+        owners.add(
+            min(seeds1, key=lambda s: (s[1] - cx) ** 2 + (s[2] - cy) ** 2)[0]
+        )
+    assert len(owners) == 3
+
+
+def test_strip_weak_break_point_closed_form():
+    """MaxChangeBreakStrategy replay: cut at the largest consecutive drop
+    (last max on ties), stop scanning at count <= 1."""
+    assert OC.strip_weak_break_point([100, 90, 80, 5, 4]) == 3
+    assert OC.strip_weak_break_point([100, 10, 8, 6]) == 1
+    # ties -> LAST maximal gap (the reference's >= update)
+    assert OC.strip_weak_break_point([30, 20, 10, 8]) == 2
+    # count <= 1 stops the scan before the later gap is seen
+    assert OC.strip_weak_break_point([50, 49, 1, 0]) == 1
+    # monotone gentle decline: last pair still wins with >=
+    assert OC.strip_weak_break_point([5, 4, 3, 2]) == 3
+
+
+def test_strip_weak_centroids_dataframe(spark):
+    """DataFrame wrapper: survivors = clusters above the MaxChange cut,
+    clamped to [minimum, maximum]."""
+    rows = (
+        [(i, 0) for i in range(100)]
+        + [(100 + i, 1) for i in range(90)]
+        + [(200 + i, 2) for i in range(4)]
+        + [(300 + i, 3) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "event_id long, cluster long")
+    assert sorted(OC.strip_weak_centroids(df)) == [0, 1]
+    assert sorted(OC.strip_weak_centroids(df, minimum=3)) == [0, 1, 2]
+    assert OC.strip_weak_centroids(df, maximum=1) == [0]
