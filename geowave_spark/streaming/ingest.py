@@ -275,3 +275,59 @@ def stream_geofence(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_knn(
+    spark: SparkSession,
+    source,
+    static_points: DataFrame,
+    schema,
+    sink_dir: str,
+    checkpoint_dir: str,
+    k: int,
+    max_dist_milli: int,
+    available_now: bool = True,
+):
+    """Continuous kNN enrichment: every streamed point gets its k nearest
+    STATIC reference rows (within ``max_dist_milli``) appended to the sink.
+
+    The per-query top-k window makes this inexpressible as a plain
+    streaming transform (non-time windows are not allowed on a stream), so
+    the BATCH operator (operators/knn.knn_join) runs per micro-batch via
+    ``foreachBatch`` — the canonical Structured Streaming shape for
+    reusing a batch join: each micro-batch is a small left table against
+    the static right side.  Restart resumes from the checkpointed offsets.
+    Delivery is at-least-once: a crash between the parquet append and the
+    offset commit replays that micro-batch (a transactional sink — e.g.
+    an Iceberg table keyed by batch_id — upgrades this to exactly-once;
+    plain parquet has no atomic commit to key on).
+
+    100 TB posture: per-batch cost is the batch knn_join's (one ≤9x
+    explode on the SMALL micro-batch side, one shuffle equi-join against
+    the static side, one window on query id) — state never accumulates.
+    """
+    from geowave_spark.operators.knn import knn_join
+
+    static_points = static_points.localCheckpoint()  # pin: computed once
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = knn_join(
+            batch_df,
+            static_points,
+            k=k,
+            max_dist_milli=max_dist_milli,
+            exclude_self=False,
+        )
+        out.write.mode("append").parquet(sink_dir)
+
+    raw = open_stream(spark, source, schema)
+    writer = (
+        raw.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -248,3 +248,42 @@ def test_stream_geofence_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_knn_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming kNN enrichment == batch knn_join over the same staged
+    queries (foreachBatch reuse of the batch operator)."""
+    from geowave_spark.operators.knn import knn_join
+    from geowave_spark.streaming.ingest import stream_knn
+
+    geo = TB.geo_events(spark, sf_dir)
+    queries = geo.filter(F.col("event_id") % 97 == 0).select(
+        "event_id", "lon_milli", "lat_milli"
+    )
+    static = geo.filter(F.col("event_id") % 97 != 0).select(
+        "event_id", "lon_milli", "lat_milli"
+    )
+    src = str(tmp_path / "knnsrc")
+    queries.coalesce(1).write.mode("overwrite").parquet(src)
+
+    sink, ckpt = str(tmp_path / "knnsink"), str(tmp_path / "knnckpt")
+    q = stream_knn(
+        spark, src, static, queries.schema, sink, ckpt, k=3, max_dist_milli=5000
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in spark.read.parquet(sink)
+        .select("query_id", "rank", "neighbor_id")
+        .collect()
+    }
+    want = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in knn_join(
+            queries, static, k=3, max_dist_milli=5000, exclude_self=False
+        )
+        .select("query_id", "rank", "neighbor_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
