@@ -197,6 +197,36 @@ def read_stats_tiers(spark, path: str) -> list[int]:
     )
 
 
+def cell_p_is_partition_col(df: DataFrame) -> bool:
+    """True iff EVERY leaf of ``df``'s plan is a file relation whose
+    PARTITION schema includes ``cell_p`` — i.e. a ``cell_p`` filter will
+    surface as a directory PartitionFilters prune and never as a per-row
+    expression.
+
+    The distinction is load-bearing: on a frame where ``cell_p`` is a
+    DERIVED column (index_points over a view), Catalyst re-inlines the
+    whole cell derivation into the pushed-down scan filter — measured 3×
+    on the bbox suite — so the prune must only ever apply to stored,
+    partitioned reads, where the column never touches row data at all."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        if leaves.size() == 0:
+            return False
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() != "LogicalRelation":
+                return False
+            rel = leaf.relation()
+            if rel.getClass().getSimpleName() != "HadoopFsRelation":
+                return False
+            names = [str(n) for n in rel.partitionSchema().fieldNames()]
+            if "cell_p" not in names:
+                return False
+        return True
+    except Exception:
+        return False
+
+
 def stats_tiers_for(df: DataFrame) -> list[int] | None:
     """Occupied tiers for ``df`` from its source table's co-written stats
     store — survives arbitrary DataFrame transformations (filter/select/

@@ -175,15 +175,22 @@ def cover_join(
     # into few resolutions), each key a pure bit-shift — all codegen.
     # Partition pruning: the cell_p filter is implied by the join (see
     # partition_prune_cells) — a no-op on output rows, a PartitionFilters
-    # prune on the partitioned store.
+    # prune on the partitioned store.  Gated to stores where cell_p is a
+    # PARTITION column: on a derived frame the same filter re-inlines the
+    # whole cell derivation into the scan's DataFilters (measured 3× on
+    # the bbox suite) while pruning nothing.
     if "cell_p" in data.columns:
-        from geowave_spark.operators.index import PARTITION_RES
-
-        pcs = partition_prune_cells(
-            cover_pdf["jcell"].to_numpy(np.int64), PARTITION_RES
+        from geowave_spark.operators.index import (
+            PARTITION_RES,
+            cell_p_is_partition_col,
         )
-        if pcs is not None:
-            data = data.filter(F.col("cell_p").isin([int(v) for v in pcs]))
+
+        if cell_p_is_partition_col(data):
+            pcs = partition_prune_cells(
+                cover_pdf["jcell"].to_numpy(np.int64), PARTITION_RES
+            )
+            if pcs is not None:
+                data = data.filter(F.col("cell_p").isin([int(v) for v in pcs]))
 
     keys = F.array_distinct(F.array(*[data_join_key(r_q) for r_q in groups]))
     joined = data.withColumn("_jkey", F.explode(keys)).join(

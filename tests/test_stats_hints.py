@@ -252,3 +252,23 @@ def test_partition_prune_cells_conservative_on_coarse_cover(spark):
     p_res rows carry non-refining cell_p — no closed key set exists)."""
     coarse = OI.C.cover_bbox(-170.0, -80.0, 170.0, 80.0, 2)
     assert P.partition_prune_cells(coarse, OI.PARTITION_RES) is None
+
+
+def test_partition_prune_skipped_on_derived_cell_p(spark, sf_dir):
+    """On a frame whose cell_p is DERIVED (index_points over a view, not a
+    partitioned store) the prune filter must not apply: pushing it down
+    re-inlines the whole cell derivation into the scan's DataFilters
+    (measured 3x on the bbox suite) while pruning no directory."""
+    import contextlib
+    import io
+
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    assert not OI.cell_p_is_partition_col(geo)
+    q = P.BoxQuery("q0", -10.0, -10.0, 10.0, 10.0)
+    res = P.cover_join(geo, [q], tiers=[OI.C.MAX_RES])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    # the prune would appear as an In-list over cell_p in scan DataFilters
+    assert "cell_p IN" not in plan and "In(cell_p" not in plan
