@@ -814,3 +814,123 @@ ranked AS (
 )
 SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication = cluster, then drop within-cluster
+# cosine near-duplicates (Abbas et al. 2023, "SemDeDup: Data-efficient
+# learning at web-scale through semantic deduplication").  No reference
+# analogue (GeoWave has no embedding ops) — a first-class training-data
+# pipeline operator over the image+caption corpus's embedding column.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.30
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    n_centroids: int = IVF_N_CENTROIDS,
+    tau: float = SEMDEDUP_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster near-dup pairs: IVF coarse assignment buckets the
+    corpus, the exact fixed-point cosine runs only inside each bucket.
+
+    The pairwise work is quadratic PER BUCKET, never global: with
+    n_centroids ~ n/4096 the per-list size is bounded, so total candidate
+    pairs grow linearly in n — the paper's own trick for scaling the
+    epsilon-ball search to web scale, and the same shape as
+    :func:`neardup_pairs_q`.  Output: (id_a, id_b, bucket, cos ≥ tau).
+    """
+    assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("_qv").alias("_va"),
+        F.col("_n").alias("_na"), "bucket",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("_qv").alias("_vb"),
+        F.col("_n").alias("_nb"), "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(dot_col("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6)
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= tau)
+        .select("id_a", "id_b", "bucket", "cos")
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    n_centroids: int = IVF_N_CENTROIDS,
+    tau: float = SEMDEDUP_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full SemDeDup labeling: (id, group_id, keep) for EVERY vector —
+    group = connected component of the within-cluster cosine-≥-tau graph,
+    keep = the component's min id (deterministic representative; the
+    paper's farthest-from-centroid pick is a representative dial, not a
+    grouping change).  Reuses the text pipeline's connected-components +
+    canonicalize machinery (operators/dedup.py)."""
+    from geowave_spark.operators.dedup import canonicalize
+
+    pairs = semdedup_pairs(emb, n_centroids, tau, id_col, vec_col)
+    return canonicalize(emb.select(F.col(id_col)), pairs, id_col=id_col)
+
+
+def semdedup_oracle(
+    table: str = "embeddings",
+    n_centroids: int = IVF_N_CENTROIDS,
+    tau: float = SEMDEDUP_TAU,
+) -> str:
+    """DuckDB replay: argmin centroid assignment, within-bucket pair join,
+    recursive-CTE closure, min-label groups."""
+    qv = duck_quant("embedding")
+    d2 = (
+        "CAST(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {c}) "
+        "+ list_dot_product({c}, {c}) AS BIGINT)"
+    )
+    cos = (
+        "round(list_dot_product(a.qv, b.qv) / "
+        "(sqrt(list_dot_product(a.qv, a.qv)) * "
+        "sqrt(list_dot_product(b.qv, b.qv))), 6)"
+    )
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, {qv} AS qv FROM {table}
+),
+cents AS (
+  SELECT vec_id AS cid, qv AS cv FROM base WHERE vec_id < {n_centroids}
+),
+assigned AS (
+  SELECT vec_id, qv, bucket FROM (
+    SELECT b.vec_id, b.qv, c.cid AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY {d2.format(a='b.qv', c='c.cv')} ASC, c.cid ASC) AS rk
+    FROM base b CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {cos} >= {tau}
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION
+  SELECT id_b AS u, id_a AS v FROM cand
+),
+closure(node, lbl) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT sym.u, c.lbl FROM closure c JOIN sym ON sym.v = c.node
+),
+labels AS (SELECT node, MIN(lbl) AS grp FROM closure GROUP BY node)
+SELECT e.vec_id,
+       CAST(COALESCE(l.grp, e.vec_id) AS BIGINT) AS group_id,
+       (COALESCE(l.grp, e.vec_id) = e.vec_id) AS keep
+FROM {table} e LEFT JOIN labels l ON l.node = e.vec_id
+"""

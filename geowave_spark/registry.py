@@ -2942,3 +2942,21 @@ SELECT k, n, sum_d2, distortion, jump, (k = bestk) AS best FROM b
 
 
 register_extra("kmeans_jump", q_kmeans_jump, _kmeans_jump_oracle())
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (operators/embed.py): cluster-then-near-dup semantic
+# deduplication over the embedding column — IVF buckets bound the
+# quadratic pair work per list; exact quantized cosine; connected
+# components; keep = min-id representative.
+# ---------------------------------------------------------------------------
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup labeling (vec_id, group_id, keep) for every vector:
+    within-IVF-bucket cosine >= tau pairs -> components -> min-id keep."""
+    emb = TB.load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    return OE.semdedup(emb)
+
+
+register_extra("semdedup", q_semdedup, OE.semdedup_oracle())

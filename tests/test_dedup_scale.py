@@ -286,3 +286,45 @@ def test_production_hash_path_finds_planted_dups(spark):
         OT.base60_col(F.lit("x"), "sha1")
     with pytest.raises(ValueError, match="md5"):
         OD.minhash_lsh_pairs(df, engine="arrow", hash_impl="xxhash64")
+
+
+def test_semdedup_plants_and_separates(spark):
+    """SemDeDup: planted same-direction vectors group together (cos = 1
+    within the same IVF bucket); orthogonal singletons stay kept; the
+    keep decision is the component min id."""
+    import pandas as pd
+
+    dim = 8
+
+    def vec(axis, scale):
+        v = [0.0] * dim
+        v[axis] = float(scale)
+        return v
+
+    rows = []
+    # two planted duplicate families along distinct axes (cos=1 in-family,
+    # 0 across), ids chosen so family members never straddle the
+    # n_centroids=4 seed boundary
+    for i, axis in ((4, 0), (5, 0), (6, 1), (7, 1)):
+        rows.append((i, vec(axis, 1.0 + 0.25 * i), 0))
+    # seeds/centroids 0..3: orthogonal-ish singletons on axes 2..5
+    for i, axis in ((0, 2), (1, 3), (2, 4), (3, 5)):
+        rows.append((i, vec(axis, 2.0), 0))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    got = {
+        r.vec_id: (r.group_id, r.keep)
+        for r in OE.semdedup(emb, n_centroids=4, tau=0.9).collect()
+    }
+    assert got[4] == (4, True) and got[5] == (4, False)
+    assert got[6] == (6, True) and got[7] == (6, False)
+    for i in range(4):
+        assert got[i] == (i, True)
+    # pair evidence: exactly the two in-family pairs at cos 1.0
+    pairs = {
+        (r.id_a, r.id_b): r.cos
+        for r in OE.semdedup_pairs(emb, n_centroids=4, tau=0.9).collect()
+    }
+    assert set(pairs) == {(4, 5), (6, 7)}
+    assert all(c == 1.0 for c in pairs.values())
