@@ -63,6 +63,9 @@ HEADLINE_INPUTS = {
     "pack_sequences": "documents",
     "decontaminate": "documents",
     "crossmodal_pairs": "documents",
+    # round 3 (cont.): semantic dedup + cluster-count selection
+    "semdedup": "embeddings",
+    "kmeans_jump": "events",
 }
 HEADLINE = list(HEADLINE_INPUTS)
 

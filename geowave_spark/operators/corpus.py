@@ -213,8 +213,12 @@ def repetition_stats(
             lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
         ),
     )
+    from geowave_spark.session import spread
+
+    # bigram transform + explode is fan-out-dense: spread a 1-split source
     bg = (
-        docs.select(F.col(id_col), bigrams.alias("_bg"))
+        spread(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), bigrams.alias("_bg"))
         .filter(F.size("_bg") >= 1)
         .select(id_col, F.explode("_bg").alias("bigram"))
     )
@@ -422,8 +426,11 @@ def decontaminate_ngram(
     """
     from geowave_spark.operators.dedup import shingles_from_tokens
 
+    from geowave_spark.session import spread
+
     def grams(df):
-        toks = df.select(
+        # per-gram hashing is fan-out-dense: spread a single-split source
+        toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
             F.col(id_col), OTX.tokens_col(F.col(text_col)).alias("_toks")
         )
         sh = toks.select(

@@ -176,7 +176,12 @@ def minhash_signatures(
             ),
         ),
     )
-    out = docs.select(F.col(id_col), sig.alias("_sig")).filter(
+    from geowave_spark.session import spread
+
+    # per-shingle hashing is fan-out-dense: spread a single-split source
+    out = spread(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), sig.alias("_sig")
+    ).filter(
         F.col("_sig.s0").isNotNull()  # docs with < SHINGLE_N tokens drop out
     )
     return out.select(
@@ -325,7 +330,10 @@ def simhash(
     )
     # docs with zero tokens have no simhash (the explode formulation and
     # the oracle emit no row for them)
-    return docs.select(
+    from geowave_spark.session import spread
+
+    # per-token hashing is fan-out-dense: spread a single-split source
+    return spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("_n"), sim.alias("simhash")
     ).filter(F.col("_n") > 0).drop("_n")
 
@@ -381,7 +389,10 @@ def hamming_pairs(
         )
         for c in range(chunks)
     ]
-    ck = keys.select(
+    from geowave_spark.session import spread
+
+    # chunk explode + self-join is fan-out-dense: spread a 1-split source
+    ck = spread(keys.select(F.col(id_col), F.col(key_col))).select(
         F.col(id_col), F.col(key_col), F.explode(F.array(*chunk_structs)).alias("ck")
     ).select(
         id_col, key_col, F.col("ck.chunk").alias("chunk"), F.col("ck.cval").alias("cval")
@@ -474,7 +485,10 @@ def jaccard_pairs(
     for near-dup thresholds that pair would be all-stopword overlap.
     ``max_df=None`` keeps the exhaustive single-join path.
     """
-    tok = docs.select(
+    from geowave_spark.session import spread
+
+    # tokenization + explode is fan-out-dense: spread a single-split source
+    tok = spread(docs.select(F.col(id_col), F.col(block_col), F.col(text_col))).select(
         F.col(id_col), F.col(block_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
     ).distinct()
     sizes = tok.groupBy(id_col).agg(F.count("*").alias("n_tok"))
@@ -636,7 +650,10 @@ def minhash_signatures_arrow(
                 rows.append((getattr(r, id_col), *sig.tolist()))
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return docs.select(id_col, text_col).mapInPandas(kernel, schema)
+    from geowave_spark.session import spread
+
+    # per-row python kernel is fan-out-dense: spread a single-split source
+    return spread(docs.select(id_col, text_col)).mapInPandas(kernel, schema)
 
 
 def simhash_arrow(
@@ -669,7 +686,10 @@ def simhash_arrow(
                 rows.append((getattr(r, id_col), sim))
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return docs.select(id_col, text_col).mapInPandas(kernel, schema)
+    from geowave_spark.session import spread
+
+    # per-row python kernel is fan-out-dense: spread a single-split source
+    return spread(docs.select(id_col, text_col)).mapInPandas(kernel, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -872,12 +872,49 @@ def semdedup(
     group = connected component of the within-cluster cosine-≥-tau graph,
     keep = the component's min id (deterministic representative; the
     paper's farthest-from-centroid pick is a representative dial, not a
-    grouping change).  Reuses the text pipeline's connected-components +
-    canonicalize machinery (operators/dedup.py)."""
-    from geowave_spark.operators.dedup import canonicalize
+    grouping change).
+
+    Components here are BUCKET-LOCAL by construction — every edge joins
+    two members of one IVF bucket — so instead of the iterative min-label
+    propagation (a checkpointed driver loop), one ``applyInPandas``
+    union-find per bucket labels everything in a single distributed pass;
+    bucket sizes are bounded by the inverted-list size, so the local step
+    never sees more than one list's pairs."""
+    import pandas as pd
 
     pairs = semdedup_pairs(emb, n_centroids, tau, id_col, vec_col)
-    return canonicalize(emb.select(F.col(id_col)), pairs, id_col=id_col)
+
+    def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for ia, ib in zip(pdf["id_a"], pdf["id_b"]):
+            ra, rb = find(int(ia)), find(int(ib))
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = sorted(set(pdf["id_a"]) | set(pdf["id_b"]))
+        return pd.DataFrame(
+            {"node": nodes, "comp": [find(int(n)) for n in nodes]}
+        )
+
+    comp = pairs.groupBy("bucket").applyInPandas(_uf, "node long, comp long")
+    return (
+        emb.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("group_id"),
+            (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias("keep"),
+        )
+    )
 
 
 def semdedup_oracle(

@@ -193,7 +193,10 @@ def lang_id_arrow(
                 {id_col: ids, "pred_lang": preds, "n_tokens": nt, "best_hits": bh}
             ).astype({"n_tokens": "int32", "best_hits": "int32"})
 
-    return docs.select(id_col, text_col).mapInPandas(kernel, schema)
+    from geowave_spark.session import spread
+
+    # per-row python kernel is fan-out-dense: spread a single-split source
+    return spread(docs.select(id_col, text_col)).mapInPandas(kernel, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -211,7 +214,10 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     ratio, English-stopword ratio; score = stopword_ratio − punct_ratio +
     min(n_tokens, 100)/100 (a simple deterministic composite).
     """
-    base = docs.select(
+    from geowave_spark.session import spread
+
+    # per-token aggregates are fan-out-dense: spread a single-split source
+    base = spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.col(text_col), tokens_col(F.col(text_col)).alias("_toks")
     )
     toks = F.col("_toks")
@@ -323,8 +329,12 @@ def fingerprints(
     output (id, fp) — one row per distinct fingerprint.
     ``hash_impl='xxhash64'`` = the production gram hash (see
     :func:`base60_col`)."""
+    from geowave_spark.session import spread
+
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    d = docs.select(F.col(id_col), norm.alias("_norm")).filter(
+    # per-gram hashing is fan-out-dense compute: a single-split source
+    # (small parquet = ONE split) would serialize it on one core
+    d = spread(docs.select(F.col(id_col), norm.alias("_norm"))).filter(
         F.length("_norm") >= F.lit(KGRAM)
     )
 
@@ -432,4 +442,7 @@ def fingerprints_arrow(
                 fps.extend(uniq.tolist())
             yield pd.DataFrame({schema.fields[0].name: ids, "fp": fps})
 
-    return docs.select(id_col, text_col).mapInPandas(kernel, schema)
+    from geowave_spark.session import spread
+
+    # per-row python kernel is fan-out-dense: spread a single-split source
+    return spread(docs.select(id_col, text_col)).mapInPandas(kernel, schema)
