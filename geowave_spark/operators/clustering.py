@@ -241,37 +241,46 @@ def kmeans(
     k: int,
     id_col: str = "event_id",
     max_iter: int = 10,
+    init: str = "farthest",
 ) -> DataFrame:
     """Deterministic Lloyd's KMeans over milli-degree coords.
 
-    Seeding: farthest-point (deterministic k-means++ analogue — first seed
-    is the smallest id, each next seed maximizes distance to its nearest
-    chosen seed, ties by id; no RNG state).  Returns (id, cluster 0..k-1).
-    Each iteration = one broadcast argmin + one groupBy mean — the minimal
-    shuffle structure."""
+    ``init='farthest'``: farthest-point seeding (deterministic k-means++
+    analogue — first seed is the smallest id, each next seed maximizes
+    distance to its nearest chosen seed, ties by id; no RNG state; k
+    driver-side argmax jobs).  ``init='parallel'``: kmeans|| seeding
+    (:func:`kmeans_parallel_init` — a fixed number of rounds independent
+    of k, the scale choice for large k).  Returns (id, cluster 0..k-1).
+    Each Lloyd iteration = one broadcast argmin + one groupBy mean — the
+    minimal shuffle structure."""
     pts = data.select(
         F.col(id_col).alias("pid"),
         F.col("lon_milli").cast("double").alias("px"),
         F.col("lat_milli").cast("double").alias("py"),
     ).localCheckpoint()
 
-    first = pts.orderBy("pid").limit(1).collect()[0]
-    seeds = [(0, float(first["px"]), float(first["py"]))]
-    for i in range(1, k):
-        near = None
-        for _, cx, cy in seeds:
-            d = (F.col("px") - F.lit(cx)) * (F.col("px") - F.lit(cx)) + (
-                F.col("py") - F.lit(cy)
-            ) * (F.col("py") - F.lit(cy))
-            near = d if near is None else F.least(near, d)
-        far = (
-            pts.withColumn("_nd", near)
-            .orderBy(F.col("_nd").desc(), F.col("pid").asc())
-            .limit(1)
-            .collect()[0]
-        )
-        seeds.append((i, float(far["px"]), float(far["py"])))
-    centroids = seeds
+    if init == "parallel":
+        centroids = kmeans_parallel_init(data, k, id_col=id_col)
+    elif init == "farthest":
+        first = pts.orderBy("pid").limit(1).collect()[0]
+        seeds = [(0, float(first["px"]), float(first["py"]))]
+        for i in range(1, k):
+            near = None
+            for _, cx, cy in seeds:
+                d = (F.col("px") - F.lit(cx)) * (F.col("px") - F.lit(cx)) + (
+                    F.col("py") - F.lit(cy)
+                ) * (F.col("py") - F.lit(cy))
+                near = d if near is None else F.least(near, d)
+            far = (
+                pts.withColumn("_nd", near)
+                .orderBy(F.col("_nd").desc(), F.col("pid").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            seeds.append((i, float(far["px"]), float(far["py"])))
+        centroids = seeds
+    else:
+        raise ValueError(f"init {init!r} (farthest | parallel)")
     spark = data.sparkSession
     for _ in range(max_iter):
         cdf = spark.createDataFrame(centroids, "cluster int, cx double, cy double")

@@ -393,3 +393,24 @@ def test_strip_weak_centroids_dataframe(spark):
     assert sorted(OC.strip_weak_centroids(df)) == [0, 1]
     assert sorted(OC.strip_weak_centroids(df, minimum=3)) == [0, 1, 2]
     assert OC.strip_weak_centroids(df, maximum=1) == [0]
+
+
+def test_kmeans_parallel_init_mode(spark):
+    """kmeans(init='parallel') reaches the blob optimum: same partition
+    of points as the farthest-point-seeded run on well-separated blobs."""
+    centers = [(-40_000, 0), (40_000, 0), (0, 60_000)]
+    _, df = _blobs(spark, centers, per=20)
+    a = {r.event_id: r.cluster for r in kmeans(df, 3).collect()}
+    b = {r.event_id: r.cluster for r in kmeans(df, 3, init="parallel").collect()}
+    # cluster ids may differ; the induced partition must be identical
+    from collections import defaultdict
+
+    def parts(lab):
+        g = defaultdict(set)
+        for i, c in lab.items():
+            g[c].add(i)
+        return {frozenset(v) for v in g.values()}
+
+    assert parts(a) == parts(b)
+    with pytest.raises(ValueError, match="init"):
+        kmeans(df, 3, init="random")
