@@ -591,7 +591,7 @@ def kmeans_distortion_table(
 
 
 def kmeans_distortion(
-    data: DataFrame, centroids: list[tuple[int, float, float]], id_col: str = "event_id"
+    data: DataFrame, centroids: list[tuple[int, float, float]]
 ) -> float:
     """Transformed distortion of one fitted centroid set
     (KMeansDistortionMapReduce.java:238-257, p=2)."""
@@ -641,7 +641,7 @@ def kmeans_jump(
             .collect()
         )
         cent_list = [(r["cluster"], r["cx"], r["cy"]) for r in cents]
-        d = kmeans_distortion(data, cent_list, id_col=id_col)
+        d = kmeans_distortion(data, cent_list)
         jump = d - prev
         table.append((k, d, jump))
         if jump > best_jump:
@@ -683,7 +683,12 @@ def kmeans_parallel_init(
     ).limit(1).collect()[0]
     cand = [(float(first["px"]), float(first["py"]))]
 
-    for rnd in range(rounds):
+    # fixed rounds, then EXTRA rounds while the candidate pool is still
+    # short of k (heavy-tailed phi can starve acceptance — e.g. one far
+    # outlier holding nearly all of phi makes every other p(x) ~ 0);
+    # bounded so degenerate inputs (all points coincident) terminate
+    rnd, extra_cap = 0, rounds + 8
+    while rnd < rounds or (len(cand) < k and rnd < extra_cap):
         near = None
         for cx, cy in cand:
             d = (F.col("px") - F.lit(cx)) ** 2 + (F.col("py") - F.lit(cy)) ** 2
@@ -702,21 +707,41 @@ def kmeans_parallel_init(
         ).select("px", "py").collect()
         cand.extend((float(r["px"]), float(r["py"])) for r in picked)
         cand = sorted(set(cand))
+        rnd += 1
 
-    # weight candidates by nearest-point counts (one broadcast argmin pass)
-    from pyspark.sql import Window
+    if len(cand) < k:
+        # top-up: deterministic farthest-point draws FROM THE DATA against
+        # the current candidate set — guarantees k seeds whenever the data
+        # has >= k distinct points (ties by id, no RNG)
+        while len(cand) < k:
+            near = None
+            for cx, cy in cand:
+                d = (F.col("px") - F.lit(cx)) ** 2 + (F.col("py") - F.lit(cy)) ** 2
+                near = d if near is None else F.least(near, d)
+            far = (
+                pts.withColumn("_nd", near)
+                .orderBy(F.col("_nd").desc(), F.col("pid").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            if far["_nd"] <= 0:
+                break  # fewer than k distinct points exist
+            cand = sorted(set(cand) | {(float(far["px"]), float(far["py"]))})
 
+    # weight candidates by nearest-point counts — map-side-combinable
+    # min_by argmin (the ivf_assign shape), NOT a per-pid row_number
+    # window, which would sort-shuffle all n*|cand| fanned-out rows
     spark = data.sparkSession
     cdf = spark.createDataFrame(
         [(i, x, y) for i, (x, y) in enumerate(cand)], "cid int, cx double, cy double"
     )
     d2 = (F.col("px") - F.col("cx")) ** 2 + (F.col("py") - F.col("cy")) ** 2
-    w = Window.partitionBy("pid").orderBy(d2.asc(), F.col("cid").asc())
     weights = {
         r["cid"]: r["w"]
         for r in pts.crossJoin(F.broadcast(cdf))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .withColumn("_d2", d2)
+        .groupBy("pid")
+        .agg(F.min_by("cid", F.struct("_d2", "cid")).alias("cid"))
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("w"))
         .collect()
@@ -737,7 +762,12 @@ def kmeans_parallel_init(
         score = wts * dmin
         nxt = int(np.argmax(score))
         if score[nxt] <= 0:
-            break
+            # zero-WEIGHT candidates (no point nearest to them) still count
+            # as seeds when geometrically distinct — fall back to distance
+            # alone; only a zero-DISTANCE max (duplicate candidate) stops
+            nxt = int(np.argmax(dmin))
+            if dmin[nxt] <= 0:
+                break
         seeds.append(nxt)
     return [(i, float(arr[s][0]), float(arr[s][1])) for i, s in enumerate(seeds)]
 
@@ -747,7 +777,13 @@ def strip_weak_break_point(counts: list[int]) -> int:
     given association counts sorted DESCENDING, the break position is the
     index just after the largest consecutive drop (>= keeps the LAST
     maximal gap, matching the reference's checkDoublesEqual(max(max,chg),
-    chg) update); scanning stops at the first count <= 1."""
+    chg) update); scanning stops at the first count <= 1.
+
+    Faithfully ports the reference's `if (position == 0)` guard on the
+    early break — dead in BOTH implementations (position initializes to
+    len(counts), Java line 171: `int position = centroids.size()`), so a
+    count <= 1 reached before any gap was recorded keeps everything, as
+    GeoWave does; callers wanting a harder floor use ``maximum``."""
     position = len(counts)
     mx = 0.0
     prior = None

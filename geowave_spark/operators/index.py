@@ -197,32 +197,28 @@ def read_stats_tiers(spark, path: str) -> list[int]:
     )
 
 
-def cell_p_is_partition_col(df: DataFrame) -> bool:
-    """True iff EVERY leaf of ``df``'s plan is a file relation whose
-    PARTITION schema includes ``cell_p`` — i.e. a ``cell_p`` filter will
-    surface as a directory PartitionFilters prune and never as a per-row
-    expression.
+def cell_p_is_stored(df: DataFrame) -> bool:
+    """True iff some LEAF of ``df``'s plan outputs a ``cell_p`` attribute
+    — i.e. the column originates from storage (a partitioned file scan, a
+    materialized local batch, an RDD), not from a projection expression.
 
-    The distinction is load-bearing: on a frame where ``cell_p`` is a
-    DERIVED column (index_points over a view), Catalyst re-inlines the
-    whole cell derivation into the pushed-down scan filter — measured 3×
-    on the bbox suite — so the prune must only ever apply to stored,
-    partitioned reads, where the column never touches row data at all."""
+    The distinction is load-bearing: on a frame whose ``cell_p`` is
+    DERIVED (index_points over a view), a ``cell_p`` filter makes
+    Catalyst re-inline the whole cell derivation into the pushed-down
+    scan filter — measured 3× on the bbox suite — while pruning nothing.
+    On a stored column the same filter is a directory PartitionFilters
+    prune (cell_p-partitioned store) or a cheap row predicate on a
+    materialized column (e.g. the in-memory tail of a store ∪ batch
+    union), so ANY-leaf-carries-it is the right gate — predicates push to
+    each union/join branch independently."""
     try:
         leaves = df._jdf.queryExecution().analyzed().collectLeaves()
-        if leaves.size() == 0:
-            return False
         for i in range(leaves.size()):
-            leaf = leaves.apply(i)
-            if leaf.getClass().getSimpleName() != "LogicalRelation":
-                return False
-            rel = leaf.relation()
-            if rel.getClass().getSimpleName() != "HadoopFsRelation":
-                return False
-            names = [str(n) for n in rel.partitionSchema().fieldNames()]
-            if "cell_p" not in names:
-                return False
-        return True
+            out = leaves.apply(i).output()
+            for j in range(out.size()):
+                if str(out.apply(j).name()) == "cell_p":
+                    return True
+        return False
     except Exception:
         return False
 

@@ -175,17 +175,17 @@ def cover_join(
     # into few resolutions), each key a pure bit-shift — all codegen.
     # Partition pruning: the cell_p filter is implied by the join (see
     # partition_prune_cells) — a no-op on output rows, a PartitionFilters
-    # prune on the partitioned store.  Gated to stores where cell_p is a
-    # PARTITION column: on a derived frame the same filter re-inlines the
-    # whole cell derivation into the scan's DataFilters (measured 3× on
-    # the bbox suite) while pruning nothing.
+    # prune on the partitioned store.  Gated to frames whose cell_p comes
+    # FROM A LEAF (stored column): on a derived frame the same filter
+    # re-inlines the whole cell derivation into the scan's DataFilters
+    # (measured 3× on the bbox suite) while pruning nothing.
     if "cell_p" in data.columns:
         from geowave_spark.operators.index import (
             PARTITION_RES,
-            cell_p_is_partition_col,
+            cell_p_is_stored,
         )
 
-        if cell_p_is_partition_col(data):
+        if cell_p_is_stored(data):
             pcs = partition_prune_cells(
                 cover_pdf["jcell"].to_numpy(np.int64), PARTITION_RES
             )

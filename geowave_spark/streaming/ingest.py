@@ -265,7 +265,11 @@ def stream_geofence(
     r = res if res is not None else OI.C.MAX_RES
     raw = open_stream(spark, source, schema)
     indexed = OI.index_points(raw, res=r, id_col="event_id")
-    matched = query_polygon(indexed, fences, tiers=[r])
+    # dedup=False is LOAD-BEARING on a stream: point tables are
+    # duplicate-free at ANY res (one row per point), but query_polygon's
+    # auto-dedup would see a non-MAX_RES tier and emit dropDuplicates —
+    # which on an unwatermarked stream keeps every key in state forever
+    matched = query_polygon(indexed, fences, tiers=[r], dedup=False)
     writer = (
         matched.writeStream.format("parquet")
         .option("path", sink_dir)
@@ -308,7 +312,15 @@ def stream_knn(
     """
     from geowave_spark.operators.knn import knn_join
 
-    static_points = static_points.localCheckpoint()  # pin: computed once
+    if available_now:
+        # bounded drain: localCheckpoint pins the static side in executor
+        # memory for the run's (short) lifetime
+        static_points = static_points.localCheckpoint()
+    else:
+        # continuous: localCheckpoint TRUNCATES lineage, so an executor
+        # loss hours in would lose partitions unrecoverably; persist keeps
+        # the lineage for recompute while still caching the hot copy
+        static_points = static_points.persist()
 
     def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

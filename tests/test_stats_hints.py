@@ -254,21 +254,37 @@ def test_partition_prune_cells_conservative_on_coarse_cover(spark):
     assert P.partition_prune_cells(coarse, OI.PARTITION_RES) is None
 
 
-def test_partition_prune_skipped_on_derived_cell_p(spark, sf_dir):
+def test_partition_prune_skipped_on_derived_cell_p(spark, sf_dir, tmp_path):
     """On a frame whose cell_p is DERIVED (index_points over a view, not a
     partitioned store) the prune filter must not apply: pushing it down
     re-inlines the whole cell derivation into the scan's DataFilters
-    (measured 3x on the bbox suite) while pruning no directory."""
+    (measured 3x on the bbox suite) while pruning no directory.  A stored
+    frame in the same test proves the plan-shape regex has teeth (the
+    filter renders as `cell_p#<exprId> IN (...)`)."""
     import contextlib
     import io
+    import re
 
-    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
-    assert not OI.cell_p_is_partition_col(geo)
+    def plan_of(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    prune_re = re.compile(r"cell_p#\d+L? IN \(")
     q = P.BoxQuery("q0", -10.0, -10.0, 10.0, 10.0)
-    res = P.cover_join(geo, [q], tiers=[OI.C.MAX_RES])
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        res.explain("formatted")
-    plan = buf.getvalue()
-    # the prune would appear as an In-list over cell_p in scan DataFilters
-    assert "cell_p IN" not in plan and "In(cell_p" not in plan
+
+    # positive control: the same query over a written store DOES carry the
+    # In-list (this pins the regex against explain-format drift)
+    store = str(tmp_path / "gate_store")
+    geo = OI.index_points(TB.geo_events(spark, sf_dir), id_col="event_id")
+    OI.write_indexed(geo, store)
+    stored = OI.read_indexed(spark, store)
+    assert OI.cell_p_is_stored(stored)
+    assert prune_re.search(plan_of(P.cover_join(stored, [q])))
+
+    # derived path: gate off, no In-list anywhere in the plan
+    assert not OI.cell_p_is_stored(geo)
+    assert not prune_re.search(
+        plan_of(P.cover_join(geo, [q], tiers=[OI.C.MAX_RES]))
+    )
