@@ -846,11 +846,11 @@ def corpus_prep(
     """
     from geowave_spark.operators import text as OTX
 
-    # Arrow twin of lang_id: bit-identical integers (equality pinned by
-    # pytest), ~6x faster than the interpreted HOF aggregates in the
-    # composed pipeline's hot path
-    li = OTX.lang_id_arrow(docs, text_col=text_col, id_col=id_col)
-    qs = OTX.quality_score(docs, text_col=text_col, id_col=id_col)
+    # ONE combined Arrow pass for lang + quality (text_features_arrow:
+    # bit-identical to the two Catalyst twins — full-corpus equality
+    # pinned by pytest — at one text scan + one Python-worker pass
+    # instead of two scans and a join)
+    tf = OTX.text_features_arrow(docs, text_col=text_col, id_col=id_col)
     gate = (
         F.when(F.col("pred_lang") != lang, F.lit("lang"))
         .when(F.col("quality") < min_quality, F.lit("quality"))
@@ -858,11 +858,9 @@ def corpus_prep(
     )
     # feats is TEXT-FREE (id + four small columns): materialize it once —
     # the assembly below references it from three subtrees, and without
-    # severing each re-runs both text scans (lang + quality kernels)
+    # severing each re-runs the text kernel
     feats = (
-        docs.select(id_col)
-        .join(li.select(id_col, "pred_lang"), id_col)
-        .join(qs.select(id_col, "n_tokens", "quality"), id_col)
+        tf.select(id_col, "pred_lang", "n_tokens", "quality")
         .withColumn("_g1", gate)
         .localCheckpoint()
     )

@@ -446,3 +446,86 @@ def fingerprints_arrow(
 
     # per-row python kernel is fan-out-dense: spread a single-split source
     return spread(docs.select(id_col, text_col)).mapInPandas(kernel, schema)
+
+
+def _round6_half_up(x: float) -> float:
+    """Python twin of Catalyst ``round(x, 6)`` on DOUBLE: Spark routes the
+    double through ``BigDecimal.decimal(d)`` (i.e. the SHORTEST decimal
+    string representation, Double.toString) then HALF_UP at scale 6 —
+    which is Decimal(repr(x)) in Python, NOT Decimal(x) (the exact binary
+    expansion) and NOT round() (banker's).  Exactness is pinned by the
+    full-corpus equality test against the Catalyst column."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def text_features_arrow(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """ONE Arrow pass computing the union of :func:`lang_id` and
+    :func:`quality_score` columns — bit-identical to running both (each
+    ratio reproduces Catalyst's evaluation order and round-HALF_UP), at
+    one text scan + one Python-worker pass instead of two.  The composed
+    corpus_prep pipeline is the consumer; the Catalyst twins remain the
+    definitional oracle checks."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    langs = sorted(LANG_LEXICON)
+    lex = [(lang, frozenset(LANG_LEXICON[lang])) for lang in langs]
+    en = frozenset(LANG_LEXICON["en"])
+    punct_re = _re.compile(_PUNCT_RE)
+    schema = T.StructType(
+        [
+            docs.schema[id_col],
+            T.StructField("pred_lang", T.StringType()),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("best_hits", T.IntegerType()),
+            T.StructField("n_chars_calc", T.IntegerType()),
+            T.StructField("mean_token_len", T.DoubleType()),
+            T.StructField("punct_ratio", T.DoubleType()),
+            T.StructField("stopword_ratio", T.DoubleType()),
+            T.StructField("quality", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for b in batches:
+            rows = []
+            for r in b.itertuples():
+                text = getattr(r, text_col)
+                toks = py_tokens(text)
+                hits = [sum(1 for t in toks if t in s) for _, s in lex]
+                best = max(hits)
+                pred = lex[hits.index(best)][0] if best > 0 else "und"
+                n_tok = len(toks)
+                n_chars = len(text)
+                tok_chars = sum(len(t) for t in toks)
+                n_punct = len(punct_re.findall(text))
+                n_stop = sum(1 for t in toks if t in en)
+                dt, dc = max(n_tok, 1), max(n_chars, 1)
+                # evaluation order mirrors the Catalyst expression exactly
+                quality = n_stop / dt - n_punct / dc + min(n_tok, 100) / 100.0
+                rows.append(
+                    (
+                        getattr(r, id_col), pred, n_tok, best, n_chars,
+                        _round6_half_up(tok_chars / dt),
+                        _round6_half_up(n_punct / dc),
+                        _round6_half_up(n_stop / dt),
+                        _round6_half_up(quality),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            ).astype(
+                {"n_tokens": "int32", "best_hits": "int32", "n_chars_calc": "int32"}
+            )
+
+    from geowave_spark.session import spread
+
+    return spread(docs.select(id_col, text_col)).mapInPandas(kernel, schema)

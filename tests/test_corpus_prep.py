@@ -31,3 +31,23 @@ def test_corpus_prep_stage_accounting(spark, sf_dir):
     regroup = OD.exact_dedup(kept_docs).filter(F.col("n_docs") > 1).count()
     assert regroup == 0
     out.unpersist()
+
+
+def test_text_features_arrow_equals_catalyst_twins(spark, sf_dir):
+    """The combined Arrow kernel (text_features_arrow) is bit-identical to
+    lang_id + quality_score over the whole corpus — including the
+    round-HALF_UP doubles (Decimal(repr(x)) twin of Catalyst round)."""
+    import numpy as np
+
+    from geowave_spark.operators import text as OTX
+    from geowave_spark.sources import tables as TB
+
+    docs = TB.load_tables(spark, sf_dir, names=("documents",))["documents"]
+    tf = OTX.text_features_arrow(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    li = OTX.lang_id(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    qs = OTX.quality_score(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    for c in ("pred_lang", "n_tokens", "best_hits"):
+        assert (tf[c].values == li[c].values).all(), c
+    for c in ("n_chars_calc", "mean_token_len", "punct_ratio", "stopword_ratio", "quality"):
+        a, b = tf[c].values, qs[c].values
+        assert np.array_equal(a, b), c  # bitwise for doubles: no tolerance
