@@ -32,6 +32,36 @@ from geowave_spark.operators import index as OI
 from geowave_spark.plans import planner as P
 
 
+def point_tier_keys(
+    points: DataFrame,
+    point_id: str = "point_id",
+    env_tiers: list[int] | None = None,
+) -> DataFrame:
+    """Point-side join keys: one row per (point, occupied envelope tier)
+    with ``_jkey`` = the point's parent cell at that tier.
+
+    Exact-integer arithmetic (same family as the envelope grid; parent
+    shifts are exact by the nested-floor identity
+    floor(floor(a/2^j)/2^k) = floor(a/2^(j+k))).  Shared by the ad-hoc
+    shuffle join (:func:`points_in_envelopes_join`, keys computed at query
+    time) and the bucketed join store (``operators/bucketed.py``, keys
+    MATERIALIZED at ingest so the stored column is bucket-aligned)."""
+    from geowave_spark.functions import cols as X
+
+    pts = points.select(
+        F.col(point_id),
+        X.cell_encode_milli_col(
+            F.col("lon_milli"), F.col("lat_milli"), C.MAX_RES
+        ).alias("cell"),
+        F.lit(C.MAX_RES).cast("long").alias("tier"),
+        "lon_milli",
+        "lat_milli",
+    )
+    # explode points to their parent key at each occupied envelope tier
+    keys = F.array_distinct(F.array(*[P.data_join_key(t) for t in env_tiers]))
+    return pts.withColumn("_jkey", F.explode(keys)).drop("cell", "tier")
+
+
 def points_in_envelopes_join(
     points: DataFrame,
     envelopes: DataFrame,
@@ -70,25 +100,7 @@ def points_in_envelopes_join(
     env_tiers = sorted(set(env_tiers))
     env = env.drop("tier")
 
-    # exact-integer point keys (same arithmetic family as the envelope
-    # grid; parent shifts are exact by the nested-floor identity
-    # floor(floor(a/2^j)/2^k) = floor(a/2^(j+k)))
-    from geowave_spark.functions import cols as X
-
-    pts = points.select(
-        F.col(point_id),
-        X.cell_encode_milli_col(
-            F.col("lon_milli"), F.col("lat_milli"), C.MAX_RES
-        ).alias("cell"),
-        F.lit(C.MAX_RES).cast("long").alias("tier"),
-        "lon_milli",
-        "lat_milli",
-    )
-    # explode points to their parent key at each occupied envelope tier
-    keys = F.array_distinct(
-        F.array(*[P.data_join_key(t) for t in env_tiers])
-    )
-    pts = pts.withColumn("_jkey", F.explode(keys)).drop("cell", "tier")
+    pts = point_tier_keys(points, point_id=point_id, env_tiers=env_tiers)
 
     joined = pts.join(env, pts["_jkey"] == env["cell"]).filter(
         (F.col("lon_milli") >= F.col("minx_m"))

@@ -2960,3 +2960,49 @@ def q_semdedup(spark, sf_dir):
 
 
 register_extra("semdedup", q_semdedup, OE.semdedup_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located spatial join (operators/bucketed.py): both sides
+# pre-bucketed on the materialized join key -> sort-merge join with ZERO
+# shuffle exchanges (plan-asserted in tests/test_bucketed.py).  Same rows
+# as spatial_join, so it shares that oracle.
+# ---------------------------------------------------------------------------
+
+
+def q_spatial_join_colocated(spark, sf_dir):
+    """The spatial_join answered from pre-bucketed stores: write both sides
+    bucketed on the stored join key (the reference's materialize-insertion-
+    ids-at-write layout), then join exchange-free."""
+    import tempfile
+
+    from geowave_spark.operators import bucketed as OB
+
+    pts = TB.geo_events(spark, sf_dir).select(
+        F.col("event_id").alias("point_id"), "lon", "lat", "lon_milli", "lat_milli"
+    )
+    envs = TB.geo_footprints(spark, sf_dir).select(
+        F.col("event_id").alias("env_id"), "minx_m", "miny_m", "maxx_m", "maxy_m"
+    )
+    root = tempfile.mkdtemp(prefix="gw_bkt_")
+    OB.write_point_join_store(
+        pts, _footprint_spec_tiers(), "gw_q_pts_bkt", f"{root}/pts", buckets=8
+    )
+    OB.write_envelope_join_store(envs, "gw_q_env_bkt", f"{root}/envs", buckets=8)
+    return OB.colocated_points_in_envelopes(
+        spark, "gw_q_pts_bkt", "gw_q_env_bkt"
+    ).select("point_id", "env_id")
+
+
+register_extra(
+    "spatial_join_colocated",
+    q_spatial_join_colocated,
+    f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+geo_footprints AS ({TB.GEO_FOOTPRINTS_SQL})
+SELECT p.event_id AS point_id, f.event_id AS env_id
+FROM geo_events p JOIN geo_footprints f
+  ON p.lon_milli >= f.minx_m AND p.lon_milli <= f.maxx_m
+ AND p.lat_milli >= f.miny_m AND p.lat_milli <= f.maxy_m
+""",
+)
