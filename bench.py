@@ -298,6 +298,34 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
     the honest analogue of two cluster sizes with real cores."""
     results: dict = {}
     calib: dict = {}
+    # The north_rule's launch surface: each level runs as its own
+    # ``spark-submit --py-files <pkg.zip> bench.py --scaling-job`` — the
+    # exact submission form a real N- vs 4N-executor cluster run uses (the
+    # driver contract is verified the same way).  Falls back to the plain
+    # interpreter only when spark-submit is not on PATH.
+    import shutil
+    import tempfile
+
+    submit = shutil.which("spark-submit")
+    if submit:
+        pkg_zip = os.path.join(tempfile.mkdtemp(prefix="gw_scale_"), "gw.zip")
+        repo = Path(__file__).resolve().parent
+        subprocess.run(
+            ["zip", "-qr", pkg_zip, "geowave_spark", "-x", "*.pyc"],
+            cwd=repo, check=True,
+        )
+
+    def _launch() -> list[str]:
+        if submit:
+            # driver memory must be set at JVM launch (builder config is
+            # too late under spark-submit client mode)
+            return [
+                submit, "--driver-memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+                "--py-files", pkg_zip, __file__, "--scaling-job",
+            ]
+        return [sys.executable, __file__, "--scaling-job"]
+
     # Two alternating repetitions per level; keep each level's BEST
     # throughput (and best calibration).  This shared VM's deliverable CPU
     # fluctuates with neighbor load — best-of-two per level is the least
@@ -313,8 +341,7 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
                 SPARK_GRAFT_SCALE_N=str(SCALING_N),
             )
             out = subprocess.run(
-                [sys.executable, __file__, "--scaling-job"],
-                env=env, capture_output=True, text=True, check=True,
+                _launch(), env=env, capture_output=True, text=True, check=True,
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
             if n not in results or r["rows_per_sec"] > results[n]["rows_per_sec"]:
@@ -346,6 +373,7 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
         "scaling_efficiency_normalized": norm_eff,
         "cpu_calibration_units_per_sec": calib,
         "criterion": f">= 0.8 from N to 4N parallelism (north_rule proxy: local[{lo}] vs local[{hi}]; raw, or normalized to same-moment raw-CPU ceiling)",
+        "launcher": "spark-submit --py-files" if submit else sys.executable,
         "pass": (eff >= 0.8 or norm_eff >= 0.8) and invariant,
     }
     bench_dir = Path(__file__).resolve().parent / "BENCH"
@@ -361,7 +389,9 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
         f"image rows (FIXTURES F1 generator; no external data) at `local[{lo}]`",
         f"and `local[{hi}]`, steady state (cold-start warmed out).  Per-core",
         "work dominates (the 1000-executor regime); outputs are asserted",
-        "identical at both levels.",
+        "identical at both levels.  Each level is launched as its own",
+        "`spark-submit --py-files gw.zip bench.py --scaling-job` — the",
+        "north_rule's submission form.",
         "",
         "Hardware caveat, measured not assumed: this sandbox is a shared VM",
         "— a no-Spark raw-CPU calibration (multiprocessing zlib+numpy, run",
