@@ -14,8 +14,12 @@ from __future__ import annotations
 
 import hashlib
 import json
+import sys
+from pathlib import Path
 
 import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from geowave_spark.registry import EXTRA_ORACLES, EXTRA_QUERIES
 from geowave_spark.session import get_spark
