@@ -55,6 +55,15 @@ def compact_store(
     files AND merging would actually reduce the file count — compaction is
     idempotent and safe to run on a schedule.
     """
+    if os.path.isdir(os.path.join(path, "_spark_metadata")):
+        # a live streaming sink's reads go through its _spark_metadata
+        # transaction log — rewriting files underneath it breaks every
+        # read AND would surface uncommitted orphans.  Reconcile first.
+        raise ValueError(
+            f"{path} is a streaming file sink (_spark_metadata present); "
+            "stop the query and run "
+            "streaming.ingest.decommission_stream_sink() before compacting"
+        )
     part_dirs = [
         os.path.join(path, d)
         for d in sorted(os.listdir(path))

@@ -343,3 +343,61 @@ def stream_knn(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def decommission_stream_sink(spark: SparkSession, sink_dir: str) -> dict:
+    """Convert a stopped streaming file sink into a plain batch table —
+    the prerequisite for maintenance passes (``operators/compact.py``).
+
+    A streaming parquet sink's exactly-once guarantee lives in its
+    ``_spark_metadata`` transaction log: readers list COMMITTED files from
+    the log, so orphan data files from failed/uncommitted micro-batches are
+    invisible.  Naively deleting the log would surface those orphans as
+    duplicate rows, and compacting under the log would break every read
+    (the log references files the rewrite removed).  This operator
+    reconciles instead: parse the committed-file set from the log
+    (v1 line-JSON, including ``.compact`` snapshots), DELETE any data file
+    the log does not commit, then drop the log — after which the directory
+    is an ordinary partitioned parquet table with identical contents, safe
+    to compact and co-write stats for.
+
+    Call only after the writing query is stopped.  Returns
+    ``{committed, orphans_removed}``.
+    """
+    import json as _json
+    import os as _os
+
+    meta = _os.path.join(sink_dir, "_spark_metadata")
+    if not _os.path.isdir(meta):
+        return {"committed": None, "orphans_removed": 0}  # already plain
+    committed: set[str] = set()
+    for log_file in sorted(_os.listdir(meta)):
+        if log_file.startswith("."):
+            continue
+        with open(_os.path.join(meta, log_file)) as f:
+            for line in f:
+                line = line.strip()
+                if not line or not line.startswith("{"):
+                    continue  # version header ("v1")
+                entry = _json.loads(line)
+                if entry.get("action", "add") == "add" and "path" in entry:
+                    from urllib.parse import urlparse
+
+                    p = entry["path"]
+                    if "://" in p or p.startswith("file:"):
+                        p = urlparse(p).path
+                    committed.add(_os.path.normpath(p))
+    orphans = 0
+    for root, dirs, files in _os.walk(sink_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            full = _os.path.normpath(_os.path.join(root, f))
+            if full not in committed:
+                _os.remove(full)
+                orphans += 1
+    import shutil as _shutil
+
+    _shutil.rmtree(meta)
+    return {"committed": len(committed), "orphans_removed": orphans}

@@ -127,3 +127,51 @@ def test_recover_partial(spark, fragmented_store):
     healed = OC.recover_partial(store)
     assert healed == [parts[0]]
     assert spark.read.parquet(store).count() == n0
+
+
+def test_decommission_then_compact_stream_sink(spark, sf_dir, tmp_path):
+    """Streaming sink -> decommission (orphan reconciliation + log drop) ->
+    compaction.  An injected orphan file (uncommitted micro-batch debris)
+    must be removed — a naive log delete would have surfaced it as
+    duplicate rows."""
+    import shutil
+
+    from geowave_spark.streaming.ingest import (
+        decommission_stream_sink,
+        stream_index_events,
+    )
+
+    src = str(tmp_path / "staged")
+    sink = str(tmp_path / "sink")
+    geo = TB.geo_events(spark, sf_dir)
+    for i in range(2):  # two drains -> two files per touched partition
+        geo.filter(F.pmod("event_id", F.lit(2)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = stream_index_events(
+            spark, src, sink, str(tmp_path / "ckpt"), geo.schema
+        )
+        q.awaitTermination(120)
+    n_want = geo.count()
+    assert spark.read.parquet(sink).count() == n_want
+
+    # a live sink must refuse compaction outright
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        OC.compact_store(spark, sink)
+
+    # inject an orphan: a data file no micro-batch ever committed
+    parts = [d for d in os.listdir(sink) if d.startswith("cell_p=")]
+    pdir = os.path.join(sink, parts[0])
+    victim = OC._data_files(pdir)[0]
+    shutil.copy(
+        os.path.join(pdir, victim), os.path.join(pdir, "part-orphan.parquet")
+    )
+
+    rep = decommission_stream_sink(spark, sink)
+    assert rep["orphans_removed"] == 1
+    assert not os.path.isdir(os.path.join(sink, "_spark_metadata"))
+    assert spark.read.parquet(sink).count() == n_want  # no dup rows surfaced
+
+    crep = OC.compact_store(spark, sink, target_file_bytes=128 << 20)
+    assert crep["files_after"] <= crep["files_before"]
+    assert spark.read.parquet(sink).count() == n_want
