@@ -971,3 +971,118 @@ SELECT e.vec_id,
        (COALESCE(l.grp, e.vec_id) = e.vec_id) AS keep
 FROM {table} e LEFT JOIN labels l ON l.node = e.vec_id
 """
+
+
+def prototypicality(
+    emb: DataFrame,
+    n_centroids: int = IVF_N_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector prototypicality: cosine to the assigned IVF centroid —
+    the data-pruning signal of Sorscher et al. 2022 ("Beyond neural
+    scaling laws"): highly prototypical examples are redundant in large
+    corpora and are the ones to prune first.  Output: (id, bucket,
+    proto_cos), exact fixed-point arithmetic (the semdedup quantizer), so
+    the score is bit-reproducible in SQL.
+
+    One broadcast argmin assignment + one broadcast centroid join — no
+    all-pairs, no extra shuffle beyond ivf_assign's aggregation."""
+    from geowave_spark.session import spread
+
+    assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
+    cents = _ivf_centroids(
+        spread(emb.select(F.col(id_col), quant_col(F.col(vec_col)).alias("_qv"))),
+        n_centroids,
+        id_col,
+    ).withColumn("_cn", norm_col("_cv"))
+    out = assigned.join(
+        F.broadcast(cents), assigned["bucket"] == cents["_cid"]
+    )
+    proto = F.round(dot_col("_qv", "_cv") / (F.col("_n") * F.col("_cn")), 6)
+    return out.select(id_col, "bucket", proto.alias("proto_cos"))
+
+
+def prototype_prune(
+    emb: DataFrame,
+    prune_frac: float = 0.25,
+    n_centroids: int = IVF_N_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced prototype pruning: within every IVF bucket, drop
+    the ``prune_frac`` MOST prototypical vectors (ties by id) — the
+    paper's abundant-data regime, applied per cluster so no class/topic
+    is wiped out.  Output: (id, bucket, proto_cos, keep).
+
+    The ranking window partitions by bucket — bounded inverted-list
+    sizes, never a global sort — and the drop count is exact integer
+    arithmetic (floor(n_bucket * frac)) so the SQL oracle reproduces it
+    bit-for-bit."""
+    p = prototypicality(emb, n_centroids, id_col, vec_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("proto_cos").desc(), F.col(id_col).asc()
+    )
+    nb = Window.partitionBy("bucket")
+    return (
+        p.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_nb", F.count("*").over(nb))
+        .select(
+            id_col,
+            "bucket",
+            "proto_cos",
+            (
+                F.col("_rk")
+                > F.floor(F.col("_nb") * F.lit(prune_frac)).cast("long")
+            ).alias("keep"),
+        )
+    )
+
+
+def prototype_prune_oracle(
+    table: str = "embeddings",
+    prune_frac: float = 0.25,
+    n_centroids: int = IVF_N_CENTROIDS,
+) -> str:
+    """DuckDB replay: argmin assignment, cosine to own centroid, per-bucket
+    rank, integer drop count."""
+    qv = duck_quant("embedding")
+    d2 = (
+        "CAST(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {c}) "
+        "+ list_dot_product({c}, {c}) AS BIGINT)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, {qv} AS qv FROM {table}
+),
+cents AS (
+  SELECT vec_id AS cid, qv AS cv FROM base WHERE vec_id < {n_centroids}
+),
+assigned AS (
+  SELECT vec_id, qv, bucket FROM (
+    SELECT b.vec_id, b.qv, c.cid AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY {d2.format(a='b.qv', c='c.cv')} ASC, c.cid ASC) AS rk
+    FROM base b CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+scored AS (
+  SELECT a.vec_id, a.bucket,
+         round(list_dot_product(a.qv, c.cv) /
+               (sqrt(list_dot_product(a.qv, a.qv)) *
+                sqrt(list_dot_product(c.cv, c.cv))), 6) AS proto_cos
+  FROM assigned a JOIN cents c ON a.bucket = c.cid
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY bucket
+           ORDER BY proto_cos DESC, vec_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY bucket) AS nb
+  FROM scored
+)
+SELECT vec_id, bucket, proto_cos,
+       rk > CAST(floor(nb * {prune_frac}) AS BIGINT) AS keep
+FROM ranked
+"""

@@ -3006,3 +3006,23 @@ FROM geo_events p JOIN geo_footprints f
  AND p.lat_milli >= f.miny_m AND p.lat_milli <= f.maxy_m
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Prototype pruning (operators/embed.py): Sorscher et al. 2022 cluster-
+# balanced data pruning — cosine-to-own-centroid prototypicality, drop the
+# most prototypical prune_frac per IVF bucket.  Exact fixed-point cosine +
+# integer drop counts -> bit-exact oracle.
+# ---------------------------------------------------------------------------
+
+
+def q_prototype_prune(spark, sf_dir):
+    """(vec_id, bucket, proto_cos, keep): per-cluster prototypicality rank,
+    most-prototypical 25% dropped within each bucket."""
+    emb = TB.load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    return OE.prototype_prune(emb)
+
+
+register_extra(
+    "prototype_prune", q_prototype_prune, OE.prototype_prune_oracle()
+)

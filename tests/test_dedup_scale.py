@@ -328,3 +328,29 @@ def test_semdedup_plants_and_separates(spark):
     }
     assert set(pairs) == {(4, 5), (6, 7)}
     assert all(c == 1.0 for c in pairs.values())
+
+
+def test_prototypicality_closed_form(spark):
+    """A vector that IS a centroid has proto_cos == 1.0 and ranks first in
+    its bucket (pruned at any positive frac); orthogonal vectors score 0."""
+    from geowave_spark.operators import embed as OE
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid 0
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid 1
+        (2, [1.0, 0.0, 0.0, 0.0]),   # == centroid 0 -> cos 1.0
+        (3, [0.8, 0.6, 0.0, 0.0]),   # nearer centroid 0, cos 0.8
+        (4, [0.0, 0.8, 0.6, 0.0]),   # nearer centroid 1, cos 0.8
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p = {r["vec_id"]: r for r in OE.prototypicality(emb, n_centroids=2).collect()}
+    assert p[0]["proto_cos"] == 1.0 and p[0]["bucket"] == 0
+    assert p[2]["proto_cos"] == 1.0 and p[2]["bucket"] == 0
+    assert abs(p[3]["proto_cos"] - 0.8) < 1e-4 and p[3]["bucket"] == 0
+    assert abs(p[4]["proto_cos"] - 0.8) < 1e-4 and p[4]["bucket"] == 1
+
+    # frac=0.4: bucket 0 has 3 members -> drop floor(3*0.4)=1 (the most
+    # prototypical, ties by id -> vec 0); bucket 1 has 2 -> drop 0
+    k = {r["vec_id"]: r["keep"] for r in
+         OE.prototype_prune(emb, prune_frac=0.4, n_centroids=2).collect()}
+    assert k == {0: False, 1: True, 2: True, 3: True, 4: True}
