@@ -68,35 +68,68 @@ def dhash64(pix: np.ndarray) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
-def image_features(images: DataFrame, thumb: int = 16) -> DataFrame:
+QUARANTINE_SCHEMA = T.StructType(
+    list(FEATURE_SCHEMA.fields) + [T.StructField("err", T.StringType())]
+)
+
+
+def image_features(
+    images: DataFrame, thumb: int = 16, on_error: str = "raise"
+) -> DataFrame:
     """Decode → (mean luminance, dhash, thumbnail) per image — one scan,
-    one Arrow-batched Python call per batch, columnar output.  Unknown
-    formats raise (fail fast — a pipeline would route them to a quarantine
-    sink)."""
+    one Arrow-batched Python call per batch, columnar output.
+
+    ``on_error``: 'raise' fails fast (default, the correctness-gate mode);
+    'quarantine' adds an ``err`` column instead — decode failures yield a
+    row with null features and the exception recorded, so ONE corrupt blob
+    among 10^12 rows cannot kill the job (at scale some always are).  The
+    caller splits on ``err IS NULL`` and routes the rest to a quarantine
+    sink — per-row error isolation inside the Arrow batch, no per-row
+    Python task overhead for the good path."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(on_error)
+    quarantine = on_error == "quarantine"
+    schema = QUARANTINE_SCHEMA if quarantine else FEATURE_SCHEMA
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for r in b.itertuples():
-                pix = PNG.decode_image(r.bytes, r.fmt)
-                rows.append(
-                    (
-                        r.image_id,
-                        pix.shape[1],
-                        pix.shape[0],
-                        r.fmt,
-                        int(pix.sum(dtype=np.int64)),
-                        int(round(float(pix.mean()) * 1000)),
-                        dhash64(pix),
-                        PNG.png_encode(_resize_nearest(pix, thumb, thumb)),
+                try:
+                    pix = PNG.decode_image(r.bytes, r.fmt)
+                except Exception as e:  # noqa: BLE001 — quarantine records it
+                    if not quarantine:
+                        raise
+                    rows.append(
+                        (r.image_id, None, None, r.fmt, None, None, None,
+                         None, f"{type(e).__name__}: {e}")
                     )
+                    continue
+                row = (
+                    r.image_id,
+                    pix.shape[1],
+                    pix.shape[0],
+                    r.fmt,
+                    int(pix.sum(dtype=np.int64)),
+                    int(round(float(pix.mean()) * 1000)),
+                    dhash64(pix),
+                    PNG.png_encode(_resize_nearest(pix, thumb, thumb)),
                 )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
-            ).astype({"w": "int32", "h": "int32", "sum_lum": "int64",
-                      "mean_lum_milli": "int64", "dhash": "int64"})
+                rows.append(row + (None,) if quarantine else row)
+            # dtype=object at construction: with None present pandas would
+            # otherwise infer float64 for int columns, silently corrupting
+            # int64 hashes above 2^53 (low-bit loss, caught by the parity
+            # test); object -> nullable-Int astype keeps exact Python ints
+            pdf = pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields], dtype=object
+            )
+            int_cols = {"w": "int32", "h": "int32", "sum_lum": "int64",
+                        "mean_lum_milli": "int64", "dhash": "int64"}
+            if quarantine:
+                int_cols = {c: t.capitalize() for c, t in int_cols.items()}
+            yield pdf.astype(int_cols)
 
-    return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, FEATURE_SCHEMA)
+    return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, schema)
 
 
 QUALITY_SCHEMA = T.StructType(

@@ -3026,3 +3026,39 @@ def q_prototype_prune(spark, sf_dir):
 register_extra(
     "prototype_prune", q_prototype_prune, OE.prototype_prune_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-image isolation (operators/multimodal.py on_error='quarantine'):
+# planted corruption (every 7th image truncated to 4 bytes) must surface as
+# err rows, never as a job failure — the 10^12-row regime where some blobs
+# are always bad.  Oracle states exactly which ids must fail.
+# ---------------------------------------------------------------------------
+
+
+def q_image_validate(spark, sf_dir):
+    """(image_id, ok): decode succeeded?  Corruption planted on ids % 7 == 0
+    (bytes truncated to 4 — not even a magic header); the job must complete
+    and flag EXACTLY those rows."""
+    imgs = SYN.images(spark, n=IMGFEAT_N, partitions=16)
+    i = F.substring("image_id", 4, 12).cast("long")
+    corrupted = imgs.withColumn(
+        "bytes",
+        F.when(i % 7 == 0, F.expr("substring(bytes, 1, 4)")).otherwise(
+            F.col("bytes")
+        ),
+    )
+    feats = OM.image_features(corrupted, on_error="quarantine")
+    return feats.select(
+        "image_id", F.col("err").isNull().alias("ok")
+    )
+
+
+register_extra(
+    "image_validate",
+    q_image_validate,
+    f"""
+SELECT printf('img%012d', i) AS image_id, (i % 7 != 0) AS ok
+FROM (SELECT range AS i FROM range({IMGFEAT_N}))
+""",
+)

@@ -104,3 +104,42 @@ def test_image_quality_closed_form(spark):
     assert r.grad_x == 8 * 7 * 3 and r.grad_y == 0  # 8 rows x 7 steps x 3
     assert r.grad_energy == r.grad_x + r.grad_y
     assert (r.min_lum, r.max_lum, r.n_distinct_lum) == (0, 21, 8)
+
+
+def test_image_features_quarantine_isolates_bad_rows(spark):
+    """Corrupt blobs must not kill the job: quarantine mode flags exactly
+    the bad rows and leaves good rows' features bit-identical to the
+    fail-fast path."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.operators import multimodal as OM
+    from geowave_spark.sources import synthetic as SYN
+
+    imgs = SYN.images(spark, n=60, partitions=4)
+    i = F.substring("image_id", 4, 12).cast("long")
+    corrupted = imgs.withColumn(
+        "bytes",
+        F.when(i % 7 == 0, F.expr("substring(bytes, 1, 4)")).otherwise(
+            F.col("bytes")
+        ),
+    )
+    got = OM.image_features(corrupted, on_error="quarantine").collect()
+    bad = {r["image_id"] for r in got if r["err"] is not None}
+    assert bad == {f"img{k:012d}" for k in range(0, 60, 7)}
+    for r in got:
+        if r["err"] is not None:
+            assert r["dhash"] is None and r["sum_lum"] is None
+
+    clean = OM.image_features(
+        imgs.filter(i % 7 != 0), on_error="raise"
+    ).collect()
+    want = {r["image_id"]: (r["sum_lum"], r["dhash"]) for r in clean}
+    have = {r["image_id"]: (r["sum_lum"], r["dhash"])
+            for r in got if r["err"] is None}
+    assert have == want
+
+    # fail-fast default still raises on the corrupt input
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        OM.image_features(corrupted).collect()
