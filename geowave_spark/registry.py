@@ -3062,3 +3062,59 @@ SELECT printf('img%012d', i) AS image_id, (i % 7 != 0) AS ok
 FROM (SELECT range AS i FROM range({IMGFEAT_N}))
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio batch bucketing (operators/multimodal.py): the image
+# analogue of pack_sequences — bin by integer milli-ratio, deterministic
+# fixed-size batches per bin via a distributed prefix COUNT (h64 order,
+# range-bucketed; never a global window).
+# ---------------------------------------------------------------------------
+
+
+def q_aspect_batches(spark, sf_dir):
+    """(image_id, ratio_milli, bin, ordinal, batch_id, complete) over the
+    synthetic image corpus, batch_size=16."""
+    imgs = SYN.images(spark, n=IMGFEAT_N, partitions=16, with_bytes=False)
+    return OM.aspect_bucket_batches(imgs, batch_size=16)
+
+
+def _aspect_batches_oracle() -> str:
+    from geowave_spark.operators.multimodal import ASPECT_EDGES_MILLI
+    from geowave_spark.operators.text import duck_h64
+
+    bin_sql = " + ".join(
+        f"CASE WHEN ratio_milli >= {e} THEN 1 ELSE 0 END"
+        for e in ASPECT_EDGES_MILLI
+    )
+    return f"""
+WITH imgs AS (
+  SELECT printf('img%012d', range) AS image_id,
+         CASE range % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS w,
+         CASE range % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 256 END AS h
+  FROM range({IMGFEAT_N})
+),
+scored AS (
+  SELECT image_id, (1000 * w) // h AS ratio_milli,
+         {duck_h64('image_id')} AS key
+  FROM imgs
+),
+binned AS (
+  SELECT image_id, ratio_milli, CAST({bin_sql} AS INTEGER) AS bin, key
+  FROM scored
+),
+ranked AS (
+  SELECT image_id, ratio_milli, bin,
+         ROW_NUMBER() OVER (PARTITION BY bin ORDER BY key, image_id) - 1
+           AS ordinal,
+         COUNT(*) OVER (PARTITION BY bin) AS nbin
+  FROM binned
+)
+SELECT image_id, ratio_milli, bin, ordinal,
+       ordinal // 16 AS batch_id,
+       (ordinal // 16) < (nbin // 16) AS complete
+FROM ranked
+"""
+
+
+register_extra("aspect_batches", q_aspect_batches, _aspect_batches_oracle())

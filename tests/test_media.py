@@ -143,3 +143,36 @@ def test_image_features_quarantine_isolates_bad_rows(spark):
 
     with _pytest.raises(Exception):
         OM.image_features(corrupted).collect()
+
+
+def test_aspect_bucket_batches_closed_form(spark):
+    """All 5 ratio bins hit; ordinals are a permutation of 0..n-1 within
+    each bin; batch sizes exact; only full batches marked complete."""
+    from collections import defaultdict
+
+    from pyspark.sql import Row
+
+    from geowave_spark.operators import multimodal as OM
+
+    shapes = [(64, 128), (80, 100), (100, 100), (128, 96), (256, 128)]
+    rows = [
+        Row(image_id=f"im{i:04d}", w=shapes[i % 5][0], h=shapes[i % 5][1])
+        for i in range(50)
+    ]
+    out = OM.aspect_bucket_batches(
+        spark.createDataFrame(rows), batch_size=4, buckets=8
+    ).collect()
+    assert len(out) == 50
+    by_bin = defaultdict(list)
+    for r in out:
+        by_bin[r["bin"]].append(r)
+    assert sorted(by_bin) == [0, 1, 2, 3, 4]  # 500, 800, 1000, 1333, 2000
+    for b, rs in by_bin.items():
+        assert len(rs) == 10
+        assert sorted(r["ordinal"] for r in rs) == list(range(10))
+        sizes = defaultdict(int)
+        for r in rs:
+            sizes[r["batch_id"]] += 1
+            assert r["batch_id"] == r["ordinal"] // 4
+            assert r["complete"] == (r["batch_id"] < 10 // 4)
+        assert sorted(sizes.values(), reverse=True) == [4, 4, 2]
