@@ -555,3 +555,87 @@ SELECT s.doc_id, s.source,
             ELSE 0 END AS keep
 FROM scored s JOIN counts c USING (source)
 """
+
+
+SHARD_BYTES = 1 << 28  # 256 MB nominal shard
+
+
+def shard_assign(
+    items: DataFrame,
+    size_col: str,
+    shard_bytes: int = SHARD_BYTES,
+    id_col: str = "image_id",
+    buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """WebDataset-style shard assignment for a training-sample export:
+    items concatenate in ``h64(id)`` order (cross-engine-deterministic
+    pseudo-shuffle — training shards WANT decorrelated neighbors, and the
+    same md5 key is replayable in SQL) and an item belongs to
+    ``floor(byte_start / shard_bytes)`` — items are never split, so a
+    shard overshoots by at most one item (the parallel-exact "block-cut"
+    variant of greedy sharding; greedy close-at-limit is a sequential
+    scan by definition and CANNOT be computed distributed-exactly).
+    Output: ``(id, size, byte_start, shard_id)``.
+
+    Same scale shape as :func:`pack_sequences`: distributed exact prefix
+    SUM over the h64-range buckets — per-bucket totals prefix-summed on
+    the driver (≤ ``buckets`` rows), within-bucket cumulative a bounded
+    window; never a global-order window.  The downstream writer
+    partitions by ``shard_id`` (one directory per shard) and the manifest
+    is one tiny groupBy."""
+    from geowave_spark.operators.text import h64_col
+
+    sized = items.select(
+        F.col(id_col),
+        F.col(size_col).cast("long").alias("_sz"),
+        h64_col(F.col(id_col).cast("string")).alias("_key"),
+    ).filter(F.col("_sz") > 0)
+
+    lo, hi = sized.agg(F.min("_key"), F.max("_key")).first()
+    if lo is None:
+        return sized.select(
+            id_col,
+            F.col("_sz").alias("size"),
+            F.lit(None).cast("long").alias("byte_start"),
+            F.lit(None).cast("long").alias("shard_id"),
+        )
+    span = max(1, -(-(hi - lo + 1) // buckets))
+    bucketed = sized.withColumn(
+        "_bkt", ((F.col("_key") - F.lit(lo)) / F.lit(span)).cast("long")
+    )
+    totals = sorted(
+        bucketed.groupBy("_bkt").agg(F.sum("_sz").alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for bkt, t in totals:
+        offsets.append((bkt, acc))
+        acc += t
+    off = items.sparkSession.createDataFrame(offsets, "_bkt long, _off long")
+
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("_off") + F.coalesce(F.sum("_sz").over(w), F.lit(0))
+    return (
+        bucketed.join(F.broadcast(off), "_bkt")
+        .withColumn("byte_start", start)
+        .select(
+            id_col,
+            F.col("_sz").alias("size"),
+            "byte_start",
+            (F.col("byte_start") / shard_bytes).cast("long").alias("shard_id"),
+        )
+    )
+
+
+def shard_manifest(assigned: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Per-shard manifest (the lineage/metrics record a resumable export
+    keeps next to its shards): item count, byte total, id range."""
+    return assigned.groupBy("shard_id").agg(
+        F.count("*").alias("n_items"),
+        F.sum("size").alias("n_bytes"),
+        F.min(id_col).alias("first_id"),
+        F.max(id_col).alias("last_id"),
+    )

@@ -3118,3 +3118,43 @@ FROM ranked
 
 
 register_extra("aspect_batches", q_aspect_batches, _aspect_batches_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Shard export assignment (operators/corpus.py): WebDataset-style
+# training-sample shards — h64-order pseudo-shuffle, block-cut shard ids
+# from a distributed exact byte prefix sum; items never split.
+# ---------------------------------------------------------------------------
+
+
+def q_shard_assign(spark, sf_dir):
+    """(doc_id, size, byte_start, shard_id) over the documents corpus —
+    shard at 64 KB for a populated ladder at sf scale."""
+    docs = TB.load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sized = docs.select("doc_id", F.length("text").alias("nbytes"))
+    return OCORP.shard_assign(
+        sized, size_col="nbytes", shard_bytes=1 << 16, id_col="doc_id"
+    )
+
+
+def _shard_assign_oracle() -> str:
+    from geowave_spark.operators.text import duck_h64
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS size,
+         {duck_h64('CAST(doc_id AS VARCHAR)')} AS key
+  FROM documents
+),
+p AS (
+  SELECT doc_id, size,
+         CAST(COALESCE(SUM(size) OVER (ORDER BY key, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS byte_start
+  FROM t WHERE size > 0
+)
+SELECT doc_id, size, byte_start, byte_start // {1 << 16} AS shard_id FROM p
+"""
+
+
+register_extra("shard_assign", q_shard_assign, _shard_assign_oracle())

@@ -190,3 +190,42 @@ def test_source_cap_window_only_over_cap(spark):
     assert sorted(again[again.keep == 1].doc_id) == sorted(
         out[out.keep == 1].doc_id
     )
+
+
+def test_shard_assign_invariants(spark, sf_dir):
+    """Byte stream is gapless in key order; shards never split an item and
+    overshoot by less than one item; bucket count does not change the
+    assignment (it's a parallelism dial, not a semantics dial)."""
+    from collections import defaultdict
+
+    from geowave_spark.operators import corpus as OC
+    from geowave_spark.sources import tables as TB
+
+    docs = TB.load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sized = docs.select("doc_id", F.length("text").alias("nbytes"))
+    a = OC.shard_assign(sized, "nbytes", shard_bytes=1 << 14, id_col="doc_id")
+    rows = a.collect()
+    assert rows
+
+    # gapless: sorted by byte_start, each row starts where the previous ended
+    srt = sorted(rows, key=lambda r: r["byte_start"])
+    acc = 0
+    for r in srt:
+        assert r["byte_start"] == acc
+        assert r["shard_id"] == r["byte_start"] // (1 << 14)
+        acc += r["size"]
+
+    # overshoot bound: shard byte total < shard_bytes + max item size
+    by_shard = defaultdict(int)
+    for r in rows:
+        by_shard[r["shard_id"]] += r["size"]
+    max_item = max(r["size"] for r in rows)
+    assert len(by_shard) > 2
+    assert all(t < (1 << 14) + max_item for t in by_shard.values())
+
+    b = OC.shard_assign(
+        sized, "nbytes", shard_bytes=1 << 14, id_col="doc_id", buckets=7
+    )
+    assert {(r["doc_id"], r["shard_id"]) for r in b.collect()} == {
+        (r["doc_id"], r["shard_id"]) for r in rows
+    }
