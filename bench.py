@@ -66,6 +66,10 @@ HEADLINE_INPUTS = {
     # round 3 (cont.): semantic dedup + cluster-count selection
     "semdedup": "embeddings",
     "kmeans_jump": "events",
+    # round 3 (cont.): training-export + curation additions
+    "prototype_prune": "embeddings",
+    "shard_assign": "documents",
+    "aspect_batches": "events",  # synthetic images, count independent of sf
 }
 HEADLINE = list(HEADLINE_INPUTS)
 
