@@ -92,6 +92,13 @@ class Pipeline:
             "stage string, partition_id int, n_rows long",
         )
 
+    def metrics_table(self) -> DataFrame:
+        """ALL recorded stage lineage as one DataFrame (reads the parquet
+        metrics store — the queryable form of the JSON manifests)."""
+        return self.spark.read.parquet(
+            os.path.join(self.root, "_checkpoints", "metrics", "*")
+        )
+
     def run_stage(
         self,
         stage: str,
@@ -145,6 +152,22 @@ class Pipeline:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, mp)  # atomic publish
+        # the same lineage as a QUERYABLE table (north_rule: "checkpoints
+        # per-partition lineage + row counts to Iceberg"): one parquet per
+        # stage under _checkpoints/metrics — downstream jobs join/monitor it
+        # without the Pipeline object; production is the same rows appended
+        # to an Iceberg metrics table.
+        self.spark.createDataFrame(
+            [
+                (stage, fp, p["partition_id"], p["n_rows"],
+                 manifest["n_rows"], manifest["wall_sec"])
+                for p in manifest["partitions"]
+            ],
+            "stage string, fingerprint string, partition_id int, "
+            "n_rows long, stage_rows long, wall_sec double",
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.root, "_checkpoints", "metrics", stage)
+        )
         self.stages_run.append(stage)
         return written
 

@@ -639,3 +639,29 @@ def shard_manifest(assigned: DataFrame, id_col: str = "image_id") -> DataFrame:
         F.min(id_col).alias("first_id"),
         F.max(id_col).alias("last_id"),
     )
+
+
+def export_shards(
+    items: DataFrame,
+    assigned: DataFrame,
+    path: str,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Materialize a shard_assign plan: payload rows land partitioned by
+    ``shard_id`` (one directory per shard — the unit a training loader
+    streams), each shard's rows sorted by the assignment's byte order so
+    the on-disk order IS the sample order; the per-shard manifest is
+    co-written at ``<path>/_manifest`` (the resumable-export lineage
+    record, same role as the indexed store's ``_stats``).  Returns the
+    manifest."""
+    joined = items.join(assigned.select(id_col, "byte_start", "shard_id"), id_col)
+    (
+        joined.repartition(F.col("shard_id"))
+        .sortWithinPartitions("byte_start")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    man = shard_manifest(assigned, id_col=id_col).localCheckpoint()
+    man.write.mode("overwrite").parquet(f"{path}/_manifest")
+    return man

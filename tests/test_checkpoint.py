@@ -191,3 +191,23 @@ def test_partial_secondary_index(spark, sf_dir, tmp_path):
             spark, path, ["click"], select_cols=("event_id", "lat")
         )
 
+
+
+def test_metrics_table_is_queryable(spark, sf_dir, tmp_path):
+    """The per-partition lineage is a queryable parquet table mirroring the
+    JSON manifests: stage totals match, partition counts sum to them."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.checkpoint import ingest_pipeline
+
+    pipe = ingest_pipeline(spark, sf_dir, str(tmp_path / "store"))
+    m = pipe.metrics_table()
+    agg = {
+        r["stage"]: (r["sum_parts"], r["stage_rows"])
+        for r in m.groupBy("stage", "stage_rows")
+        .agg(F.sum("n_rows").alias("sum_parts"))
+        .collect()
+    }
+    assert set(agg) == {"indexed", "stats_tier_counts"}
+    for stage, (sum_parts, total) in agg.items():
+        assert sum_parts == total == pipe.manifest(stage)["n_rows"]

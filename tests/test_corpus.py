@@ -229,3 +229,32 @@ def test_shard_assign_invariants(spark, sf_dir):
     assert {(r["doc_id"], r["shard_id"]) for r in b.collect()} == {
         (r["doc_id"], r["shard_id"]) for r in rows
     }
+
+
+def test_export_shards_roundtrip(spark, sf_dir, tmp_path):
+    """Shard export: every row lands in its assigned shard directory, the
+    manifest matches the written data, and per-shard files are ordered by
+    the assignment's byte order."""
+    from geowave_spark.operators import corpus as OC
+    from geowave_spark.sources import tables as TB
+
+    docs = TB.load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sized = docs.select("doc_id", "text", F.length("text").alias("nbytes"))
+    a = OC.shard_assign(sized, "nbytes", shard_bytes=1 << 14, id_col="doc_id")
+    path = str(tmp_path / "shards")
+    man = OC.export_shards(
+        sized.select("doc_id", "text"), a, path, id_col="doc_id"
+    ).collect()
+
+    back = spark.read.parquet(path)
+    assert back.count() == sized.filter(F.length("text") > 0).count()
+    got = {
+        (r["shard_id"], r["doc_id"]) for r in back.select("shard_id", "doc_id").collect()
+    }
+    want = {(r["shard_id"], r["doc_id"]) for r in a.collect()}
+    assert got == want
+    by_shard = {r["shard_id"]: r for r in man}
+    from collections import Counter
+
+    counts = Counter(s for s, _ in got)
+    assert {s: r["n_items"] for s, r in by_shard.items()} == dict(counts)
