@@ -92,11 +92,36 @@ class Pipeline:
             "stage string, partition_id int, n_rows long",
         )
 
+    METRICS_SCHEMA = (
+        "stage string, fingerprint string, partition_id int, "
+        "n_rows long, stage_rows long, wall_sec double"
+    )
+
     def metrics_table(self) -> DataFrame:
         """ALL recorded stage lineage as one DataFrame (reads the parquet
-        metrics store — the queryable form of the JSON manifests)."""
-        return self.spark.read.parquet(
-            os.path.join(self.root, "_checkpoints", "metrics", "*")
+        metrics store — the queryable form of the JSON manifests).
+        Schema-stable empty result when nothing has been recorded yet."""
+        mdir = os.path.join(self.root, "_checkpoints", "metrics")
+        stages = (
+            [d for d in sorted(os.listdir(mdir)) if not d.startswith((".", "_"))]
+            if os.path.isdir(mdir)
+            else []
+        )
+        if not stages:
+            return self.spark.createDataFrame([], self.METRICS_SCHEMA)
+        return self.spark.read.parquet(*(os.path.join(mdir, s) for s in stages))
+
+    def _write_metrics(self, manifest: dict) -> None:
+        self.spark.createDataFrame(
+            [
+                (manifest["stage"], manifest["fingerprint"],
+                 p["partition_id"], p["n_rows"],
+                 manifest["n_rows"], manifest["wall_sec"])
+                for p in manifest["partitions"]
+            ],
+            self.METRICS_SCHEMA,
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.root, "_checkpoints", "metrics", manifest["stage"])
         )
 
     def run_stage(
@@ -118,6 +143,12 @@ class Pipeline:
         out_path = os.path.join(self.root, stage)
         m = self.manifest(stage)
         if m is not None and m["fingerprint"] == fp and os.path.exists(out_path):
+            # backfill the queryable lineage for stores checkpointed before
+            # the metrics table existed (skip path never re-runs the stage)
+            if not os.path.isdir(
+                os.path.join(self.root, "_checkpoints", "metrics", stage)
+            ):
+                self._write_metrics(m)
             self.stages_skipped.append(stage)
             return self.spark.read.format(out_format).load(out_path)
 
@@ -157,24 +188,22 @@ class Pipeline:
         # stage under _checkpoints/metrics — downstream jobs join/monitor it
         # without the Pipeline object; production is the same rows appended
         # to an Iceberg metrics table.
-        self.spark.createDataFrame(
-            [
-                (stage, fp, p["partition_id"], p["n_rows"],
-                 manifest["n_rows"], manifest["wall_sec"])
-                for p in manifest["partitions"]
-            ],
-            "stage string, fingerprint string, partition_id int, "
-            "n_rows long, stage_rows long, wall_sec double",
-        ).write.mode("overwrite").parquet(
-            os.path.join(self.root, "_checkpoints", "metrics", stage)
-        )
+        self._write_metrics(manifest)
         self.stages_run.append(stage)
         return written
 
     def invalidate(self, stage: str) -> None:
+        import shutil
+
         p = self._manifest_path(stage)
         if os.path.exists(p):
             os.remove(p)
+        # keep the queryable lineage in lockstep with the manifests — a
+        # metrics row for a checkpoint that no longer exists is a lie
+        shutil.rmtree(
+            os.path.join(self.root, "_checkpoints", "metrics", stage),
+            ignore_errors=True,
+        )
 
 
 def ingest_pipeline(

@@ -33,6 +33,74 @@ PACK_BLOCK = 2048
 PACK_BUCKETS = 1024
 
 
+def bucketed_prefix(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    val: Column | None,
+    buckets: int,
+    part_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``df`` + ``_prefix`` (exact running total of ``val`` — or running row
+    COUNT when ``val`` is None — over rows ordered by ``order_cols`` within
+    each ``part_cols`` group) + ``_ptot`` (the group's grand total).
+
+    THE distributed exact prefix-sum shape shared by sequence packing,
+    shard assignment and aspect-batch bucketing — never a global-order
+    window (one partition at 10^12 rows): the numeric ``key_col`` is
+    range-bucketed by value, per-(group, bucket) totals (≤ groups×buckets
+    rows) prefix-sum on the driver, the within-bucket cumulative is a
+    bounded per-bucket window.  Three jobs: key bounds, bucket totals, the
+    output pass.  A null order key raises (never silently drops/misorders
+    a row); callers filter intentional exclusions themselves."""
+    guard = F.when(
+        F.col(key_col).isNull(),
+        F.expr(
+            f"raise_error('bucketed_prefix: null order key {key_col}')"
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    df = df.filter(guard)
+    lo, hi = df.agg(F.min(key_col), F.max(key_col)).first()
+    if lo is None:  # empty input: schema-stable, zero rows
+        return df.withColumn("_prefix", F.lit(None).cast("long")).withColumn(
+            "_ptot", F.lit(None).cast("long")
+        )
+    span = max(1, -(-(hi - lo + 1) // buckets))  # ceil div
+    b = df.withColumn(
+        "_bkt", ((F.col(key_col) - F.lit(lo)) / F.lit(span)).cast("long")
+    ).withColumn("_v", F.lit(1).cast("long") if val is None else val)
+    gb = list(part_cols) + ["_bkt"]
+    totals = sorted(
+        b.groupBy(*gb).agg(F.sum("_v").alias("t")).collect(),
+        key=lambda r: tuple(r[c] for c in gb),
+    )
+    acc: dict[tuple, int] = {}
+    offs = []
+    for r in totals:
+        pk = tuple(r[c] for c in part_cols)
+        offs.append((pk, r["_bkt"], acc.get(pk, 0)))
+        acc[pk] = acc.get(pk, 0) + r["t"]
+    schema_parts = [
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in part_cols
+    ] + ["_bkt long", "_off long", "_ptot long"]
+    off = df.sparkSession.createDataFrame(
+        [pk + (bkt, o, acc[pk]) for pk, bkt, o in offs],
+        ", ".join(schema_parts),
+    )
+    w = (
+        Window.partitionBy(*gb)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(off), gb)
+        .withColumn(
+            "_prefix", F.col("_off") + F.coalesce(F.sum("_v").over(w), F.lit(0))
+        )
+        .drop("_bkt", "_v", "_off")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     block: int = PACK_BLOCK,
@@ -47,60 +115,24 @@ def pack_sequences(
     ``(id, n_tokens, tok_start, seq_first, seq_last)`` — which sequences the
     document lands in and where.  Empty documents (0 tokens) are dropped.
 
-    Scale shape — a distributed exact prefix sum with NO global-order
-    window (a single ``Window.orderBy(id)`` is one partition, the classic
-    100 TB trap): ids are range-bucketed by value, per-bucket token totals
-    (≤ ``buckets`` rows) prefix-sum on the driver, and the within-bucket
-    cumulative sum is a per-bucket window — ``buckets``-way parallel,
-    bounded partition size.  Three jobs total: id-bounds agg, bucket-totals
-    agg, and the output pass; all three scan only the two pruned columns.
+    Scale shape: the shared :func:`bucketed_prefix` machinery — a
+    distributed exact prefix sum with NO global-order window; three jobs
+    total, all scanning only the two pruned columns.
     """
     counts = docs.select(
         F.col(id_col).cast("long").alias(id_col),
         F.size(OTX.tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
-
-    lo, hi = counts.agg(F.min(id_col), F.max(id_col)).first()
-    if lo is None:
-        return counts.select(
-            id_col,
-            "n_tokens",
-            F.lit(None).cast("long").alias("tok_start"),
-            F.lit(None).cast("long").alias("seq_first"),
-            F.lit(None).cast("long").alias("seq_last"),
-        )
-    span = max(1, -(-(hi - lo + 1) // buckets))  # ceil div
-    bucketed = counts.withColumn(
-        "_bkt", ((F.col(id_col) - F.lit(lo)) / F.lit(span)).cast("long")
-    )
-
-    totals = sorted(
-        bucketed.groupBy("_bkt").agg(F.sum("n_tokens").alias("t")).collect()
-    )
-    offsets, acc = [], 0
-    for bkt, t in totals:
-        offsets.append((bkt, acc))
-        acc += t
-    off = docs.sparkSession.createDataFrame(offsets, "_bkt long, _off long")
-
-    w = (
-        Window.partitionBy("_bkt")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.col("_off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return (
-        bucketed.join(F.broadcast(off), "_bkt")
-        .withColumn("tok_start", start)
-        .select(
-            id_col,
-            "n_tokens",
-            "tok_start",
-            (F.col("tok_start") / block).cast("long").alias("seq_first"),
-            ((F.col("tok_start") + F.col("n_tokens") - 1) / block)
-            .cast("long")
-            .alias("seq_last"),
-        )
+    return bucketed_prefix(
+        counts, id_col, [id_col], F.col("n_tokens"), buckets
+    ).select(
+        id_col,
+        "n_tokens",
+        F.col("_prefix").alias("tok_start"),
+        (F.col("_prefix") / block).cast("long").alias("seq_first"),
+        ((F.col("_prefix") + F.col("n_tokens") - 1) / block)
+        .cast("long")
+        .alias("seq_last"),
     )
 
 
@@ -577,12 +609,11 @@ def shard_assign(
     scan by definition and CANNOT be computed distributed-exactly).
     Output: ``(id, size, byte_start, shard_id)``.
 
-    Same scale shape as :func:`pack_sequences`: distributed exact prefix
-    SUM over the h64-range buckets — per-bucket totals prefix-summed on
-    the driver (≤ ``buckets`` rows), within-bucket cumulative a bounded
-    window; never a global-order window.  The downstream writer
-    partitions by ``shard_id`` (one directory per shard) and the manifest
-    is one tiny groupBy."""
+    Scale shape: the shared :func:`bucketed_prefix` machinery (exact byte
+    prefix SUM over h64-range buckets; never a global-order window).  A
+    null id raises inside the helper — never silently dropped or
+    misordered.  The downstream writer partitions by ``shard_id`` (one
+    directory per shard) and the manifest is one tiny groupBy."""
     from geowave_spark.operators.text import h64_col
 
     sized = items.select(
@@ -590,54 +621,28 @@ def shard_assign(
         F.col(size_col).cast("long").alias("_sz"),
         h64_col(F.col(id_col).cast("string")).alias("_key"),
     ).filter(F.col("_sz") > 0)
-
-    lo, hi = sized.agg(F.min("_key"), F.max("_key")).first()
-    if lo is None:
-        return sized.select(
-            id_col,
-            F.col("_sz").alias("size"),
-            F.lit(None).cast("long").alias("byte_start"),
-            F.lit(None).cast("long").alias("shard_id"),
-        )
-    span = max(1, -(-(hi - lo + 1) // buckets))
-    bucketed = sized.withColumn(
-        "_bkt", ((F.col("_key") - F.lit(lo)) / F.lit(span)).cast("long")
-    )
-    totals = sorted(
-        bucketed.groupBy("_bkt").agg(F.sum("_sz").alias("t")).collect()
-    )
-    offsets, acc = [], 0
-    for bkt, t in totals:
-        offsets.append((bkt, acc))
-        acc += t
-    off = items.sparkSession.createDataFrame(offsets, "_bkt long, _off long")
-
-    w = (
-        Window.partitionBy("_bkt")
-        .orderBy("_key", id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.col("_off") + F.coalesce(F.sum("_sz").over(w), F.lit(0))
-    return (
-        bucketed.join(F.broadcast(off), "_bkt")
-        .withColumn("byte_start", start)
-        .select(
-            id_col,
-            F.col("_sz").alias("size"),
-            "byte_start",
-            (F.col("byte_start") / shard_bytes).cast("long").alias("shard_id"),
-        )
+    return bucketed_prefix(
+        sized, "_key", ["_key", id_col], F.col("_sz"), buckets
+    ).select(
+        id_col,
+        F.col("_sz").alias("size"),
+        F.col("_prefix").alias("byte_start"),
+        (F.col("_prefix") / shard_bytes).cast("long").alias("shard_id"),
     )
 
 
 def shard_manifest(assigned: DataFrame, id_col: str = "image_id") -> DataFrame:
     """Per-shard manifest (the lineage/metrics record a resumable export
-    keeps next to its shards): item count, byte total, id range."""
+    keeps next to its shards): item count, byte total, plain id range
+    (``min_id``/``max_id`` — NOT a sample-order cursor: shard order is the
+    h64 pseudo-shuffle, deliberately decorrelated from ids; resume from
+    ``byte_span_end``, which IS the sample-order position)."""
     return assigned.groupBy("shard_id").agg(
         F.count("*").alias("n_items"),
         F.sum("size").alias("n_bytes"),
-        F.min(id_col).alias("first_id"),
-        F.max(id_col).alias("last_id"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+        (F.max(F.col("byte_start") + F.col("size"))).alias("byte_span_end"),
     )
 
 
@@ -654,10 +659,18 @@ def export_shards(
     co-written at ``<path>/_manifest`` (the resumable-export lineage
     record, same role as the indexed store's ``_stats``).  Returns the
     manifest."""
+    # sever the assignment plan once: both the export write and the
+    # manifest consume it, and without this each would re-run the full
+    # h64 window/prefix pass over the corpus
+    assigned = assigned.select(id_col, "size", "byte_start", "shard_id").localCheckpoint()
     joined = items.join(assigned.select(id_col, "byte_start", "shard_id"), id_col)
     (
         joined.repartition(F.col("shard_id"))
-        .sortWithinPartitions("byte_start")
+        # sort prefix MUST start with the write's partition column:
+        # FileFormatWriter requires [shard_id] ordering and would insert
+        # its own non-stable sort on top of a bare byte_start sort,
+        # scrambling within-shard order whenever that sort spills
+        .sortWithinPartitions("shard_id", "byte_start")
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(path)

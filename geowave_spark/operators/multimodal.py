@@ -305,66 +305,34 @@ def aspect_bucket_batches(
     ``(id, ratio_milli, bin, ordinal, batch_id, complete)``; incomplete
     tail batches are flagged, not silently trained on.
 
-    The image analogue of ``corpus.pack_sequences`` and the same scale
-    shape: the within-bin ordinal is a distributed exact prefix COUNT — a
-    cross-engine deterministic order (md5-derived ``h64`` key, id
-    tie-break) range-bucketed by key, per-(bin, bucket) counts prefix-
-    summed on the driver (≤ bins×buckets rows), within-bucket rank a
-    bounded per-partition window.  NEVER a global-order window (one
-    partition at 10^12 rows)."""
-    from pyspark.sql import Window
-
+    The image analogue of ``corpus.pack_sequences``, on the SAME shared
+    machinery (``corpus.bucketed_prefix``): the within-bin ordinal is a
+    distributed exact prefix COUNT over a cross-engine deterministic order
+    (md5-derived ``h64`` key, id tie-break) — never a global-order window
+    (one partition at 10^12 rows)."""
+    from geowave_spark.operators.corpus import bucketed_prefix
     from geowave_spark.operators.text import h64_col
 
     ratio = F.expr("(1000 * w) div h")
-    nbins = len(edges_milli) + 1
     bin_expr = sum(
         (F.col("ratio_milli") >= F.lit(e)).cast("int") for e in edges_milli
     )
     base = images.select(
         F.col(id_col),
         ratio.alias("ratio_milli"),
-        h64_col(F.col(id_col)).alias("_key"),
+        h64_col(F.col(id_col).cast("string")).alias("_key"),
     ).withColumn("bin", bin_expr)
-
-    lo, hi = base.agg(F.min("_key"), F.max("_key")).first()
-    if lo is None:
-        return base.select(
-            id_col, "ratio_milli", "bin",
-            F.lit(None).cast("long").alias("ordinal"),
-            F.lit(None).cast("long").alias("batch_id"),
-            F.lit(None).cast("boolean").alias("complete"),
-        )
-    span = max(1, -(-(hi - lo + 1) // buckets))
-    bucketed = base.withColumn(
-        "_bkt", ((F.col("_key") - F.lit(lo)) / F.lit(span)).cast("long")
+    out = bucketed_prefix(
+        base, "_key", ["_key", id_col], None, buckets, part_cols=("bin",)
     )
-    totals = sorted(
-        bucketed.groupBy("bin", "_bkt").agg(F.count("*").alias("t")).collect()
-    )
-    per_bin: dict[int, int] = {b: 0 for b in range(nbins)}
-    offsets = []
-    for b, bkt, t in totals:
-        offsets.append((b, bkt, per_bin[b]))
-        per_bin[b] += t
-    off = images.sparkSession.createDataFrame(
-        [(b, bkt, o, per_bin[b]) for b, bkt, o in offsets],
-        "bin int, _bkt long, _off long, _nbin long",
-    )
-    w = Window.partitionBy("bin", "_bkt").orderBy("_key", id_col)
-    ordinal = F.col("_off") + F.row_number().over(w) - 1
-    return (
-        bucketed.join(F.broadcast(off), ["bin", "_bkt"])
-        .withColumn("ordinal", ordinal)
-        .select(
-            id_col,
-            "ratio_milli",
-            "bin",
-            "ordinal",
-            (F.col("ordinal") / batch_size).cast("long").alias("batch_id"),
-            (
-                (F.col("ordinal") / batch_size).cast("long")
-                < F.floor(F.col("_nbin") / batch_size).cast("long")
-            ).alias("complete"),
-        )
+    return out.select(
+        id_col,
+        "ratio_milli",
+        "bin",
+        F.col("_prefix").alias("ordinal"),
+        (F.col("_prefix") / batch_size).cast("long").alias("batch_id"),
+        (
+            (F.col("_prefix") / batch_size).cast("long")
+            < F.floor(F.col("_ptot") / batch_size).cast("long")
+        ).alias("complete"),
     )

@@ -211,3 +211,30 @@ def test_metrics_table_is_queryable(spark, sf_dir, tmp_path):
     assert set(agg) == {"indexed", "stats_tier_counts"}
     for stage, (sum_parts, total) in agg.items():
         assert sum_parts == total == pipe.manifest(stage)["n_rows"]
+
+
+def test_metrics_backfill_and_invalidate(spark, sf_dir, tmp_path):
+    """Pre-metrics stores get their lineage backfilled on the skip path;
+    invalidate removes the stage's metrics with its manifest; an empty
+    store yields a schema-stable empty table."""
+    import shutil
+
+    from geowave_spark.checkpoint import Pipeline, ingest_pipeline
+
+    store = str(tmp_path / "store")
+    pipe = ingest_pipeline(spark, sf_dir, store)
+    # simulate a pre-upgrade store: manifests exist, metrics do not
+    shutil.rmtree(f"{store}/_checkpoints/metrics")
+    pipe2 = ingest_pipeline(spark, sf_dir, store)  # all stages skip
+    assert pipe2.stages_run == [] and len(pipe2.stages_skipped) == 2
+    assert set(
+        r["stage"] for r in pipe2.metrics_table().select("stage").collect()
+    ) == {"indexed", "stats_tier_counts"}
+
+    pipe2.invalidate("indexed")
+    assert set(
+        r["stage"] for r in pipe2.metrics_table().select("stage").collect()
+    ) == {"stats_tier_counts"}
+
+    empty = Pipeline(spark, str(tmp_path / "nothing"))
+    assert empty.metrics_table().count() == 0

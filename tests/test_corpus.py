@@ -258,3 +258,36 @@ def test_export_shards_roundtrip(spark, sf_dir, tmp_path):
 
     counts = Counter(s for s, _ in got)
     assert {s: r["n_items"] for s, r in by_shard.items()} == dict(counts)
+
+    # on-disk order IS the sample order: physical row order of each shard
+    # file is ascending byte_start (read per-file via pyarrow — a Spark
+    # read may reorder across files/splits)
+    import os
+
+    import pyarrow.parquet as pq
+
+    starts = {r["doc_id"]: r["byte_start"] for r in a.collect()}
+    checked = 0
+    for d in os.listdir(path):
+        if not d.startswith("shard_id="):
+            continue
+        for f in os.listdir(os.path.join(path, d)):
+            if f.startswith((".", "_")):
+                continue
+            ids = pq.read_table(
+                os.path.join(path, d, f), columns=["doc_id"]
+            )["doc_id"].to_pylist()
+            bs = [starts[i] for i in ids]
+            assert bs == sorted(bs), f"unsorted shard file {d}/{f}"
+            checked += len(ids)
+    assert checked == len(got)
+
+
+def test_shard_assign_null_id_raises(spark):
+    """A null id must abort loudly (never silently dropped or misordered)."""
+    from geowave_spark.operators import corpus as OC
+
+    rows = [("a", 10), (None, 5), ("b", 7)]
+    df = spark.createDataFrame(rows, "doc_id string, nbytes long")
+    with pytest.raises(Exception, match="null order key"):
+        OC.shard_assign(df, "nbytes", id_col="doc_id").collect()
