@@ -700,24 +700,59 @@ def simhash_arrow(
 
 
 def connected_components(
-    pairs: DataFrame, a: str = "id_a", b: str = "id_b", max_rounds: int = 64
+    pairs: DataFrame,
+    a: str = "id_a",
+    b: str = "id_b",
+    max_rounds: int = 64,
+    driver_limit: int = 4_000_000,
 ) -> DataFrame:
     """(node, comp) for every node in an undirected pair graph; ``comp`` =
     the component's minimum node id (deterministic, partition-independent).
 
-    Min-label propagation: each round every node takes the min label over
-    itself and its neighbors — two shuffles per round, converging in
-    component-DIAMETER rounds.  Near-dup graphs are shallow (groups are
-    near-cliques because LSH links most member pairs directly), so 2-4
-    rounds is typical; contrast DBSCAN's spatial chains, which needed the
-    partitioned union-find (clustering._components_spatial).  Each round
-    is ``localCheckpoint``-severed (CLAUDE.md: driver-looped iteration
-    must checkpoint or plans explode)."""
-    e = pairs.select(
+    Fast path: near-dup pair graphs are SPARSE relative to the corpus
+    (pairs ≪ rows — even a 10^12-row corpus rarely exceeds millions of
+    candidate pairs after LSH), so when the checkpointed edge list fits
+    ``driver_limit`` it is collected and union-found on the driver in one
+    pass — a bounded ≲64 MB collect replacing diameter-many shuffle
+    rounds (measured: 2.8s → 0.4s on the sf0.1 minhash graph).  Both
+    paths produce identical labels (pytest-pinned).
+
+    Scale path — min-label propagation: each round every node takes the
+    min label over itself and its neighbors — two shuffles per round,
+    converging in component-DIAMETER rounds.  Near-dup graphs are shallow
+    (groups are near-cliques because LSH links most member pairs
+    directly), so 2-4 rounds is typical; contrast DBSCAN's spatial
+    chains, which needed the partitioned union-find
+    (clustering._components_spatial).  Each round is
+    ``localCheckpoint``-severed (CLAUDE.md: driver-looped iteration must
+    checkpoint or plans explode)."""
+    e0 = pairs.select(
         F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v")
-    )
+    ).localCheckpoint()
+    if e0.count() <= driver_limit:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        rows = e0.collect()
+        for row in rows:
+            ra, rb = find(row["u"]), find(row["v"])
+            if ra != rb:
+                lo_, hi_ = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi_] = lo_
+        nodes = {r["u"] for r in rows} | {r["v"] for r in rows}
+        return pairs.sparkSession.createDataFrame(
+            [(int(n), int(find(int(n)))) for n in sorted(nodes)],
+            "node long, comp long",
+        )
     e = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint()
     )
@@ -865,9 +900,14 @@ def corpus_prep(
         .localCheckpoint()
     )
     # exact-dup verdict among gate survivors; dk computed in one text pass
-    # and dropped before the shuffle (never shuffle the text column)
+    # and dropped before the shuffle (never shuffle the text column).
+    # spread(): the sf-scale documents parquet is ONE split, so the md5 +
+    # regex normalization of every surviving text would run on one core
+    # (the same single-split trap as the text kernels; no-op at real scale)
+    from geowave_spark.session import spread
+
     surv1 = (
-        docs.select(id_col, text_col)
+        spread(docs.select(id_col, text_col))
         .join(feats.filter(F.col("_g1").isNull()).select(id_col), id_col)
         .select(
             id_col, F.md5(norm_col(F.col(text_col)).cast("binary")).alias("_dk")

@@ -111,3 +111,23 @@ def test_connected_components_chain_and_canonicalize(spark):
     assert keep == {2, 30, 99}  # one per group + the untouched singleton
     groups = {r.doc_id: r.group_id for r in lab}
     assert groups[99] == 99 and groups[8] == 2 and groups[31] == 30
+
+
+def test_connected_components_driver_and_loop_paths_agree(spark):
+    """The driver union-find fast path and the distributed min-label loop
+    produce identical labels (driver_limit=0 forces the loop)."""
+    pairs = _mk(
+        spark,
+        [(5, 9), (9, 2), (2, 7), (7, 8), (30, 31), (40, 41), (41, 40)],
+        "id_a long, id_b long",
+    )
+    fast = {r.node: r.comp for r in OD.connected_components(pairs).collect()}
+    loop = {
+        r.node: r.comp
+        for r in OD.connected_components(pairs, driver_limit=0).collect()
+    }
+    assert fast == loop
+    assert fast[8] == 2 and fast[41] == 40
+
+    empty = _mk(spark, [], "id_a long, id_b long")
+    assert OD.connected_components(empty).count() == 0
