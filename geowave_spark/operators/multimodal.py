@@ -235,58 +235,101 @@ VIDEO_SCHEMA = T.StructType(
 )
 
 
-def audio_features(audio: DataFrame) -> DataFrame:
+def _quarantine_kernel(base_schema, decode_row, int_cols, on_error, id_attr="media_id"):
+    """Shared mapInPandas kernel factory with per-row error isolation —
+    the image_features quarantine pattern, reused by the audio and video
+    kernels: 'raise' fails fast, 'quarantine' records the exception in an
+    ``err`` column (null features) so one corrupt blob among 10^12 rows
+    cannot kill the job.  dtype=object construction + nullable-Int astype
+    keeps int64 values exact in the presence of None (CLAUDE.md trap)."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(on_error)
+    quarantine = on_error == "quarantine"
+    schema = (
+        T.StructType(list(base_schema.fields) + [T.StructField("err", T.StringType())])
+        if quarantine
+        else base_schema
+    )
+    n_payload = len(base_schema.fields) - 1  # fields after the id column
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples():
+                try:
+                    row = decode_row(r)
+                except Exception as e:  # noqa: BLE001 — quarantine records it
+                    if not quarantine:
+                        raise
+                    rows.append(
+                        (getattr(r, id_attr),) + (None,) * n_payload
+                        + (f"{type(e).__name__}: {e}",)
+                    )
+                    continue
+                rows.append(row + (None,) if quarantine else row)
+            pdf = pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields], dtype=object
+            )
+            cols = (
+                {c: t.capitalize() for c, t in int_cols.items()}
+                if quarantine
+                else int_cols
+            )
+            yield pdf.astype(cols)
+
+    return kernel, schema
+
+
+def audio_features(audio: DataFrame, on_error: str = "raise") -> DataFrame:
     """PCM-WAVE decode → (duration, RMS, zero-crossing rate) per clip.
     One Arrow batch per Python call, numpy-vectorized per clip — the same
-    embarrassingly-parallel mapInPandas shape as image_features."""
+    embarrassingly-parallel mapInPandas shape (and the same
+    ``on_error='quarantine'`` corrupt-blob isolation) as image_features."""
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            rows = []
-            for r in b.itertuples():
-                s, rate = MEDIA.wav_decode(bytes(r.bytes))
-                mono = s.astype(np.float64).mean(axis=1) / 32768.0
-                n = len(mono)
-                rms = float(np.sqrt(np.mean(mono * mono))) if n else 0.0
-                zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
-                rows.append(
-                    (
-                        r.media_id, n, s.shape[1], rate,
-                        int(round(n / rate * 1000)),
-                        int(round(rms * 1000)),
-                        int(round(zc * 1000)),
-                    )
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in AUDIO_SCHEMA.fields]
-            ).astype({"n_channels": "int32", "sample_rate": "int32"})
+    def decode_row(r):
+        s, rate = MEDIA.wav_decode(bytes(r.bytes))
+        mono = s.astype(np.float64).mean(axis=1) / 32768.0
+        n = len(mono)
+        rms = float(np.sqrt(np.mean(mono * mono))) if n else 0.0
+        zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+        return (
+            r.media_id, n, s.shape[1], rate,
+            int(round(n / rate * 1000)),
+            int(round(rms * 1000)),
+            int(round(zc * 1000)),
+        )
 
-    return audio.select("media_id", "bytes").mapInPandas(kernel, AUDIO_SCHEMA)
+    kernel, schema = _quarantine_kernel(
+        AUDIO_SCHEMA, decode_row,
+        {"n_samples": "int64", "n_channels": "int32", "sample_rate": "int32",
+         "duration_ms": "int64", "rms_milli": "int64", "zcr_milli": "int64"},
+        on_error,
+    )
+    return audio.select("media_id", "bytes").mapInPandas(kernel, schema)
 
 
-def video_frame_sample(video: DataFrame, every_n: int = 2) -> DataFrame:
+def video_frame_sample(
+    video: DataFrame, every_n: int = 2, on_error: str = "raise"
+) -> DataFrame:
     """Uncompressed-AVI decode → every ``every_n``-th frame dhashed (the
     frame-sampling feature extraction a training pipeline runs; dhash
-    reuses the image kernel)."""
+    reuses the image kernel).  Same quarantine option as image_features."""
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            rows = []
-            for r in b.itertuples():
-                frames, fps = MEDIA.avi_decode(bytes(r.bytes))
-                sampled = frames[::every_n]
-                hashes = [dhash64(fr.mean(axis=2)) for fr in sampled]
-                rows.append(
-                    (
-                        r.media_id, len(frames), fps,
-                        frames.shape[2], frames.shape[1], hashes,
-                    )
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in VIDEO_SCHEMA.fields]
-            ).astype({"n_frames": "int32", "fps": "int32", "w": "int32", "h": "int32"})
+    def decode_row(r):
+        frames, fps = MEDIA.avi_decode(bytes(r.bytes))
+        sampled = frames[::every_n]
+        hashes = [dhash64(fr.mean(axis=2)) for fr in sampled]
+        return (
+            r.media_id, len(frames), fps,
+            frames.shape[2], frames.shape[1], hashes,
+        )
 
-    return video.select("media_id", "bytes").mapInPandas(kernel, VIDEO_SCHEMA)
+    kernel, schema = _quarantine_kernel(
+        VIDEO_SCHEMA, decode_row,
+        {"n_frames": "int32", "fps": "int32", "w": "int32", "h": "int32"},
+        on_error,
+    )
+    return video.select("media_id", "bytes").mapInPandas(kernel, schema)
 
 
 ASPECT_EDGES_MILLI = (600, 900, 1112, 1667)  # w/h ×1000 bin edges

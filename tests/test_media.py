@@ -176,3 +176,44 @@ def test_aspect_bucket_batches_closed_form(spark):
             assert r["batch_id"] == r["ordinal"] // 4
             assert r["complete"] == (r["batch_id"] < 10 // 4)
         assert sorted(sizes.values(), reverse=True) == [4, 4, 2]
+
+
+def test_audio_video_quarantine_isolates_bad_rows(spark):
+    """The audio and video kernels share image_features' corrupt-blob
+    isolation: planted truncation flags exactly those rows, good rows
+    match the fail-fast path bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.operators import multimodal as OM
+    from geowave_spark.sources import synthetic as SYN
+
+    for gen, feat, key in (
+        (SYN.audio, OM.audio_features, "rms_milli"),
+        (SYN.videos, lambda df, **kw: OM.video_frame_sample(df, every_n=2, **kw), "n_frames"),
+    ):
+        df = gen(spark, 12, partitions=3)
+        i = F.substring("media_id", 4, 9).cast("long")
+        corrupted = df.withColumn(
+            "bytes",
+            F.when(i % 4 == 0, F.expr("substring(bytes, 1, 3)")).otherwise(
+                F.col("bytes")
+            ),
+        )
+        got = feat(corrupted, on_error="quarantine").collect()
+        bad = {r["media_id"] for r in got if r["err"] is not None}
+        ok_ids = {r["media_id"] for r in got if r["err"] is None}
+        assert len(bad) == 3 and len(got) == 12
+        for r in got:
+            if r["err"] is not None:
+                assert r[key] is None
+
+        clean = feat(
+            df.join(spark.createDataFrame([(x,) for x in ok_ids], "media_id string"), "media_id")
+        ).collect()
+        want = {r["media_id"]: r[key] for r in clean}
+        assert {r["media_id"]: r[key] for r in got if r["err"] is None} == want
+
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            feat(corrupted).collect()
