@@ -91,6 +91,10 @@ def image_features(
     quarantine = on_error == "quarantine"
     schema = QUARANTINE_SCHEMA if quarantine else FEATURE_SCHEMA
 
+    # deliberately NOT folded into _quarantine_kernel: error rows here keep
+    # the fmt metadata column populated (the factory nulls every payload
+    # field), which quarantine triage wants for format-specific failures
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []

@@ -131,3 +131,19 @@ def test_connected_components_driver_and_loop_paths_agree(spark):
 
     empty = _mk(spark, [], "id_a long, id_b long")
     assert OD.connected_components(empty).count() == 0
+
+
+def test_connected_components_null_edges_dropped(spark):
+    """An edge with a null endpoint is meaningless: both paths drop it and
+    never emit a null node."""
+    pairs = _mk(
+        spark,
+        [(1, 2), (None, 3), (4, None)],
+        "id_a long, id_b long",
+    )
+    for limit in (4_000_000, 0):
+        got = {
+            r.node: r.comp
+            for r in OD.connected_components(pairs, driver_limit=limit).collect()
+        }
+        assert got == {1: 1, 2: 1}
