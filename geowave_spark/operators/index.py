@@ -134,7 +134,12 @@ def write_indexed(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     identical pruning behavior for these plans."""
     (
         df.repartition(F.col("cell_p"), F.col("salt"))
-        .sortWithinPartitions("cell")
+        # the sort prefix MUST start with the write's partition column:
+        # partitionBy requires [cell_p] ordering, and a bare `cell` sort
+        # would make FileFormatWriter insert its own NON-STABLE sort on
+        # cell_p that can scramble the within-file cell order on spill —
+        # the sorted-run property row-group pruning depends on
+        .sortWithinPartitions("cell_p", "cell")
         .write.mode(mode)
         .partitionBy("cell_p")
         .parquet(path)

@@ -175,3 +175,25 @@ def test_decommission_then_compact_stream_sink(spark, sf_dir, tmp_path):
     crep = OC.compact_store(spark, sink, target_file_bytes=128 << 20)
     assert crep["files_after"] <= crep["files_before"]
     assert spark.read.parquet(sink).count() == n_want
+
+
+def test_write_indexed_files_sorted_on_cell(spark, sf_dir, tmp_path):
+    """The store's sorted-run property holds PHYSICALLY: every data file's
+    row order is ascending cell (checked via pyarrow, not a Spark read
+    that could reorder)."""
+    import pyarrow.parquet as pq
+
+    store = str(tmp_path / "sorted_store")
+    geo = TB.geo_events(spark, sf_dir).select(
+        "event_id", "lon", "lat", "lon_milli", "lat_milli"
+    )
+    OI.write_indexed(OI.index_points(geo, id_col="event_id"), store)
+    checked = 0
+    for d, fs in _store_files(store).items():
+        for f in fs:
+            cells = pq.read_table(
+                os.path.join(store, d, f), columns=["cell"]
+            )["cell"].to_pylist()
+            assert cells == sorted(cells), f"unsorted {d}/{f}"
+            checked += len(cells)
+    assert checked == geo.count()
