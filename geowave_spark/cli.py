@@ -19,6 +19,9 @@ Reference surface (file:line provenance):
   exposes CQL through VectorQueryOptions rather than a CLI verb — the
   verb is provided because a Spark user expects one).  ``--explain``
   mirrors core/cli ExplainCommand.java: show the plan, don't run it.
+* ``sql`` — analytics/spark/.../sparksql/operations/SparkSqlCommand.java
+  + SqlQueryRunner.java: free-form Spark SQL with store names resolving
+  to temp views and the geometry UDFs registered.
 * ``analytic dbscan / kde / kmeans / nn`` — analytics/mapreduce/.../
   operations/{DBScanCommand,KdeCommand,KmeansJumpCommand,
   NearestNeighborCommand}.java and analytics/spark KmeansSparkCommand.
@@ -273,6 +276,40 @@ def cmd_analytic(args, spark_injected, out) -> int:
     return _emit(res, args, out)
 
 
+def cmd_sql(args, spark_injected, out) -> int:
+    """Free-form Spark SQL over configured stores — the reference's
+    ``spark sql`` verb (analytics/spark/.../sparksql/operations/
+    SparkSqlCommand.java:67-214 + SqlQueryRunner.java:82-215): store names
+    appearing after FROM/JOIN become temp views over the store's table, the
+    geometry predicate UDFs (GeomFunctionRegistry.java:29-73 parity) and the
+    gw_* cell functions are registered, and the query runs as one Catalyst
+    plan (previews bounded by ``--limit``, the command's ``-n`` option)."""
+    import re
+
+    cfg = _load_config(args)
+    spark = _spark(args, spark_injected)
+    from geowave_spark.functions.udfs import (
+        register_geom_predicates,
+        register_sql_functions,
+    )
+    from geowave_spark.operators import index as OI
+
+    register_geom_predicates(spark)
+    register_sql_functions(spark)
+    # The reference rewrites tokens after FROM/JOIN into store loads
+    # (SparkSqlCommand.createCommandLineOptions' split walk).  Here any
+    # such identifier naming a configured store is materialized as a temp
+    # view; other identifiers resolve through Spark's catalog as usual
+    # (subqueries/CTEs keep working — '(' is not an identifier).
+    for name in set(
+        re.findall(r"(?i)\b(?:from|join)\s+([A-Za-z_][A-Za-z0-9_]*)", args.sql)
+    ):
+        if name in cfg.get("stores", {}):
+            OI.read_indexed(spark, cfg["stores"][name]["path"]) \
+                .createOrReplaceTempView(name)
+    return _emit(spark.sql(args.sql), args, out)
+
+
 def cmd_export(args, spark_injected, out) -> int:
     cfg = _load_config(args)
     path = _store_path(cfg, args.store)
@@ -358,6 +395,13 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--out")
         sp.add_argument("--out-format", default="parquet")
 
+    sq = sub.add_parser("sql")  # analytics/spark SparkSqlCommand
+    sq.add_argument("sql")
+    sq.add_argument("--limit", type=int, default=20)
+    sq.add_argument("--explain", action="store_true")
+    sq.add_argument("--out")
+    sq.add_argument("--out-format", default="csv")  # SqlResultsWriter default
+
     e = sub.add_parser("export")
     e.add_argument("store")
     e.add_argument("dest")
@@ -382,6 +426,7 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         "ingest": cmd_ingest,
         "stat": cmd_stat,
         "query": cmd_query,
+        "sql": cmd_sql,
         "analytic": cmd_analytic,
         "export": cmd_export,
     }

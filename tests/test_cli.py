@@ -9,6 +9,8 @@ import io
 import json
 import os
 
+import numpy as np
+
 from geowave_spark.cli import main
 from geowave_spark.sources import tables as TB
 
@@ -109,3 +111,62 @@ def test_cli_analytics(spark, sf_dir, tmp_path):
         "--eps-milli", "2000", "--min-pts", "3", "--limit", "5",
     )
     assert "cluster" in db.splitlines()[0]
+
+
+def test_cli_sql(spark, sf_dir, tmp_path):
+    """`sql` verb (SparkSqlCommand/SqlQueryRunner parity): store names after
+    FROM/JOIN become temp views, geometry UDFs are registered, results match
+    direct DataFrame runs."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.functions import geometry as G
+
+    src = str(tmp_path / "src")
+    TB.geo_events(spark, sf_dir).select(
+        "event_id", "lon", "lat", "value"
+    ).limit(2000).write.parquet(src)
+    store = str(tmp_path / "store")
+    _run(spark, tmp_path, "config", "addstore", "ev", "--path", store)
+    _run(spark, tmp_path, "config", "addindex", "sp")
+    _run(spark, tmp_path, "ingest", src, "ev", "sp", "--format", "parquet")
+
+    # single-store aggregate: view resolution + result parity
+    got = _run(
+        spark, tmp_path, "sql",
+        "SELECT count(*) AS n FROM ev WHERE lon BETWEEN -10 AND 10",
+    )
+    want = (
+        spark.read.parquet(src)
+        .filter((F.col("lon") >= -10) & (F.col("lon") <= 10))
+        .count()
+    )
+    assert got.splitlines()[0] == "n" and int(got.splitlines()[1]) == want
+
+    # self-join through the FROM/JOIN token walk (the reference's two-store
+    # path) — every row matches itself exactly once on the id column
+    n_src = spark.read.parquet(src).count()
+    got = _run(
+        spark, tmp_path, "sql",
+        "SELECT count(*) AS n FROM ev a JOIN ev b ON a.event_id = b.event_id",
+    )
+    assert int(got.splitlines()[1]) == n_src
+
+    # geometry predicate UDFs are registered (GeomFunctionRegistry parity):
+    # point-in-polygon through SQL over WKB literals
+    box = G.wkb_polygon(
+        [np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)]
+    )
+    inside, outside = G.wkb_point(1.0, 1.0), G.wkb_point(9.0, 9.0)
+    got = _run(
+        spark, tmp_path, "sql",
+        "SELECT geomIntersects(unhex('%s'), unhex('%s')) AS a, "
+        "geomIntersects(unhex('%s'), unhex('%s')) AS b"
+        % (inside.hex(), box.hex(), outside.hex(), box.hex()),
+    )
+    assert got.splitlines()[1].split("\t") == ["True", "False"]
+
+    # --explain prints a plan without running
+    plan = _run(
+        spark, tmp_path, "sql", "SELECT count(*) AS n FROM ev", "--explain"
+    )
+    assert "Physical Plan" in plan
