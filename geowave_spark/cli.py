@@ -250,11 +250,26 @@ def cmd_analytic(args, spark_injected, out) -> int:
     from geowave_spark.operators import index as OI
 
     data = _geo_milli(OI.read_indexed(spark, path))
+    if getattr(args, "cql", None):
+        # the reference applies an input CQL filter before every analytic
+        # (KMeansRunner.java:165-202 setCqlFilter; DBScanCommand/KdeCommand
+        # carry the same option) — here it rides the same index-accelerated
+        # planner the `query` verb uses, so the prefilter is a cover join.
+        from geowave_spark.plans.cql import cql_query
+
+        data = cql_query(data, args.cql, id_col=args.id_col)
     if args.analytic_cmd == "dbscan":
         from geowave_spark.operators.clustering import dbscan
 
         res = dbscan(data, eps_milli=args.eps_milli, min_pts=args.min_pts,
                      id_col=args.id_col)
+        if args.hulls:
+            from geowave_spark.operators.clustering import cluster_hulls
+
+            res = cluster_hulls(
+                res, data, id_col=args.id_col,
+                concave_threshold=args.concave_threshold,
+            )
     elif args.analytic_cmd == "kde":
         from geowave_spark.operators.kde import kde_grid, kde_levels
 
@@ -264,7 +279,16 @@ def cmd_analytic(args, spark_injected, out) -> int:
     elif args.analytic_cmd == "kmeans":
         from geowave_spark.operators.clustering import kmeans
 
-        res = kmeans(data, k=args.k)
+        res = kmeans(data, k=args.k, id_col=args.id_col)
+        if args.hulls:
+            # KmeansSparkCommand.java:128-130 setGenerateHulls: emit the
+            # per-cluster hull geometries instead of bare labels.
+            from geowave_spark.operators.clustering import cluster_hulls
+
+            res = cluster_hulls(
+                res, data, id_col=args.id_col,
+                concave_threshold=args.concave_threshold,
+            )
     else:  # nn
         from geowave_spark.operators.knn import KnnQuery, query_knn
 
@@ -394,6 +418,10 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--limit", type=int, default=20)
         sp.add_argument("--out")
         sp.add_argument("--out-format", default="parquet")
+        sp.add_argument("--cql", help="input CQL filter (KMeansRunner setCqlFilter)")
+    for sp in (d, m):  # dbscan + kmeans emit cluster geometries on demand
+        sp.add_argument("--hulls", action="store_true")
+        sp.add_argument("--concave-threshold", type=float, default=None)
 
     sq = sub.add_parser("sql")  # analytics/spark SparkSqlCommand
     sq.add_argument("sql")

@@ -112,6 +112,34 @@ def test_cli_analytics(spark, sf_dir, tmp_path):
     )
     assert "cluster" in db.splitlines()[0]
 
+    # --cql input filter (KMeansRunner setCqlFilter parity): kNN restricted
+    # to the east half returns only lon >= 0 neighbors
+    nn_e = _run(
+        spark, tmp_path, "analytic", "nn", "ev",
+        "--lon", "0.0", "--lat", "0.0", "-k", "5", "--limit", "10",
+        "--cql", "BBOX(geom, 0, -90, 180, 90)",
+    )
+    cols = nn_e.splitlines()[0].split("\t")
+    east_ids = {
+        str(r["event_id"])
+        for r in spark.read.parquet(src).filter("lon >= 0").collect()
+    }
+    got_ids = {
+        dict(zip(cols, line.split("\t")))["event_id"]
+        for line in nn_e.strip().splitlines()[1:]
+    }
+    assert got_ids and got_ids <= east_ids
+
+    # --hulls (KmeansSparkCommand setGenerateHulls parity): kmeans emits
+    # per-cluster hull geometry rows instead of bare labels
+    km = _run(
+        spark, tmp_path, "analytic", "kmeans", "ev",
+        "-k", "3", "--hulls", "--limit", "10",
+    )
+    head = km.splitlines()[0].split("\t")
+    assert "hull_wkb" in head and "n_points" in head
+    assert len(km.strip().splitlines()) == 4  # header + k hull rows
+
 
 def test_cli_sql(spark, sf_dir, tmp_path):
     """`sql` verb (SparkSqlCommand/SqlQueryRunner parity): store names after
