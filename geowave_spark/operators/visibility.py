@@ -15,6 +15,7 @@ Expression grammar (the common Accumulo subset): label, '&' conjunction,
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame
@@ -80,3 +81,83 @@ def apply_visibility(
     if null_ok:
         out = out.unionByName(df.filter(F.col(vis_col).isNull()))
     return out
+
+
+def resolve_field_visibility(
+    definition: str | None, fields: list[str], auths: frozenset[str]
+) -> list[bool]:
+    """Per-field visibility verdicts for ONE JSON definition.
+
+    The definition maps field-name REGEX patterns to visibility
+    expressions; the FIRST matching pattern governs a field, so more
+    specific patterns must precede general ones — the reference's
+    documented contract (extensions/adapters/vector/.../visibility/
+    JsonDefinitionColumnVisibilityManagement.java:1-60: example
+    ``{"geo.*": "S", ".*": "TS"}``).  A field matching no pattern (or a
+    null/empty definition) is public — the default-handler fallback of
+    VisibilityManagement.createVisibilityHandler."""
+    if not definition:
+        return [True] * len(fields)
+    patterns = list(json.loads(definition).items())  # insertion-ordered
+    out = []
+    for f in fields:
+        expr = next(
+            (v for pat, v in patterns if re.fullmatch(pat, f)), None
+        )
+        out.append(evaluate_visibility(expr, auths))
+    return out
+
+
+def apply_field_visibility(
+    df: DataFrame,
+    auths: set[str],
+    vis_json_col: str = "field_vis",
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """Per-FIELD visibility masking — the reference's column-visibility
+    model (core/store/.../data/field/FieldVisibilityHandler.java,
+    data/visibility/VisibilityManagement.java, extensions/adapters/
+    vector/.../visibility/FieldLevelVisibilityHandler.java): each field
+    of a row carries its own visibility; a reader lacking the
+    authorization still receives the ROW, with the unauthorized fields
+    absent (here: NULL — the columnar rendering of Accumulo returning a
+    row minus its invisible cells).  Compose :func:`apply_visibility`
+    first for row-level gating.
+
+    Scale shape: visibility DEFINITIONS are policy, not data, so their
+    distinct set is small by construction.  Collect it, resolve each
+    definition to a per-field boolean mask on the driver
+    (:func:`resolve_field_visibility`), broadcast-join the masks back on
+    the definition string, and mask with one ``when(mask, col)``
+    projection — no shuffle, no per-row JSON parsing or regex matching.
+    """
+    a = frozenset(auths)
+    fields = fields or [c for c in df.columns if c != vis_json_col]
+    distinct = [r[0] for r in df.select(vis_json_col).distinct().collect()]
+    mask_cols = [f"_fv_{i}" for i in range(len(fields))]
+    spark = df.sparkSession
+    schema = f"{vis_json_col} string, " + ", ".join(
+        f"{m} boolean" for m in mask_cols
+    )
+    mask_df = spark.createDataFrame(
+        [
+            (d, *resolve_field_visibility(d, fields, a))
+            for d in distinct
+            if d is not None
+        ],
+        schema,
+    )
+    joined = df.join(F.broadcast(mask_df), vis_json_col, "left")
+    # rows with a NULL definition miss the join; their fields are public
+    masked = []
+    for c in df.columns:
+        if c in fields:
+            m = mask_cols[fields.index(c)]
+            masked.append(
+                F.when(F.coalesce(F.col(m), F.lit(True)), F.col(c))
+                .otherwise(F.lit(None))
+                .alias(c)
+            )
+        else:
+            masked.append(F.col(c))
+    return joined.select(*masked)

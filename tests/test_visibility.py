@@ -53,3 +53,66 @@ def test_export_vector_roundtrip(spark, sf_dir, tmp_path):
             "header", "true"
         ).csv(p)
         assert back.count() == res.count()
+
+
+def test_resolve_field_visibility_patterns():
+    from geowave_spark.operators.visibility import resolve_field_visibility
+
+    # the reference's documented example: {"geo.*": "S", ".*": "TS"} —
+    # order matters, the specific pattern must win for geo-prefixed fields
+    d = '{"geo.*": "S", ".*": "TS"}'
+    fields = ["geometry", "geohash", "eventName"]
+    assert resolve_field_visibility(d, fields, frozenset({"S"})) == [
+        True, True, False,
+    ]
+    assert resolve_field_visibility(d, fields, frozenset({"TS"})) == [
+        False, False, True,
+    ]
+    # unmatched field -> public; null/empty definition -> all public
+    assert resolve_field_visibility('{"x": "S"}', ["y"], frozenset()) == [True]
+    assert resolve_field_visibility(None, fields, frozenset()) == [True] * 3
+    # boolean expressions inside the values evaluate with the same grammar
+    assert resolve_field_visibility(
+        '{"a": "s&t", "b": "s|t"}', ["a", "b"], frozenset({"t"})
+    ) == [False, True]
+
+
+def test_apply_field_visibility(spark):
+    from geowave_spark.operators.visibility import apply_field_visibility
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "geometry": ["g1", "g2", "g3"],
+            "eventName": ["e1", "e2", "e3"],
+            "field_vis": [
+                '{"geo.*": "S", ".*": "TS"}',
+                '{".*": "S"}',
+                None,
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["id"]: (r["geometry"], r["eventName"], r["id"])
+        for r in apply_field_visibility(
+            df, {"S"}, fields=["geometry", "eventName"]
+        ).collect()
+    }
+    # row 1: geo.* visible under S, eventName (.* -> TS) masked
+    assert got[1] == ("g1", None, 1)
+    # row 2: everything S -> all visible
+    assert got[2] == ("g2", "e2", 2)
+    # row 3: no definition -> public
+    assert got[3] == ("g3", "e3", 3)
+    # every ROW returns regardless of masking (Accumulo returns the row
+    # minus invisible cells), and unmasked columns are untouched
+    assert len(got) == 3
+
+    # masking never drops rows even when no field is visible
+    none_vis = apply_field_visibility(
+        df, set(), fields=["geometry", "eventName"]
+    )
+    rows = {r["id"]: r for r in none_vis.collect()}
+    assert rows[1]["geometry"] is None and rows[2]["eventName"] is None
+    assert rows[3]["geometry"] == "g3"  # null definition stays public
