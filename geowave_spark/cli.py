@@ -19,6 +19,9 @@ Reference surface (file:line provenance):
   exposes CQL through VectorQueryOptions rather than a CLI verb — the
   verb is provided because a Spark user expects one).  ``--explain``
   mirrors core/cli ExplainCommand.java: show the plan, don't run it.
+* ``remote clear / copy / mergedata / listadapter / listindex`` —
+  docs/content/commands/020-remote-commands.adoc store maintenance;
+  mergedata maps to operators/compact.compact_store.
 * ``sql`` — analytics/spark/.../sparksql/operations/SparkSqlCommand.java
   + SqlQueryRunner.java: free-form Spark SQL with store names resolving
   to temp views and the geometry UDFs registered.
@@ -334,6 +337,49 @@ def cmd_sql(args, spark_injected, out) -> int:
     return _emit(spark.sql(args.sql), args, out)
 
 
+def cmd_remote(args, spark_injected, out) -> int:
+    """Store-maintenance verbs — the reference's ``geowave remote`` group
+    (docs/content/commands/020-remote-commands.adoc): ``clear`` empties a
+    store, ``copy`` duplicates one store's rows into another,
+    ``mergedata`` is the KV store's merging compaction (here:
+    operators/compact.compact_store's small-file rewrite), ``listadapter``
+    prints the store's schema (the adapter's attribute model),
+    ``listindex`` the configured index dials."""
+    cfg = _load_config(args)
+    if args.remote_cmd == "listindex":
+        print(json.dumps(cfg.get("indexes", {}), indent=2, sort_keys=True), file=out)
+        return 0
+    path = _store_path(cfg, args.store)
+    spark = _spark(args, spark_injected)
+    from geowave_spark.operators import index as OI
+
+    if args.remote_cmd == "clear":
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        print(f"cleared store {args.store}", file=out)
+        return 0
+    if args.remote_cmd == "copy":
+        dest = _store_path(cfg, args.dest)
+        OI.write_indexed(
+            OI.read_indexed(spark, path), dest,
+            mode="append" if args.append else "overwrite",
+        )
+        n = spark.read.parquet(dest).count()
+        print(f"copied {args.store} -> {args.dest}: {n} rows", file=out)
+        return n
+    if args.remote_cmd == "mergedata":
+        from geowave_spark.operators.compact import compact_store
+
+        stats = compact_store(spark, path)
+        print(json.dumps(stats, sort_keys=True), file=out)
+        return 0
+    # listadapter: the schema the store's rows decode to
+    for f in OI.read_indexed(spark, path).schema.fields:
+        print(f"{f.name}\t{f.dataType.simpleString()}", file=out)
+    return 0
+
+
 def cmd_export(args, spark_injected, out) -> int:
     cfg = _load_config(args)
     path = _store_path(cfg, args.store)
@@ -423,6 +469,17 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--hulls", action="store_true")
         sp.add_argument("--concave-threshold", type=float, default=None)
 
+    r = sub.add_parser("remote")  # remote-commands group (store maintenance)
+    rs = r.add_subparsers(dest="remote_cmd", required=True)
+    for v in ("clear", "mergedata", "listadapter"):
+        a = rs.add_parser(v)
+        a.add_argument("store")
+    a = rs.add_parser("copy")
+    a.add_argument("store")
+    a.add_argument("dest")
+    a.add_argument("--append", action="store_true")
+    rs.add_parser("listindex")
+
     sq = sub.add_parser("sql")  # analytics/spark SparkSqlCommand
     sq.add_argument("sql")
     sq.add_argument("--limit", type=int, default=20)
@@ -455,6 +512,7 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         "stat": cmd_stat,
         "query": cmd_query,
         "sql": cmd_sql,
+        "remote": cmd_remote,
         "analytic": cmd_analytic,
         "export": cmd_export,
     }

@@ -3158,3 +3158,59 @@ SELECT doc_id, size, byte_start, byte_start // {1 << 16} AS shard_id FROM p
 
 
 register_extra("shard_assign", q_shard_assign, _shard_assign_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Field-level visibility (operators/visibility.py): per-field JSON policy
+# definitions (JsonDefinitionColumnVisibilityManagement parity) — rows
+# always return, unauthorized fields mask to NULL.  Three deterministic
+# policies cycle by doc_id so every branch (specific-pattern win, all
+# visible, unmatched-field public + unsatisfied conjunction) is exercised.
+# ---------------------------------------------------------------------------
+
+_FV_DEFS = (
+    '{"la.*": "S", ".*": "TS"}',  # lang visible under S, source masked
+    '{".*": "S"}',                # everything visible under S
+    '{"source": "S&X"}',          # source needs S&X -> masked; lang public
+)
+
+
+def q_field_visibility(spark, sf_dir):
+    """(doc_id, lang, source, field_vis) after masking with auths={'S'}."""
+    from geowave_spark.operators.visibility import apply_field_visibility
+
+    docs = TB.load_tables(spark, sf_dir, names=("documents",))["documents"]
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.element_at(
+            F.array(*[F.lit(v) for v in _FV_DEFS]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("field_vis"),
+    )
+    out = apply_field_visibility(d, {"S"}, fields=["lang", "source"])
+    return out.select("doc_id", "lang", "source", "field_vis")
+
+
+def _field_visibility_oracle() -> str:
+    defs = ", ".join("'%s'" % v.replace("'", "''") for v in _FV_DEFS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         ([{defs}])[CAST(doc_id % 3 + 1 AS INTEGER)] AS field_vis,
+         CAST(doc_id % 3 AS INTEGER) AS pol
+  FROM documents
+)
+SELECT doc_id,
+       lang,  -- visible under every policy: la.*->S (pol 0), .*->S (pol 1),
+              -- unmatched -> public (pol 2)
+       CASE WHEN pol = 1 THEN source ELSE NULL END AS source,
+       field_vis
+FROM d
+"""
+
+
+register_extra(
+    "field_visibility", q_field_visibility, _field_visibility_oracle()
+)

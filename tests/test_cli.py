@@ -198,3 +198,35 @@ def test_cli_sql(spark, sf_dir, tmp_path):
         spark, tmp_path, "sql", "SELECT count(*) AS n FROM ev", "--explain"
     )
     assert "Physical Plan" in plan
+
+
+def test_cli_remote(spark, sf_dir, tmp_path):
+    """`remote` group (020-remote-commands.adoc parity): copy, mergedata,
+    listadapter, listindex, clear."""
+    src = str(tmp_path / "src")
+    TB.geo_events(spark, sf_dir).select(
+        "event_id", "lon", "lat", "value"
+    ).limit(500).write.parquet(src)
+    s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    _run(spark, tmp_path, "config", "addstore", "a", "--path", s1)
+    _run(spark, tmp_path, "config", "addstore", "b", "--path", s2)
+    _run(spark, tmp_path, "config", "addindex", "sp")
+    _run(spark, tmp_path, "ingest", src, "a", "sp", "--format", "parquet")
+
+    n = spark.read.parquet(s1).count()
+    got = _run(spark, tmp_path, "remote", "copy", "a", "b")
+    assert f"{n} rows" in got
+    assert spark.read.parquet(s2).count() == n
+
+    merged = json.loads(_run(spark, tmp_path, "remote", "mergedata", "b"))
+    assert merged["partitions_seen"] > 0
+    assert spark.read.parquet(s2).count() == n  # compaction preserves rows
+
+    adapter = _run(spark, tmp_path, "remote", "listadapter", "a")
+    assert "event_id\t" in adapter and "cell\tbigint" in adapter
+
+    idx = json.loads(_run(spark, tmp_path, "remote", "listindex"))
+    assert idx["sp"]["res"] == 29
+
+    _run(spark, tmp_path, "remote", "clear", "b")
+    assert not os.path.exists(s2)
