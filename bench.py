@@ -198,11 +198,15 @@ def run_scaling_job(n_rows: int = SCALING_N) -> dict:
     and pyramid tile assignment — per-core work dominates, which is exactly
     the 1000-executor regime the criterion models.
     """
+    import numpy as np
     from pyspark.sql import functions as F
 
+    from geowave_spark.functions import geometry as G
     from geowave_spark.operators import bbox as OB
     from geowave_spark.operators import index as OI
+    from geowave_spark.operators import knn as OK
     from geowave_spark.operators import multimodal as OM
+    from geowave_spark.operators import polygon as OP
     from geowave_spark.operators import tiling as OTL
     from geowave_spark.plans import planner as P
     from geowave_spark.session import get_spark
@@ -217,6 +221,19 @@ def run_scaling_job(n_rows: int = SCALING_N) -> dict:
                    -165.0 + i * 17.0, -50.0 + (i % 6) * 18.0)
         for i in range(20)
     ]
+    # six convex pentagons spread across the extent (polygon PIP suite)
+    pip_queries = []
+    for i in range(6):
+        cx, cy = -150.0 + i * 55.0, -40.0 + (i % 3) * 35.0
+        ring = np.array(
+            [
+                [cx - 6.0, cy - 4.0], [cx + 5.0, cy - 6.0], [cx + 8.0, cy + 2.0],
+                [cx + 1.0, cy + 7.0], [cx - 7.0, cy + 3.0],
+            ]
+        )
+        pip_queries.append(
+            OP.PolygonQuery(f"p{i}", G.wkb_polygon([ring]), "INTERSECTS")
+        )
 
     # Warm-up: the full pipeline at small n — Python worker pool fork,
     # whole-stage-codegen compile, JIT.  Cold-start cost grows with
@@ -228,6 +245,13 @@ def run_scaling_job(n_rows: int = SCALING_N) -> dict:
     warm_idx = OI.index_points(warm_meta, id_col="image_id")
     OB.query_bbox(warm_idx, boxes, id_cols=("image_id",), tiers=[OI.C.MAX_RES]).count()
     OTL.assign_tiles(warm_meta, build_pyramid=True, min_pyramid_level=4).count()
+    OP.query_polygon(
+        warm_idx, pip_queries, id_cols=("image_id",), tiers=[OI.C.MAX_RES]
+    ).count()
+    OK.knn_join(
+        warm_meta.filter(F.col("phash") % 29 == 0), warm_meta, 4, 250,
+        left_id="image_id", right_id="image_id",
+    ).count()
 
     phases = {}
     t0 = time.perf_counter()
@@ -247,6 +271,22 @@ def run_scaling_job(n_rows: int = SCALING_N) -> dict:
     t2 = time.perf_counter()
     n_tiles = OTL.assign_tiles(meta, build_pyramid=True, min_pyramid_level=4).count()
     phases["tile_assign"] = round(time.perf_counter() - t2, 3)
+
+    # polygon PIP + dataset-scale kNN join — the other two suites the
+    # BASELINE metric names; both throughput-bound at this n.
+    t3 = time.perf_counter()
+    n_pip = OP.query_polygon(
+        indexed, pip_queries, id_cols=("image_id",), tiers=[OI.C.MAX_RES]
+    ).count()
+    phases["pip"] = round(time.perf_counter() - t3, 3)
+
+    t4 = time.perf_counter()
+    knn_left = meta.filter(F.col("phash") % 29 == 0)
+    n_knn = OK.knn_join(
+        knn_left, meta, 4, 250, left_id="image_id", right_id="image_id"
+    ).count()
+    phases["knn_join"] = round(time.perf_counter() - t4, 3)
+
     wall = time.perf_counter() - t0
     return {
         "n_rows": n_rows,
@@ -256,6 +296,8 @@ def run_scaling_job(n_rows: int = SCALING_N) -> dict:
         "n_feat": n_feat,
         "n_hits": n_hits,
         "n_tiles": n_tiles,
+        "n_pip": n_pip,
+        "n_knn": n_knn,
         "parallelism": cpus,
     }
 
@@ -363,10 +405,11 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
     norm_eff = round(min(eff / hw_eff, 1.0), 3) if hw_eff > 0 else 0.0
     # result invariance across parallelism levels (determinism evidence)
     invariant = all(
-        results[lo][k] == results[hi][k] for k in ("n_feat", "n_hits", "n_tiles")
+        results[lo][k] == results[hi][k]
+        for k in ("n_feat", "n_hits", "n_tiles", "n_pip", "n_knn")
     )
     report = {
-        "job": f"generate+decode+index+bbox-join+tile-assign over {SCALING_N} synthetic images",
+        "job": f"generate+decode+index+bbox-join+tile-assign+pip+knn-join over {SCALING_N} synthetic images",
         "levels": {
             str(n): {"wall_sec": results[n]["wall_sec"], "rows_per_sec": thr[n]}
             for n in levels
@@ -389,7 +432,8 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
         "Sandbox proxy for the N vs 4N executor criterion: the identical",
         "throughput pipeline — deterministic image generation (PNG encode),",
         "decode + dhash feature extraction, cell indexing, a 20-box spatial",
-        f"cover join, and pyramid tile assignment — over {SCALING_N} synthetic",
+        "cover join, pyramid tile assignment, a 6-polygon PIP suite, and a",
+        f"dataset-scale kNN join — over {SCALING_N} synthetic",
         f"image rows (FIXTURES F1 generator; no external data) at `local[{lo}]`",
         f"and `local[{hi}]`, steady state (cold-start warmed out).  Per-core",
         "work dominates (the 1000-executor regime); outputs are asserted",
@@ -423,7 +467,8 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
         f" (criterion ≥ 0.8: {'PASS' if report['pass'] else 'FAIL'}); "
         f"results invariant across levels: {invariant} "
         f"(n_feat={results[lo]['n_feat']}, n_hits={results[lo]['n_hits']}, "
-        f"n_tiles={results[lo]['n_tiles']})",
+        f"n_tiles={results[lo]['n_tiles']}, n_pip={results[lo]['n_pip']}, "
+        f"n_knn={results[lo]['n_knn']})",
         "",
         "Per-suite latency numbers (NOT the scaling metric — sub-second jobs",
         "are scheduling-bound): see the driver's `BENCH_r{N}.json`.",

@@ -134,6 +134,34 @@ def make_pip_refine(wkb: bytes):
     return pip
 
 
+def make_pip_refine_multi(wkbs: dict[str, bytes]):
+    """PIP refine over (query_id, lon, lat) for a SET of polygons — one
+    UDF for a whole query group, so the cover-join prefilter scans the
+    data once for any number of polygon queries (the reference's iterator
+    makes one pass over all ranges; per-query scan branches would be N
+    scans).  Polygons are parsed once per executor; rows group by
+    query_id into one vectorized even-odd evaluation per polygon.
+    Unknown query_ids return False — those rows belong to a convex
+    codegen refine that precedes this UDF in the CASE chain."""
+    parsed = {qid: G.polygon_rings(w) for qid, w in wkbs.items()}
+
+    @F.pandas_udf(T.BooleanType())
+    def pip_multi(qid: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        px = lon.to_numpy(np.float64)
+        py = lat.to_numpy(np.float64)
+        ids = qid.to_numpy()
+        out = np.zeros(len(ids), dtype=bool)
+        for q in pd.unique(ids):
+            polys = parsed.get(q)
+            if polys is None:
+                continue
+            pos = np.nonzero(ids == q)[0]
+            out[pos] = G.points_in_polygon(px[pos], py[pos], polys)
+        return pd.Series(out)
+
+    return pip_multi
+
+
 def make_envelope_refine(wkb: bytes):
     """Envelope-vs-polygon exact intersection refine (for footprints, not
     just centers)."""

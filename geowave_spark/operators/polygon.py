@@ -115,6 +115,7 @@ def query_polygon(
     point_data = all(t == C.MAX_RES for t in tiers)
 
     outs = []
+    accel: list[PolygonQuery] = []
     for q in queries:
         op = q.op.upper()
         if op == "CONTAINS":
@@ -123,40 +124,92 @@ def query_polygon(
                 data.withColumn("query_id", F.lit(q.query_id)).filter(F.lit(False))
             )
             continue
-        pip = U.make_pip_refine(q.wkb)
         if op == "DISJOINT":
             # anti-query: full scan, negated exact predicate (no index help)
             neg = _convex_refine_col(q.wkb, lon_col, lat_col)
-            cond = ~neg if neg is not None else ~pip(F.col(lon_col), F.col(lat_col))
+            cond = ~neg if neg is not None else ~U.make_pip_refine(q.wkb)(
+                F.col(lon_col), F.col(lat_col)
+            )
             outs.append(
                 data.withColumn("query_id", F.lit(q.query_id)).filter(cond)
             )
             continue
         if op not in ("INTERSECTS", "WITHIN"):
             raise ValueError(f"unsupported op {q.op}")
+        accel.append(q)
+
+    # Index-accelerated queries GROUP by cover resolution: every group is
+    # one broadcast cover union + ONE join over one data scan — N polygon
+    # queries are one pass, not N (the reference's iterator walks all
+    # ranges of all queries in a single scan; per-query plan branches
+    # re-execute the fact-table lineage N times — measured 6 pentagons =
+    # 6x one pentagon's wall clock before this change).  Distinct cover
+    # resolutions are rare (r_q derives from envelope size vs max_cells),
+    # so the group count stays 1 for homogeneous suites.
+    by_res: dict[int, list] = {}
+    for q in accel:
         cover_pdf, r_q = _polygon_cover(q, tiers, max_cells)
-        cover = spark.createDataFrame(cover_pdf)
+        by_res.setdefault(r_q, []).append((q, cover_pdf))
+    for r_q, items in sorted(by_res.items()):
+        cover = spark.createDataFrame(pd.concat([c for _, c in items]))
         pre = data.withColumn("_jkey", P.data_join_key(r_q)).join(
             F.broadcast(cover), F.col("_jkey") == F.col("jcell"), "inner"
         )
         # Convex single-ring polygons refine with pure JVM half-plane sign
         # tests (codegen, no Python worker at all — same exact IEEE
-        # multiply/subtract as the numpy kernel and the SQL oracle).
-        refine_col = _convex_refine_col(q.wkb, lon_col, lat_col)
-        refine = refine_col if refine_col is not None else pip(
-            F.col(lon_col), F.col(lat_col)
-        )
-        # Split so refinement never touches interior-cell matches (a when()
-        # would still evaluate the predicate on every row).  The skip is
-        # sound iff the data row's own cell is at least as fine as the
-        # cover cell — guaranteed for point tables.
+        # multiply/subtract as the numpy kernel and the SQL oracle),
+        # folded into one CASE chain on query_id.
+        convex = {
+            q.query_id: _convex_refine_col(q.wkb, lon_col, lat_col)
+            for q, _ in items
+        }
+        general = {
+            q.query_id: q.wkb for q, _ in items if convex[q.query_id] is None
+        }
+        chain = None
+        for qid, c in convex.items():
+            if c is None:
+                continue
+            m = F.col("query_id") == qid
+            chain = F.when(m, c) if chain is None else chain.when(m, c)
+        if not general:
+            refine = chain.otherwise(F.lit(False)) if chain is not None else F.lit(False)
+            # interior-cell matches skip refinement entirely for point
+            # tables (row cell at least as fine as the cover cell); the
+            # refine is pure codegen here, so one filter — one scan.
+            cond = (F.col("interior") | refine) if point_data else refine
+            outs.append(pre.filter(cond).drop("_jkey", "jcell", "interior"))
+            continue
+        # General polygons need the Arrow even-odd kernel.  A when() chain
+        # would still ship every row through the Python worker, so split:
+        # branch A (codegen only) keeps interior hits + convex-refined
+        # rows; branch B refines the general queries' boundary rows with
+        # ONE multi-polygon UDF.  Two subtree executions total for the
+        # whole group — independent of the number of queries.
+        general_ids = list(general)
+        is_general = F.col("query_id").isin(general_ids)
+        conv_ref = chain.otherwise(F.lit(False)) if chain is not None else F.lit(False)
         if point_data:
-            hit_interior = pre.filter(F.col("interior"))
-            hit_boundary = pre.filter(~F.col("interior")).filter(refine)
-            refined = hit_interior.unionByName(hit_boundary)
+            branch_a = pre.filter(
+                (~is_general & (F.col("interior") | conv_ref))
+                | (is_general & F.col("interior"))
+            )
+            pip_multi = U.make_pip_refine_multi(general)
+            branch_b = pre.filter(is_general & ~F.col("interior")).filter(
+                pip_multi(F.col("query_id"), F.col(lon_col), F.col(lat_col))
+            )
         else:
-            refined = pre.filter(refine)
-        outs.append(refined.drop("_jkey", "jcell", "interior"))
+            # coarser-than-cover rows may stick out of their cell: every
+            # row refines (interior skip unsound) — reference DedupeFilter
+            # regime
+            branch_a = pre.filter(~is_general & conv_ref)
+            pip_multi = U.make_pip_refine_multi(general)
+            branch_b = pre.filter(is_general).filter(
+                pip_multi(F.col("query_id"), F.col(lon_col), F.col(lat_col))
+            )
+        outs.append(
+            branch_a.unionByName(branch_b).drop("_jkey", "jcell", "interior")
+        )
 
     out = outs[0]
     for o in outs[1:]:

@@ -87,3 +87,56 @@ def test_multiple_queries_one_call(spark, geo):
     out = OP.query_polygon(geo, qs).groupBy("query_id").count().collect()
     counts = {r.query_id: r["count"] for r in out}
     assert set(counts) == {"a", "b"} and all(v > 0 for v in counts.values())
+
+
+def test_multi_query_single_scan_plan(spark, geo):
+    """N convex queries plan as ONE scan of the data (broadcast cover
+    union + one join, codegen refine) — not one branch per query; with a
+    general (concave) polygon in the mix, exactly TWO branches total
+    (codegen branch + one multi-polygon UDF branch), independent of N."""
+    def pent(i):
+        ring = R.PENTAGON + np.array([i * 3.0, 0.0])
+        return OP.PolygonQuery(f"c{i}", G.wkb_polygon([ring]), "INTERSECTS")
+
+    convex_only = OP.query_polygon(geo, [pent(i) for i in range(4)])
+    plan = convex_only._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+
+    mixed = OP.query_polygon(
+        geo,
+        [pent(i) for i in range(3)]
+        + [
+            OP.PolygonQuery("L", G.wkb_polygon(R.PARIS_LSHAPE), "INTERSECTS"),
+            OP.PolygonQuery(
+                "L2",
+                G.wkb_polygon(
+                    [np.asarray(R.PARIS_LSHAPE[0]) + np.array([0.5, -1.0])]
+                ),
+                "INTERSECTS",
+            ),
+        ],
+    )
+    mplan = mixed._jdf.queryExecution().executedPlan().toString()
+    assert mplan.count("Union") == 1  # one two-branch union for the group
+    # parity: grouped plan returns the same rows as per-query calls
+    got = {
+        (r["query_id"], r["event_id"])
+        for r in mixed.select("query_id", "event_id").collect()
+    }
+    want = set()
+    for q in [pent(i) for i in range(3)] + [
+        OP.PolygonQuery("L", G.wkb_polygon(R.PARIS_LSHAPE), "INTERSECTS"),
+        OP.PolygonQuery(
+            "L2",
+            G.wkb_polygon(
+                [np.asarray(R.PARIS_LSHAPE[0]) + np.array([0.5, -1.0])]
+            ),
+            "INTERSECTS",
+        ),
+    ]:
+        for r in (
+            OP.query_polygon(geo, [q]).select("query_id", "event_id").collect()
+        ):
+            want.add((r["query_id"], r["event_id"]))
+    assert got == want
