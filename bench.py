@@ -70,6 +70,8 @@ HEADLINE_INPUTS = {
     "prototype_prune": "embeddings",
     "shard_assign": "documents",
     "aspect_batches": "events",  # synthetic images, count independent of sf
+    # round 3 (cont.): large×large points-in-POLYGONS join (WKB table side)
+    "points_in_polygons": "events",
 }
 HEADLINE = list(HEADLINE_INPUTS)
 

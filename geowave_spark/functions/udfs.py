@@ -162,6 +162,54 @@ def make_pip_refine_multi(wkbs: dict[str, bytes]):
     return pip_multi
 
 
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("minx", T.DoubleType()),
+            T.StructField("miny", T.DoubleType()),
+            T.StructField("maxx", T.DoubleType()),
+            T.StructField("maxy", T.DoubleType()),
+        ]
+    )
+)
+def wkb_envelope_cols(wkb: pd.Series) -> pd.DataFrame:
+    """Vectorized WKB → envelope extraction for a POLYGON TABLE (each row
+    its own geometry, so the parse is per row — one embarrassingly
+    parallel pass; the reference computes the same envelope at ingest in
+    GeometryUtils.basicConstraintsFromGeometry)."""
+    envs = [G.envelope_of_wkb(b) for b in wkb]
+    return pd.DataFrame(envs, columns=["minx", "miny", "maxx", "maxy"])
+
+
+def pip_pairs_refine(wkb: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+    """Exact PIP over candidate (polygon-wkb, point) PAIRS — the refine
+    stage of the large×large points-in-polygons join.  Rows group by
+    identical WKB bytes so each distinct polygon in the batch parses once
+    and refines as one vectorized kernel call (convex rings take the
+    half-plane fast path — bit-identical to a SQL sign-test oracle).
+    Candidate pairs arrive clustered by cell key, so batches are dominated
+    by few polygons."""
+    x = px.to_numpy(np.float64)
+    y = py.to_numpy(np.float64)
+    out = np.zeros(len(x), dtype=bool)
+    codes, uniques = pd.factorize(wkb)
+    for u, buf in enumerate(uniques):
+        pos = np.nonzero(codes == u)[0]
+        polys = G.polygon_rings(buf)
+        if (
+            len(polys) == 1
+            and len(polys[0]) == 1
+            and G.is_convex_ccw(polys[0][0])
+        ):
+            out[pos] = G.points_in_convex(x[pos], y[pos], polys[0][0])
+        else:
+            out[pos] = G.points_in_polygon(x[pos], y[pos], polys)
+    return pd.Series(out)
+
+
+pip_pairs_refine_udf = F.pandas_udf(pip_pairs_refine, T.BooleanType())
+
+
 def make_envelope_refine(wkb: bytes):
     """Envelope-vs-polygon exact intersection refine (for footprints, not
     just centers)."""

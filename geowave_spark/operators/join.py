@@ -116,3 +116,71 @@ def points_in_envelopes_join(
     # advantage of joining point-side-unique keys: the reference pays a
     # DedupeFilter pass here; this plan provably cannot produce duplicates.
     return joined.select(point_id, env_id, "lon_milli", "lat_milli")
+
+
+def points_in_polygons_join(
+    points: DataFrame,
+    polys: DataFrame,
+    point_id: str = "point_id",
+    poly_id: str = "poly_id",
+    wkb_col: str = "wkb",
+    env_tiers: list[int] | None = None,
+) -> DataFrame:
+    """All (point, polygon) pairs where the point lies inside the polygon
+    — both sides LARGE (the polygon table is data, not a broadcast query
+    list; contrast operators/polygon.query_polygon).
+
+    The reference executes arbitrary-geometry joins as a Spark SQL join
+    with the per-row geomIntersects UDF (analytics/spark/.../sparksql/
+    SqlQueryRunner.java two-store join + udf/GeomIntersects.java) — an
+    unindexed cross product.  Here the polygon side rides the envelope
+    machinery: vectorized WKB→envelope extraction, multi-cell tier
+    indexing (≤4 cells/row), the dedup-free point-parent equi-join of
+    :func:`points_in_envelopes_join`, then ONE Arrow refine over the
+    candidate pairs (parse-once per distinct polygon per batch, convex
+    half-plane fast path).
+
+    Coordinate contract: the polygon WKB coordinates are in the SAME
+    units as the point table's ``lon_milli``/``lat_milli`` integer grid
+    (milli-degrees) — integer-valued float64s make the convex refine
+    bit-reproducible in SQL oracles.  Degree-unit WKB needs a 1000×
+    rescale at ingest.
+
+    Shuffle note: the WKB column rides the envelope-side shuffle (one
+    pass, same width class as the reference shipping geometry to its
+    join); re-attaching it by a second poly_id join would shuffle the
+    polygon table twice instead.
+    """
+    from geowave_spark.functions import udfs as U
+
+    env = polys.withColumn("_env", U.wkb_envelope_cols(F.col(wkb_col))).select(
+        poly_id,
+        wkb_col,
+        # envelopes of integer-valued milli coords: exact casts
+        F.round(F.col("_env.minx")).cast("long").alias("minx_m"),
+        F.round(F.col("_env.miny")).cast("long").alias("miny_m"),
+        F.round(F.col("_env.maxx")).cast("long").alias("maxx_m"),
+        F.round(F.col("_env.maxy")).cast("long").alias("maxy_m"),
+    )
+    indexed = OI.index_envelopes_milli(env, id_col=poly_id).select(
+        poly_id, "cell", "tier", wkb_col
+    )
+    if env_tiers is None:
+        env_tiers = [int(r[0]) for r in indexed.select("tier").distinct().collect()]
+    env_tiers = sorted(set(env_tiers))
+    indexed = indexed.drop("tier")
+
+    pts = point_tier_keys(points, point_id=point_id, env_tiers=env_tiers)
+    candidates = pts.join(indexed, pts["_jkey"] == indexed["cell"])
+    # same dedup-free argument as points_in_envelopes_join: one parent key
+    # per (point, tier), distinct cells per polygon tier — a pair meets on
+    # at most one key.  The envelope prefilter is implied by the cell
+    # cover; the exact refine is the single Arrow pass below.
+    refined = candidates.filter(
+        U.pip_pairs_refine_udf(
+            F.col(wkb_col),
+            F.col("lon_milli").cast("double"),
+            F.col("lat_milli").cast("double"),
+        )
+    )
+    return refined.select(point_id, poly_id, "lon_milli", "lat_milli")

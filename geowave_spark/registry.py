@@ -3214,3 +3214,77 @@ FROM d
 register_extra(
     "field_visibility", q_field_visibility, _field_visibility_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# Large×large points-in-POLYGONS join (operators/join.py): the polygon side
+# is a TABLE of WKB geometries (not a broadcast query list) — deterministic
+# CCW triangles seeded from every 197th event, integer milli coordinates so
+# the convex half-plane refine is bit-exact in SQL.
+# ---------------------------------------------------------------------------
+
+_TRI_DX, _TRI_DY = 2000, 1500
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+
+@F.pandas_udf(T.BinaryType())
+def _tri_wkb(cx: pd.Series, cy: pd.Series) -> pd.Series:
+    from geowave_spark.functions import geometry as G
+
+    out = []
+    for x, y in zip(cx.to_numpy(), cy.to_numpy()):
+        ring = np.array(
+            [
+                [x, y - _TRI_DY],
+                [x + _TRI_DX, y + _TRI_DY],
+                [x - _TRI_DX, y + _TRI_DY],
+            ],
+            dtype=np.float64,
+        )
+        out.append(G.wkb_polygon([ring]))
+    return pd.Series(out)
+
+
+def q_points_in_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geo = TB.geo_events(spark, sf_dir)
+    seeds = geo.filter(
+        (F.col("event_id") % 197 == 0)
+        & (F.abs(F.col("lon_milli")) <= 180000 - _TRI_DX)
+        & (F.abs(F.col("lat_milli")) <= 90000 - _TRI_DY)
+    ).select(
+        F.col("event_id").alias("poly_id"),
+        _tri_wkb(
+            F.col("lon_milli").cast("double"), F.col("lat_milli").cast("double")
+        ).alias("wkb"),
+    )
+    points = geo.select(
+        F.col("event_id").alias("point_id"), "lon_milli", "lat_milli"
+    )
+    from geowave_spark.operators.join import points_in_polygons_join
+
+    return points_in_polygons_join(points, seeds)
+
+
+def _points_in_polygons_oracle() -> str:
+    dx, dy = _TRI_DX, _TRI_DY
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+tri AS (
+  SELECT event_id AS poly_id, lon_milli AS cx, lat_milli AS cy
+  FROM geo_events
+  WHERE event_id % 197 = 0
+    AND abs(lon_milli) <= {180000 - dx} AND abs(lat_milli) <= {90000 - dy}
+)
+SELECT p.event_id AS point_id, t.poly_id, p.lon_milli, p.lat_milli
+FROM geo_events p, tri t
+WHERE {dx} * (p.lat_milli - (t.cy - {dy})) - {dy * 2} * (p.lon_milli - t.cx) >= 0
+  AND p.lat_milli <= t.cy + {dy}
+  AND {dx} * (p.lat_milli - (t.cy + {dy})) + {dy * 2} * (p.lon_milli - (t.cx - {dx})) >= 0
+"""
+
+
+register_extra(
+    "points_in_polygons", q_points_in_polygons, _points_in_polygons_oracle()
+)

@@ -140,3 +140,65 @@ def test_multi_query_single_scan_plan(spark, geo):
         ):
             want.add((r["query_id"], r["event_id"]))
     assert got == want
+
+
+def test_points_in_polygons_join_bruteforce(spark):
+    """Large×large points-in-POLYGONS join vs scalar brute force — convex
+    triangles AND a concave L-shape as polygon-table rows, integer milli
+    coordinate contract."""
+    import pandas as pd
+
+    from geowave_spark.operators.join import points_in_polygons_join
+
+    rng = np.random.RandomState(7)
+    n = 400
+    px = rng.randint(-50000, 50000, n).astype(np.int64)
+    py = rng.randint(-30000, 30000, n).astype(np.int64)
+    points = spark.createDataFrame(
+        pd.DataFrame({"point_id": np.arange(n), "lon_milli": px, "lat_milli": py})
+    )
+
+    tris = []
+    rings = {}
+    for i in range(12):
+        cx, cy = int(px[i * 3]), int(py[i * 3])
+        ring = np.array(
+            [[cx, cy - 1500], [cx + 2000, cy + 1500], [cx - 2000, cy + 1500]],
+            dtype=np.float64,
+        )
+        rings[i] = [ring]
+        tris.append((i, G.wkb_polygon([ring])))
+    # concave L-shape spanning many points (general even-odd path)
+    L = np.array(
+        [
+            [-40000, -20000], [10000, -20000], [10000, 0],
+            [-15000, 0], [-15000, 20000], [-40000, 20000],
+        ],
+        dtype=np.float64,
+    )
+    rings[99] = [L]
+    tris.append((99, G.wkb_polygon([L])))
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [t[0] for t in tris], "wkb": [t[1] for t in tris]})
+    )
+
+    got = {
+        (r["point_id"], r["poly_id"])
+        for r in points_in_polygons_join(points, polys).collect()
+    }
+
+    want = set()
+    for pid in range(n):
+        for qid, rr in rings.items():
+            if qid == 99:
+                ok = scalar_pip(float(px[pid]), float(py[pid]), rr)
+            else:
+                ok = bool(
+                    G.points_in_convex(
+                        np.array([float(px[pid])]), np.array([float(py[pid])]),
+                        rr[0],
+                    )[0]
+                )
+            if ok:
+                want.add((pid, qid))
+    assert got == want and len(want) > 12  # every seed point self-matches
