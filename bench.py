@@ -72,6 +72,8 @@ HEADLINE_INPUTS = {
     "aspect_batches": "events",  # synthetic images, count independent of sf
     # round 3 (cont.): large×large points-in-POLYGONS join (WKB table side)
     "points_in_polygons": "events",
+    # round 3 (cont.): PBSM extent×extent overlap join (reporting-cell dedup)
+    "envelopes_overlap": "events",
 }
 HEADLINE = list(HEADLINE_INPUTS)
 

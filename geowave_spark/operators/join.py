@@ -184,3 +184,127 @@ def points_in_polygons_join(
         )
     )
     return refined.select(point_id, poly_id, "lon_milli", "lat_milli")
+
+
+def _fixed_cover(
+    df: DataFrame,
+    id_col: str,
+    env_cols: tuple[str, str, str, str],
+    res: int,
+    max_cells_per_row: int,
+    prefix: str,
+    keep_xy: bool,
+) -> DataFrame:
+    """Cover of each envelope on the FIXED res-``res`` grid (PBSM tile
+    grid) — same explode/guard discipline as index_envelopes_milli, at one
+    shared resolution so two covered tables can equi-join on the cell."""
+    from geowave_spark.functions import cols as X
+    from geowave_spark.operators.index import _invariant_guard
+    from geowave_spark.session import spread
+
+    mnx, mny, mxx, mxy = env_cols
+    r = F.lit(res).cast("long")
+    d = spread(df).select(
+        F.col(id_col),
+        F.col(mnx).alias(f"{prefix}minx"),
+        F.col(mny).alias(f"{prefix}miny"),
+        F.col(mxx).alias(f"{prefix}maxx"),
+        F.col(mxy).alias(f"{prefix}maxy"),
+    )
+    d = (
+        d.withColumn("_ix0", X.grid_milli_col(F.col(f"{prefix}minx"), 180_000, C.LON_SPAN_MILLI, r))
+        .withColumn("_ix1", X.grid_milli_col(F.col(f"{prefix}maxx"), 180_000, C.LON_SPAN_MILLI, r))
+        .withColumn("_iy0", X.grid_milli_col(F.col(f"{prefix}miny"), 90_000, C.LAT_SPAN_MILLI, r))
+        .withColumn("_iy1", X.grid_milli_col(F.col(f"{prefix}maxy"), 90_000, C.LAT_SPAN_MILLI, r))
+    )
+    d = d.filter(_invariant_guard(
+        ((F.col("_ix1") - F.col("_ix0") + 1) * (F.col("_iy1") - F.col("_iy0") + 1)
+         > max_cells_per_row)
+        | (F.col("_ix1") < F.col("_ix0"))
+        | (F.col("_iy1") < F.col("_iy0")),
+        "envelopes_overlap_join: envelope cover exceeds max_cells_per_row "
+        "at the chosen grid resolution (raise res or the bound) or the "
+        "envelope is inverted — never silently truncate",
+    ))
+    d = (
+        d.withColumn("_cx", F.explode(F.sequence(F.col("_ix0"), F.col("_ix1"))))
+        .withColumn("_cy", F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))))
+        .drop("_ix0", "_ix1", "_iy0", "_iy1")
+    )
+    cell = X.pack_col(F.col("_cx"), F.col("_cy"), r)
+    if keep_xy:
+        return d.withColumn("cell", cell)
+    return d.withColumn("cell", cell).drop("_cx", "_cy")
+
+
+def envelopes_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+    res: int = 8,
+    left_env: tuple[str, str, str, str] = ("minx_m", "miny_m", "maxx_m", "maxy_m"),
+    right_env: tuple[str, str, str, str] = ("minx_m", "miny_m", "maxx_m", "maxy_m"),
+    max_cells_per_row: int = 4096,
+) -> DataFrame:
+    """All (left, right) envelope pairs that OVERLAP (closed integer milli
+    bounds) — extent×extent with BOTH sides large, the dual-extent join
+    GeoWave's sorted scan has no primitive for (its geometry joins fall
+    back to the per-row UDF cross join, SqlQueryRunner.java).
+
+    PBSM shape (Patel & DeWitt's partition-based spatial-merge join):
+    both sides explode to their covering cells of ONE fixed grid
+    (``res`` is a parallelism dial with zero effect on results), a
+    shuffle equi-join on the cell meets every overlapping pair in every
+    shared cell, and the REPORTING-CELL rule keeps exactly one copy: a
+    pair counts only in the cell containing the intersection's
+    (minx, miny) corner.  That corner lies inside both envelopes, so its
+    cell is always among the join matches — duplicate elimination is a
+    codegen comparison, not a dropDuplicates shuffle, and the output is
+    provably duplicate-free.
+
+    Returns (left_id, right_id, inter_w_milli, inter_h_milli) — the
+    closed-bounds intersection extent, exact integers.
+
+    100 TB posture: explode factor bounded by ``max_cells_per_row``
+    (guarded, never truncated), one shuffle join on the grid cell (AQE
+    splits hot cells; res is the skew dial), zero post-join dedup.
+    """
+    if left_id == right_id:
+        raise ValueError(
+            "envelopes_overlap_join: alias the id columns apart "
+            f"(both sides use {left_id!r})"
+        )
+    lc = _fixed_cover(left, left_id, left_env, res, max_cells_per_row, "_l", True)
+    rc = _fixed_cover(right, right_id, right_env, res, max_cells_per_row, "_r", False)
+    j = lc.join(rc, "cell")
+    r = F.lit(res).cast("long")
+    from geowave_spark.functions import cols as X
+
+    overlap = (
+        (F.col("_lminx") <= F.col("_rmaxx"))
+        & (F.col("_rminx") <= F.col("_lmaxx"))
+        & (F.col("_lminy") <= F.col("_rmaxy"))
+        & (F.col("_rminy") <= F.col("_lmaxy"))
+    )
+    gx = X.grid_milli_col(
+        F.greatest(F.col("_lminx"), F.col("_rminx")), 180_000, C.LON_SPAN_MILLI, r
+    )
+    gy = X.grid_milli_col(
+        F.greatest(F.col("_lminy"), F.col("_rminy")), 90_000, C.LAT_SPAN_MILLI, r
+    )
+    out = j.filter(overlap & (gx == F.col("_cx")) & (gy == F.col("_cy")))
+    return out.select(
+        left_id,
+        right_id,
+        (
+            F.least(F.col("_lmaxx"), F.col("_rmaxx"))
+            - F.greatest(F.col("_lminx"), F.col("_rminx"))
+            + 1
+        ).alias("inter_w_milli"),
+        (
+            F.least(F.col("_lmaxy"), F.col("_rmaxy"))
+            - F.greatest(F.col("_lminy"), F.col("_rminy"))
+            + 1
+        ).alias("inter_h_milli"),
+    )

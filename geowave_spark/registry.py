@@ -3288,3 +3288,44 @@ WHERE {dx} * (p.lat_milli - (t.cy - {dy})) - {dy * 2} * (p.lon_milli - t.cx) >= 
 register_extra(
     "points_in_polygons", q_points_in_polygons, _points_in_polygons_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# Extent×extent overlap join (operators/join.envelopes_overlap_join): PBSM
+# fixed-grid cover join with reporting-cell dedup — every 13th footprint
+# against all footprints, closed-bounds overlap, exact integer intersection
+# extents.
+# ---------------------------------------------------------------------------
+
+
+def q_envelopes_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = TB.geo_footprints(spark, sf_dir)
+    left = fp.filter(F.col("event_id") % 13 == 0).select(
+        F.col("event_id").alias("l_id"), "minx_m", "miny_m", "maxx_m", "maxy_m"
+    )
+    right = fp.select(
+        F.col("event_id").alias("r_id"), "minx_m", "miny_m", "maxx_m", "maxy_m"
+    )
+    from geowave_spark.operators.join import envelopes_overlap_join
+
+    return envelopes_overlap_join(left, right, res=8)
+
+
+def _envelopes_overlap_oracle() -> str:
+    return f"""
+WITH fp AS ({TB.GEO_FOOTPRINTS_SQL})
+SELECT l.event_id AS l_id, r.event_id AS r_id,
+       CAST(least(l.maxx_m, r.maxx_m) - greatest(l.minx_m, r.minx_m) + 1
+            AS BIGINT) AS inter_w_milli,
+       CAST(least(l.maxy_m, r.maxy_m) - greatest(l.miny_m, r.miny_m) + 1
+            AS BIGINT) AS inter_h_milli
+FROM fp l, fp r
+WHERE l.event_id % 13 = 0
+  AND l.minx_m <= r.maxx_m AND r.minx_m <= l.maxx_m
+  AND l.miny_m <= r.maxy_m AND r.miny_m <= l.maxy_m
+"""
+
+
+register_extra(
+    "envelopes_overlap", q_envelopes_overlap, _envelopes_overlap_oracle()
+)

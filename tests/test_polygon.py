@@ -202,3 +202,70 @@ def test_points_in_polygons_join_bruteforce(spark):
             if ok:
                 want.add((pid, qid))
     assert got == want and len(want) > 12  # every seed point self-matches
+
+
+def test_envelopes_overlap_join_bruteforce(spark):
+    """PBSM extent×extent overlap join: brute-force parity, res-invariance
+    (grid resolution is a dial, not a semantic), duplicate-freeness, and
+    the never-truncate guard."""
+    import pandas as pd
+    import pytest
+
+    from geowave_spark.operators.join import envelopes_overlap_join
+
+    rng = np.random.RandomState(11)
+    def mk(n, seed_off):
+        cx = rng.randint(-160000, 160000, n)
+        cy = rng.randint(-80000, 80000, n)
+        hw = rng.randint(10, 1200, n)
+        hh = rng.randint(10, 1200, n)
+        return pd.DataFrame(
+            {
+                "id": np.arange(n) + seed_off,
+                "minx_m": cx - hw, "miny_m": cy - hh,
+                "maxx_m": cx + hw, "maxy_m": cy + hh,
+            }
+        )
+
+    lp, rp = mk(150, 0), mk(400, 1000)
+    left = spark.createDataFrame(lp).withColumnRenamed("id", "l_id")
+    right = spark.createDataFrame(rp).withColumnRenamed("id", "r_id")
+
+    def brute():
+        out = set()
+        for l in lp.itertuples():
+            for r in rp.itertuples():
+                if (
+                    l.minx_m <= r.maxx_m and r.minx_m <= l.maxx_m
+                    and l.miny_m <= r.maxy_m and r.miny_m <= l.maxy_m
+                ):
+                    out.add((l.id, r.id))
+        return out
+
+    want = brute()
+    for res in (6, 9):
+        rows = envelopes_overlap_join(left, right, res=res).collect()
+        got = [(r["l_id"], r["r_id"]) for r in rows]
+        assert set(got) == want
+        assert len(got) == len(set(got))  # reporting-cell rule: no dups
+        for r in rows:  # exact closed-bounds intersection extents
+            assert r["inter_w_milli"] >= 1 and r["inter_h_milli"] >= 1
+
+    # guard: a world-spanning envelope at a fine grid must FAIL, not
+    # silently truncate its cover
+    wide = spark.createDataFrame(
+        pd.DataFrame(
+            {"l_id": [0], "minx_m": [-179000], "miny_m": [-89000],
+             "maxx_m": [179000], "maxy_m": [89000]}
+        )
+    )
+    with pytest.raises(Exception, match="max_cells_per_row"):
+        envelopes_overlap_join(
+            wide, right, res=9, max_cells_per_row=64
+        ).collect()
+
+    # id-collision misuse fails fast
+    with pytest.raises(ValueError, match="alias"):
+        envelopes_overlap_join(left.withColumnRenamed("l_id", "id"),
+                               right.withColumnRenamed("r_id", "id"),
+                               left_id="id", right_id="id")
