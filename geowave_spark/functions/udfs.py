@@ -181,6 +181,82 @@ def wkb_envelope_cols(wkb: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(envs, columns=["minx", "miny", "maxx", "maxy"])
 
 
+@F.pandas_udf(
+    T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("x0", T.DoubleType()),
+                T.StructField("y0", T.DoubleType()),
+                T.StructField("dx", T.DoubleType()),
+                T.StructField("dy", T.DoubleType()),
+            ]
+        )
+    )
+)
+def convex_edges_col(wkb: pd.Series) -> pd.Series:
+    """CCW convex single-ring polygons → their edge strip
+    (x0, y0, dx, dy) so the PIP refine runs as a pure JVM
+    ``forall(edges, sign >= 0)`` — zero Python in the pair path; NULL for
+    general geometries (they fall back to the Arrow even-odd kernel).
+    One parse per POLYGON row (the small side), not per candidate pair."""
+    out = []
+    for buf in wkb:
+        polys = G.polygon_rings(buf)
+        if (
+            len(polys) != 1
+            or len(polys[0]) != 1
+            or not G.is_convex_ccw(polys[0][0])
+        ):
+            out.append(None)
+            continue
+        ring = np.asarray(polys[0][0], dtype=np.float64)
+        if np.array_equal(ring[0], ring[-1]):
+            ring = ring[:-1]
+        edges = []
+        n = len(ring)
+        for i in range(n):
+            x0, y0 = ring[i]
+            x1, y1 = ring[(i + 1) % n]
+            edges.append(
+                {"x0": float(x0), "y0": float(y0),
+                 "dx": float(x1 - x0), "dy": float(y1 - y0)}
+            )
+        out.append(edges)
+    return pd.Series(out)
+
+
+UNROLL_EDGE_CAP = 24
+
+
+def convex_forall_refine(edges, px, py, max_edges: int | None = None):
+    """JVM half-plane refine over an edge-strip column — the same exact
+    IEEE multiply/subtract as points_in_convex and the SQL sign-test
+    oracles.
+
+    Higher-order functions are NOT whole-stage-codegen'd (measured 4.5s
+    forall vs 1.0s unrolled on a 6M-pair refine), so when the group's
+    max edge count is known (one tiny aggregate on the polygon side) the
+    test unrolls into a plain conjunction: term i is null-safe
+    ``coalesce(sign(get(edges, i)), TRUE)`` — a missing edge (shorter
+    ring) is vacuously true.  Rings beyond ``UNROLL_EDGE_CAP`` fall back
+    to forall rather than risk the 64 KB codegen limit."""
+    if max_edges is None or max_edges > UNROLL_EDGE_CAP:
+        return F.forall(
+            edges,
+            lambda e: (e["dx"] * (py - e["y0"]) - e["dy"] * (px - e["x0"]))
+            >= F.lit(0.0),
+        )
+    pred = F.lit(True)
+    for i in range(max_edges):
+        e = F.get(edges, i)
+        term = F.coalesce(
+            (e["dx"] * (py - e["y0"]) - e["dy"] * (px - e["x0"])) >= F.lit(0.0),
+            F.lit(True),
+        )
+        pred = pred & term
+    return pred
+
+
 def pip_pairs_refine(wkb: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
     """Exact PIP over candidate (polygon-wkb, point) PAIRS — the refine
     stage of the large×large points-in-polygons join.  Rows group by

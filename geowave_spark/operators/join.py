@@ -136,9 +136,13 @@ def points_in_polygons_join(
     unindexed cross product.  Here the polygon side rides the envelope
     machinery: vectorized WKB→envelope extraction, multi-cell tier
     indexing (≤4 cells/row), the dedup-free point-parent equi-join of
-    :func:`points_in_envelopes_join`, then ONE Arrow refine over the
-    candidate pairs (parse-once per distinct polygon per batch, convex
-    half-plane fast path).
+    :func:`points_in_envelopes_join` with a codegen envelope prefilter,
+    then the exact refine: convex rings as an UNROLLED half-plane
+    conjunction over a pre-parsed edge-strip column (pure codegen — the
+    forall HOF formulation measured 4.4× slower because higher-order
+    functions are never whole-stage-codegen'd), general geometries
+    through one Arrow even-odd branch (parse-once per distinct polygon
+    per batch) that exists only when the probe sees a non-convex row.
 
     Coordinate contract: the polygon WKB coordinates are in the SAME
     units as the point table's ``lon_milli``/``lat_milli`` integer grid
@@ -162,27 +166,62 @@ def points_in_polygons_join(
         F.round(F.col("_env.maxx")).cast("long").alias("maxx_m"),
         F.round(F.col("_env.maxy")).cast("long").alias("maxy_m"),
     )
+    # edges = the convex half-plane strip (NULL for general geometries):
+    # parsed once per POLYGON row, so convex refinement later runs as pure
+    # JVM codegen over the candidate pairs — zero Python in the pair path.
+    env = env.withColumn("_edges", U.convex_edges_col(F.col(wkb_col)))
     indexed = OI.index_envelopes_milli(env, id_col=poly_id).select(
-        poly_id, "cell", "tier", wkb_col
-    )
+        poly_id, "cell", "tier", wkb_col, "_edges",
+        "minx_m", "miny_m", "maxx_m", "maxy_m",
+    ).localCheckpoint()
+    # one tiny aggregate over the (small) polygon side answers BOTH plan
+    # questions: which tiers are occupied, and whether any general
+    # (non-convex) geometry needs the Arrow fallback branch — the
+    # localCheckpoint above keeps this from re-running the WKB parse.
+    probe = indexed.agg(
+        F.collect_set("tier").alias("tiers"),
+        F.max(F.col("_edges").isNull()).alias("has_general"),
+        F.max(F.coalesce(F.size("_edges"), F.lit(0))).alias("max_edges"),
+    ).collect()[0]
     if env_tiers is None:
-        env_tiers = [int(r[0]) for r in indexed.select("tier").distinct().collect()]
+        env_tiers = [int(t) for t in probe["tiers"]]
     env_tiers = sorted(set(env_tiers))
+    has_general = bool(probe["has_general"])
     indexed = indexed.drop("tier")
+    if not has_general:
+        # every geometry is convex: the WKB never feeds the refine, so it
+        # must not ride the pair shuffle (the _edges strip is the whole
+        # geometry as far as the join is concerned)
+        indexed = indexed.drop(wkb_col)
 
     pts = point_tier_keys(points, point_id=point_id, env_tiers=env_tiers)
-    candidates = pts.join(indexed, pts["_jkey"] == indexed["cell"])
-    # same dedup-free argument as points_in_envelopes_join: one parent key
-    # per (point, tier), distinct cells per polygon tier — a pair meets on
-    # at most one key.  The envelope prefilter is implied by the cell
-    # cover; the exact refine is the single Arrow pass below.
-    refined = candidates.filter(
-        U.pip_pairs_refine_udf(
-            F.col(wkb_col),
-            F.col("lon_milli").cast("double"),
-            F.col("lat_milli").cast("double"),
-        )
+    px = F.col("lon_milli").cast("double")
+    py = F.col("lat_milli").cast("double")
+    # dedup-free (same argument as points_in_envelopes_join: one parent
+    # key per point and tier, distinct cells per polygon).  The exact
+    # ENVELOPE containment runs as a codegen prefilter — the polygon tier
+    # can be much coarser than the polygon (small-extent geometries), so
+    # cell candidates vastly outnumber envelope hits.
+    candidates = pts.join(indexed, pts["_jkey"] == indexed["cell"]).filter(
+        (F.col("lon_milli") >= F.col("minx_m"))
+        & (F.col("lon_milli") <= F.col("maxx_m"))
+        & (F.col("lat_milli") >= F.col("miny_m"))
+        & (F.col("lat_milli") <= F.col("maxy_m"))
     )
+    convex_hit = F.col("_edges").isNotNull() & U.convex_forall_refine(
+        F.col("_edges"), px, py, max_edges=int(probe["max_edges"])
+    )
+    if not has_general:
+        refined = candidates.filter(convex_hit)
+    else:
+        # general geometries exist: one extra branch refines their rows
+        # through the Arrow even-odd kernel (parse-once per distinct
+        # polygon per batch); the convex branch stays pure codegen.
+        conv = candidates.filter(convex_hit)
+        gen = candidates.filter(F.col("_edges").isNull()).filter(
+            U.pip_pairs_refine_udf(F.col(wkb_col), px, py)
+        )
+        refined = conv.unionByName(gen)
     return refined.select(point_id, poly_id, "lon_milli", "lat_milli")
 
 
