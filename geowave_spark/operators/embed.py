@@ -451,19 +451,25 @@ def neardup_pairs_q(
         pairs = a.join(b, ["_band", "_blk"]).filter(F.col("id_a") < F.col("id_b"))
         # first-matching-band emission: every band j < _band must MISS
         # (hamming > probe_hamming) — all column math, no distinct shuffle.
-        # _band == 0 is guarded separately: sequence(0, -1) would DESCEND.
-        no_earlier = F.forall(
-            F.sequence(F.lit(0), F.col("_band") - 1),
-            lambda j: F.bit_count(
-                F.element_at(F.col("_bksa"), j + 1).bitwiseXOR(
-                    F.element_at(F.col("_bksb"), j + 1)
+        # ``bands`` is a plan-time constant, so the per-band tests unroll
+        # into a plain conjunction (term j is vacuously true once
+        # j >= _band): HOFs like forall are never whole-stage-codegen'd
+        # and ran interpreted per candidate pair (see PLANS.md, same trap
+        # as the points_in_polygons refine).
+        no_earlier = F.lit(True)
+        for j in range(bands - 1):
+            miss_j = (
+                F.bit_count(
+                    F.element_at(F.col("_bksa"), j + 1).bitwiseXOR(
+                        F.element_at(F.col("_bksb"), j + 1)
+                    )
                 )
+                > F.lit(probe_hamming)
             )
-            > F.lit(probe_hamming),
-        )
-        pairs = pairs.filter(
-            F.when(F.col("_band") == 0, F.lit(True)).otherwise(no_earlier)
-        )
+            no_earlier = no_earlier & (
+                (F.lit(j) >= F.col("_band")) | miss_j
+            )
+        pairs = pairs.filter(no_earlier)
     cos = F.round(dot_col("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6)
     return (
         pairs.withColumn("cos", cos)
