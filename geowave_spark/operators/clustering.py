@@ -825,3 +825,134 @@ def strip_weak_centroids(
     position = strip_weak_break_point([r["n"] for r in rows])
     position = min(max(minimum, position), maximum)
     return [r[cluster_col] for r in rows[:position]]
+
+
+def kmeans_grouped(
+    pts: DataFrame,
+    k: int,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Deterministic Lloyd's KMeans WITHIN every group simultaneously —
+    the engine of :func:`kmeans_multilevel`.  ``pts`` needs
+    (pid, px, py, grp); returns (pid, grp, cluster 0..k-1).
+
+    All groups advance in ONE job per step (never one job per group —
+    the reference runs its per-zoom clustering as single MR passes over
+    all groups too, GroupAssignmentMapReduce.java).  Seeding is the
+    deterministic farthest-point rule per group: first seed = the
+    group's min pid, then k-1 rounds each picking every group's argmax
+    of min-distance-to-seeds via one window.  Driver state is bounded by
+    groups × k centroid rows (the kNN-ring collect discipline)."""
+    from pyspark.sql import Window
+
+    spark = pts.sparkSession
+    pts = pts.select("pid", "px", "py", "grp").localCheckpoint()
+
+    w_first = Window.partitionBy("grp").orderBy(F.col("pid").asc())
+    seeds = (
+        pts.withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") == 1)
+        .select("grp", F.lit(0).alias("cluster"), F.col("px").alias("cx"),
+                F.col("py").alias("cy"))
+        .localCheckpoint()
+    )
+    for i in range(1, k):
+        d2 = (F.col("px") - F.col("cx")) ** 2 + (F.col("py") - F.col("cy")) ** 2
+        near = (
+            pts.join(F.broadcast(seeds), "grp")
+            .groupBy("grp", "pid", "px", "py")
+            .agg(F.min(d2).alias("_nd"))
+        )
+        w = Window.partitionBy("grp").orderBy(
+            F.col("_nd").desc(), F.col("pid").asc()
+        )
+        nxt = (
+            near.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("grp", F.lit(i).alias("cluster"),
+                    F.col("px").alias("cx"), F.col("py").alias("cy"))
+        )
+        seeds = seeds.unionByName(nxt).localCheckpoint()
+
+    centroids = [
+        (r["grp"], int(r["cluster"]), float(r["cx"]), float(r["cy"]))
+        for r in seeds.collect()
+    ]
+    assigned = None
+    for _ in range(max_iter):
+        cdf = spark.createDataFrame(
+            centroids, "grp long, cluster int, cx double, cy double"
+        )
+        d2 = (F.col("px") - F.col("cx")) ** 2 + (F.col("py") - F.col("cy")) ** 2
+        w = Window.partitionBy("grp", "pid").orderBy(
+            d2.asc(), F.col("cluster").asc()
+        )
+        assigned = (
+            pts.join(F.broadcast(cdf), "grp")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("pid", "grp", "px", "py", "cluster")
+        )
+        new_c = (
+            assigned.groupBy("grp", "cluster")
+            .agg(F.avg("px").alias("cx"), F.avg("py").alias("cy"))
+            .collect()
+        )
+        nc = sorted(
+            (r["grp"], int(r["cluster"]), r["cx"], r["cy"]) for r in new_c
+        )
+        if nc == centroids:
+            break
+        centroids = nc
+    return assigned.select("pid", "grp", "cluster")
+
+
+def kmeans_multilevel(
+    data: DataFrame,
+    k: int,
+    zoom_levels: int,
+    id_col: str = "event_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Zoom-hierarchy clustering — the reference's multi-level runners
+    (analytics/mapreduce/.../clustering/runner/
+    MultiLevelClusteringJobRunner.java:160-205: per zoom level, cluster
+    WITHIN each previous-level group, then group-assign for the next
+    level; MultiLevelKMeansClusteringJobRunner / ...JumpKMeans... pick
+    the per-level engine).
+
+    Returns one row per (point, level): (id, zoom_level, cluster) where
+    ``cluster`` at level L nests in its parent by integer division —
+    ``cluster // k`` is the level L-1 label (the reference threads the
+    same lineage through its group ids).  Labels are deterministic
+    (farthest-point seeding, id tie-breaks).
+
+    Scale: each level runs ALL parent groups in one Lloyd job per
+    iteration; driver state is bounded by k^level centroid rows per
+    collect, and the per-level label table is localCheckpoint'd so the
+    lineage never compounds across levels (driver-looped iteration
+    rule)."""
+    pts = data.select(
+        F.col(id_col).alias("pid"),
+        F.col("lon_milli").cast("double").alias("px"),
+        F.col("lat_milli").cast("double").alias("py"),
+    ).withColumn("grp", F.lit(0).cast("long"))
+
+    out = None
+    for level in range(1, zoom_levels + 1):
+        lab = kmeans_grouped(pts, k, max_iter=max_iter)
+        lab = lab.withColumn(
+            "cluster", (F.col("grp") * k + F.col("cluster")).cast("long")
+        )
+        lvl = lab.select(
+            F.col("pid").alias(id_col),
+            F.lit(level).alias("zoom_level"),
+            "cluster",
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+        pts = (
+            pts.drop("grp")
+            .join(lab.select("pid", F.col("cluster").alias("grp")), "pid")
+            .localCheckpoint()
+        )
+    return out

@@ -414,3 +414,67 @@ def test_kmeans_parallel_init_mode(spark):
     assert parts(a) == parts(b)
     with pytest.raises(ValueError, match="init"):
         kmeans(df, 3, init="random")
+
+
+def test_kmeans_multilevel_blob_recovery(spark):
+    """Zoom hierarchy (MultiLevelClusteringJobRunner parity): 4 separated
+    blobs, k=2, 2 levels — level 1 finds the 2 super-groups, level 2
+    splits each into its 2 blobs; labels nest by integer division and are
+    deterministic."""
+    import pandas as pd
+
+    from geowave_spark.operators.clustering import kmeans_multilevel
+
+    rng = np.random.RandomState(3)
+    centers = [(-60000, -40000), (-60000, 40000), (60000, -40000), (60000, 40000)]
+    rows = []
+    for b, (cx, cy) in enumerate(centers):
+        for i in range(60):
+            rows.append(
+                (b * 60 + i, cx + int(rng.randint(-2000, 2000)),
+                 cy + int(rng.randint(-2000, 2000)), b)
+            )
+    pdf = pd.DataFrame(rows, columns=["event_id", "lon_milli", "lat_milli", "blob"])
+    df = spark.createDataFrame(pdf)
+
+    out = kmeans_multilevel(df, k=2, zoom_levels=2).toPandas()
+    assert set(out["zoom_level"]) == {1, 2}
+    l1 = out[out.zoom_level == 1].set_index("event_id")["cluster"]
+    l2 = out[out.zoom_level == 2].set_index("event_id")["cluster"]
+
+    # level 1: the two super-groups (west blobs 0,1 vs east blobs 2,3)
+    side = pdf.set_index("event_id")["blob"] // 2
+    assert l1.groupby(side).nunique().max() == 1  # one label per side
+    assert l1.nunique() == 2
+    # level 2: four leaf clusters, one per blob, nested in their parent
+    blob = pdf.set_index("event_id")["blob"]
+    assert l2.groupby(blob).nunique().max() == 1
+    assert l2.nunique() == 4
+    nested = (l2 // 2).astype(int)
+    assert (nested == l1.loc[nested.index]).all()
+
+    # determinism across repartition
+    out2 = kmeans_multilevel(df.repartition(13), k=2, zoom_levels=2).toPandas()
+    a = out.sort_values(["zoom_level", "event_id"]).reset_index(drop=True)
+    b = out2.sort_values(["zoom_level", "event_id"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_kmeans_grouped_small_groups(spark):
+    """Groups with fewer than k points degrade gracefully (m effective
+    clusters, no crash, deterministic)."""
+    import pandas as pd
+
+    from geowave_spark.operators.clustering import kmeans_grouped
+
+    pdf = pd.DataFrame(
+        {
+            "pid": [1, 2, 3, 4],
+            "px": [0.0, 10.0, 1000.0, 1001.0],
+            "py": [0.0, 0.0, 0.0, 0.0],
+            "grp": [0, 0, 1, 1],
+        }
+    )
+    out = kmeans_grouped(spark.createDataFrame(pdf), k=3).toPandas()
+    assert len(out) == 4
+    assert out.groupby("grp")["cluster"].nunique().tolist() == [2, 2]
