@@ -282,7 +282,24 @@ def cmd_analytic(args, spark_injected, out) -> int:
     elif args.analytic_cmd == "kmeans":
         from geowave_spark.operators.clustering import kmeans
 
-        res = kmeans(data, k=args.k, id_col=args.id_col)
+        if args.zoom_levels > 1:
+            # Clustering.ZOOM_LEVELS (MultiLevelClusteringJobRunner):
+            # cluster within each previous level's groups; --hulls then
+            # renders the finest level's clusters.
+            from geowave_spark.operators.clustering import kmeans_multilevel
+
+            res = kmeans_multilevel(
+                data, k=args.k, zoom_levels=args.zoom_levels,
+                id_col=args.id_col,
+            )
+            if args.hulls:
+                from pyspark.sql import functions as F
+
+                res = res.filter(
+                    F.col("zoom_level") == args.zoom_levels
+                ).drop("zoom_level")
+        else:
+            res = kmeans(data, k=args.k, id_col=args.id_col)
         if args.hulls:
             # KmeansSparkCommand.java:128-130 setGenerateHulls: emit the
             # per-cluster hull geometries instead of bare labels.
@@ -454,6 +471,7 @@ def _build_parser() -> argparse.ArgumentParser:
     m = ans.add_parser("kmeans")
     m.add_argument("store")
     m.add_argument("-k", type=int, default=5)
+    m.add_argument("--zoom-levels", type=int, default=1)
     n = ans.add_parser("nn")
     n.add_argument("store")
     n.add_argument("--lon", type=float, required=True)

@@ -230,3 +230,33 @@ def test_cli_remote(spark, sf_dir, tmp_path):
 
     _run(spark, tmp_path, "remote", "clear", "b")
     assert not os.path.exists(s2)
+
+
+def test_cli_kmeans_multilevel(spark, sf_dir, tmp_path):
+    """--zoom-levels (Clustering.ZOOM_LEVELS parity): per-level labels;
+    with --hulls only the finest level's cluster geometries emit."""
+    src = str(tmp_path / "src")
+    TB.geo_events(spark, sf_dir).select("event_id", "lon", "lat").limit(
+        400
+    ).write.parquet(src)
+    _run(spark, tmp_path, "config", "addstore", "ev", "--path", str(tmp_path / "s"))
+    _run(spark, tmp_path, "config", "addindex", "sp")
+    _run(spark, tmp_path, "ingest", src, "ev", "sp", "--format", "parquet")
+
+    got = _run(
+        spark, tmp_path, "analytic", "kmeans", "ev",
+        "-k", "2", "--zoom-levels", "2", "--limit", "1000",
+    )
+    head = got.splitlines()[0].split("\t")
+    assert "zoom_level" in head
+    levels = {line.split("\t")[head.index("zoom_level")]
+              for line in got.strip().splitlines()[1:]}
+    assert levels == {"1", "2"}
+
+    hulls = _run(
+        spark, tmp_path, "analytic", "kmeans", "ev",
+        "-k", "2", "--zoom-levels", "2", "--hulls", "--limit", "10",
+    )
+    hh = hulls.splitlines()[0].split("\t")
+    assert "hull_wkb" in hh and "zoom_level" not in hh
+    assert len(hulls.strip().splitlines()) <= 5  # header + ≤4 leaf hulls
