@@ -367,15 +367,15 @@ def cmd_remote(args, spark_injected, out) -> int:
         print(json.dumps(cfg.get("indexes", {}), indent=2, sort_keys=True), file=out)
         return 0
     path = _store_path(cfg, args.store)
-    spark = _spark(args, spark_injected)
-    from geowave_spark.operators import index as OI
-
     if args.remote_cmd == "clear":
+        # no Spark session needed — keep `clear` instant
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
         print(f"cleared store {args.store}", file=out)
         return 0
+    spark = _spark(args, spark_injected)
+    from geowave_spark.operators import index as OI
     if args.remote_cmd == "copy":
         dest = _store_path(cfg, args.dest)
         OI.write_indexed(

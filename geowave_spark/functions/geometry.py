@@ -274,6 +274,22 @@ def points_in_convex(px, py, ring: np.ndarray) -> np.ndarray:
     return inside
 
 
+def convex_open_ring(buf: bytes) -> np.ndarray | None:
+    """The single CCW-convex ring of ``buf`` with its closing vertex
+    stripped, or None when the geometry is not a single convex ring —
+    the ONE definition of the convex fast-path eligibility test shared
+    by the JVM half-plane refine (operators/polygon._convex_refine_col),
+    the edge-strip extraction (udfs.convex_edges_col) and the Arrow pair
+    refine (udfs.pip_pairs_refine)."""
+    polys = polygon_rings(buf)
+    if len(polys) != 1 or len(polys[0]) != 1 or not is_convex_ccw(polys[0][0]):
+        return None
+    ring = np.asarray(polys[0][0], dtype=np.float64)
+    if np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    return ring
+
+
 def is_convex_ccw(ring: np.ndarray) -> bool:
     ring = np.asarray(ring, dtype=np.float64)
     if np.array_equal(ring[0], ring[-1]):

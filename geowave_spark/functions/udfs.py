@@ -119,9 +119,7 @@ def make_pip_refine(wkb: bytes):
     polys = G.polygon_rings(wkb)
     # convex fast path: single ring, CCW convex → half-plane sign tests
     # (no division; bit-identical to a SQL half-plane predicate)
-    convex_ring = None
-    if len(polys) == 1 and len(polys[0]) == 1 and G.is_convex_ccw(polys[0][0]):
-        convex_ring = polys[0][0]
+    convex_ring = G.convex_open_ring(wkb)
 
     @F.pandas_udf(T.BooleanType())
     def pip(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -201,17 +199,10 @@ def convex_edges_col(wkb: pd.Series) -> pd.Series:
     One parse per POLYGON row (the small side), not per candidate pair."""
     out = []
     for buf in wkb:
-        polys = G.polygon_rings(buf)
-        if (
-            len(polys) != 1
-            or len(polys[0]) != 1
-            or not G.is_convex_ccw(polys[0][0])
-        ):
+        ring = G.convex_open_ring(buf)
+        if ring is None:
             out.append(None)
             continue
-        ring = np.asarray(polys[0][0], dtype=np.float64)
-        if np.array_equal(ring[0], ring[-1]):
-            ring = ring[:-1]
         edges = []
         n = len(ring)
         for i in range(n):
@@ -271,15 +262,11 @@ def pip_pairs_refine(wkb: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
     codes, uniques = pd.factorize(wkb)
     for u, buf in enumerate(uniques):
         pos = np.nonzero(codes == u)[0]
-        polys = G.polygon_rings(buf)
-        if (
-            len(polys) == 1
-            and len(polys[0]) == 1
-            and G.is_convex_ccw(polys[0][0])
-        ):
-            out[pos] = G.points_in_convex(x[pos], y[pos], polys[0][0])
+        ring = G.convex_open_ring(buf)
+        if ring is not None:
+            out[pos] = G.points_in_convex(x[pos], y[pos], ring)
         else:
-            out[pos] = G.points_in_polygon(x[pos], y[pos], polys)
+            out[pos] = G.points_in_polygon(x[pos], y[pos], G.polygon_rings(buf))
     return pd.Series(out)
 
 

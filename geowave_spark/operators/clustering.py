@@ -874,10 +874,12 @@ def kmeans_grouped(
         )
         seeds = seeds.unionByName(nxt).localCheckpoint()
 
-    centroids = [
+    # sorted like the per-iteration rebuild below, so an already-converged
+    # seeding exits after ONE Lloyd pass instead of never matching on order
+    centroids = sorted(
         (r["grp"], int(r["cluster"]), float(r["cx"]), float(r["cy"]))
         for r in seeds.collect()
-    ]
+    )
     assigned = None
     for _ in range(max_iter):
         cdf = spark.createDataFrame(
@@ -932,6 +934,8 @@ def kmeans_multilevel(
     collect, and the per-level label table is localCheckpoint'd so the
     lineage never compounds across levels (driver-looped iteration
     rule)."""
+    if zoom_levels < 1:
+        raise ValueError(f"zoom_levels must be >= 1, got {zoom_levels}")
     pts = data.select(
         F.col(id_col).alias("pid"),
         F.col("lon_milli").cast("double").alias("px"),

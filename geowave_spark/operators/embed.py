@@ -456,9 +456,8 @@ def neardup_pairs_q(
         # j >= _band): HOFs like forall are never whole-stage-codegen'd
         # and ran interpreted per candidate pair (see PLANS.md, same trap
         # as the points_in_polygons refine).
-        no_earlier = F.lit(True)
-        for j in range(bands - 1):
-            miss_j = (
+        def miss(j):
+            return (
                 F.bit_count(
                     F.element_at(F.col("_bksa"), j + 1).bitwiseXOR(
                         F.element_at(F.col("_bksb"), j + 1)
@@ -466,8 +465,23 @@ def neardup_pairs_q(
                 )
                 > F.lit(probe_hamming)
             )
-            no_earlier = no_earlier & (
-                (F.lit(j) >= F.col("_band")) | miss_j
+
+        from geowave_spark.functions.udfs import UNROLL_EDGE_CAP
+
+        if bands - 1 <= UNROLL_EDGE_CAP:
+            no_earlier = F.lit(True)
+            for j in range(bands - 1):
+                no_earlier = no_earlier & (
+                    (F.lit(j) >= F.col("_band")) | miss(j)
+                )
+        else:
+            # huge band counts would blow the 64 KB codegen limit if
+            # unrolled — keep the (interpreted) HOF form there
+            no_earlier = F.forall(
+                F.sequence(F.lit(0), F.col("_band") - 1), lambda j: miss(j)
+            )
+            no_earlier = F.when(F.col("_band") == 0, F.lit(True)).otherwise(
+                no_earlier
             )
         pairs = pairs.filter(no_earlier)
     cos = F.round(dot_col("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6)

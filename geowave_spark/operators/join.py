@@ -186,6 +186,15 @@ def points_in_polygons_join(
     if env_tiers is None:
         env_tiers = [int(t) for t in probe["tiers"]]
     env_tiers = sorted(set(env_tiers))
+    if not env_tiers:
+        # empty polygon table (e.g. filtered to nothing): zero pairs with
+        # the real column dtypes — not a plan-build crash
+        return (
+            points.limit(0)
+            .select(point_id, "lon_milli", "lat_milli")
+            .crossJoin(indexed.select(poly_id).limit(0))
+            .select(point_id, poly_id, "lon_milli", "lat_milli")
+        )
     has_general = bool(probe["has_general"])
     indexed = indexed.drop("tier")
     if not has_general:
@@ -209,7 +218,7 @@ def points_in_polygons_join(
         & (F.col("lat_milli") <= F.col("maxy_m"))
     )
     convex_hit = F.col("_edges").isNotNull() & U.convex_forall_refine(
-        F.col("_edges"), px, py, max_edges=int(probe["max_edges"])
+        F.col("_edges"), px, py, max_edges=int(probe["max_edges"] or 0)
     )
     if not has_general:
         refined = candidates.filter(convex_hit)

@@ -42,12 +42,9 @@ class PolygonQuery:
 def _convex_refine_col(wkb: bytes, lon_col: str, lat_col: str):
     """JVM half-plane refine predicate for a CCW convex single-ring
     polygon; None when the geometry needs the general even-odd kernel."""
-    polys = G.polygon_rings(wkb)
-    if len(polys) != 1 or len(polys[0]) != 1 or not G.is_convex_ccw(polys[0][0]):
+    ring = G.convex_open_ring(wkb)
+    if ring is None:
         return None
-    ring = np.asarray(polys[0][0], dtype=np.float64)
-    if np.array_equal(ring[0], ring[-1]):
-        ring = ring[:-1]
     lon, lat = F.col(lon_col), F.col(lat_col)
     pred = None
     for i in range(len(ring)):

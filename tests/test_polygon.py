@@ -269,3 +269,24 @@ def test_envelopes_overlap_join_bruteforce(spark):
         envelopes_overlap_join(left.withColumnRenamed("l_id", "id"),
                                right.withColumnRenamed("r_id", "id"),
                                left_id="id", right_id="id")
+
+
+def test_points_in_polygons_join_empty_polygon_table(spark):
+    """A filtered-to-empty polygon side returns zero pairs with the real
+    schema, not a plan-build crash."""
+    import pandas as pd
+
+    from geowave_spark.operators.join import points_in_polygons_join
+
+    points = spark.createDataFrame(
+        pd.DataFrame({"point_id": [1, 2], "lon_milli": [0, 5],
+                      "lat_milli": [0, 5]})
+    )
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": pd.array([], dtype="int64"),
+                      "wkb": pd.array([], dtype=object)}),
+        "poly_id long, wkb binary",
+    )
+    out = points_in_polygons_join(points, polys)
+    assert out.columns == ["point_id", "poly_id", "lon_milli", "lat_milli"]
+    assert out.count() == 0
