@@ -74,6 +74,8 @@ HEADLINE_INPUTS = {
     "points_in_polygons": "events",
     # round 3 (cont.): PBSM extent×extent overlap join (reporting-cell dedup)
     "envelopes_overlap": "events",
+    # round 3 (cont.): polygon×polygon intersects join (pair kernel refine)
+    "triangles_intersect": "events",
 }
 HEADLINE = list(HEADLINE_INPUTS)
 

@@ -187,9 +187,14 @@ def env_contains(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy):
 
 
 def segments_intersect(p0, p1, q0, q1) -> np.ndarray:
-    """Vectorized proper/improper segment intersection via orientation signs.
+    """Vectorized proper/improper segment intersection (CLRS 33.1).
 
-    p0,p1: (M,2) segment batch; q0,q1: (2,) single segment."""
+    p0,p1: (M,2) segment batch; q0,q1: (2,) single segment.  Closed
+    semantics: endpoint touches count.  The sign-product shortcut
+    ``d1*d2<=0 & d3*d4<=0`` alone is WRONG for collinear DISJOINT
+    segments (all four orientations are 0, so it reports a phantom
+    intersection — e.g. two horizontal polygon edges on the same line
+    far apart); collinear cases need the on-segment bounding-box test."""
     def cross(o, a, b):
         return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
             a[..., 1] - o[..., 1]
@@ -201,7 +206,26 @@ def segments_intersect(p0, p1, q0, q1) -> np.ndarray:
     d2 = cross(q0, q1, p1)
     d3 = cross(p0, p1, q0)
     d4 = cross(p0, p1, q1)
-    return ((d1 * d2) <= 0) & ((d3 * d4) <= 0)
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+
+    def on_seg(a0, a1, p, d):
+        return (
+            (d == 0)
+            & (np.minimum(a0[..., 0], a1[..., 0]) <= p[..., 0])
+            & (p[..., 0] <= np.maximum(a0[..., 0], a1[..., 0]))
+            & (np.minimum(a0[..., 1], a1[..., 1]) <= p[..., 1])
+            & (p[..., 1] <= np.maximum(a0[..., 1], a1[..., 1]))
+        )
+
+    return (
+        proper
+        | on_seg(q0, q1, p0, d1)
+        | on_seg(q0, q1, p1, d2)
+        | on_seg(p0, p1, q0, d3)
+        | on_seg(p0, p1, q1, d4)
+    )
 
 
 def envelope_intersects_polygon(

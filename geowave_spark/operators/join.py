@@ -242,6 +242,7 @@ def _fixed_cover(
     max_cells_per_row: int,
     prefix: str,
     keep_xy: bool,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Cover of each envelope on the FIXED res-``res`` grid (PBSM tile
     grid) — same explode/guard discipline as index_envelopes_milli, at one
@@ -258,6 +259,7 @@ def _fixed_cover(
         F.col(mny).alias(f"{prefix}miny"),
         F.col(mxx).alias(f"{prefix}maxx"),
         F.col(mxy).alias(f"{prefix}maxy"),
+        *extra_cols,
     )
     d = (
         d.withColumn("_ix0", X.grid_milli_col(F.col(f"{prefix}minx"), 180_000, C.LON_SPAN_MILLI, r))
@@ -356,3 +358,79 @@ def envelopes_overlap_join(
             + 1
         ).alias("inter_h_milli"),
     )
+
+
+def geometries_intersect_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+    left_wkb: str = "wkb",
+    right_wkb: str = "wkb",
+    op: str = "intersects",
+    res: int = 8,
+    max_cells_per_row: int = 4096,
+) -> DataFrame:
+    """All (left, right) pairs whose GEOMETRIES satisfy ``op`` — the
+    general geometry×geometry join with both sides large, completing the
+    matrix (point×envelope, point×polygon, envelope×envelope, and now
+    polygon×polygon).  The reference's only form of this query is the
+    unindexed SqlQueryRunner cross join with the per-row predicate UDF.
+
+    Candidate pairs come from the PBSM fixed-grid cover machinery of
+    :func:`envelopes_overlap_join` (one shuffle, reporting-cell rule —
+    each envelope-overlapping pair surfaces exactly once), the exact
+    predicate is ONE Arrow pass with the parse-once-per-distinct-geometry
+    pair kernel (the same geom_op_batch behind the nine SQL predicate
+    UDFs).  Envelope-disjoint pairs never reach Python.
+
+    Coordinate contract: WKB in the integer milli grid (degree WKB needs
+    a 1000× rescale at ingest).  Envelope-derived bounds are exact casts.
+    """
+    from geowave_spark.functions import udfs as U
+
+    if left_id == right_id:
+        raise ValueError(
+            "geometries_intersect_join: alias the id columns apart "
+            f"(both sides use {left_id!r})"
+        )
+
+    def prep(df, idc, wkbc, tag):
+        env = df.withColumn("_env", U.wkb_envelope_cols(F.col(wkbc))).select(
+            idc,
+            F.col(wkbc).alias(f"_{tag}wkb"),
+            F.round(F.col("_env.minx")).cast("long").alias("minx_m"),
+            F.round(F.col("_env.miny")).cast("long").alias("miny_m"),
+            F.round(F.col("_env.maxx")).cast("long").alias("maxx_m"),
+            F.round(F.col("_env.maxy")).cast("long").alias("maxy_m"),
+        )
+        return env
+
+    env_cols = ("minx_m", "miny_m", "maxx_m", "maxy_m")
+    lc = _fixed_cover(
+        prep(left, left_id, left_wkb, "l"), left_id, env_cols, res,
+        max_cells_per_row, "_l", True, extra_cols=("_lwkb",),
+    )
+    rc = _fixed_cover(
+        prep(right, right_id, right_wkb, "r"), right_id, env_cols, res,
+        max_cells_per_row, "_r", False, extra_cols=("_rwkb",),
+    )
+    j = lc.join(rc, "cell")
+    r = F.lit(res).cast("long")
+    from geowave_spark.functions import cols as X
+
+    overlap = (
+        (F.col("_lminx") <= F.col("_rmaxx"))
+        & (F.col("_rminx") <= F.col("_lmaxx"))
+        & (F.col("_lminy") <= F.col("_rmaxy"))
+        & (F.col("_rminy") <= F.col("_lmaxy"))
+    )
+    gx = X.grid_milli_col(
+        F.greatest(F.col("_lminx"), F.col("_rminx")), 180_000, C.LON_SPAN_MILLI, r
+    )
+    gy = X.grid_milli_col(
+        F.greatest(F.col("_lminy"), F.col("_rminy")), 90_000, C.LAT_SPAN_MILLI, r
+    )
+    cand = j.filter(overlap & (gx == F.col("_cx")) & (gy == F.col("_cy")))
+    hit = U.make_geom_predicate(op)(F.col("_lwkb"), F.col("_rwkb"))
+    return cand.filter(hit).select(left_id, right_id)

@@ -3329,3 +3329,58 @@ WHERE l.event_id % 13 = 0
 register_extra(
     "envelopes_overlap", q_envelopes_overlap, _envelopes_overlap_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# Geometry×geometry intersects join (operators/join.geometries_intersect_join):
+# two triangle tables (different event strides), PBSM envelope candidates +
+# the pair predicate kernel.  Oracle: exact integer separating-axis test for
+# translates of one convex shape (axes = the 3 edge normals; interval
+# half-width along each = the shape's own projection extent) — verified
+# equal to the geometry kernel over 6k cases including every touch boundary
+# (test_geometry.py pins the collinear/touch conventions).
+# ---------------------------------------------------------------------------
+
+
+def q_triangles_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geo = TB.geo_events(spark, sf_dir)
+
+    def tris(mod, idname):
+        return geo.filter(
+            (F.col("event_id") % mod == 0)
+            & (F.abs(F.col("lon_milli")) <= 180000 - _TRI_DX)
+            & (F.abs(F.col("lat_milli")) <= 90000 - _TRI_DY)
+        ).select(
+            F.col("event_id").alias(idname),
+            _tri_wkb(
+                F.col("lon_milli").cast("double"),
+                F.col("lat_milli").cast("double"),
+            ).alias("wkb"),
+        )
+
+    from geowave_spark.operators.join import geometries_intersect_join
+
+    return geometries_intersect_join(tris(157, "l_id"), tris(89, "r_id"))
+
+
+def _triangles_intersect_oracle() -> str:
+    w, h = _TRI_DX, _TRI_DY
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+l AS (SELECT event_id AS l_id, lon_milli AS cx, lat_milli AS cy FROM geo_events
+      WHERE event_id % 157 = 0
+        AND abs(lon_milli) <= {180000 - w} AND abs(lat_milli) <= {90000 - h}),
+r AS (SELECT event_id AS r_id, lon_milli AS cx, lat_milli AS cy FROM geo_events
+      WHERE event_id % 89 = 0
+        AND abs(lon_milli) <= {180000 - w} AND abs(lat_milli) <= {90000 - h})
+SELECT l.l_id, r.r_id
+FROM l, r
+WHERE abs({-2 * h} * (r.cx - l.cx) + {w} * (r.cy - l.cy)) <= {4 * w * h}
+  AND abs(r.cy - l.cy) <= {2 * h}
+  AND abs({2 * h} * (r.cx - l.cx) + {w} * (r.cy - l.cy)) <= {4 * w * h}
+"""
+
+
+register_extra(
+    "triangles_intersect", q_triangles_intersect, _triangles_intersect_oracle()
+)

@@ -151,3 +151,45 @@ def test_haversine_column_matches_numpy(spark):
         pdf.lon1.to_numpy(), pdf.lat1.to_numpy(), pdf.lon2.to_numpy(), pdf.lat2.to_numpy()
     )
     assert np.abs(got - want).max() < 1e-6  # metres; JVM vs numpy libm ulps
+
+
+def test_segments_intersect_collinear_disjoint():
+    """Regression: collinear DISJOINT segments must NOT intersect — the
+    orientation-sign-product shortcut alone reports a phantom hit when all
+    four orientations are zero (two polygon edges on the same line)."""
+    import numpy as np
+
+    from geowave_spark.functions.geometry import segments_intersect
+
+    p0 = np.array([[0.0, 0.0], [0.0, 0.0], [0.0, 0.0], [0.0, 5.0]])
+    p1 = np.array([[2.0, 0.0], [2.0, 0.0], [3.0, 0.0], [2.0, 5.0]])
+    q_cases = [
+        ((5.0, 0.0), (8.0, 0.0), False),   # collinear, disjoint
+        ((2.0, 0.0), (8.0, 0.0), True),    # collinear, endpoint touch
+        ((1.0, 0.0), (8.0, 0.0), True),    # collinear, overlapping
+        ((1.0, -1.0), (1.0, 1.0), True),   # proper crossing
+        ((1.0, 0.5), (1.0, 1.0), False),   # above, no touch
+    ]
+    for q0, q1, want in q_cases:
+        got = bool(segments_intersect(p0[:1], p1[:1], np.array(q0), np.array(q1))[0])
+        assert got is want, (q0, q1, got, want)
+
+
+def test_polys_intersect_collinear_edges_disjoint():
+    """Two triangles whose horizontal edges share a LINE but are far apart
+    are disjoint (the pre-fix kernel said intersecting)."""
+    import numpy as np
+
+    from geowave_spark.functions import geometry as G
+
+    def tri(cx, cy):
+        return G.wkb_polygon(
+            [np.array([[cx, cy - 1500], [cx + 2000, cy + 1500],
+                       [cx - 2000, cy + 1500]])]
+        )
+
+    assert G.geom_op("intersects", tri(0, 0), tri(10000, 0)) is False
+    assert G.geom_op("disjoint", tri(0, 0), tri(10000, 0)) is True
+    # edge-on-edge exact touch still counts (closed semantics)
+    assert G.geom_op("intersects", tri(0, 0), tri(0, 3000)) is True
+    assert G.geom_op("intersects", tri(0, 0), tri(4000, 0)) is True

@@ -290,3 +290,56 @@ def test_points_in_polygons_join_empty_polygon_table(spark):
     out = points_in_polygons_join(points, polys)
     assert out.columns == ["point_id", "poly_id", "lon_milli", "lat_milli"]
     assert out.count() == 0
+
+
+def test_geometries_intersect_join_bruteforce(spark):
+    """polygon×polygon join vs the scalar kernel brute force — triangles
+    on one side, a mix of triangles and concave L-shapes on the other."""
+    import pandas as pd
+
+    from geowave_spark.operators.join import geometries_intersect_join
+
+    rng = np.random.RandomState(23)
+
+    def tri(cx, cy):
+        return G.wkb_polygon(
+            [np.array([[cx, cy - 1500], [cx + 2000, cy + 1500],
+                       [cx - 2000, cy + 1500]], dtype=np.float64)]
+        )
+
+    def ell(cx, cy):
+        return G.wkb_polygon(
+            [np.array([[cx, cy], [cx + 5000, cy], [cx + 5000, cy + 2000],
+                       [cx + 2000, cy + 2000], [cx + 2000, cy + 5000],
+                       [cx, cy + 5000]], dtype=np.float64)]
+        )
+
+    lx = rng.randint(-40000, 40000, 60)
+    ly = rng.randint(-25000, 25000, 60)
+    lw = [tri(int(x), int(y)) for x, y in zip(lx, ly)]
+    rx = rng.randint(-40000, 40000, 90)
+    ry = rng.randint(-25000, 25000, 90)
+    rw = [
+        tri(int(x), int(y)) if i % 2 == 0 else ell(int(x), int(y))
+        for i, (x, y) in enumerate(zip(rx, ry))
+    ]
+    left = spark.createDataFrame(
+        pd.DataFrame({"l_id": np.arange(60), "wkb": lw})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"r_id": np.arange(90), "wkb": rw})
+    )
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in geometries_intersect_join(left, right, res=7).collect()
+    }
+    want = {
+        (i, j)
+        for i in range(60)
+        for j in range(90)
+        if G.geom_op("intersects", lw[i], rw[j])
+    }
+    assert got == want and len(want) > 0
+    # duplicate-free output (reporting-cell rule carries through)
+    rows = geometries_intersect_join(left, right, res=7).collect()
+    assert len(rows) == len(got)
