@@ -411,7 +411,10 @@ def crossmodal_pairs(
         .union(ip.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sigs = OD.simhash(docs.join(ids, id_col, "leftsemi"), text_col, id_col)
+    # Arrow signature twin (bit-identical to the Catalyst formulation,
+    # cross-tested in test_dedup_scale) — the same engine choice the
+    # standalone simhash_pairs query ships with
+    sigs = OD.simhash_arrow(docs.join(ids, id_col, "leftsemi"), text_col, id_col)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"))
     return (
