@@ -76,6 +76,8 @@ HEADLINE_INPUTS = {
     "envelopes_overlap": "events",
     # round 3 (cont.): polygon×polygon intersects join (pair kernel refine)
     "triangles_intersect": "events",
+    # round 3 (cont.): new-batch-vs-corpus dedup (no corpus self-pairing)
+    "incremental_dedup": "documents",
 }
 HEADLINE = list(HEADLINE_INPUTS)
 

@@ -201,21 +201,7 @@ def minhash_lsh_pairs(
     numpy kernel (same integers, pandas-batch speed);
     ``hash_impl='xxhash64'`` (catalyst engine) swaps in the production
     base hash."""
-    if engine == "arrow":
-        if hash_impl != "md5":
-            raise ValueError("arrow engine implements the md5 base hash only")
-        sig = minhash_signatures_arrow(docs, text_col, id_col)
-    else:
-        sig = minhash_signatures(docs, text_col, id_col, hash_impl)
-    band_structs = []
-    for b in range(BANDS):
-        cols = [F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols).cast("binary")).alias("bkey"))
-        )
-    bands = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    bands = band_keys(docs, text_col, id_col, engine=engine, hash_impl=hash_impl)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -230,37 +216,172 @@ def minhash_lsh_pairs(
     )
 
 
-def _duck_sig_cte(table: str) -> str:
+def band_keys(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    engine: str = "catalyst", hash_impl: str = "md5",
+) -> DataFrame:
+    """(id, band, bkey) LSH band-key index rows for a document set — the
+    unit both the all-pairs self-join and the incremental new-vs-corpus
+    join block on.  At corpus scale this is what gets MATERIALIZED at
+    ingest (partitioned by bkey) so later batches join against stored
+    keys instead of re-hashing the corpus."""
+    if engine == "arrow":
+        if hash_impl != "md5":
+            raise ValueError("arrow engine implements the md5 base hash only")
+        sig = minhash_signatures_arrow(docs, text_col, id_col)
+    else:
+        sig = minhash_signatures(docs, text_col, id_col, hash_impl)
+    band_structs = []
+    for b in range(BANDS):
+        cols = [F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols).cast("binary")).alias("bkey"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
+def _duck_sig_cte(table: str, suffix: str = "") -> str:
     sh = duck_shingles("text")
     mins = ", ".join(
         f"min({_duck_mix('base', i)}) AS s{i}" for i in range(NUM_HASHES)
     )
     return f"""
-sh AS (
+sh{suffix} AS (
   SELECT DISTINCT doc_id, unnest({sh}) AS shingle FROM {table}
 ),
-sb AS (
-  SELECT doc_id, {duck_h64("shingle")} AS base FROM sh
+sb{suffix} AS (
+  SELECT doc_id, {duck_h64("shingle")} AS base FROM sh{suffix}
 ),
-sig AS (
-  SELECT doc_id, {mins} FROM sb GROUP BY doc_id
+sig{suffix} AS (
+  SELECT doc_id, {mins} FROM sb{suffix} GROUP BY doc_id
 )"""
 
 
-def minhash_lsh_pairs_oracle(table: str = "documents") -> str:
+def _duck_band_arms(sig_name: str) -> str:
     band_arms = []
     for b in range(BANDS):
         cols = ", ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
         band_arms.append(
-            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bkey FROM sig"
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bkey "
+            f"FROM {sig_name}"
         )
-    bands = " UNION ALL ".join(band_arms)
+    return " UNION ALL ".join(band_arms)
+
+
+def minhash_lsh_pairs_oracle(table: str = "documents") -> str:
     return f"""
 WITH {_duck_sig_cte(table)},
-bands AS ({bands})
+bands AS ({_duck_band_arms("sig")})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    engine: str = "catalyst",
+    hash_impl: str = "md5",
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an EXISTING corpus — the shape the
+    job actually takes at 100 TB, where re-pairing corpus×corpus on every
+    ingest is unaffordable.  Only batch×corpus and batch×batch band keys
+    are ever joined; the corpus side is pure band-key index rows (pass the
+    stored index via ``corpus_bands`` to skip re-hashing corpus text — the
+    production path, where :func:`band_keys` output is materialized at
+    ingest partitioned by ``bkey``).
+
+    One row per batch doc:
+
+    - ``hit_corpus`` — shares ≥1 LSH band key with some corpus doc;
+    - ``hit_batch`` — shares ≥1 band key with an EARLIER batch doc
+      (smaller id; first-occurrence-wins blocking, non-transitive by
+      design: the rule is a deterministic single pass, not the iterative
+      chain-collapse — that is :func:`canonicalize`'s job);
+    - ``keep`` — neither hit.  Docs too short to shingle have no band
+      keys and are always kept.
+
+    Plan: two band-key equi-joins (batch→corpus left-semi shape, batch
+    self via per-bucket min), both map-side-combinable; no self-join of
+    the corpus, no driver state.  Reference: GeoWave's ingest-time
+    ``DedupeFilter`` dedups row IDs within one query
+    (core/store/.../filter/DedupeFilter.java:1-80); content-level
+    incremental dedup has no reference analogue — it is the training-data
+    pipeline requirement."""
+    if corpus_bands is None:
+        corpus_bands = band_keys(corpus, text_col, id_col, engine=engine,
+                                 hash_impl=hash_impl)
+    bb = band_keys(batch, text_col, id_col, engine=engine, hash_impl=hash_impl)
+    hit_c = (
+        bb.join(
+            corpus_bands.select("band", "bkey"),
+            on=["band", "bkey"],
+            how="left_semi",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("_hc", F.lit(True))
+    )
+    bmin = bb.groupBy("band", "bkey").agg(F.min(id_col).alias("_min_id"))
+    hit_b = (
+        bb.join(bmin, on=["band", "bkey"])
+        .filter(F.col(id_col) > F.col("_min_id"))
+        .select(id_col)
+        .distinct()
+        .withColumn("_hb", F.lit(True))
+    )
+    return (
+        batch.select(id_col)
+        .join(hit_c, on=id_col, how="left")
+        .join(hit_b, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_hc"), F.lit(False)).alias("hit_corpus"),
+            F.coalesce(F.col("_hb"), F.lit(False)).alias("hit_batch"),
+            (F.col("_hc").isNull() & F.col("_hb").isNull()).alias("keep"),
+        )
+    )
+
+
+def incremental_dedup_oracle(
+    table: str = "documents", batch_mod: int = 5
+) -> str:
+    """DuckDB twin: corpus = ``doc_id % batch_mod <> 0``, batch = the rest
+    (the registry's deterministic corpus/batch split of one table)."""
+    return f"""
+WITH corpus AS (SELECT * FROM {table} WHERE doc_id % {batch_mod} <> 0),
+batch AS (SELECT * FROM {table} WHERE doc_id % {batch_mod} = 0),
+{_duck_sig_cte("corpus", "_c").lstrip()},
+{_duck_sig_cte("batch", "_b").lstrip()},
+cb AS ({_duck_band_arms("sig_c")}),
+bb AS ({_duck_band_arms("sig_b")}),
+hitc AS (
+  SELECT DISTINCT b.doc_id FROM bb b
+  JOIN cb c ON b.band = c.band AND b.bkey = c.bkey
+),
+bmin AS (SELECT band, bkey, min(doc_id) AS min_id FROM bb GROUP BY band, bkey),
+hitb AS (
+  SELECT DISTINCT b.doc_id FROM bb b
+  JOIN bmin m ON b.band = m.band AND b.bkey = m.bkey AND b.doc_id > m.min_id
+)
+SELECT d.doc_id,
+       (hc.doc_id IS NOT NULL) AS hit_corpus,
+       (hb.doc_id IS NOT NULL) AS hit_batch,
+       (hc.doc_id IS NULL AND hb.doc_id IS NULL) AS keep
+FROM batch d
+LEFT JOIN hitc hc ON d.doc_id = hc.doc_id
+LEFT JOIN hitb hb ON d.doc_id = hb.doc_id
 """
 
 

@@ -2870,6 +2870,28 @@ register_extra(
     "source_cap", q_source_cap, OCORP.source_cap_oracle("documents", SOURCE_CAP)
 )
 
+INCR_BATCH_MOD = 5  # batch = every 5th doc (20%); corpus = the rest
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """New-batch-vs-corpus MinHash LSH dedup: batch band keys join the
+    corpus band INDEX plus a per-bucket-min pass within the batch — never
+    a corpus×corpus pairing (the 100 TB ingest posture)."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    return OD.incremental_dedup(
+        docs.filter(did % INCR_BATCH_MOD != 0),
+        docs.filter(did % INCR_BATCH_MOD == 0),
+        engine="arrow",
+    )
+
+
+register_extra(
+    "incremental_dedup",
+    q_incremental_dedup,
+    OD.incremental_dedup_oracle("documents", INCR_BATCH_MOD),
+)
+
 
 # ---------------------------------------------------------------------------
 # KMeans cluster-count machinery (SURVEY §2 analytics; reference

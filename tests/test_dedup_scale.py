@@ -354,3 +354,53 @@ def test_prototypicality_closed_form(spark):
     k = {r["vec_id"]: r["keep"] for r in
          OE.prototype_prune(emb, prune_frac=0.4, n_centroids=2).collect()}
     assert k == {0: False, 1: True, 2: True, 3: True, 4: True}
+
+
+def test_incremental_dedup_planted(spark):
+    """New-batch-vs-corpus semantics: a batch copy of a corpus doc is
+    flagged hit_corpus; within-batch copies keep only the smallest id
+    (first-occurrence blocking); sub-shingle-length docs have no band
+    keys and are always kept; the precomputed corpus_bands path (the
+    stored-index production shape) returns the identical result."""
+    import pandas as pd
+
+    def body(i):
+        # per-doc-disjoint token sets: only planted copies can collide
+        return f"document {i} " + " ".join(f"d{i}w{j}" for j in range(30))
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": [body(0), body(1), body(2)]})
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13, 14],
+                "text": [
+                    body(1),   # 10: copy of corpus doc 1
+                    body(50),  # 11: unique -> keep
+                    body(60),  # 12: first of a within-batch pair -> keep
+                    body(60),  # 13: copy of 12 -> hit_batch
+                    "xy",      # 14: < SHINGLE_N tokens -> no bands, keep
+                ],
+            }
+        )
+    )
+    got = {
+        int(r.doc_id): (bool(r.hit_corpus), bool(r.hit_batch), bool(r.keep))
+        for r in OD.incremental_dedup(corpus, batch).collect()
+    }
+    assert got == {
+        10: (True, False, False),
+        11: (False, False, True),
+        12: (False, False, True),
+        13: (False, True, False),
+        14: (False, False, True),
+    }
+
+    # stored-index path: pass band_keys(corpus) explicitly
+    idx = OD.band_keys(corpus)
+    got2 = {
+        int(r.doc_id): (bool(r.hit_corpus), bool(r.hit_batch), bool(r.keep))
+        for r in OD.incremental_dedup(None, batch, corpus_bands=idx).collect()
+    }
+    assert got2 == got
