@@ -286,7 +286,7 @@ FROM bands a JOIN bands b
 
 
 def incremental_dedup(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     batch: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -327,6 +327,11 @@ def incremental_dedup(
     from pyspark.sql import Window
 
     if corpus_bands is None:
+        if corpus is None:
+            raise ValueError(
+                "incremental_dedup: pass corpus docs or a precomputed "
+                "corpus_bands index (both were None)"
+            )
         corpus_bands = band_keys(corpus, text_col, id_col, engine=engine,
                                  hash_impl=hash_impl)
     bb = band_keys(batch, text_col, id_col, engine=engine, hash_impl=hash_impl)

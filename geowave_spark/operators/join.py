@@ -243,6 +243,7 @@ def _fixed_cover(
     prefix: str,
     keep_xy: bool,
     extra_cols: tuple[str, ...] = (),
+    op_name: str = "envelopes_overlap_join",
 ) -> DataFrame:
     """Cover of each envelope on the FIXED res-``res`` grid (PBSM tile
     grid) — same explode/guard discipline as index_envelopes_milli, at one
@@ -272,7 +273,7 @@ def _fixed_cover(
          > max_cells_per_row)
         | (F.col("_ix1") < F.col("_ix0"))
         | (F.col("_iy1") < F.col("_iy0")),
-        "envelopes_overlap_join: envelope cover exceeds max_cells_per_row "
+        f"{op_name}: envelope cover exceeds max_cells_per_row "
         "at the chosen grid resolution (raise res or the bound) or the "
         "envelope is inverted — never silently truncate",
     ))
@@ -285,6 +286,31 @@ def _fixed_cover(
     if keep_xy:
         return d.withColumn("cell", cell)
     return d.withColumn("cell", cell).drop("_cx", "_cy")
+
+
+def _pbsm_candidates(lc: DataFrame, rc: DataFrame, res: int) -> DataFrame:
+    """Cell equi-join of two fixed-grid covers + the envelope-overlap and
+    REPORTING-CELL filters: a pair survives only in the cell containing
+    the intersection's (minx, miny) corner, so every envelope-overlapping
+    pair surfaces exactly once — duplicate elimination as a codegen
+    comparison, shared by every PBSM join."""
+    from geowave_spark.functions import cols as X
+
+    j = lc.join(rc, "cell")
+    r = F.lit(res).cast("long")
+    overlap = (
+        (F.col("_lminx") <= F.col("_rmaxx"))
+        & (F.col("_rminx") <= F.col("_lmaxx"))
+        & (F.col("_lminy") <= F.col("_rmaxy"))
+        & (F.col("_rminy") <= F.col("_lmaxy"))
+    )
+    gx = X.grid_milli_col(
+        F.greatest(F.col("_lminx"), F.col("_rminx")), 180_000, C.LON_SPAN_MILLI, r
+    )
+    gy = X.grid_milli_col(
+        F.greatest(F.col("_lminy"), F.col("_rminy")), 90_000, C.LAT_SPAN_MILLI, r
+    )
+    return j.filter(overlap & (gx == F.col("_cx")) & (gy == F.col("_cy")))
 
 
 def envelopes_overlap_join(
@@ -327,23 +353,7 @@ def envelopes_overlap_join(
         )
     lc = _fixed_cover(left, left_id, left_env, res, max_cells_per_row, "_l", True)
     rc = _fixed_cover(right, right_id, right_env, res, max_cells_per_row, "_r", False)
-    j = lc.join(rc, "cell")
-    r = F.lit(res).cast("long")
-    from geowave_spark.functions import cols as X
-
-    overlap = (
-        (F.col("_lminx") <= F.col("_rmaxx"))
-        & (F.col("_rminx") <= F.col("_lmaxx"))
-        & (F.col("_lminy") <= F.col("_rmaxy"))
-        & (F.col("_rminy") <= F.col("_lmaxy"))
-    )
-    gx = X.grid_milli_col(
-        F.greatest(F.col("_lminx"), F.col("_rminx")), 180_000, C.LON_SPAN_MILLI, r
-    )
-    gy = X.grid_milli_col(
-        F.greatest(F.col("_lminy"), F.col("_rminy")), 90_000, C.LAT_SPAN_MILLI, r
-    )
-    out = j.filter(overlap & (gx == F.col("_cx")) & (gy == F.col("_cy")))
+    out = _pbsm_candidates(lc, rc, res)
     return out.select(
         left_id,
         right_id,
@@ -377,12 +387,20 @@ def geometries_intersect_join(
     polygon×polygon).  The reference's only form of this query is the
     unindexed SqlQueryRunner cross join with the per-row predicate UDF.
 
-    Candidate pairs come from the PBSM fixed-grid cover machinery of
-    :func:`envelopes_overlap_join` (one shuffle, reporting-cell rule —
-    each envelope-overlapping pair surfaces exactly once), the exact
-    predicate is ONE Arrow pass with the parse-once-per-distinct-geometry
-    pair kernel (the same geom_op_batch behind the nine SQL predicate
-    UDFs).  Envelope-disjoint pairs never reach Python.
+    Candidate pairs come from the shared PBSM machinery
+    (:func:`_pbsm_candidates`: one shuffle, reporting-cell rule — each
+    envelope-overlapping pair surfaces exactly once) run over ID + bounds
+    ONLY; the wide WKB binaries never ride the cover explode or the cell
+    shuffle (a polygon covering hundreds of cells would otherwise ship
+    its payload once per cell).  The slim candidate pairs re-join the two
+    (id, wkb) tables, then the exact predicate is ONE Arrow pass with the
+    parse-once-per-distinct-geometry pair kernel (the same geom_op_batch
+    behind the nine SQL predicate UDFs).  Envelope-disjoint pairs never
+    reach Python.
+
+    ``op`` must IMPLY envelope overlap (intersects/contains/within/…);
+    'disjoint' pairs are mostly envelope-disjoint and never become
+    candidates, so it is rejected rather than silently under-reported.
 
     Coordinate contract: WKB in the integer milli grid (degree WKB needs
     a 1000× rescale at ingest).  Envelope-derived bounds are exact casts.
@@ -394,43 +412,34 @@ def geometries_intersect_join(
             "geometries_intersect_join: alias the id columns apart "
             f"(both sides use {left_id!r})"
         )
+    if op == "disjoint":
+        raise ValueError(
+            "geometries_intersect_join: 'disjoint' does not imply envelope "
+            "overlap — the PBSM prefilter would drop almost every true "
+            "pair; use an anti-join against op='intersects' instead"
+        )
 
-    def prep(df, idc, wkbc, tag):
-        env = df.withColumn("_env", U.wkb_envelope_cols(F.col(wkbc))).select(
+    def prep(df, idc, wkbc):
+        return df.withColumn("_env", U.wkb_envelope_cols(F.col(wkbc))).select(
             idc,
-            F.col(wkbc).alias(f"_{tag}wkb"),
             F.round(F.col("_env.minx")).cast("long").alias("minx_m"),
             F.round(F.col("_env.miny")).cast("long").alias("miny_m"),
             F.round(F.col("_env.maxx")).cast("long").alias("maxx_m"),
             F.round(F.col("_env.maxy")).cast("long").alias("maxy_m"),
         )
-        return env
 
     env_cols = ("minx_m", "miny_m", "maxx_m", "maxy_m")
     lc = _fixed_cover(
-        prep(left, left_id, left_wkb, "l"), left_id, env_cols, res,
-        max_cells_per_row, "_l", True, extra_cols=("_lwkb",),
+        prep(left, left_id, left_wkb), left_id, env_cols, res,
+        max_cells_per_row, "_l", True, op_name="geometries_intersect_join",
     )
     rc = _fixed_cover(
-        prep(right, right_id, right_wkb, "r"), right_id, env_cols, res,
-        max_cells_per_row, "_r", False, extra_cols=("_rwkb",),
+        prep(right, right_id, right_wkb), right_id, env_cols, res,
+        max_cells_per_row, "_r", False, op_name="geometries_intersect_join",
     )
-    j = lc.join(rc, "cell")
-    r = F.lit(res).cast("long")
-    from geowave_spark.functions import cols as X
-
-    overlap = (
-        (F.col("_lminx") <= F.col("_rmaxx"))
-        & (F.col("_rminx") <= F.col("_lmaxx"))
-        & (F.col("_lminy") <= F.col("_rmaxy"))
-        & (F.col("_rminy") <= F.col("_lmaxy"))
-    )
-    gx = X.grid_milli_col(
-        F.greatest(F.col("_lminx"), F.col("_rminx")), 180_000, C.LON_SPAN_MILLI, r
-    )
-    gy = X.grid_milli_col(
-        F.greatest(F.col("_lminy"), F.col("_rminy")), 90_000, C.LAT_SPAN_MILLI, r
-    )
-    cand = j.filter(overlap & (gx == F.col("_cx")) & (gy == F.col("_cy")))
+    cand = _pbsm_candidates(lc, rc, res).select(left_id, right_id)
+    paired = cand.join(
+        left.select(left_id, F.col(left_wkb).alias("_lwkb")), left_id
+    ).join(right.select(right_id, F.col(right_wkb).alias("_rwkb")), right_id)
     hit = U.make_geom_predicate(op)(F.col("_lwkb"), F.col("_rwkb"))
-    return cand.filter(hit).select(left_id, right_id)
+    return paired.filter(hit).select(left_id, right_id)
