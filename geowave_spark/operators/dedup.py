@@ -1011,6 +1011,84 @@ FROM {table} d LEFT JOIN labels l ON l.node = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Leakage-safe splitting: train/val/test assignment by DUP GROUP, so a
+# near-duplicate of a training document can never land in the eval split.
+# ---------------------------------------------------------------------------
+
+SPLIT_SCALE = 10_000  # hash-bucket granularity of the weight thresholds
+
+
+def leakage_safe_split(
+    groups: DataFrame,
+    weights: tuple[float, ...] = (0.90, 0.05, 0.05),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """(id, group_id, split) — deterministic train/val/test assignment
+    hashed on the NEAR-DUP GROUP id (:func:`canonicalize` output), not the
+    document id: every member of a dup group lands in the same split, so a
+    near-copy of a training document cannot leak into the eval split (the
+    standard benchmark-contamination failure when splitting by row hash).
+
+    Pure per-row column math over the already-labeled groups — zero
+    shuffles beyond what produced the labels; re-salting re-draws the
+    split without touching the group structure.  Thresholds are integer
+    buckets of ``SPLIT_SCALE`` (exact cross-engine replay); weights are
+    normalized, so (90, 5, 5) and (0.9, 0.05, 0.05) are equivalent."""
+    if len(weights) != len(names) or len(names) < 2:
+        raise ValueError(
+            "leakage_safe_split: need >=2 names and one weight per name"
+        )
+    if any(w <= 0 for w in weights):
+        raise ValueError("leakage_safe_split: weights must be positive")
+    tot = float(sum(weights))
+    cuts, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w / tot
+        cuts.append(int(round(acc * SPLIT_SCALE)))
+    key = F.concat_ws("|", F.lit(salt), F.col(group_col).cast("string"))
+
+    def pick(u: Column) -> Column:
+        c = F.when(u < cuts[0], F.lit(names[0]))
+        for i in range(1, len(cuts)):
+            c = c.when(u < cuts[i], F.lit(names[i]))
+        return c.otherwise(F.lit(names[-1]))
+
+    # let-bind the md5 bucket: the when-chain references it once per arm,
+    # and Catalyst would otherwise re-inline the hash per comparison
+    split = let(F.pmod(h64_col(key), F.lit(SPLIT_SCALE)), pick)
+    return groups.select(id_col, group_col, split.alias("split"))
+
+
+def leakage_safe_split_oracle(
+    pairs_sql: str,
+    table: str = "documents",
+    weights: tuple[float, ...] = (0.90, 0.05, 0.05),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split-v1",
+) -> str:
+    """DuckDB twin: the canonicalize closure as a base CTE + the same
+    salted-md5 bucket thresholds."""
+    tot = float(sum(weights))
+    cuts, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w / tot
+        cuts.append(int(round(acc * SPLIT_SCALE)))
+    u = duck_h64(f"'{salt}|' || CAST(group_id AS VARCHAR)") + f" % {SPLIT_SCALE}"
+    arms = " ".join(
+        f"WHEN u < {cut} THEN '{nm}'" for cut, nm in zip(cuts, names[:-1])
+    )
+    base = canonicalize_oracle(pairs_sql, table)
+    return f"""
+WITH base AS ({base})
+SELECT doc_id, group_id, CASE {arms} ELSE '{names[-1]}' END AS split
+FROM (SELECT doc_id, group_id, {u} AS u FROM base)
+"""
+
+
+# ---------------------------------------------------------------------------
 # End-to-end corpus preparation: the composed training-data pipeline —
 # language gate → quality gate → length gate → exact dedup → near dedup —
 # with an auditable per-document decision record (which stage dropped it).

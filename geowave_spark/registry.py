@@ -2461,6 +2461,22 @@ register_extra(
 )
 
 
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test assignment: split hashed on the
+    near-dup GROUP id (canonicalize output), so a near-copy of a training
+    document can never land in the eval split."""
+    docs = _docs(spark, sf_dir)
+    pairs = OD.minhash_lsh_pairs(docs, engine="arrow")
+    return OD.leakage_safe_split(OD.canonicalize(docs.select("doc_id"), pairs))
+
+
+register_extra(
+    "leakage_split",
+    q_leakage_split,
+    OD.leakage_safe_split_oracle(OD.minhash_lsh_pairs_oracle("documents")),
+)
+
+
 def q_polygonize(spark, sf_dir):
     """Raster→vector: contiguous occupied-region extraction from the
     res-10 density mask (operators/vectorize.polygonize_occupancy) —

@@ -404,3 +404,40 @@ def test_incremental_dedup_planted(spark):
         for r in OD.incremental_dedup(None, batch, corpus_bands=idx).collect()
     }
     assert got2 == got
+
+
+def test_leakage_safe_split_group_coherent(spark):
+    """Every member of a near-dup group gets the SAME split (the whole
+    point); weights normalize; re-salting re-draws; bad args rejected."""
+    import pandas as pd
+
+    groups = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4, 5],
+                "group_id": [0, 0, 0, 3, 4, 4],
+                "keep": [True, False, False, True, True, False],
+            }
+        )
+    )
+    out = OD.leakage_safe_split(groups).toPandas()
+    by_group = out.groupby("group_id")["split"].nunique()
+    assert (by_group == 1).all()
+    assert set(out["split"]) <= {"train", "val", "test"}
+
+    # integer weights normalize to the same thresholds as fractions
+    a = OD.leakage_safe_split(groups, weights=(90, 5, 5)).toPandas()
+    b = OD.leakage_safe_split(groups, weights=(0.9, 0.05, 0.05)).toPandas()
+    assert a.sort_values("doc_id").values.tolist() == \
+        b.sort_values("doc_id").values.tolist()
+
+    # a different salt is a fresh deterministic draw over the same groups
+    c = OD.leakage_safe_split(groups, salt="split-v2").toPandas()
+    assert (c.groupby("group_id")["split"].nunique() == 1).all()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="one weight per name"):
+        OD.leakage_safe_split(groups, weights=(1.0,), names=("train",))
+    with pytest.raises(ValueError, match="positive"):
+        OD.leakage_safe_split(groups, weights=(0.9, 0.0, 0.1))
