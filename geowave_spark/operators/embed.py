@@ -837,6 +837,78 @@ SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= {k}
 
 
 # ---------------------------------------------------------------------------
+# ANN recall measurement: the evidence for the IVF dial.  recall@k / MRR of
+# the approximate top-k against the exact top-k ground truth — the number a
+# deployment watches when trading n_probes/n_centroids against cost.
+# ---------------------------------------------------------------------------
+
+
+def ann_recall(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    n_probes: int = IVF_N_PROBES,
+    n_centroids: int = IVF_N_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query IVF retrieval quality vs the exact scan: (q_id, n_hits,
+    recall, mrr1).  ``n_hits`` = exact-top-k items the IVF top-k found,
+    ``recall`` = n_hits/k, ``mrr1`` = reciprocal rank of the TRUE nearest
+    neighbor inside the IVF list (0 when missed).  With
+    ``n_probes == n_centroids`` the IVF scan is exhaustive and both
+    metrics are exactly 1.0 (pinned by pytest) — the dial's closed-form
+    anchor.  Ground truth and candidate lists are the engine's own
+    :func:`cosine_topk` / :func:`ivf_topk`; at deployment the exact side
+    runs on a sampled query panel, never the full corpus."""
+    exact = cosine_topk(emb, n_queries, k, id_col, vec_col).select(
+        "q_id", F.col(id_col), F.col("rank").alias("_er")
+    )
+    approx = ivf_topk(
+        emb, n_queries, k, n_probes, n_centroids, id_col, vec_col
+    ).select("q_id", F.col(id_col), F.col("rank").alias("_ar"))
+    j = exact.join(approx, ["q_id", id_col], "left")
+    rr = F.when(
+        (F.col("_er") == 1) & F.col("_ar").isNotNull(),
+        F.lit(1.0) / F.col("_ar"),
+    )
+    return j.groupBy("q_id").agg(
+        F.count("_ar").alias("n_hits"),
+        F.round(F.count("_ar").cast("double") / F.lit(float(k)), 6).alias(
+            "recall"
+        ),
+        F.round(F.coalesce(F.max(rr), F.lit(0.0)), 6).alias("mrr1"),
+    )
+
+
+def ann_recall_oracle(
+    table: str = "embeddings",
+    n_queries: int = 8,
+    k: int = 10,
+    n_probes: int = IVF_N_PROBES,
+    n_centroids: int = IVF_N_CENTROIDS,
+) -> str:
+    exact = cosine_topk_oracle(table, n_queries, k)
+    approx = ivf_topk_oracle(table, n_queries, k, n_probes, n_centroids)
+    return f"""
+WITH exact AS (SELECT * FROM ({exact})),
+approx AS (SELECT * FROM ({approx})),
+j AS (
+  SELECT e.q_id, e.rank AS er, a.rank AS ar
+  FROM exact e LEFT JOIN approx a
+    ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+)
+SELECT q_id,
+       CAST(COUNT(ar) AS BIGINT) AS n_hits,
+       round(CAST(COUNT(ar) AS DOUBLE) / {k}, 6) AS recall,
+       round(COALESCE(MAX(CASE WHEN er = 1 AND ar IS NOT NULL
+                                THEN CAST(1.0 AS DOUBLE) / ar END),
+                      CAST(0.0 AS DOUBLE)), 6) AS mrr1
+FROM j GROUP BY q_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: semantic deduplication = cluster, then drop within-cluster
 # cosine near-duplicates (Abbas et al. 2023, "SemDeDup: Data-efficient
 # learning at web-scale through semantic deduplication").  No reference

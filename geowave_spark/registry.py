@@ -2267,6 +2267,17 @@ def q_embed_ivf_topk(spark, sf_dir):
 register_extra("embed_ivf_topk", q_embed_ivf_topk, OE.ivf_topk_oracle())
 
 
+def q_ann_recall(spark, sf_dir):
+    """Per-query recall@k + MRR of the IVF approximate top-k against the
+    exact scan — the measured evidence behind the n_probes/n_centroids
+    dial (an approximate index is only deployable with its recall
+    number)."""
+    return OE.ann_recall(_emb(spark, sf_dir))
+
+
+register_extra("ann_recall", q_ann_recall, OE.ann_recall_oracle())
+
+
 # ---------------------------------------------------------------------------
 # XZ-order extent index (XZOrderSFC encode + getQueryRanges; SURVEY §2.1):
 # the oracle replays the ENTIRE integer encode — level selection, anchor

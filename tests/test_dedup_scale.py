@@ -441,3 +441,19 @@ def test_leakage_safe_split_group_coherent(spark):
         OD.leakage_safe_split(groups, weights=(1.0,), names=("train",))
     with pytest.raises(ValueError, match="positive"):
         OD.leakage_safe_split(groups, weights=(0.9, 0.0, 0.1))
+
+
+def test_ann_recall_exhaustive_probe_is_perfect(spark, emb):
+    """n_probes == n_centroids makes the IVF scan exhaustive, so recall
+    and MRR are exactly 1.0 for every query — the closed-form anchor of
+    the dial; fewer probes can only lower the metrics."""
+    full = OE.ann_recall(emb, n_queries=4, k=5, n_probes=OE.IVF_N_CENTROIDS)
+    rows = {int(r.q_id): (int(r.n_hits), float(r.recall), float(r.mrr1))
+            for r in full.collect()}
+    assert len(rows) == 4
+    assert all(v == (5, 1.0, 1.0) for v in rows.values())
+
+    part = OE.ann_recall(emb, n_queries=4, k=5, n_probes=1)
+    prows = {int(r.q_id): float(r.recall) for r in part.collect()}
+    assert all(prows[q] <= 1.0 for q in prows)
+    assert set(prows) == set(rows)
