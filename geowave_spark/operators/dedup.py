@@ -1018,6 +1018,24 @@ FROM {table} d LEFT JOIN labels l ON l.node = d.doc_id
 SPLIT_SCALE = 10_000  # hash-bucket granularity of the weight thresholds
 
 
+def _split_cuts(weights: tuple[float, ...], names: tuple[str, ...]) -> list[int]:
+    """Validated cumulative integer thresholds — shared by the engine and
+    its oracle so a weights/names mismatch raises in BOTH instead of
+    silently zip-truncating the oracle's CASE arms."""
+    if len(weights) != len(names) or len(names) < 2:
+        raise ValueError(
+            "leakage_safe_split: need >=2 names and one weight per name"
+        )
+    if any(w <= 0 for w in weights):
+        raise ValueError("leakage_safe_split: weights must be positive")
+    tot = float(sum(weights))
+    cuts, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w / tot
+        cuts.append(int(round(acc * SPLIT_SCALE)))
+    return cuts
+
+
 def leakage_safe_split(
     groups: DataFrame,
     weights: tuple[float, ...] = (0.90, 0.05, 0.05),
@@ -1036,19 +1054,15 @@ def leakage_safe_split(
     shuffles beyond what produced the labels; re-salting re-draws the
     split without touching the group structure.  Thresholds are integer
     buckets of ``SPLIT_SCALE`` (exact cross-engine replay); weights are
-    normalized, so (90, 5, 5) and (0.9, 0.05, 0.05) are equivalent."""
-    if len(weights) != len(names) or len(names) < 2:
-        raise ValueError(
-            "leakage_safe_split: need >=2 names and one weight per name"
-        )
-    if any(w <= 0 for w in weights):
-        raise ValueError("leakage_safe_split: weights must be positive")
-    tot = float(sum(weights))
-    cuts, acc = [], 0.0
-    for w in weights[:-1]:
-        acc += w / tot
-        cuts.append(int(round(acc * SPLIT_SCALE)))
-    key = F.concat_ws("|", F.lit(salt), F.col(group_col).cast("string"))
+    normalized, so (90, 5, 5) and (0.9, 0.05, 0.05) are equivalent.
+
+    A NULL ``group_id`` violates the input contract (canonicalize always
+    coalesces); if one slips through, the hash null-propagates and the row
+    falls to ``names[-1]`` — identically in both engines."""
+    cuts = _split_cuts(weights, names)
+    # F.concat (NOT concat_ws): null-propagates like SQL ||, keeping the
+    # NULL-group_id behavior identical to the DuckDB oracle
+    key = F.concat(F.lit(f"{salt}|"), F.col(group_col).cast("string"))
 
     def pick(u: Column) -> Column:
         c = F.when(u < cuts[0], F.lit(names[0]))
@@ -1071,11 +1085,7 @@ def leakage_safe_split_oracle(
 ) -> str:
     """DuckDB twin: the canonicalize closure as a base CTE + the same
     salted-md5 bucket thresholds."""
-    tot = float(sum(weights))
-    cuts, acc = [], 0.0
-    for w in weights[:-1]:
-        acc += w / tot
-        cuts.append(int(round(acc * SPLIT_SCALE)))
+    cuts = _split_cuts(weights, names)
     u = duck_h64(f"'{salt}|' || CAST(group_id AS VARCHAR)") + f" % {SPLIT_SCALE}"
     arms = " ".join(
         f"WHEN u < {cut} THEN '{nm}'" for cut, nm in zip(cuts, names[:-1])

@@ -854,8 +854,10 @@ def ann_recall(
 ) -> DataFrame:
     """Per-query IVF retrieval quality vs the exact scan: (q_id, n_hits,
     recall, mrr1).  ``n_hits`` = exact-top-k items the IVF top-k found,
-    ``recall`` = n_hits/k, ``mrr1`` = reciprocal rank of the TRUE nearest
-    neighbor inside the IVF list (0 when missed).  With
+    ``recall`` = n_hits over the exact list's actual size (= k unless the
+    corpus has fewer than k+1 vectors — the denominator never punishes a
+    small validation slice), ``mrr1`` = reciprocal rank of the TRUE
+    nearest neighbor inside the IVF list (0 when missed).  With
     ``n_probes == n_centroids`` the IVF scan is exhaustive and both
     metrics are exactly 1.0 (pinned by pytest) — the dial's closed-form
     anchor.  Ground truth and candidate lists are the engine's own
@@ -874,9 +876,9 @@ def ann_recall(
     )
     return j.groupBy("q_id").agg(
         F.count("_ar").alias("n_hits"),
-        F.round(F.count("_ar").cast("double") / F.lit(float(k)), 6).alias(
-            "recall"
-        ),
+        F.round(
+            F.count("_ar").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("recall"),
         F.round(F.coalesce(F.max(rr), F.lit(0.0)), 6).alias("mrr1"),
     )
 
@@ -900,7 +902,7 @@ j AS (
 )
 SELECT q_id,
        CAST(COUNT(ar) AS BIGINT) AS n_hits,
-       round(CAST(COUNT(ar) AS DOUBLE) / {k}, 6) AS recall,
+       round(CAST(COUNT(ar) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS recall,
        round(COALESCE(MAX(CASE WHEN er = 1 AND ar IS NOT NULL
                                 THEN CAST(1.0 AS DOUBLE) / ar END),
                       CAST(0.0 AS DOUBLE)), 6) AS mrr1

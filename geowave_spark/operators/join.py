@@ -242,7 +242,6 @@ def _fixed_cover(
     max_cells_per_row: int,
     prefix: str,
     keep_xy: bool,
-    extra_cols: tuple[str, ...] = (),
     op_name: str = "envelopes_overlap_join",
 ) -> DataFrame:
     """Cover of each envelope on the FIXED res-``res`` grid (PBSM tile
@@ -260,7 +259,6 @@ def _fixed_cover(
         F.col(mny).alias(f"{prefix}miny"),
         F.col(mxx).alias(f"{prefix}maxx"),
         F.col(mxy).alias(f"{prefix}maxy"),
-        *extra_cols,
     )
     d = (
         d.withColumn("_ix0", X.grid_milli_col(F.col(f"{prefix}minx"), 180_000, C.LON_SPAN_MILLI, r))
