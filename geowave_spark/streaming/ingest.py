@@ -345,6 +345,58 @@ def stream_knn(
     return writer.start()
 
 
+def stream_incremental_dedup(
+    spark: SparkSession,
+    source,
+    corpus_bands: DataFrame,
+    schema,
+    sink_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous content-level dedup of an ingest stream against the
+    STORED corpus band index: each micro-batch runs the batch
+    ``dedup.incremental_dedup`` (MinHash band keys → stream-static join
+    vs the index + within-micro-batch first occurrence) via
+    ``foreachBatch`` and appends (doc_id, hit_corpus, hit_batch, keep)
+    to the sink.
+
+    Division of labor: ``stream_dedup_docs`` is the EXACT cross-batch
+    screen (stateful, bounded by timeout); this operator is the LSH
+    near-dup screen against everything already ingested — state-free,
+    because the corpus side is a static index and within-batch blocking
+    is a batch aggregation inside the micro-batch.  Docs kept here are
+    what a production loop appends to the corpus index (the next index
+    snapshot picks them up; intra-stream pairs ACROSS micro-batches are
+    deliberately out of scope for the state-free form).
+
+    Delivery matches stream_knn: at-least-once on plain parquet, upgrade
+    to exactly-once with a transactional sink keyed by batch_id.
+    """
+    from geowave_spark.operators.dedup import incremental_dedup
+
+    if available_now:
+        corpus_bands = corpus_bands.localCheckpoint()
+    else:
+        corpus_bands = corpus_bands.persist()
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = incremental_dedup(None, batch_df, corpus_bands=corpus_bands)
+        out.write.mode("append").parquet(sink_dir)
+
+    raw = open_stream(spark, source, schema)
+    writer = (
+        raw.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def decommission_stream_sink(spark: SparkSession, sink_dir: str) -> dict:
     """Convert a stopped streaming file sink into a plain batch table —
     the prerequisite for maintenance passes (``operators/compact.py``).

@@ -287,3 +287,35 @@ def test_stream_knn_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming LSH dedup vs the stored corpus band index == the batch
+    incremental_dedup over the same staged docs (foreachBatch reuse)."""
+    from geowave_spark.operators import dedup as OD
+    from geowave_spark.streaming.ingest import stream_incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    # the stored index: band_keys materialized at a prior ingest
+    idx_path = str(tmp_path / "corpus_bands")
+    OD.band_keys(corpus).write.mode("overwrite").parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    src = str(tmp_path / "idsrc")
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    sink, ckpt = str(tmp_path / "idsink"), str(tmp_path / "idckpt")
+    q = stream_incremental_dedup(spark, src, idx, batch.schema, sink, ckpt)
+    q.awaitTermination(180)
+
+    got = {
+        (r.doc_id, r.hit_corpus, r.hit_batch, r.keep)
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r.doc_id, r.hit_corpus, r.hit_batch, r.keep)
+        for r in OD.incremental_dedup(None, batch, corpus_bands=idx).collect()
+    }
+    assert got == want and len(want) > 0
