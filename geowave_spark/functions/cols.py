@@ -189,3 +189,28 @@ def xz_prefix_codes_milli_col(
         return let(ix_expr, lambda ix: let(iy_expr, lambda iy: with_xy(ix, iy)))
 
     return let(lvl_expr, with_lvl)
+
+
+def quadkey_col(ix: Column, iy: Column, level: Column,
+                max_level: int = C.MAX_RES) -> Column:
+    """Bing-maps-style quadkey string of a tile on THIS engine's grid:
+    digit i (most-significant first) = bit of ``ix`` plus twice the bit of
+    ``iy`` at that position, ``level`` digits total (level 0 = the empty
+    string, the standard single-world-tile convention).  The engine's grid
+    is south-origin milli-degrees; a web-mercator consumer flips
+    ``iy' = 2^level - 1 - iy`` before keying.
+
+    Variable per-row ``level``: one flat ``concat`` of ``max_level``
+    codegen terms, each emitting '' beyond the row's level — no UDF, no
+    HOF (stays inside whole-stage codegen)."""
+    lvl = level.cast("long")
+    terms = []
+    for s in range(max_level - 1, -1, -1):
+        d = (
+            F.shiftright(ix.cast("long"), s).bitwiseAND(F.lit(1))
+            + F.shiftright(iy.cast("long"), s).bitwiseAND(F.lit(1)) * 2
+        )
+        terms.append(
+            F.when(F.lit(s) < lvl, d.cast("string")).otherwise(F.lit(""))
+        )
+    return F.concat(*terms)

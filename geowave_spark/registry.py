@@ -653,6 +653,39 @@ WHERE dx.v <= ix1 - ix0 AND dy.v <= iy1 - iy0
 
 register("tile_assign", q_tile_assign, _tile_assign_oracle_sql())
 
+QK_MAX_LEVEL = 16  # footprint native levels are 6..11; margin for retile
+
+
+def q_tile_quadkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy-map interop: the tile_assign ladder keyed as Bing-style
+    quadkey strings (functions/cols.quadkey_col — one flat codegen concat,
+    variable per-row level, no UDF), so rendered/mosaicked tiles can be
+    addressed by any XYZ/quadkey map consumer."""
+    from geowave_spark.functions import cols as X
+
+    t = q_tile_assign(spark, sf_dir)
+    return t.select(
+        "event_id", "level", "ix", "iy",
+        X.quadkey_col(F.col("ix"), F.col("iy"), F.col("level"),
+                      max_level=QK_MAX_LEVEL).alias("qk"),
+    )
+
+
+def _tile_quadkeys_oracle_sql() -> str:
+    terms = " || ".join(
+        f"(CASE WHEN {s} < level THEN "
+        f"CAST(((ix >> {s}) & 1) + 2 * ((iy >> {s}) & 1) AS VARCHAR) "
+        f"ELSE '' END)"
+        for s in range(QK_MAX_LEVEL - 1, -1, -1)
+    )
+    return f"""
+SELECT event_id, level, ix, iy, {terms} AS qk
+FROM ({_tile_assign_oracle_sql()})
+"""
+
+
+# registered in the EXTRA section below (register_extra is defined there)
+
 
 # ---------------------------------------------------------------------------
 # Training-data pipeline: deduplication (exact, MinHash-LSH, SimHash,
@@ -1695,6 +1728,9 @@ def register_extra(name: str, fn, oracle: str | None = None) -> None:
     EXTRA_QUERIES[name] = fn
     if oracle is not None:
         EXTRA_ORACLES[name] = oracle
+
+
+register_extra("tile_quadkeys", q_tile_quadkeys, _tile_quadkeys_oracle_sql())
 
 
 def _mtext(m: int) -> str:

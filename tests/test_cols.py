@@ -95,3 +95,29 @@ def test_pack_col_variable_res(spark):
     got = df.select(X.pack_col(F.col("ix"), F.col("iy"), F.col("res")).alias("c")).toPandas()
     want = C.pack(res, ix, iy)
     assert (got["c"].to_numpy() == want).all()
+
+
+def test_quadkey_col_closed_form(spark):
+    """Quadkey digits: MSB-first (x-bit + 2*y-bit); level 0 = ''; per-row
+    variable level; known Bing example (x=3, y=5, z=3 -> '213')."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.functions import cols as X
+
+    rows = [(3, 5, 3), (0, 0, 0), (1, 0, 1), (0, 1, 1), (1, 1, 2), (7, 7, 3)]
+    df = spark.createDataFrame(rows, "ix long, iy long, level long")
+    got = {
+        (r.ix, r.iy, r.level): r.qk
+        for r in df.select(
+            "ix", "iy", "level",
+            X.quadkey_col(F.col("ix"), F.col("iy"), F.col("level")).alias("qk"),
+        ).collect()
+    }
+    assert got == {
+        (3, 5, 3): "213",
+        (0, 0, 0): "",
+        (1, 0, 1): "1",
+        (0, 1, 1): "2",
+        (1, 1, 2): "03",
+        (7, 7, 3): "333",
+    }
