@@ -202,9 +202,18 @@ def quadkey_col(ix: Column, iy: Column, level: Column,
 
     Variable per-row ``level``: one flat ``concat`` of ``max_level``
     codegen terms, each emitting '' beyond the row's level — no UDF, no
-    HOF (stays inside whole-stage codegen)."""
+    HOF (stays inside whole-stage codegen).  A row whose level EXCEEDS
+    ``max_level`` fails fast (the key would otherwise silently truncate
+    — the never-truncate rule every cover operator follows)."""
     lvl = level.cast("long")
-    terms = []
+    guard = F.when(
+        lvl > F.lit(max_level),
+        F.expr(
+            f"raise_error('quadkey_col: level exceeds max_level={max_level} "
+            "— raise max_level, never truncate a key')"
+        ).cast("string"),
+    ).otherwise(F.lit(""))
+    terms = [guard]
     for s in range(max_level - 1, -1, -1):
         d = (
             F.shiftright(ix.cast("long"), s).bitwiseAND(F.lit(1))

@@ -121,3 +121,25 @@ def test_quadkey_col_closed_form(spark):
         (1, 1, 2): "03",
         (7, 7, 3): "333",
     }
+
+
+def test_quadkey_col_never_truncates(spark):
+    """A level beyond max_level fails fast instead of silently emitting a
+    truncated key."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors import SparkRuntimeException
+
+    from geowave_spark.functions import cols as X
+
+    df = spark.createDataFrame([(1, 1, 5)], "ix long, iy long, level long")
+    q = df.select(
+        X.quadkey_col(F.col("ix"), F.col("iy"), F.col("level"), max_level=4)
+    )
+    with pytest.raises(SparkRuntimeException, match="never truncate"):
+        q.collect()
+    ok = df.select(
+        X.quadkey_col(F.col("ix"), F.col("iy"), F.col("level"), max_level=5)
+        .alias("qk")
+    ).collect()
+    assert ok[0].qk == "00003"
