@@ -143,3 +143,35 @@ def test_quadkey_col_never_truncates(spark):
         .alias("qk")
     ).collect()
     assert ok[0].qk == "00003"
+
+
+def test_quadkey_col_random_batch_vs_python(spark):
+    """500 random (ix, iy, level) triples vs an independent pure-python
+    digit construction — one Spark job, full [0, MAX_RES] level range."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geowave_spark.functions import cells as C
+    from geowave_spark.functions import cols as X
+
+    rng = np.random.default_rng(20260819)
+    lv = rng.integers(0, C.MAX_RES + 1, size=500)
+    ix = np.array([rng.integers(0, 1 << l) if l else 0 for l in lv])
+    iy = np.array([rng.integers(0, 1 << l) if l else 0 for l in lv])
+
+    def py_qk(x, y, l):
+        return "".join(
+            str(((x >> s) & 1) + 2 * ((y >> s) & 1))
+            for s in range(l - 1, -1, -1)
+        )
+
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(ix, iy, lv)],
+        "ix long, iy long, level long",
+    )
+    got = df.select(
+        "ix", "iy", "level",
+        X.quadkey_col(F.col("ix"), F.col("iy"), F.col("level")).alias("qk"),
+    ).collect()
+    for r in got:
+        assert r.qk == py_qk(r.ix, r.iy, r.level), (r.ix, r.iy, r.level)
