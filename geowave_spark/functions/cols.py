@@ -203,16 +203,22 @@ def quadkey_col(ix: Column, iy: Column, level: Column,
     Variable per-row ``level``: one flat ``concat`` of ``max_level``
     codegen terms, each emitting '' beyond the row's level — no UDF, no
     HOF (stays inside whole-stage codegen).  A row whose level EXCEEDS
-    ``max_level`` fails fast (the key would otherwise silently truncate
-    — the never-truncate rule every cover operator follows)."""
+    ``max_level`` or is NEGATIVE fails fast (the key would otherwise
+    silently truncate to a coarser — possibly whole-world — address; the
+    never-truncate rule every cover operator follows).  A NULL level
+    yields a NULL key, matching NULL ix/iy concat propagation."""
     lvl = level.cast("long")
-    guard = F.when(
-        lvl > F.lit(max_level),
-        F.expr(
-            f"raise_error('quadkey_col: level exceeds max_level={max_level} "
-            "— raise max_level, never truncate a key')"
-        ).cast("string"),
-    ).otherwise(F.lit(""))
+    guard = (
+        F.when(lvl.isNull(), F.lit(None).cast("string"))
+        .when(
+            (lvl > F.lit(max_level)) | (lvl < 0),
+            F.expr(
+                f"raise_error('quadkey_col: level outside [0, "
+                f"{max_level}] — raise max_level, never truncate a key')"
+            ).cast("string"),
+        )
+        .otherwise(F.lit(""))
+    )
     terms = [guard]
     for s in range(max_level - 1, -1, -1):
         d = (

@@ -293,6 +293,7 @@ def incremental_dedup(
     engine: str = "catalyst",
     hash_impl: str = "md5",
     corpus_bands: DataFrame | None = None,
+    corpus_bands_distinct: bool = False,
 ) -> DataFrame:
     """Dedup a NEW ingest batch against an EXISTING corpus — the shape the
     job actually takes at 100 TB, where re-pairing corpus×corpus on every
@@ -335,12 +336,15 @@ def incremental_dedup(
         corpus_bands = band_keys(corpus, text_col, id_col, engine=engine,
                                  hash_impl=hash_impl)
     bb = band_keys(batch, text_col, id_col, engine=engine, hash_impl=hash_impl)
-    # distinct bucket set: 'exists in corpus' without row multiplication
-    # (a stored index can pre-distinct this at write)
-    cset = (
-        corpus_bands.select("band", "bkey").distinct()
-        .withColumn("_inc", F.lit(True))
-    )
+    # distinct bucket set: 'exists in corpus' without row multiplication.
+    # ``corpus_bands_distinct=True`` skips the re-distinct for a caller
+    # that pre-distincted (and typically cached) the bucket set — e.g. a
+    # stored index distincted at write, or a long-running stream that
+    # would otherwise pay a corpus-sized aggregation per micro-batch.
+    cset = corpus_bands.select("band", "bkey")
+    if not corpus_bands_distinct:
+        cset = cset.distinct()
+    cset = cset.withColumn("_inc", F.lit(True))
     w = Window.partitionBy("band", "bkey")
     flagged = bb.withColumn("_min_id", F.min(id_col).over(w)).join(
         cset, on=["band", "bkey"], how="left"

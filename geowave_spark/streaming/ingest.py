@@ -312,27 +312,53 @@ def stream_knn(
     """
     from geowave_spark.operators.knn import knn_join
 
-    if available_now:
-        # bounded drain: localCheckpoint pins the static side in executor
-        # memory for the run's (short) lifetime
-        static_points = static_points.localCheckpoint()
-    else:
-        # continuous: localCheckpoint TRUNCATES lineage, so an executor
-        # loss hours in would lose partitions unrecoverably; persist keeps
-        # the lineage for recompute while still caching the hot copy
-        static_points = static_points.persist()
+    static_points = _pin_static(static_points, available_now)
 
-    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        out = knn_join(
+    def _knn_batch(batch_df: DataFrame) -> None:
+        knn_join(
             batch_df,
             static_points,
             k=k,
             max_dist_milli=max_dist_milli,
             exclude_self=False,
-        )
-        out.write.mode("append").parquet(sink_dir)
+        ).write.mode("append").parquet(sink_dir)
+
+    return _stream_foreach_batch(
+        spark, source, schema, checkpoint_dir, _knn_batch, available_now
+    )
+
+
+def _pin_static(static_df: DataFrame, available_now: bool) -> DataFrame:
+    """Cache the static side of a stream-static foreachBatch join.
+
+    availableNow (bounded drain): localCheckpoint pins it in executor
+    memory for the run's short lifetime.  Continuous: localCheckpoint
+    TRUNCATES lineage, so an executor loss hours in would lose partitions
+    unrecoverably; persist keeps the lineage for recompute while still
+    caching the hot copy."""
+    return static_df.localCheckpoint() if available_now else static_df.persist()
+
+
+def _stream_foreach_batch(
+    spark: SparkSession,
+    source,
+    schema,
+    checkpoint_dir: str,
+    per_batch,
+    available_now: bool,
+):
+    """Shared scaffold for the foreachBatch-reuse operators (stream_knn,
+    stream_incremental_dedup): open the stream, skip empty micro-batches,
+    run ``per_batch(batch_df)``, checkpointed + availableNow-triggered.
+
+    Delivery is at-least-once on plain parquet sinks: a crash between the
+    sink append and the offset commit replays that micro-batch (a
+    transactional sink keyed by batch_id upgrades this to exactly-once)."""
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        per_batch(batch_df)
 
     raw = open_stream(spark, source, schema)
     writer = (
@@ -353,6 +379,10 @@ def stream_incremental_dedup(
     sink_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    engine: str = "catalyst",
+    hash_impl: str = "md5",
 ):
     """Continuous content-level dedup of an ingest stream against the
     STORED corpus band index: each micro-batch runs the batch
@@ -360,6 +390,11 @@ def stream_incremental_dedup(
     vs the index + within-micro-batch first occurrence) via
     ``foreachBatch`` and appends (doc_id, hit_corpus, hit_batch, keep)
     to the sink.
+
+    ``hash_impl``/``engine`` MUST match how the corpus index was built
+    (the knobs are exposed for exactly that reason — an md5-keyed batch
+    against an xxhash64-keyed index would never collide and the screen
+    would silently pass everything).
 
     Division of labor: ``stream_dedup_docs`` is the EXACT cross-batch
     screen (stateful, bounded by timeout); this operator is the LSH
@@ -370,31 +405,25 @@ def stream_incremental_dedup(
     snapshot picks them up; intra-stream pairs ACROSS micro-batches are
     deliberately out of scope for the state-free form).
 
-    Delivery matches stream_knn: at-least-once on plain parquet, upgrade
-    to exactly-once with a transactional sink keyed by batch_id.
+    The distinct (band, bkey) bucket set is computed and pinned ONCE at
+    stream setup — a long-running stream must not pay a corpus-sized
+    aggregation per micro-batch.
     """
     from geowave_spark.operators.dedup import incremental_dedup
 
-    if available_now:
-        corpus_bands = corpus_bands.localCheckpoint()
-    else:
-        corpus_bands = corpus_bands.persist()
-
-    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        out = incremental_dedup(None, batch_df, corpus_bands=corpus_bands)
-        out.write.mode("append").parquet(sink_dir)
-
-    raw = open_stream(spark, source, schema)
-    writer = (
-        raw.writeStream.foreachBatch(_one_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
+    cset = _pin_static(
+        corpus_bands.select("band", "bkey").distinct(), available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+
+    def _dedup_batch(batch_df: DataFrame) -> None:
+        incremental_dedup(
+            None, batch_df, text_col=text_col, id_col=id_col, engine=engine,
+            hash_impl=hash_impl, corpus_bands=cset, corpus_bands_distinct=True,
+        ).write.mode("append").parquet(sink_dir)
+
+    return _stream_foreach_batch(
+        spark, source, schema, checkpoint_dir, _dedup_batch, available_now
+    )
 
 
 def decommission_stream_sink(spark: SparkSession, sink_dir: str) -> dict:

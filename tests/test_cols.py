@@ -175,3 +175,25 @@ def test_quadkey_col_random_batch_vs_python(spark):
     ).collect()
     for r in got:
         assert r.qk == py_qk(r.ix, r.iy, r.level), (r.ix, r.iy, r.level)
+
+
+def test_quadkey_col_null_and_negative_level(spark):
+    """NULL level -> NULL key (matches NULL ix/iy concat propagation);
+    negative level fails fast like the over-max case."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors import SparkRuntimeException
+
+    from geowave_spark.functions import cols as X
+
+    df = spark.createDataFrame([(1, 1, None)], "ix long, iy long, level long")
+    r = df.select(
+        X.quadkey_col(F.col("ix"), F.col("iy"), F.col("level")).alias("qk")
+    ).collect()
+    assert r[0].qk is None
+
+    neg = spark.createDataFrame([(1, 1, -1)], "ix long, iy long, level long")
+    with pytest.raises(SparkRuntimeException, match="never truncate"):
+        neg.select(
+            X.quadkey_col(F.col("ix"), F.col("iy"), F.col("level"))
+        ).collect()
