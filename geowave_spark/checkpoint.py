@@ -241,3 +241,91 @@ def ingest_pipeline(
         params={},
     )
     return pipe
+
+
+def corpus_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    store: str,
+    weights: tuple[float, ...] = (0.90, 0.05, 0.05),
+    shard_bytes: int = 1 << 14,
+) -> Pipeline:
+    """The training-data DAG end-to-end, checkpointed per stage:
+
+    1. ``corpus_prep`` — language/quality/length gates + exact and
+       near-dup removal with per-doc drop attribution;
+    2. ``neardup_groups`` — canonicalized LSH components over the docs
+       that REACHED the near-dup gate (stage near_dup|kept): the group
+       structure the split must respect;
+    3. ``split`` — leakage-safe train/val/test hashed on the GROUP id,
+       so a kept representative and every near-dup it absorbed land in
+       the same split (an eval doc can never have a train-side twin);
+    4. ``train_shards`` — WebDataset-style shard assignment over the
+       kept train docs (byte-block cut in h64 pseudo-shuffle order).
+
+    Each stage persists output + per-partition lineage (the north-rule
+    resumability contract); a rerun skips green stages, and invalidating
+    one re-runs exactly the suffix that depends on it."""
+    from geowave_spark.operators import corpus as OC
+    from geowave_spark.operators import dedup as OD
+
+    pipe = Pipeline(spark, store)
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+
+    def build_prep(sp: SparkSession) -> DataFrame:
+        return OD.corpus_prep(sp.read.parquet(doc_path))
+
+    prep = pipe.run_stage(
+        "corpus_prep", build_prep, inputs=[doc_path], params={}
+    )
+
+    def build_groups(sp: SparkSession) -> DataFrame:
+        docs = sp.read.parquet(doc_path)
+        reached = prep.filter(
+            F.col("stage").isin("near_dup", "kept")
+        ).select("doc_id")
+        surv = docs.join(reached, "doc_id")
+        pairs = OD.minhash_lsh_pairs(surv, engine="arrow")
+        return OD.canonicalize(surv.select("doc_id"), pairs)
+
+    groups = pipe.run_stage(
+        "neardup_groups",
+        build_groups,
+        inputs=[doc_path, os.path.join(store, "corpus_prep")],
+        params={},
+    )
+
+    def build_split(sp: SparkSession) -> DataFrame:
+        return OD.leakage_safe_split(groups, weights=weights)
+
+    split = pipe.run_stage(
+        "split",
+        build_split,
+        inputs=[os.path.join(store, "neardup_groups")],
+        params={"weights": list(weights)},
+    )
+
+    def build_shards(sp: SparkSession) -> DataFrame:
+        docs = sp.read.parquet(doc_path)
+        kept = groups.filter(F.col("keep")).select("doc_id")
+        train = split.filter(F.col("split") == "train").select("doc_id")
+        items = (
+            docs.join(kept, "doc_id")
+            .join(train, "doc_id")
+            .select("doc_id", F.length("text").cast("long").alias("n_bytes"))
+        )
+        return OC.shard_assign(
+            items, "n_bytes", shard_bytes=shard_bytes, id_col="doc_id"
+        )
+
+    pipe.run_stage(
+        "train_shards",
+        build_shards,
+        inputs=[
+            doc_path,
+            os.path.join(store, "neardup_groups"),
+            os.path.join(store, "split"),
+        ],
+        params={"shard_bytes": shard_bytes},
+    )
+    return pipe

@@ -238,3 +238,54 @@ def test_metrics_backfill_and_invalidate(spark, sf_dir, tmp_path):
 
     empty = Pipeline(spark, str(tmp_path / "nothing"))
     assert empty.metrics_table().count() == 0
+
+
+def test_corpus_pipeline_resume_and_leakage_invariant(spark, sf_dir, tmp_path):
+    """The training-data DAG: all four stages run, rerun skips everything,
+    invalidating the split re-runs exactly the suffix; every member of a
+    near-dup group shares a split (the leakage guarantee), and train
+    shards contain only kept train docs."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.checkpoint import corpus_pipeline
+
+    store = str(tmp_path / "cpipe")
+    stages = ["corpus_prep", "neardup_groups", "split", "train_shards"]
+
+    p1 = corpus_pipeline(spark, sf_dir, store)
+    assert p1.stages_run == stages
+
+    p2 = corpus_pipeline(spark, sf_dir, store)
+    assert p2.stages_run == [] and p2.stages_skipped == stages
+
+    p2.invalidate("split")
+    p3 = corpus_pipeline(spark, sf_dir, store)
+    assert p3.stages_run == ["split", "train_shards"]
+    assert p3.stages_skipped == ["corpus_prep", "neardup_groups"]
+
+    groups = spark.read.parquet(os.path.join(store, "neardup_groups"))
+    split = spark.read.parquet(os.path.join(store, "split"))
+    shards = spark.read.parquet(os.path.join(store, "train_shards"))
+
+    # leakage invariant: one split per group
+    per_group = (
+        split.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert per_group == 1
+
+    # shards = kept ∧ train, nothing else; byte layout gapless per shard
+    kept_train = (
+        groups.filter(F.col("keep"))
+        .join(split.filter(F.col("split") == "train"), "doc_id")
+        .select("doc_id")
+    )
+    assert shards.count() == kept_train.count() > 0
+    assert shards.join(kept_train, "doc_id").count() == shards.count()
+    n_shards = shards.select("shard_id").distinct().count()
+    assert n_shards > 1  # 16 KB nominal shards over the kept train corpus
+
+    # per-partition lineage recorded for every stage
+    assert p1.partition_metrics("train_shards").count() >= 1
