@@ -329,3 +329,89 @@ def corpus_pipeline(
         params={"shard_bytes": shard_bytes},
     )
     return pipe
+
+
+def image_pipeline(
+    spark: SparkSession,
+    images_path: str,
+    store: str,
+    weights: tuple[float, ...] = (0.90, 0.05, 0.05),
+    batch_size: int = 64,
+) -> Pipeline:
+    """The IMAGE-side training-data DAG (the input_hint table end-to-end),
+    checkpointed per stage:
+
+    1. ``image_features`` — decode in quarantine mode (one corrupt blob
+       among 10^12 cannot kill the job): w/h/luminance/dhash per image,
+       failures kept as err rows for the quarantine sink;
+    2. ``dedup_groups`` — banded-hamming pairs over the dhash + union-find
+       canonicalization (group_id, keep) per decodable image;
+    3. ``split`` — leakage-safe train/val/test hashed on the dup GROUP;
+    4. ``train_batches`` — aspect-ratio bucketed fixed-size batches over
+       the kept train images (shape-compatible training batches, tails
+       flagged).
+
+    Same resume contract as :func:`corpus_pipeline`: fingerprinted
+    manifests + per-partition lineage, suffix-only re-runs."""
+    from geowave_spark.operators import dedup as OD
+    from geowave_spark.operators import multimodal as MM
+
+    pipe = Pipeline(spark, store)
+    img_num = F.regexp_extract(F.col("image_id"), r"(\d+)", 1).cast("long")
+
+    def build_features(sp: SparkSession) -> DataFrame:
+        return MM.image_features(
+            sp.read.parquet(images_path), on_error="quarantine"
+        )
+
+    feats = pipe.run_stage(
+        "image_features", build_features, inputs=[images_path], params={}
+    )
+
+    def build_groups(sp: SparkSession) -> DataFrame:
+        ok = feats.filter(F.col("err").isNull()).select(
+            img_num.alias("img_num"), "dhash"
+        )
+        pairs = OD.hamming_pairs(ok, "dhash", "img_num")
+        return OD.canonicalize(ok.select("img_num"), pairs, id_col="img_num")
+
+    groups = pipe.run_stage(
+        "dedup_groups",
+        build_groups,
+        inputs=[os.path.join(store, "image_features")],
+        params={},
+    )
+
+    def build_split(sp: SparkSession) -> DataFrame:
+        return OD.leakage_safe_split(groups, weights=weights, id_col="img_num")
+
+    split = pipe.run_stage(
+        "split",
+        build_split,
+        inputs=[os.path.join(store, "dedup_groups")],
+        params={"weights": list(weights)},
+    )
+
+    def build_batches(sp: SparkSession) -> DataFrame:
+        kept = groups.filter(F.col("keep")).select("img_num")
+        train = split.filter(F.col("split") == "train").select("img_num")
+        imgs = (
+            feats.filter(F.col("err").isNull())
+            .withColumn("img_num", img_num)
+            .join(kept, "img_num")
+            .join(train, "img_num")
+            .select("image_id", "w", "h")
+        )
+        return MM.aspect_bucket_batches(imgs, batch_size=batch_size)
+
+    pipe.run_stage(
+        "train_batches",
+        build_batches,
+        inputs=[
+            os.path.join(store, "image_features"),
+            os.path.join(store, "dedup_groups"),
+            os.path.join(store, "split"),
+        ],
+        params={"batch_size": batch_size},
+    )
+    return pipe

@@ -289,3 +289,61 @@ def test_corpus_pipeline_resume_and_leakage_invariant(spark, sf_dir, tmp_path):
 
     # per-partition lineage recorded for every stage
     assert p1.partition_metrics("train_shards").count() >= 1
+
+
+def test_image_pipeline_planted_dups_and_resume(spark, tmp_path):
+    """The image-side DAG over the input_hint table: planted byte-identical
+    copies (fresh ids) group with their originals and only one survives;
+    group members share a split; train batches contain only kept train
+    images; rerun skips, invalidated suffix re-runs."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.checkpoint import image_pipeline
+    from geowave_spark.sources import synthetic as SY
+
+    base = SY.images(spark, 60, partitions=4)
+    dups = (
+        base.filter(F.col("image_id") < "img000000000010")
+        .withColumn(
+            "image_id",
+            F.concat(F.lit("img9"), F.substring("image_id", 5, 11)),
+        )
+    )
+    src = str(tmp_path / "imgs")
+    base.unionByName(dups).write.mode("overwrite").parquet(src)
+
+    store = str(tmp_path / "ipipe")
+    stages = ["image_features", "dedup_groups", "split", "train_batches"]
+    p1 = image_pipeline(spark, src, store, batch_size=4)
+    assert p1.stages_run == stages
+
+    groups = {
+        int(r.img_num): (int(r.group_id), bool(r.keep))
+        for r in spark.read.parquet(os.path.join(store, "dedup_groups")).collect()
+    }
+    for i in range(10):
+        copy = 900_000_000_000 + i
+        assert groups[copy][0] == groups[i][0], "copy must join its original"
+        assert groups[i][1] and not groups[copy][1], "min id keeps"
+
+    split = spark.read.parquet(os.path.join(store, "split"))
+    assert (
+        split.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .agg(F.max("n")).collect()[0][0]
+    ) == 1
+
+    batches = spark.read.parquet(os.path.join(store, "train_batches"))
+    n_kept_train = (
+        spark.read.parquet(os.path.join(store, "dedup_groups"))
+        .filter(F.col("keep"))
+        .join(split.filter(F.col("split") == "train"), "img_num")
+        .count()
+    )
+    assert batches.count() == n_kept_train > 0
+
+    p2 = image_pipeline(spark, src, store, batch_size=4)
+    assert p2.stages_run == [] and p2.stages_skipped == stages
+    p2.invalidate("split")
+    p3 = image_pipeline(spark, src, store, batch_size=4)
+    assert p3.stages_run == ["split", "train_batches"]
