@@ -397,6 +397,30 @@ def cmd_remote(args, spark_injected, out) -> int:
     return 0
 
 
+def cmd_pipeline(args, spark_injected, out) -> int:
+    """Run one of the checkpointed multi-stage DAGs (checkpoint.py):
+    ``ingest`` (index → stats), ``corpus`` (prep → dup groups →
+    leakage-safe split → train shards), ``image`` (quarantined decode →
+    dhash dedup → split → aspect batches).  Re-running skips green
+    stages; ``--invalidate STAGE`` re-runs that stage and its suffix."""
+    from geowave_spark import checkpoint as CK
+
+    spark = _spark(args, spark_injected)
+    runner = {
+        "ingest": CK.ingest_pipeline,
+        "corpus": CK.corpus_pipeline,
+        "image": CK.image_pipeline,
+    }[args.which]
+    if args.invalidate:
+        CK.Pipeline(spark, args.store).invalidate(args.invalidate)
+    pipe = runner(spark, args.src, args.store)
+    for s in pipe.stages_run:
+        print(f"ran\t{s}", file=out)
+    for s in pipe.stages_skipped:
+        print(f"skipped\t{s}", file=out)
+    return 0
+
+
 def cmd_export(args, spark_injected, out) -> int:
     cfg = _load_config(args)
     path = _store_path(cfg, args.store)
@@ -510,6 +534,13 @@ def _build_parser() -> argparse.ArgumentParser:
     e.add_argument("dest")
     e.add_argument("--format", default="parquet")
 
+    pl = sub.add_parser("pipeline")  # checkpointed multi-stage DAG runner
+    pl.add_argument("which", choices=["ingest", "corpus", "image"])
+    pl.add_argument("src", help="sf_dir (ingest/corpus) or images parquet path")
+    pl.add_argument("store")
+    pl.add_argument("--invalidate", default=None,
+                    help="drop this stage's manifest first (suffix re-runs)")
+
     sub.add_parser("version")
     return p
 
@@ -533,6 +564,7 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         "remote": cmd_remote,
         "analytic": cmd_analytic,
         "export": cmd_export,
+        "pipeline": cmd_pipeline,
     }
     dispatch[args.cmd](args, spark, out)
     return 0

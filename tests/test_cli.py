@@ -260,3 +260,18 @@ def test_cli_kmeans_multilevel(spark, sf_dir, tmp_path):
     hh = hulls.splitlines()[0].split("\t")
     assert "hull_wkb" in hh and "zoom_level" not in hh
     assert len(hulls.strip().splitlines()) <= 5  # header + ≤4 leaf hulls
+
+
+def test_cli_pipeline_verb(spark, sf_dir, tmp_path):
+    """`pipeline corpus` runs the checkpointed DAG, rerun skips, and
+    --invalidate re-runs exactly the suffix."""
+    store = str(tmp_path / "plstore")
+    out1 = _run(spark, tmp_path, "pipeline", "corpus", sf_dir, store)
+    assert out1.count("ran\t") == 4 and "skipped" not in out1
+    out2 = _run(spark, tmp_path, "pipeline", "corpus", sf_dir, store)
+    assert out2.count("skipped\t") == 4 and "ran" not in out2
+    out3 = _run(
+        spark, tmp_path, "pipeline", "corpus", sf_dir, store,
+        "--invalidate", "split",
+    )
+    assert out3.count("ran\t") == 2 and out3.count("skipped\t") == 2
