@@ -248,50 +248,55 @@ def corpus_pipeline(
     sf_dir: str,
     store: str,
     weights: tuple[float, ...] = (0.90, 0.05, 0.05),
-    shard_bytes: int = 1 << 14,
+    shard_bytes: int | None = None,
 ) -> Pipeline:
     """The training-data DAG end-to-end, checkpointed per stage:
 
     1. ``corpus_prep`` — language/quality/length gates + exact and
-       near-dup removal with per-doc drop attribution;
-    2. ``neardup_groups`` — canonicalized LSH components over the docs
-       that REACHED the near-dup gate (stage near_dup|kept): the group
-       structure the split must respect;
-    3. ``split`` — leakage-safe train/val/test hashed on the GROUP id,
-       so a kept representative and every near-dup it absorbed land in
-       the same split (an eval doc can never have a train-side twin);
-    4. ``train_shards`` — WebDataset-style shard assignment over the
-       kept train docs (byte-block cut in h64 pseudo-shuffle order).
+       near-dup removal with per-doc drop attribution, emitting the
+       near-dup GROUP id it derived the verdict from (return_groups —
+       the LSH kernel runs exactly once in the DAG);
+    2. ``corpus_groups`` — cheap projection of stage 1's checkpoint to
+       the (doc_id, group_id, keep) frame the split consumes (docs that
+       reached the near-dup gate: stage near_dup|kept);
+    3. ``corpus_split`` — leakage-safe train/val/test hashed on the
+       GROUP id, so a kept representative and every near-dup it absorbed
+       land in the same split (an eval doc can never have a train-side
+       twin);
+    4. ``corpus_shards`` — WebDataset-style shard assignment over the
+       kept train docs (UTF-8 byte-block cut in h64 pseudo-shuffle
+       order; default ``corpus.SHARD_BYTES`` nominal shards).
 
-    Each stage persists output + per-partition lineage (the north-rule
-    resumability contract); a rerun skips green stages, and invalidating
-    one re-runs exactly the suffix that depends on it."""
+    Stage names are pipeline-prefixed so corpus_pipeline and
+    image_pipeline can share one store root without clobbering each
+    other's checkpoints.  Each stage persists output + per-partition
+    lineage (the north-rule resumability contract); a rerun skips green
+    stages, and invalidating one re-runs exactly the dependent suffix."""
     from geowave_spark.operators import corpus as OC
     from geowave_spark.operators import dedup as OD
 
+    if shard_bytes is None:
+        shard_bytes = OC.SHARD_BYTES
     pipe = Pipeline(spark, store)
     doc_path = os.path.join(sf_dir, "documents.parquet")
 
     def build_prep(sp: SparkSession) -> DataFrame:
-        return OD.corpus_prep(sp.read.parquet(doc_path))
+        return OD.corpus_prep(sp.read.parquet(doc_path), return_groups=True)
 
     prep = pipe.run_stage(
-        "corpus_prep", build_prep, inputs=[doc_path], params={}
+        "corpus_prep", build_prep, inputs=[doc_path],
+        params={"return_groups": True},
     )
 
     def build_groups(sp: SparkSession) -> DataFrame:
-        docs = sp.read.parquet(doc_path)
-        reached = prep.filter(
-            F.col("stage").isin("near_dup", "kept")
-        ).select("doc_id")
-        surv = docs.join(reached, "doc_id")
-        pairs = OD.minhash_lsh_pairs(surv, engine="arrow")
-        return OD.canonicalize(surv.select("doc_id"), pairs)
+        return prep.filter(F.col("stage").isin("near_dup", "kept")).select(
+            "doc_id", "group_id", (F.col("stage") == "kept").alias("keep")
+        )
 
     groups = pipe.run_stage(
-        "neardup_groups",
+        "corpus_groups",
         build_groups,
-        inputs=[doc_path, os.path.join(store, "corpus_prep")],
+        inputs=[os.path.join(store, "corpus_prep")],
         params={},
     )
 
@@ -299,9 +304,9 @@ def corpus_pipeline(
         return OD.leakage_safe_split(groups, weights=weights)
 
     split = pipe.run_stage(
-        "split",
+        "corpus_split",
         build_split,
-        inputs=[os.path.join(store, "neardup_groups")],
+        inputs=[os.path.join(store, "corpus_groups")],
         params={"weights": list(weights)},
     )
 
@@ -312,19 +317,22 @@ def corpus_pipeline(
         items = (
             docs.join(kept, "doc_id")
             .join(train, "doc_id")
-            .select("doc_id", F.length("text").cast("long").alias("n_bytes"))
+            .select(
+                "doc_id",
+                F.octet_length("text").cast("long").alias("n_bytes"),
+            )
         )
         return OC.shard_assign(
             items, "n_bytes", shard_bytes=shard_bytes, id_col="doc_id"
         )
 
     pipe.run_stage(
-        "train_shards",
+        "corpus_shards",
         build_shards,
         inputs=[
             doc_path,
-            os.path.join(store, "neardup_groups"),
-            os.path.join(store, "split"),
+            os.path.join(store, "corpus_groups"),
+            os.path.join(store, "corpus_split"),
         ],
         params={"shard_bytes": shard_bytes},
     )
@@ -351,13 +359,17 @@ def image_pipeline(
        the kept train images (shape-compatible training batches, tails
        flagged).
 
-    Same resume contract as :func:`corpus_pipeline`: fingerprinted
-    manifests + per-partition lineage, suffix-only re-runs."""
+    Join/dedup key: ``img_num = h64(image_id)`` (the md5-derived 60-bit
+    id hash) — assumes NOTHING about the id format, unlike a digit-run
+    extraction (which crashes under ANSI on digitless ids and collides
+    on 'batch2/img1' vs 'batch3/img1').  Stage names are
+    pipeline-prefixed so both DAGs can share one store root.  Same
+    resume contract as :func:`corpus_pipeline`."""
     from geowave_spark.operators import dedup as OD
     from geowave_spark.operators import multimodal as MM
+    from geowave_spark.operators.text import h64_col
 
     pipe = Pipeline(spark, store)
-    img_num = F.regexp_extract(F.col("image_id"), r"(\d+)", 1).cast("long")
 
     def build_features(sp: SparkSession) -> DataFrame:
         return MM.image_features(
@@ -370,13 +382,14 @@ def image_pipeline(
 
     def build_groups(sp: SparkSession) -> DataFrame:
         ok = feats.filter(F.col("err").isNull()).select(
-            img_num.alias("img_num"), "dhash"
+            "image_id", h64_col(F.col("image_id")).alias("img_num"), "dhash"
         )
         pairs = OD.hamming_pairs(ok, "dhash", "img_num")
-        return OD.canonicalize(ok.select("img_num"), pairs, id_col="img_num")
+        can = OD.canonicalize(ok.select("img_num"), pairs, id_col="img_num")
+        return can.join(ok.select("image_id", "img_num"), "img_num")
 
     groups = pipe.run_stage(
-        "dedup_groups",
+        "image_dedup_groups",
         build_groups,
         inputs=[os.path.join(store, "image_features")],
         params={},
@@ -386,31 +399,30 @@ def image_pipeline(
         return OD.leakage_safe_split(groups, weights=weights, id_col="img_num")
 
     split = pipe.run_stage(
-        "split",
+        "image_split",
         build_split,
-        inputs=[os.path.join(store, "dedup_groups")],
+        inputs=[os.path.join(store, "image_dedup_groups")],
         params={"weights": list(weights)},
     )
 
     def build_batches(sp: SparkSession) -> DataFrame:
-        kept = groups.filter(F.col("keep")).select("img_num")
+        kept = groups.filter(F.col("keep")).select("image_id", "img_num")
         train = split.filter(F.col("split") == "train").select("img_num")
         imgs = (
             feats.filter(F.col("err").isNull())
-            .withColumn("img_num", img_num)
-            .join(kept, "img_num")
+            .join(kept, "image_id")
             .join(train, "img_num")
             .select("image_id", "w", "h")
         )
         return MM.aspect_bucket_batches(imgs, batch_size=batch_size)
 
     pipe.run_stage(
-        "train_batches",
+        "image_batches",
         build_batches,
         inputs=[
             os.path.join(store, "image_features"),
-            os.path.join(store, "dedup_groups"),
-            os.path.join(store, "split"),
+            os.path.join(store, "image_dedup_groups"),
+            os.path.join(store, "image_split"),
         ],
         params={"batch_size": batch_size},
     )

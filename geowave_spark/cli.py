@@ -397,14 +397,27 @@ def cmd_remote(args, spark_injected, out) -> int:
     return 0
 
 
+PIPELINE_STAGES = {
+    "ingest": ["indexed", "stats_tier_counts"],
+    "corpus": ["corpus_prep", "corpus_groups", "corpus_split",
+               "corpus_shards"],
+    "image": ["image_features", "image_dedup_groups", "image_split",
+              "image_batches"],
+}
+
+
 def cmd_pipeline(args, spark_injected, out) -> int:
     """Run one of the checkpointed multi-stage DAGs (checkpoint.py):
     ``ingest`` (index → stats), ``corpus`` (prep → dup groups →
     leakage-safe split → train shards), ``image`` (quarantined decode →
     dhash dedup → split → aspect batches).  Re-running skips green
-    stages; ``--invalidate STAGE`` re-runs that stage and its suffix."""
+    stages; ``--invalidate STAGE`` re-runs that stage and its suffix.
+    The store positional resolves through the config registry like
+    every other verb."""
     from geowave_spark import checkpoint as CK
 
+    cfg = _load_config(args)
+    path = _store_path(cfg, args.store)
     spark = _spark(args, spark_injected)
     runner = {
         "ingest": CK.ingest_pipeline,
@@ -412,8 +425,19 @@ def cmd_pipeline(args, spark_injected, out) -> int:
         "image": CK.image_pipeline,
     }[args.which]
     if args.invalidate:
-        CK.Pipeline(spark, args.store).invalidate(args.invalidate)
-    pipe = runner(spark, args.src, args.store)
+        stages = PIPELINE_STAGES[args.which]
+        if args.invalidate not in stages:
+            raise SystemExit(
+                f"unknown stage {args.invalidate!r} for the {args.which} "
+                f"pipeline (stages: {', '.join(stages)})"
+            )
+        CK.Pipeline(spark, path).invalidate(args.invalidate)
+    kw = {}
+    if args.which == "corpus" and args.shard_bytes:
+        kw["shard_bytes"] = args.shard_bytes
+    if args.which == "image" and args.batch_size:
+        kw["batch_size"] = args.batch_size
+    pipe = runner(spark, args.src, path, **kw)
     for s in pipe.stages_run:
         print(f"ran\t{s}", file=out)
     for s in pipe.stages_skipped:
@@ -537,9 +561,13 @@ def _build_parser() -> argparse.ArgumentParser:
     pl = sub.add_parser("pipeline")  # checkpointed multi-stage DAG runner
     pl.add_argument("which", choices=["ingest", "corpus", "image"])
     pl.add_argument("src", help="sf_dir (ingest/corpus) or images parquet path")
-    pl.add_argument("store")
+    pl.add_argument("store", help="registered store name (config addstore)")
     pl.add_argument("--invalidate", default=None,
                     help="drop this stage's manifest first (suffix re-runs)")
+    pl.add_argument("--shard-bytes", type=int, default=None,
+                    help="corpus pipeline: nominal shard size")
+    pl.add_argument("--batch-size", type=int, default=None,
+                    help="image pipeline: training batch size")
 
     sub.add_parser("version")
     return p

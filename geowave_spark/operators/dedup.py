@@ -1118,6 +1118,7 @@ def corpus_prep(
     min_tokens: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
+    return_groups: bool = False,
 ) -> DataFrame:
     """→ (doc_id, pred_lang, n_tokens, quality, stage): ``stage`` is the
     FIRST gate that dropped the document ('lang' | 'quality' | 'length' |
@@ -1183,7 +1184,7 @@ def corpus_prep(
                               engine="arrow")
     near = canonicalize(surv2_ids, pairs, id_col=id_col)
     verdicts = (
-        s2.join(near.select(id_col, "keep"), id_col, "left")
+        s2.join(near.select(id_col, "keep", "group_id"), id_col, "left")
         .select(
             id_col,
             F.coalesce(
@@ -1192,15 +1193,21 @@ def corpus_prep(
                     F.lit("kept")
                 ),
             ).alias("_stage"),
+            "group_id",
         )
     )
-    return (
-        feats.join(verdicts, id_col, "left")
-        .select(
-            id_col, "pred_lang", "n_tokens", "quality",
-            F.coalesce(F.col("_g1"), F.col("_stage")).alias("stage"),
-        )
-    )
+    # return_groups exposes the near-dup component id the stage verdict was
+    # derived FROM (null for docs dropped before the near-dup gate) — so a
+    # downstream leakage-safe split never re-runs the LSH kernel to recover
+    # the grouping this call already computed.  Default off: the registry
+    # query/oracle pin the 5-column schema.
+    out_cols = [
+        id_col, "pred_lang", "n_tokens", "quality",
+        F.coalesce(F.col("_g1"), F.col("_stage")).alias("stage"),
+    ]
+    if return_groups:
+        out_cols.append(F.col("group_id"))
+    return feats.join(verdicts, id_col, "left").select(*out_cols)
 
 
 def corpus_prep_oracle(

@@ -265,13 +265,25 @@ def test_cli_kmeans_multilevel(spark, sf_dir, tmp_path):
 def test_cli_pipeline_verb(spark, sf_dir, tmp_path):
     """`pipeline corpus` runs the checkpointed DAG, rerun skips, and
     --invalidate re-runs exactly the suffix."""
-    store = str(tmp_path / "plstore")
-    out1 = _run(spark, tmp_path, "pipeline", "corpus", sf_dir, store)
+    _run(spark, tmp_path, "config", "addstore", "pl",
+         "--path", str(tmp_path / "plstore"))
+    out1 = _run(spark, tmp_path, "pipeline", "corpus", sf_dir, "pl",
+                "--shard-bytes", str(1 << 14))
     assert out1.count("ran\t") == 4 and "skipped" not in out1
-    out2 = _run(spark, tmp_path, "pipeline", "corpus", sf_dir, store)
+    out2 = _run(spark, tmp_path, "pipeline", "corpus", sf_dir, "pl",
+                "--shard-bytes", str(1 << 14))
     assert out2.count("skipped\t") == 4 and "ran" not in out2
     out3 = _run(
-        spark, tmp_path, "pipeline", "corpus", sf_dir, store,
-        "--invalidate", "split",
+        spark, tmp_path, "pipeline", "corpus", sf_dir, "pl",
+        "--shard-bytes", str(1 << 14), "--invalidate", "corpus_split",
     )
     assert out3.count("ran\t") == 2 and out3.count("skipped\t") == 2
+
+    # unknown stage / unknown store fail loudly, like every other verb
+    import pytest
+
+    with pytest.raises(SystemExit, match="unknown stage"):
+        _run(spark, tmp_path, "pipeline", "corpus", sf_dir, "pl",
+             "--invalidate", "splits")
+    with pytest.raises(SystemExit, match="unknown store"):
+        _run(spark, tmp_path, "pipeline", "corpus", sf_dir, "nope")
