@@ -427,3 +427,83 @@ def image_pipeline(
         params={"batch_size": batch_size},
     )
     return pipe
+
+
+def raster_pipeline(
+    spark: SparkSession,
+    images_path: str,
+    store: str,
+    level: int = 6,
+    min_level: int = 3,
+) -> Pipeline:
+    """The raster DAG (the reference's RasterDataAdapter ingest story —
+    mosaic + resize pyramid + overview statistics) with per-stage resume:
+
+    1. ``raster_tiles`` — assign every image to its level-``level`` tiles
+       and mosaic-merge contributions per tile (NoData semantics, newest
+       wins);
+    2. ``raster_pyramid`` — stitch+downsample L→L-1 repeatedly down to
+       ``min_level`` (the RasterTileResize job per step; at production
+       scale each level would be its own stage — collapsed here because
+       the level count is small and fixed);
+    3. ``raster_overviews`` — per-level coverage stats over base +
+       pyramid (tile counts, index bounds, total contributions).
+
+    Same fingerprinted-manifest resume contract as the other DAGs."""
+    from geowave_spark.operators import tiling as OTL
+
+    pipe = Pipeline(spark, store)
+
+    def build_tiles(sp: SparkSession) -> DataFrame:
+        imgs = sp.read.parquet(images_path)
+        return OTL.render_tiles(OTL.assign_tiles(imgs, level=level))
+
+    base = pipe.run_stage(
+        "raster_tiles", build_tiles, inputs=[images_path],
+        params={"level": level},
+    )
+
+    tile_cols = ["tile_cell", "level", "tile_ix", "tile_iy", "tile_png"]
+
+    def build_pyramid(sp: SparkSession) -> DataFrame:
+        cur = base.select(*tile_cols)
+        out = None
+        for _ in range(level - min_level):
+            nxt = OTL.retile_coarser(cur)
+            out = nxt if out is None else out.unionByName(nxt)
+            cur = nxt.select(*tile_cols)
+        return out
+
+    pyramid = pipe.run_stage(
+        "raster_pyramid",
+        build_pyramid,
+        inputs=[os.path.join(store, "raster_tiles")],
+        params={"level": level, "min_level": min_level},
+        partition_by=["level"],
+    )
+
+    def build_overviews(sp: SparkSession) -> DataFrame:
+        base_cov = OTL.overview_stats(base).select(
+            "level", "n_tiles", "min_ix", "max_ix", "min_iy", "max_iy",
+            "total_contributions",
+        )
+        pyr_cov = pyramid.groupBy("level").agg(
+            F.count("*").alias("n_tiles"),
+            F.min("tile_ix").alias("min_ix"),
+            F.max("tile_ix").alias("max_ix"),
+            F.min("tile_iy").alias("min_iy"),
+            F.max("tile_iy").alias("max_iy"),
+            F.sum("n_children").alias("total_contributions"),
+        )
+        return base_cov.unionByName(pyr_cov)
+
+    pipe.run_stage(
+        "raster_overviews",
+        build_overviews,
+        inputs=[
+            os.path.join(store, "raster_tiles"),
+            os.path.join(store, "raster_pyramid"),
+        ],
+        params={},
+    )
+    return pipe

@@ -403,6 +403,7 @@ PIPELINE_STAGES = {
                "corpus_shards"],
     "image": ["image_features", "image_dedup_groups", "image_split",
               "image_batches"],
+    "raster": ["raster_tiles", "raster_pyramid", "raster_overviews"],
 }
 
 
@@ -423,6 +424,7 @@ def cmd_pipeline(args, spark_injected, out) -> int:
         "ingest": CK.ingest_pipeline,
         "corpus": CK.corpus_pipeline,
         "image": CK.image_pipeline,
+        "raster": CK.raster_pipeline,
     }[args.which]
     if args.invalidate:
         stages = PIPELINE_STAGES[args.which]
@@ -559,7 +561,7 @@ def _build_parser() -> argparse.ArgumentParser:
     e.add_argument("--format", default="parquet")
 
     pl = sub.add_parser("pipeline")  # checkpointed multi-stage DAG runner
-    pl.add_argument("which", choices=["ingest", "corpus", "image"])
+    pl.add_argument("which", choices=["ingest", "corpus", "image", "raster"])
     pl.add_argument("src", help="sf_dir (ingest/corpus) or images parquet path")
     pl.add_argument("store", help="registered store name (config addstore)")
     pl.add_argument("--invalidate", default=None,

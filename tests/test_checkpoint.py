@@ -355,3 +355,58 @@ def test_image_pipeline_planted_dups_and_resume(spark, tmp_path):
     p2.invalidate("image_split")
     p3 = image_pipeline(spark, src, store, batch_size=4)
     assert p3.stages_run == ["image_split", "image_batches"]
+
+
+def test_raster_pipeline_pyramid_consistency(spark, tmp_path):
+    """The raster DAG: base mosaic → stitched pyramid → per-level
+    overviews; every pyramid level's tile set equals the distinct parent
+    cells of the level below (no tile lost or invented); resume and
+    suffix-rerun hold."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.checkpoint import raster_pipeline
+    from geowave_spark.sources import synthetic as SY
+
+    src = str(tmp_path / "rimgs")
+    SY.images(spark, 40, partitions=4).write.mode("overwrite").parquet(src)
+
+    store = str(tmp_path / "rpipe")
+    stages = ["raster_tiles", "raster_pyramid", "raster_overviews"]
+    p1 = raster_pipeline(spark, src, store, level=5, min_level=3)
+    assert p1.stages_run == stages
+
+    base = spark.read.parquet(os.path.join(store, "raster_tiles"))
+    pyr = spark.read.parquet(os.path.join(store, "raster_pyramid"))
+    cov = spark.read.parquet(os.path.join(store, "raster_overviews"))
+
+    tiles_at = {5: base.select("tile_ix", "tile_iy").distinct()}
+    for lvl in (4, 3):
+        tiles_at[lvl] = (
+            pyr.filter(F.col("level") == lvl)
+            .select("tile_ix", "tile_iy")
+            .distinct()
+        )
+    for lvl in (4, 3):
+        parents = (
+            tiles_at[lvl + 1]
+            .select(
+                (F.col("tile_ix") / 2).cast("long").alias("tile_ix"),
+                (F.col("tile_iy") / 2).cast("long").alias("tile_iy"),
+            )
+            .distinct()
+        )
+        got = {(r.tile_ix, r.tile_iy) for r in tiles_at[lvl].collect()}
+        want = {(r.tile_ix, r.tile_iy) for r in parents.collect()}
+        assert got == want and got
+
+    # one overview row per level, counts match the tile tables
+    cov_rows = {int(r.level): int(r.n_tiles) for r in cov.collect()}
+    assert set(cov_rows) == {3, 4, 5}
+    for lvl, df in tiles_at.items():
+        assert cov_rows[lvl] == df.count()
+
+    p2 = raster_pipeline(spark, src, store, level=5, min_level=3)
+    assert p2.stages_run == [] and p2.stages_skipped == stages
+    p2.invalidate("raster_pyramid")
+    p3 = raster_pipeline(spark, src, store, level=5, min_level=3)
+    assert p3.stages_run == ["raster_pyramid", "raster_overviews"]
