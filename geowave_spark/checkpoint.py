@@ -452,6 +452,11 @@ def raster_pipeline(
     Same fingerprinted-manifest resume contract as the other DAGs."""
     from geowave_spark.operators import tiling as OTL
 
+    if not 0 <= min_level < level:
+        raise ValueError(
+            f"raster_pipeline: need 0 <= min_level < level "
+            f"(got level={level}, min_level={min_level})"
+        )
     pipe = Pipeline(spark, store)
 
     def build_tiles(sp: SparkSession) -> DataFrame:
@@ -469,7 +474,11 @@ def raster_pipeline(
         cur = base.select(*tile_cols)
         out = None
         for _ in range(level - min_level):
-            nxt = OTL.retile_coarser(cur)
+            # localCheckpoint per round: without it the written union's
+            # branches chain retile(retile(...)) and each level's PNG
+            # decode+re-encode re-executes O(depth^2) times (CLAUDE.md:
+            # driver-looped iteration must checkpoint per round)
+            nxt = OTL.retile_coarser(cur).localCheckpoint()
             out = nxt if out is None else out.unionByName(nxt)
             cur = nxt.select(*tile_cols)
         return out
@@ -482,19 +491,16 @@ def raster_pipeline(
         partition_by=["level"],
     )
 
+    cov_cols = [
+        "level", "n_tiles", "min_ix", "max_ix", "min_iy", "max_iy",
+        "total_contributions",
+    ]
+
     def build_overviews(sp: SparkSession) -> DataFrame:
-        base_cov = OTL.overview_stats(base).select(
-            "level", "n_tiles", "min_ix", "max_ix", "min_iy", "max_iy",
-            "total_contributions",
-        )
-        pyr_cov = pyramid.groupBy("level").agg(
-            F.count("*").alias("n_tiles"),
-            F.min("tile_ix").alias("min_ix"),
-            F.max("tile_ix").alias("max_ix"),
-            F.min("tile_iy").alias("min_iy"),
-            F.max("tile_iy").alias("max_iy"),
-            F.sum("n_children").alias("total_contributions"),
-        )
+        base_cov = OTL.overview_stats(base).select(*cov_cols)
+        pyr_cov = OTL.overview_stats(
+            pyramid, contributions_col="n_children"
+        ).select(*cov_cols)
         return base_cov.unionByName(pyr_cov)
 
     pipe.run_stage(

@@ -411,10 +411,10 @@ def cmd_pipeline(args, spark_injected, out) -> int:
     """Run one of the checkpointed multi-stage DAGs (checkpoint.py):
     ``ingest`` (index → stats), ``corpus`` (prep → dup groups →
     leakage-safe split → train shards), ``image`` (quarantined decode →
-    dhash dedup → split → aspect batches).  Re-running skips green
-    stages; ``--invalidate STAGE`` re-runs that stage and its suffix.
-    The store positional resolves through the config registry like
-    every other verb."""
+    dhash dedup → split → aspect batches), ``raster`` (mosaic → resize
+    pyramid → overviews).  Re-running skips green stages; ``--invalidate
+    STAGE`` re-runs that stage and its suffix.  The store positional
+    resolves through the config registry like every other verb."""
     from geowave_spark import checkpoint as CK
 
     cfg = _load_config(args)
@@ -439,6 +439,11 @@ def cmd_pipeline(args, spark_injected, out) -> int:
         kw["shard_bytes"] = args.shard_bytes
     if args.which == "image" and args.batch_size:
         kw["batch_size"] = args.batch_size
+    if args.which == "raster":
+        if args.level:
+            kw["level"] = args.level
+        if args.min_level is not None:
+            kw["min_level"] = args.min_level
     pipe = runner(spark, args.src, path, **kw)
     for s in pipe.stages_run:
         print(f"ran\t{s}", file=out)
@@ -570,6 +575,10 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="corpus pipeline: nominal shard size")
     pl.add_argument("--batch-size", type=int, default=None,
                     help="image pipeline: training batch size")
+    pl.add_argument("--level", type=int, default=None,
+                    help="raster pipeline: base mosaic level")
+    pl.add_argument("--min-level", type=int, default=None,
+                    help="raster pipeline: coarsest pyramid level")
 
     sub.add_parser("version")
     return p

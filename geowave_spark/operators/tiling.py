@@ -409,18 +409,27 @@ def retile_coarser(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
     return parent.groupBy("_parent").applyInPandas(merge, out_schema)
 
 
-def overview_stats(tiles: DataFrame) -> DataFrame:
+def overview_stats(
+    tiles: DataFrame, contributions_col: str = "n_src"
+) -> DataFrame:
     """Per-level coverage statistics (reference OverviewStatistics /
-    RasterBoundingBoxStatistics / HistogramStatistics: one groupBy)."""
-    return tiles.groupBy("level").agg(
+    RasterBoundingBoxStatistics / HistogramStatistics: one groupBy).
+
+    ``contributions_col`` names the per-tile contribution count (``n_src``
+    for rendered base tiles, ``n_children`` for stitched pyramid tiles);
+    ``avg_valid_frac`` is emitted only when the input carries
+    ``valid_frac`` (pyramid tiles don't)."""
+    aggs = [
         F.count("*").alias("n_tiles"),
         F.min("tile_ix").alias("min_ix"),
         F.max("tile_ix").alias("max_ix"),
         F.min("tile_iy").alias("min_iy"),
         F.max("tile_iy").alias("max_iy"),
-        F.avg("valid_frac").alias("avg_valid_frac"),
-        F.sum("n_src").alias("total_contributions"),
-    )
+    ]
+    if "valid_frac" in tiles.columns:
+        aggs.append(F.avg("valid_frac").alias("avg_valid_frac"))
+    aggs.append(F.sum(contributions_col).alias("total_contributions"))
+    return tiles.groupBy("level").agg(*aggs)
 
 
 def render_point_tiles(
