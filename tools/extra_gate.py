@@ -25,6 +25,10 @@ from geowave_spark.registry import EXTRA_ORACLES, EXTRA_QUERIES
 from geowave_spark.session import get_spark
 
 SF = "/root/testdata/sf0.01"
+# --sf-dir/--all/--out generalize the same sweep into a SCALE gate: both
+# rosters compared against their oracles at e.g. sf0.1 (10x the driver's
+# gate scale), written to a separate artifact.  Default invocation is
+# byte-identical to the original EXTRA-only sf0.01 behavior.
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
@@ -41,19 +45,37 @@ def value_hash(pdf) -> str:
     return h.hexdigest()[:16]
 
 
-def main() -> int:
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=SF)
+    ap.add_argument("--all", action="store_true",
+                    help="sweep the MAIN roster too, not just EXTRA")
+    ap.add_argument("--out", default="EXTRA_CORRECTNESS.json")
+    args = ap.parse_args(argv)
+    sf_dir = args.sf_dir
+
+    queries, oracles = dict(EXTRA_QUERIES), dict(EXTRA_ORACLES)
+    if args.all:
+        from geowave_spark.registry import ORACLES, QUERIES
+
+        queries.update(QUERIES)
+        oracles.update(ORACLES)
+
     spark = get_spark(app_name="extra_gate")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     out, fails = {}, []
-    for name in sorted(EXTRA_QUERIES):
-        spdf = EXTRA_QUERIES[name](spark, SF).toPandas()
+    for name in sorted(queries):
+        spdf = queries[name](spark, sf_dir).toPandas()
         rec = {"rows": len(spdf), "cols": sorted(spdf.columns)}
-        if name in EXTRA_ORACLES:
-            opdf = con.execute(EXTRA_ORACLES[name]).fetchdf()
+        if name in oracles:
+            opdf = con.execute(oracles[name]).fetchdf()
             rec["oracle_rows"] = len(opdf)
             rec["schema_match"] = sorted(opdf.columns) == rec["cols"]
             rec["hash_match"] = (
@@ -68,8 +90,9 @@ def main() -> int:
         print(name, rec["status"], rec["rows"])
         if rec["status"] == "FAIL":
             fails.append(name)
-    with open("EXTRA_CORRECTNESS.json", "w") as f:
-        json.dump({"sf": 0.01, "queries": out, "fails": fails}, f, indent=1,
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    with open(args.out, "w") as f:
+        json.dump({"sf": sf, "queries": out, "fails": fails}, f, indent=1,
                   sort_keys=True)
     print("FAILS:", fails)
     return 1 if fails else 0
