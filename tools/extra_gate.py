@@ -53,8 +53,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--all", action="store_true",
                     help="sweep the MAIN roster too, not just EXTRA")
     ap.add_argument("--out", default="EXTRA_CORRECTNESS.json")
+    ap.add_argument("--skip", action="append", default=[],
+                    help="name=reason — record the query as skipped "
+                         "instead of running it (e.g. a closure oracle "
+                         "that goes quadratic at this scale)")
     args = ap.parse_args(argv)
     sf_dir = args.sf_dir
+    skips = dict(s.split("=", 1) for s in args.skip)
 
     queries, oracles = dict(EXTRA_QUERIES), dict(EXTRA_ORACLES)
     if args.all:
@@ -72,6 +77,10 @@ def main(argv: list[str] | None = None) -> int:
         )
     out, fails = {}, []
     for name in sorted(queries):
+        if name in skips:
+            out[name] = {"status": "skipped", "reason": skips[name]}
+            print(name, "skipped:", skips[name])
+            continue
         spdf = queries[name](spark, sf_dir).toPandas()
         rec = {"rows": len(spdf), "cols": sorted(spdf.columns)}
         if name in oracles:
