@@ -15,9 +15,11 @@ Spark-first re-expressions:
   connected components (per-coarse-cell union-find + boundary-graph
   contraction — one distributed pass, see ``_components_spatial``; the
   round-1 iterative label propagation needed O(diameter) rounds).
-* **KMeans** — Lloyd's algorithm as DataFrame aggregation: assign =
-  broadcast-join argmin over centroids, update = one groupBy mean;
-  deterministic seeding (first-k by id — reproducible, no RNG state).
+* **KMeans** — fixed-point Lloyd's: assign = ZERO-SHUFFLE literal-key
+  argmin column expression (centroids are driver-side each round),
+  update = one map-side-combinable groupBy sum; centroid means are
+  re-quantized to integer milli-degrees so every round replays exactly
+  in DuckDB (the registry oracle unrolls seeding + iterations in SQL).
   :func:`kmeans_mllib` is the production drop-in (the reference's own
   KMeansRunner wraps MLlib); the hand-rolled one is the deterministic
   correctness gate.
@@ -236,34 +238,106 @@ def _components_spatial(
     return labels
 
 
+KM_ENC = 1024  # argmin key packing: key = d2 * KM_ENC + cluster  (k bound)
+KM_OFF = 180_000  # coordinate shift to non-negative before integer rounding
+KM_LITERAL_MAX = 64  # above this, literal least() chains strain codegen
+
+
+def _km_round_mean(s: int, n: int) -> int:
+    """Half-up integer mean of a SHIFTED (non-negative) coordinate sum.
+
+    Truncating and flooring division agree on non-negative operands, so
+    the same formula replays exactly in DuckDB (whose ``//`` truncates
+    toward zero, unlike Python's floor ``//``) — the engine/oracle
+    parity hinge for the fixed-point Lloyd iteration."""
+    return (2 * s + n) // (2 * n) - KM_OFF
+
+
+def _km_assign(spark, pts: DataFrame, centroids) -> DataFrame:
+    """Nearest-centroid assignment; ties go to the smaller cluster id.
+
+    k ≤ KM_LITERAL_MAX: ZERO-SHUFFLE — centroids are driver-side, so the
+    argmin is one ``F.least`` chain over k literal packed BIGINT keys
+    (d2*KM_ENC + cluster): pure column arithmetic, whole-stage codegen,
+    no join, no window, no exchange.  Larger k: broadcast the centroid
+    table and take the packed-key ``min`` groupBy argmin (the ivf_assign
+    shape, operators/embed.py:732-737) — map-side combinable, one
+    partial-agg shuffle of N rows, never a per-pid window (a window has
+    no partial aggregation and would hash-exchange all N×k fanned rows)."""
+    if len(centroids) <= KM_LITERAL_MAX:
+        keys = [
+            (
+                (F.col("px") - F.lit(cx)) * (F.col("px") - F.lit(cx))
+                + (F.col("py") - F.lit(cy)) * (F.col("py") - F.lit(cy))
+            )
+            * F.lit(KM_ENC)
+            + F.lit(c)
+            for c, cx, cy in centroids
+        ]
+        best = keys[0] if len(keys) == 1 else F.least(*keys)
+        return pts.withColumn("cluster", (best % F.lit(KM_ENC)).cast("int"))
+    cdf = spark.createDataFrame(
+        [(c, int(cx), int(cy)) for c, cx, cy in centroids],
+        "cluster int, cx bigint, cy bigint",
+    )
+    d2 = (F.col("px") - F.col("cx")) * (F.col("px") - F.col("cx")) + (
+        F.col("py") - F.col("cy")
+    ) * (F.col("py") - F.col("cy"))
+    return (
+        pts.crossJoin(F.broadcast(cdf))
+        .withColumn("_key", d2 * F.lit(KM_ENC) + F.col("cluster"))
+        .groupBy("pid", "px", "py")
+        .agg((F.min("_key") % F.lit(KM_ENC)).cast("int").alias("cluster"))
+    )
+
+
 def kmeans(
     data: DataFrame,
     k: int,
     id_col: str = "event_id",
     max_iter: int = 10,
-    init: str = "farthest",
+    init: str | None = None,
 ) -> DataFrame:
-    """Deterministic Lloyd's KMeans over milli-degree coords.
+    """Deterministic fixed-point Lloyd's KMeans over milli-degree coords
+    (the reference's KMeansRunner.java:112-240 role, made deterministic).
 
-    ``init='farthest'``: farthest-point seeding (deterministic k-means++
-    analogue — first seed is the smallest id, each next seed maximizes
-    distance to its nearest chosen seed, ties by id; no RNG state; k
-    driver-side argmax jobs).  ``init='parallel'``: kmeans|| seeding
-    (:func:`kmeans_parallel_init` — a fixed number of rounds independent
-    of k, the scale choice for large k).  Returns (id, cluster 0..k-1).
-    Each Lloyd iteration = one broadcast argmin + one groupBy mean — the
-    minimal shuffle structure."""
+    Exact-integer end-to-end: coords are BIGINT milli-degrees and the
+    centroid means are re-quantized to integer milli-degrees each round
+    (half-up, via :func:`_km_round_mean`), so every iteration is
+    replayable bit-for-bit in ANSI SQL — the registry's ``kmeans`` oracle
+    unrolls the same seeding + rounds in DuckDB.  Early convergence is a
+    fixed point (same centroids → same assignment → same means), so the
+    fully-unrolled oracle and the early-breaking engine agree.
+
+    Plan shape (what must survive 100 TB): assignment is zero-shuffle
+    column arithmetic (see :func:`_km_assign`); the update is one
+    ``groupBy(cluster).sum`` — map-side combinable, k-row result.  Per
+    iteration that is ONE partial-agg exchange of k rows, not the N×k
+    window sort-exchange of a crossJoin+row_number plan.  Empty clusters
+    keep their previous centroid.
+
+    ``init=None`` picks ``'farthest'`` (k sequential driver argmax scans
+    — fine for small k) for k ≤ 16 and ``'parallel'``
+    (:func:`kmeans_parallel_init`, kmeans|| — fixed rounds independent of
+    k) above.  Returns (id, cluster 0..k-1)."""
+    if k < 1 or k > KM_ENC:
+        raise ValueError(f"k={k} outside [1, {KM_ENC}] (argmin key packing bound)")
+    if init is None:
+        init = "farthest" if k <= 16 else "parallel"
     pts = data.select(
         F.col(id_col).alias("pid"),
-        F.col("lon_milli").cast("double").alias("px"),
-        F.col("lat_milli").cast("double").alias("py"),
+        F.col("lon_milli").cast("bigint").alias("px"),
+        F.col("lat_milli").cast("bigint").alias("py"),
     ).localCheckpoint()
 
     if init == "parallel":
-        centroids = kmeans_parallel_init(data, k, id_col=id_col)
+        centroids = [
+            (c, int(x), int(y))
+            for c, x, y in kmeans_parallel_init(data, k, id_col=id_col)
+        ]
     elif init == "farthest":
         first = pts.orderBy("pid").limit(1).collect()[0]
-        seeds = [(0, float(first["px"]), float(first["py"]))]
+        seeds = [(0, int(first["px"]), int(first["py"]))]
         for i in range(1, k):
             near = None
             for _, cx, cy in seeds:
@@ -277,32 +351,32 @@ def kmeans(
                 .limit(1)
                 .collect()[0]
             )
-            seeds.append((i, float(far["px"]), float(far["py"])))
+            seeds.append((i, int(far["px"]), int(far["py"])))
         centroids = seeds
     else:
         raise ValueError(f"init {init!r} (farthest | parallel)")
     spark = data.sparkSession
+    assigned = None
     for _ in range(max_iter):
-        cdf = spark.createDataFrame(centroids, "cluster int, cx double, cy double")
-        d2 = (F.col("px") - F.col("cx")) ** 2 + (F.col("py") - F.col("cy")) ** 2
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("pid").orderBy(d2.asc(), F.col("cluster").asc())
-        assigned = (
-            pts.crossJoin(F.broadcast(cdf))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("pid", "px", "py", "cluster")
-        )
-        new_c = (
-            assigned.groupBy("cluster")
-            .agg(F.avg("px").alias("cx"), F.avg("py").alias("cy"))
-            .collect()
-        )
-        new_centroids = sorted((r["cluster"], r["cx"], r["cy"]) for r in new_c)
+        assigned = _km_assign(spark, pts, centroids)
+        stats = assigned.groupBy("cluster").agg(
+            F.sum(F.col("px") + F.lit(KM_OFF)).alias("sx"),
+            F.sum(F.col("py") + F.lit(KM_OFF)).alias("sy"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+        upd = {
+            r["cluster"]: (
+                _km_round_mean(int(r["sx"]), int(r["n"])),
+                _km_round_mean(int(r["sy"]), int(r["n"])),
+            )
+            for r in stats
+        }
+        new_centroids = [(c, *upd.get(c, (cx, cy))) for c, cx, cy in centroids]
         if new_centroids == centroids:
             break
         centroids = new_centroids
+    if assigned is None:  # max_iter == 0: assign once against the seeds
+        assigned = _km_assign(spark, pts, centroids)
     return assigned.select(F.col("pid").alias(id_col), "cluster")
 
 

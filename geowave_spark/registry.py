@@ -1542,12 +1542,84 @@ SELECT pid AS event_id, cluster FROM border
 register("dbscan", q_dbscan, _dbscan_oracle())
 
 
+KMEANS_K = 5
+KMEANS_MAX_ITER = 10
+
+
 def q_kmeans(spark, sf_dir):
     geo = TB.geo_events(spark, sf_dir)
-    return OC.kmeans(geo, k=5)
+    return OC.kmeans(geo, k=KMEANS_K, max_iter=KMEANS_MAX_ITER)
 
 
-register("kmeans", q_kmeans)  # rows-only (iterative Lloyd's)
+def _kmeans_oracle(k: int = KMEANS_K, max_iter: int = KMEANS_MAX_ITER) -> str:
+    """Bit-exact SQL replay of the fixed-point Lloyd kmeans: farthest-point
+    seeding (k unrolled argmax CTEs) then max_iter unrolled assign/update
+    rounds.  Exactness hinges (operators/clustering.py): BIGINT milli
+    coords; packed argmin key d2*KM_ENC+cluster (ties → smaller cluster);
+    half-up integer means on +KM_OFF-shifted sums so DuckDB's truncating
+    ``//`` equals Python's floor ``//``; empty clusters keep the previous
+    centroid (LEFT JOIN + COALESCE).  The engine may break early at a
+    fixed point; extra unrolled rounds are then no-ops, so both agree.
+    Every chained CTE is MATERIALIZED: c{t} is referenced twice
+    (a{t+1} and c{t+1}), so default inlining would blow up 2^max_iter."""
+    from geowave_spark.operators.clustering import KM_ENC, KM_OFF
+
+    parts = [
+        f"WITH geo_events AS ({TB.GEO_EVENTS_SQL}),",
+        "pts AS MATERIALIZED (\n"
+        "  SELECT event_id AS pid,\n"
+        "         CAST(lon_milli AS BIGINT) AS px, CAST(lat_milli AS BIGINT) AS py\n"
+        "  FROM geo_events\n"
+        "),",
+        "s0 AS MATERIALIZED (SELECT px AS cx, py AS cy FROM pts ORDER BY pid LIMIT 1),",
+    ]
+    for i in range(1, k):
+        terms = ", ".join(
+            f"(p.px - s{j}.cx)*(p.px - s{j}.cx) + (p.py - s{j}.cy)*(p.py - s{j}.cy)"
+            for j in range(i)
+        )
+        nd = f"LEAST({terms})" if i > 1 else terms
+        froms = ", ".join(["pts p"] + [f"s{j}" for j in range(i)])
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT p.px AS cx, p.py AS cy FROM {froms}\n"
+            f"  ORDER BY {nd} DESC, p.pid ASC LIMIT 1),"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS cluster, cx, cy FROM s{i}" for i in range(k)
+    )
+    parts.append(f"c0 AS MATERIALIZED ({union}),")
+    for t in range(1, max_iter + 1):
+        parts.append(
+            f"a{t} AS MATERIALIZED (\n"
+            f"  SELECT p.pid,  p.px, p.py,\n"
+            f"         CAST(MIN(((p.px - c.cx)*(p.px - c.cx)"
+            f" + (p.py - c.cy)*(p.py - c.cy)) * {KM_ENC} + c.cluster)"
+            f" % {KM_ENC} AS INTEGER) AS cluster\n"
+            f"  FROM pts p CROSS JOIN c{t - 1} c\n"
+            f"  GROUP BY p.pid, p.px, p.py\n"
+            f"){',' if t < max_iter else ''}"
+        )
+        if t < max_iter:
+            parts.append(
+                f"c{t} AS MATERIALIZED (\n"
+                f"  SELECT prev.cluster,\n"
+                f"         COALESCE(agg.cx, prev.cx) AS cx,\n"
+                f"         COALESCE(agg.cy, prev.cy) AS cy\n"
+                f"  FROM c{t - 1} prev LEFT JOIN (\n"
+                f"    SELECT cluster,\n"
+                f"           CAST((2*SUM(px + {KM_OFF}) + COUNT(*))"
+                f" // (2*COUNT(*)) AS BIGINT) - {KM_OFF} AS cx,\n"
+                f"           CAST((2*SUM(py + {KM_OFF}) + COUNT(*))"
+                f" // (2*COUNT(*)) AS BIGINT) - {KM_OFF} AS cy\n"
+                f"    FROM a{t} GROUP BY cluster\n"
+                f"  ) agg ON agg.cluster = prev.cluster\n"
+                f"),"
+            )
+    parts.append(f"SELECT pid AS event_id, cluster FROM a{max_iter}")
+    return "\n".join(parts)
+
+
+register("kmeans", q_kmeans, _kmeans_oracle())
 
 
 def q_cluster_hulls(spark, sf_dir):

@@ -116,6 +116,94 @@ def test_kmeans_separated_blobs(spark):
     assert out.sort_values("event_id").cluster.tolist() == out2.sort_values("event_id").cluster.tolist()
 
 
+def test_kmeans_assignment_plan_zero_exchange(spark):
+    """The Lloyd assignment is pure column arithmetic over LITERAL
+    centroids: the returned labeling plans ZERO shuffle exchanges and no
+    window.  (The r3 crossJoin+row_number plan hash-exchanged all N×k
+    fanned rows per iteration — the last named scale-killer.)"""
+    from geowave_spark.operators.bucketed import n_shuffle_exchanges
+
+    rng = np.random.default_rng(7)
+    _, df = _mkdf(
+        spark, rng.integers(-50_000, 50_000, 200), rng.integers(-40_000, 40_000, 200)
+    )
+    out = kmeans(df, k=4)
+    assert n_shuffle_exchanges(out) == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def _brute_kmeans(px, py, k, max_iter=10):
+    """Pure-python replay of the fixed-point quantized Lloyd iteration
+    (farthest seeding, packed-key argmin ties→smaller cluster, half-up
+    integer means) — the definitional oracle for the engine."""
+    from geowave_spark.operators.clustering import KM_ENC, KM_OFF, _km_round_mean
+
+    pts = sorted(zip(range(len(px)), map(int, px), map(int, py)))
+    seeds = [(pts[0][1], pts[0][2])]
+    for _ in range(1, k):
+        far = max(
+            pts,
+            key=lambda p: (
+                min((p[1] - cx) ** 2 + (p[2] - cy) ** 2 for cx, cy in seeds),
+                -p[0],
+            ),
+        )
+        seeds.append((far[1], far[2]))
+    cents = list(seeds)
+    lab = {}
+    for _ in range(max_iter):
+        lab = {
+            pid: min(
+                range(k),
+                key=lambda c: ((x - cents[c][0]) ** 2 + (y - cents[c][1]) ** 2)
+                * KM_ENC
+                + c,
+            )
+            for pid, x, y in pts
+        }
+        new = []
+        for c in range(k):
+            mem = [(x, y) for pid, x, y in pts if lab[pid] == c]
+            if not mem:
+                new.append(cents[c])
+            else:
+                sx = sum(x + KM_OFF for x, _ in mem)
+                sy = sum(y + KM_OFF for _, y in mem)
+                new.append((_km_round_mean(sx, len(mem)), _km_round_mean(sy, len(mem))))
+        if new == cents:
+            break
+        cents = new
+    return lab
+
+
+def test_kmeans_matches_brute_force_replay(spark):
+    """Engine labels == the pure-python fixed-point replay, bit-exact —
+    pins the quantization/tie semantics the DuckDB registry oracle also
+    unrolls."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(-170_000, 170_000, 300)
+    py = rng.integers(-80_000, 80_000, 300)
+    _, df = _mkdf(spark, px, py)
+    got = {int(r["event_id"]): int(r["cluster"]) for r in kmeans(df, k=4).collect()}
+    assert got == _brute_kmeans(px, py, 4)
+
+
+def test_kmeans_minby_path_matches_literal(spark, monkeypatch):
+    """Forcing the large-k broadcast min_by assignment path produces the
+    same labeling as the literal-key path (same packed-key tie rule)."""
+    from geowave_spark.operators import clustering as OCL
+
+    rng = np.random.default_rng(13)
+    _, df = _mkdf(
+        spark, rng.integers(-90_000, 90_000, 150), rng.integers(-60_000, 60_000, 150)
+    )
+    lit = {int(r["event_id"]): int(r["cluster"]) for r in kmeans(df, k=3).collect()}
+    monkeypatch.setattr(OCL, "KM_LITERAL_MAX", 1)
+    big = {int(r["event_id"]): int(r["cluster"]) for r in kmeans(df, k=3).collect()}
+    assert lit == big
+
+
 # ---------------------------------------------------------------------------
 # Cluster hull output (round 2 — GeometryHullTool analogue)
 # ---------------------------------------------------------------------------
