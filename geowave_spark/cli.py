@@ -435,12 +435,15 @@ def cmd_pipeline(args, spark_injected, out) -> int:
             )
         CK.Pipeline(spark, path).invalidate(args.invalidate)
     kw = {}
-    if args.which == "corpus" and args.shard_bytes:
+    # `is not None`, never truthiness: an explicit 0 must reach the
+    # pipeline constructor and fail ITS validation loudly, not silently
+    # fall back to the default
+    if args.which == "corpus" and args.shard_bytes is not None:
         kw["shard_bytes"] = args.shard_bytes
-    if args.which == "image" and args.batch_size:
+    if args.which == "image" and args.batch_size is not None:
         kw["batch_size"] = args.batch_size
     if args.which == "raster":
-        if args.level:
+        if args.level is not None:
             kw["level"] = args.level
         if args.min_level is not None:
             kw["min_level"] = args.min_level

@@ -156,23 +156,117 @@ def write_indexed(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     if mode == "append":
         from pyspark.errors import AnalysisException
 
+        # the merge below is read-modify-write: two concurrent appenders
+        # interleaving it would each merge against the same `prev` and the
+        # second publish would silently drop the first batch's counts from
+        # every later cover join — serialize writers for the whole
+        # critical section (production: an Iceberg metadata-table commit,
+        # where optimistic snapshot retry gives the same guarantee)
+        with _tier_counts_lock(path):
+            _heal_tier_counts(path)  # BEFORE the read: a crashed swap's
+            # counts live in tier_counts.old and must join the merge
+            try:
+                prev = df.sparkSession.read.parquet(f"{path}/_stats/tier_counts")
+                tc = (
+                    tc.unionByName(prev)
+                    .groupBy("tier")
+                    .agg(F.sum("n_rows").alias("n_rows"))
+                )
+            except AnalysisException as e:
+                # ONLY "store doesn't exist yet" means nothing-to-merge; any
+                # other failure (corrupt file, permission, concurrent writer)
+                # must abort — overwriting with batch-only counts would
+                # silently drop every historical tier from later cover joins.
+                msg = str(e)
+                if "PATH_NOT_FOUND" not in msg and "does not exist" not in msg:
+                    raise
+            tc = tc.localCheckpoint()  # sever lineage from the replaced file
+            _publish_tier_counts(tc, path)
+    else:
+        _publish_tier_counts(tc, path)
+
+
+TIER_LOCK_TIMEOUT = 30.0  # seconds a contending appender waits for the lock
+
+
+def _tier_counts_lock(path: str):
+    """Exclusive writer lock over the tier-count read-merge-publish.
+
+    O_CREAT|O_EXCL lock file — atomic on POSIX local/NFS4 filesystems
+    (where this parquet layout runs; object-store deployments use Iceberg
+    commits instead).  Contention waits up to TIER_LOCK_TIMEOUT then
+    raises loudly, naming the lock file: a crashed writer's stale lock is
+    removed by the operator, never silently — guessing staleness risks
+    the exact lost update the lock exists to prevent."""
+    import contextlib
+    import os
+    import time
+
+    @contextlib.contextmanager
+    def _lock():
+        os.makedirs(f"{path}/_stats", exist_ok=True)
+        lockfile = f"{path}/_stats/tier_counts.lock"
+        deadline = time.monotonic() + TIER_LOCK_TIMEOUT
+        while True:
+            try:
+                fd = os.open(lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() >= deadline:
+                    raise RuntimeError(
+                        f"tier_counts writer lock held: {lockfile} — another "
+                        "writer is appending to this store (or crashed while "
+                        "doing so; verify and remove the lock file)"
+                    ) from None
+                time.sleep(0.05)
         try:
-            prev = df.sparkSession.read.parquet(f"{path}/_stats/tier_counts")
-            tc = (
-                tc.unionByName(prev)
-                .groupBy("tier")
-                .agg(F.sum("n_rows").alias("n_rows"))
-            )
-        except AnalysisException as e:
-            # ONLY "store doesn't exist yet" means nothing-to-merge; any
-            # other failure (corrupt file, permission, concurrent writer)
-            # must abort — overwriting with batch-only counts would
-            # silently drop every historical tier from later cover joins.
-            msg = str(e)
-            if "PATH_NOT_FOUND" not in msg and "does not exist" not in msg:
-                raise
-        tc = tc.localCheckpoint()  # sever lineage from the file being replaced
-    tc.write.mode("overwrite").parquet(f"{path}/_stats/tier_counts")
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            yield
+        finally:
+            os.unlink(lockfile)
+
+    return _lock()
+
+
+def _heal_tier_counts(path: str) -> None:
+    """Recover from a crash between the two publish renames: a
+    ``tier_counts.old`` with no live dir is the previous store — rename
+    it back so the merge sees it.  Stray staging dirs are discarded
+    (never committed)."""
+    import os
+    import shutil
+
+    if "://" in path:
+        return
+    target = f"{path}/_stats/tier_counts"
+    if not os.path.exists(target) and os.path.exists(target + ".old"):
+        os.rename(target + ".old", target)
+    shutil.rmtree(target + ".staging", ignore_errors=True)
+
+
+def _publish_tier_counts(tc: DataFrame, path: str) -> None:
+    """Swap-in publish of ``_stats/tier_counts`` (the compact.py pattern):
+    write aside, rename the live dir out, rename the new one in.  A bare
+    ``mode("overwrite")`` deletes before it writes, so a concurrent reader
+    could observe a missing/partial store; with the swap the live dir is
+    whole at every instant.  A crash between the renames leaves
+    ``tier_counts.old`` next to a missing live dir — healed before the
+    next merge reads (:func:`_heal_tier_counts`)."""
+    import os
+    import shutil
+
+    target = f"{path}/_stats/tier_counts"
+    if "://" in path:  # non-local URI: no rename primitive; plain overwrite
+        tc.write.mode("overwrite").parquet(target)
+        return
+    staging, bak = target + ".staging", target + ".old"
+    tc.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(bak, ignore_errors=True)
+    if os.path.exists(target):
+        os.rename(target, bak)
+    os.rename(staging, target)
+    shutil.rmtree(bak, ignore_errors=True)
 
 
 def read_indexed(spark, path: str) -> DataFrame:

@@ -678,8 +678,16 @@ def _tile_quadkeys_oracle_sql() -> str:
         f"ELSE '' END)"
         for s in range(QK_MAX_LEVEL - 1, -1, -1)
     )
+    # mirror the engine's never-truncate guard (quadkey_col raises on
+    # level > max_level): without it the oracle would silently emit a
+    # truncated key and a future level growth would surface as a
+    # confusing hash mismatch instead of a loud error on both sides
+    qk = (
+        f"CASE WHEN level > {QK_MAX_LEVEL} "
+        f"THEN error('quadkey level > {QK_MAX_LEVEL}') ELSE {terms} END"
+    )
     return f"""
-SELECT event_id, level, ix, iy, {terms} AS qk
+SELECT event_id, level, ix, iy, {qk} AS qk
 FROM ({_tile_assign_oracle_sql()})
 """
 

@@ -110,6 +110,50 @@ def test_write_indexed_append_merges_tier_counts(spark, sf_dir, tmp_path):
     assert sorted(tc.n_rows) == [n, n]
 
 
+def test_tier_counts_lock_serializes_writers(spark, sf_dir, tmp_path, monkeypatch):
+    """A held writer lock makes a concurrent append fail LOUDLY instead of
+    silently losing the other writer's counts (read-modify-write race);
+    releasing it lets the append proceed and merge."""
+    import os
+
+    import geowave_spark.operators.index as idx
+
+    geo = TB.geo_events(spark, sf_dir)
+    a = OI.index_points(geo, id_col="event_id", res=10)
+    b = OI.index_points(geo, id_col="event_id", res=14)
+    path = str(tmp_path / "idx")
+    OI.write_indexed(a, path)
+    lock = f"{path}/_stats/tier_counts.lock"
+    with open(lock, "w") as f:
+        f.write("999999")
+    monkeypatch.setattr(idx, "TIER_LOCK_TIMEOUT", 0.3)
+    with pytest.raises(RuntimeError, match="tier_counts writer lock"):
+        OI.write_indexed(b, path, mode="append")
+    os.unlink(lock)
+    OI.write_indexed(b, path, mode="append")
+    assert OI.read_stats_tiers(spark, path) == [10, 14]
+    assert not os.path.exists(lock)  # released after the merge
+
+
+def test_tier_counts_publish_heals_crashed_swap(spark, sf_dir, tmp_path):
+    """Crash between the two publish renames leaves tier_counts.old and no
+    live dir — the next publish must heal (merge against the OLD counts,
+    not restart from zero)."""
+    import os
+
+    geo = TB.geo_events(spark, sf_dir)
+    a = OI.index_points(geo, id_col="event_id", res=10)
+    path = str(tmp_path / "idx")
+    OI.write_indexed(a, path)
+    tcdir = f"{path}/_stats/tier_counts"
+    os.rename(tcdir, tcdir + ".old")  # simulate the crash window
+    b = OI.index_points(geo, id_col="event_id", res=14)
+    OI.write_indexed(b, path, mode="append")
+    assert OI.read_stats_tiers(spark, path) == [10, 14]
+    assert not os.path.exists(tcdir + ".old")
+    assert not os.path.exists(tcdir + ".staging")
+
+
 def test_spatial_join_recovers_tiers_from_indexed_envelope_table(
     spark, sf_dir, tmp_path, monkeypatch
 ):

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 import sys
 from pathlib import Path
 
@@ -99,7 +100,8 @@ def main(argv: list[str] | None = None) -> int:
         print(name, rec["status"], rec["rows"])
         if rec["status"] == "FAIL":
             fails.append(name)
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    m = re.search(r"sf(\d+(?:\.\d+)?)/?$", sf_dir)
+    sf = float(m.group(1)) if m else sf_dir  # non-sf dirs: record the path
     with open(args.out, "w") as f:
         json.dump({"sf": sf, "queries": out, "fails": fails}, f, indent=1,
                   sort_keys=True)
