@@ -2048,11 +2048,13 @@ GEOTIFF_MOD = 50  # every 50th footprint becomes a scene file
 
 def q_geotiff_tiles(spark, sf_dir):
     """GeoTIFF round trip (GeoTools-raster / Landsat8 ingest parity):
-    footprint-georeferenced procedural scenes → baseline GeoTIFF files
-    (one per scene, written by the tasks) → read_geotiff → envelope +
-    pixel-sum projection.  The F1 pixel formula and the float64 geo tags
-    replay exactly in SQL, so the whole encode→decode→georeference path is
-    oracle-checked."""
+    footprint-georeferenced procedural scenes → GeoTIFF files (one per
+    scene, written by the tasks) → read_geotiff → envelope + pixel-sum
+    projection.  Scenes deterministically cycle the real-world layouts —
+    none/LZW/deflate/packbits compression, predictor 2 on LZW/deflate
+    (what actual Landsat ships), both byte orders, multi-strip — so the
+    oracle exactness covers every codec path; decoded pixels are
+    identical regardless, so the SQL replay is unchanged."""
     import os
     import tempfile
 
@@ -2065,14 +2067,26 @@ def q_geotiff_tiles(spark, sf_dir):
         from geowave_spark.sources import tiff as TIF
         from geowave_spark.sources.synthetic import pixels_for
 
+        layouts = [  # (compression, predictor) — cycled per scene
+            (TIF.COMP_NONE, 1),
+            (TIF.COMP_LZW, 2),
+            (TIF.COMP_DEFLATE, 2),
+            (TIF.COMP_PACKBITS, 1),
+            (TIF.COMP_DEFLATE_OLD, 1),
+        ]
         for r in rows:
-            pix = pixels_for(int(r.event_id) % 256, 32, 32)
+            ev = int(r.event_id)
+            pix = pixels_for(ev % 256, 32, 32)
             minx, miny = r.minx_m / 1000.0, r.miny_m / 1000.0
             maxx, maxy = r.maxx_m / 1000.0, r.maxy_m / 1000.0
+            comp, pred = layouts[(ev // GEOTIFF_MOD) % len(layouts)]
             buf = TIF.encode_geotiff(
-                pix, (minx, maxy), ((maxx - minx) / 32.0, (maxy - miny) / 32.0)
+                pix, (minx, maxy), ((maxx - minx) / 32.0, (maxy - miny) / 32.0),
+                compression=comp, predictor=pred,
+                rows_per_strip=8 if (ev // GEOTIFF_MOD) % 2 else None,
+                byteorder="MM" if (ev // GEOTIFF_MOD) % 3 == 1 else "II",
             )
-            with open(os.path.join(d, f"ev{int(r.event_id):012d}.tif"), "wb") as fh:
+            with open(os.path.join(d, f"ev{ev:012d}.tif"), "wb") as fh:
                 fh.write(buf)
 
     fp.select("event_id", "minx_m", "miny_m", "maxx_m", "maxy_m").foreachPartition(

@@ -4,12 +4,16 @@ extensions/formats/geotools-raster/.../GeoToolsRasterDataStoreIngestPlugin.java
 wraps any GridCoverage reader, GeoTIFF first among them; the Landsat8 CLI
 ingests per-band GeoTIFF scenes, RasterIngestRunner.java:77-300).
 
-Pure struct/numpy implementation of the PUBLIC specs (TIFF 6.0 baseline:
-little/big-endian IFDs, uncompressed strips, 8-bit samples; GeoTIFF 1.1
+Pure struct/numpy implementation of the PUBLIC specs (TIFF 6.0:
+little/big-endian IFDs, 8-bit samples, strip layouts; GeoTIFF 1.1
 georeferencing tags ModelPixelScale 33550 + ModelTiepoint 33922) — the same
-dependency-free posture as sources/png.py.  Compressed TIFFs (LZW/deflate/
-JPEG-in-TIFF) raise NotImplementedError with a clear message — exactly
-where a deployment slots in rasterio/GDAL.
+dependency-free posture as sources/png.py.  Compression codecs implemented
+per TIFF 6.0 §7 (PackBits, 32773), §13 (LZW with the spec's early-change
+code widths, 5) and the Adobe/old Deflate extensions (8 / 32946, zlib
+streams), each with the horizontal-differencing Predictor (tag 317 = 2)
+real Landsat/earth-observation scenes ship with.  JPEG-in-TIFF and
+non-8-bit samples still raise NotImplementedError with a clear message —
+exactly where a deployment slots in rasterio/GDAL.
 
 Spark shape: one file per task (binaryFile scan + Arrow-batched decode),
 yielding georeferenced raster rows (pixels + envelope) that feed the
@@ -29,55 +33,257 @@ _SZ = {_T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8}
 TAG_WIDTH, TAG_HEIGHT, TAG_BITS, TAG_COMPRESSION = 256, 257, 258, 259
 TAG_PHOTOMETRIC, TAG_STRIP_OFFSETS, TAG_SAMPLES = 262, 273, 277
 TAG_ROWS_PER_STRIP, TAG_STRIP_COUNTS, TAG_PLANAR = 278, 279, 284
+TAG_PREDICTOR = 317
 TAG_SAMPLE_FORMAT = 339
 TAG_MODEL_PIXEL_SCALE, TAG_MODEL_TIEPOINT = 33550, 33922
+
+COMP_NONE, COMP_LZW, COMP_DEFLATE = 1, 5, 8
+COMP_PACKBITS, COMP_DEFLATE_OLD = 32773, 32946
+
+
+# ---------------------------------------------------------------------------
+# Strip codecs (TIFF 6.0 §7 PackBits, §13 LZW; Adobe deflate extension)
+# ---------------------------------------------------------------------------
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, 9→12 bit
+    codes with the spec's EARLY code-width change (the width grows when
+    the table reaches 2^width - 1 entries, one code earlier than plain
+    LZW), Clear=256 / EndOfInformation=257."""
+    out = bytearray()
+    nbits = len(data) * 8
+    bitpos = 0
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def _reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    _reset()
+    while bitpos + width <= nbits:
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0 : byte0 + 3].ljust(3, b"\0"), "big")
+        code = (chunk >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == _LZW_CLEAR:
+            _reset()
+            continue
+        if code == _LZW_EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream (code beyond table)")
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table is one entry
+        # BEHIND the encoder's (the encoder adds before emitting the next
+        # code, the decoder adds while consuming it), so it must widen at
+        # 2^w - 2 where the encoder widened at 2^w - 1
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (mirror of :func:`_lzw_decode`): emits
+    Clear first, clears when the table would exceed 12 bits (at 4094 —
+    one before 2^12 - 1, keeping reader/writer early-change symmetric),
+    EOI last."""
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    def _emit(code: int, width: int):
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    _emit(_LZW_CLEAR, width)
+    run = b""
+    for b in data:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        _emit(table[run], width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        elif nxt == 4094:  # table full at 12 bits: clear and restart
+            _emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        run = bytes([b])
+    if run:
+        _emit(table[run], width)
+    _emit(_LZW_EOI, width)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §7 PackBits: n in [0,127] → copy n+1 literal bytes;
+    n in [-127,-1] → repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += data[i : i + 1] * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: runs of ≥3 as replicate packets, else literals."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal run: until the next ≥3 repeat or 128 bytes
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _deflate_decode(data: bytes) -> bytes:
+    import zlib
+
+    return zlib.decompress(data)
+
+
+def _deflate_encode(data: bytes) -> bytes:
+    import zlib
+
+    return zlib.compress(data, 6)
+
+
+_STRIP_DECODERS = {
+    COMP_NONE: lambda b: b,
+    COMP_LZW: _lzw_decode,
+    COMP_DEFLATE: _deflate_decode,
+    COMP_DEFLATE_OLD: _deflate_decode,
+    COMP_PACKBITS: _packbits_decode,
+}
+_STRIP_ENCODERS = {
+    COMP_NONE: lambda b: b,
+    COMP_LZW: _lzw_encode,
+    COMP_DEFLATE: _deflate_encode,
+    COMP_DEFLATE_OLD: _deflate_encode,
+    COMP_PACKBITS: _packbits_encode,
+}
 
 
 def encode_geotiff(
     pix: np.ndarray,
     origin: tuple[float, float],
     scale: tuple[float, float],
+    compression: int = COMP_NONE,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+    byteorder: str = "II",
 ) -> bytes:
-    """uint8 raster (h,w) or (h,w,bands) → little-endian baseline GeoTIFF.
+    """uint8 raster (h,w) or (h,w,bands) → GeoTIFF bytes.
 
     ``origin`` = (lon, lat) of the TOP-LEFT corner (raster space 0,0 —
     GeoTIFF tiepoint convention), ``scale`` = (deg/px east, deg/px south),
-    both positive.  Single uncompressed strip, chunky planar layout."""
+    both positive.  Chunky planar layout; ``compression`` ∈ {1 none,
+    5 LZW, 8/32946 deflate, 32773 packbits}; ``predictor=2`` applies
+    horizontal differencing before compression (the layout real Landsat
+    scenes use); ``byteorder`` 'II' little / 'MM' big."""
     if pix.dtype != np.uint8:
-        raise ValueError("baseline encoder writes 8-bit samples")
+        raise ValueError("encoder writes 8-bit samples")
+    if compression not in _STRIP_ENCODERS:
+        raise ValueError(f"unsupported compression {compression}")
+    if byteorder not in ("II", "MM"):
+        raise ValueError("byteorder must be 'II' or 'MM'")
+    e = "<" if byteorder == "II" else ">"
     if pix.ndim == 2:
         pix = pix[:, :, None]
     h, w, bands = pix.shape
-    data = pix.tobytes()
+    if predictor == 2:
+        body = pix.astype(np.int16)
+        body[:, 1:, :] = (body[:, 1:, :] - body[:, :-1, :]) % 256
+        pix = body.astype(np.uint8)
+    elif predictor != 1:
+        raise ValueError(f"unsupported predictor {predictor}")
+    rps = h if rows_per_strip is None else int(rows_per_strip)
+    enc = _STRIP_ENCODERS[compression]
+    strips = [
+        enc(pix[r : r + rps].tobytes()) for r in range(0, h, rps)
+    ]
+    offsets, counts, off = [], [], 8
+    for s in strips:
+        offsets.append(off)
+        counts.append(len(s))
+        off += len(s)
+    data = b"".join(strips)
 
     extra = bytearray()          # out-of-line value areas, placed after data
     extra_base = 8 + len(data)
 
     def entry(tag: int, typ: int, values: list) -> bytes:
         count = len(values)
-        fmt = {"u2": "<H", "u4": "<I", "f8": "<d"}[
-            {_T_SHORT: "u2", _T_LONG: "u4", _T_DOUBLE: "f8"}[typ]
-        ]
+        fmt = {_T_SHORT: e + "H", _T_LONG: e + "I", _T_DOUBLE: e + "d"}[typ]
         payload = b"".join(struct.pack(fmt, v) for v in values)
         if len(payload) <= 4:
-            return struct.pack("<HHI", tag, typ, count) + payload.ljust(4, b"\x00")
+            return struct.pack(e + "HHI", tag, typ, count) + payload.ljust(4, b"\x00")
         off = extra_base + len(extra)
         extra.extend(payload)
         if len(extra) % 2:
             extra.append(0)
-        return struct.pack("<HHII", tag, typ, count, off)
+        return struct.pack(e + "HHII", tag, typ, count, off)
 
     entries = [
         entry(TAG_WIDTH, _T_LONG, [w]),
         entry(TAG_HEIGHT, _T_LONG, [h]),
         entry(TAG_BITS, _T_SHORT, [8] * bands),
-        entry(TAG_COMPRESSION, _T_SHORT, [1]),
+        entry(TAG_COMPRESSION, _T_SHORT, [compression]),
         entry(TAG_PHOTOMETRIC, _T_SHORT, [2 if bands >= 3 else 1]),
-        entry(TAG_STRIP_OFFSETS, _T_LONG, [8]),
+        entry(TAG_STRIP_OFFSETS, _T_LONG, offsets),
         entry(TAG_SAMPLES, _T_SHORT, [bands]),
-        entry(TAG_ROWS_PER_STRIP, _T_LONG, [h]),
-        entry(TAG_STRIP_COUNTS, _T_LONG, [len(data)]),
+        entry(TAG_ROWS_PER_STRIP, _T_LONG, [rps]),
+        entry(TAG_STRIP_COUNTS, _T_LONG, counts),
         entry(TAG_PLANAR, _T_SHORT, [1]),
+        entry(TAG_PREDICTOR, _T_SHORT, [predictor]),
         entry(TAG_SAMPLE_FORMAT, _T_SHORT, [1] * bands),
         entry(
             TAG_MODEL_PIXEL_SCALE, _T_DOUBLE, [float(scale[0]), float(scale[1]), 0.0]
@@ -88,13 +294,16 @@ def encode_geotiff(
             [0.0, 0.0, 0.0, float(origin[0]), float(origin[1]), 0.0],
         ),
     ]
+    # IFD entries MUST be sorted by tag (TIFF 6.0); PREDICTOR (317) lands
+    # after PLANAR (284) and before SAMPLE_FORMAT (339) already, so the
+    # list above is in tag order by construction
     ifd_off = extra_base + len(extra)
     ifd = (
-        struct.pack("<H", len(entries))
+        struct.pack(e + "H", len(entries))
         + b"".join(entries)
-        + struct.pack("<I", 0)  # no next IFD
+        + struct.pack(e + "I", 0)  # no next IFD
     )
-    return struct.pack("<2sHI", b"II", 42, ifd_off) + data + bytes(extra) + ifd
+    return struct.pack(e + "2sHI", byteorder.encode(), 42, ifd_off) + data + bytes(extra) + ifd
 
 
 def decode_geotiff(
@@ -103,7 +312,8 @@ def decode_geotiff(
     """GeoTIFF bytes → (pixels (h,w) or (h,w,bands) uint8, origin, scale).
 
     Handles both byte orders, multi-strip layouts, inline and out-of-line
-    values.  Raises NotImplementedError for compressed / non-8-bit files."""
+    values, LZW/deflate/packbits strips, horizontal-differencing
+    predictor.  Raises NotImplementedError for JPEG-in-TIFF / non-8-bit."""
     bom = buf[:2]
     if bom == b"II":
         e = "<"
@@ -127,23 +337,30 @@ def decode_geotiff(
         voff = off + 8 if size <= 4 else struct.unpack_from(e + "I", buf, off + 8)[0]
         tags[tag] = list(struct.unpack_from(e + str(count) + fmt_of[typ], buf, voff))
 
-    if tags.get(TAG_COMPRESSION, [1])[0] != 1:
+    comp = tags.get(TAG_COMPRESSION, [1])[0]
+    if comp not in _STRIP_DECODERS:
         raise NotImplementedError(
-            f"compressed TIFF (compression={tags[TAG_COMPRESSION][0]}) — "
-            "plug in rasterio/GDAL for production decode"
+            f"unsupported TIFF compression {comp} (have: none/LZW/deflate/"
+            "packbits) — plug in rasterio/GDAL for JPEG-in-TIFF etc."
         )
     if any(b != 8 for b in tags.get(TAG_BITS, [8])):
-        raise NotImplementedError("only 8-bit samples in the baseline decoder")
+        raise NotImplementedError("only 8-bit samples in this decoder")
+    predictor = tags.get(TAG_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"unsupported TIFF predictor {predictor}")
 
     w, h = tags[TAG_WIDTH][0], tags[TAG_HEIGHT][0]
     bands = tags.get(TAG_SAMPLES, [1])[0]
+    dec = _STRIP_DECODERS[comp]
     strips = b"".join(
-        buf[o : o + c]
+        dec(buf[o : o + c])
         for o, c in zip(tags[TAG_STRIP_OFFSETS], tags[TAG_STRIP_COUNTS])
     )
     pix = np.frombuffer(strips, dtype=np.uint8, count=w * h * bands).reshape(
         h, w, bands
     )
+    if predictor == 2:  # undo horizontal differencing: per-row cumsum mod 256
+        pix = (np.cumsum(pix, axis=1, dtype=np.int64) % 256).astype(np.uint8)
     if bands == 1:
         pix = pix[:, :, 0]
 

@@ -29,16 +29,81 @@ def test_geotiff_rgb_roundtrip():
     assert got.shape == (16, 20, 3)
 
 
-def test_geotiff_rejects_compressed_and_junk():
+def test_geotiff_rejects_jpeg_and_junk():
     pix = np.zeros((4, 4), dtype=np.uint8)
     buf = bytearray(TIF.encode_geotiff(pix, (0, 0), (1, 1)))
-    # flip the Compression entry's inline value (tag 259) to 5 (LZW)
+    # flip the Compression entry's inline value (tag 259) to 7 (JPEG)
     idx = buf.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
-    buf[idx + 8] = 5
-    with pytest.raises(NotImplementedError, match="compressed"):
+    buf[idx + 8] = 7
+    with pytest.raises(NotImplementedError, match="unsupported TIFF compression"):
         TIF.decode_geotiff(bytes(buf))
     with pytest.raises(ValueError):
         TIF.decode_geotiff(b"PK\x03\x04 not a tiff")
+
+
+# ---------------------------------------------------------------------------
+# Compression codecs (TIFF 6.0 §7 PackBits, §13 LZW, Adobe deflate) —
+# known vectors pin interop; round trips pin the full strip path
+# ---------------------------------------------------------------------------
+
+
+def test_packbits_spec_vector():
+    """The TIFF 6.0 §7 worked example — both directions."""
+    unpacked = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22AAAAAAAAAAAAAAAAAAAA")
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    assert TIF._packbits_decode(packed) == unpacked
+    assert TIF._packbits_encode(unpacked) == packed
+
+
+def test_lzw_known_vector():
+    """Hand-derived 9-bit stream for [7,7,7,8]: Clear(256), 7, 258(KwKwK),
+    8, EOI(257) → MSB-first packing 80 01 E0 40 88 08."""
+    raw = bytes([7, 7, 7, 8])
+    packed = bytes([0x80, 0x01, 0xE0, 0x40, 0x88, 0x08])
+    assert TIF._lzw_encode(raw) == packed
+    assert TIF._lzw_decode(packed) == raw
+
+
+def test_lzw_width_growth_and_clear():
+    """Round trips crossing the 9→10→11→12-bit early-change boundaries and
+    the 4094-entry table clear (needs > ~100 KB of non-repeating data)."""
+    rng = np.random.RandomState(3)
+    for n in (1, 200, 5_000, 120_000):
+        raw = rng.randint(0, 256, size=n, dtype=np.uint8).tobytes()
+        assert TIF._lzw_decode(TIF._lzw_encode(raw)) == raw
+    assert TIF._lzw_decode(TIF._lzw_encode(b"")) == b""
+
+
+@pytest.mark.parametrize("comp", [TIF.COMP_LZW, TIF.COMP_DEFLATE,
+                                  TIF.COMP_DEFLATE_OLD, TIF.COMP_PACKBITS])
+@pytest.mark.parametrize("byteorder", ["II", "MM"])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_geotiff_compressed_roundtrip(comp, byteorder, predictor):
+    """All three codecs × both byte orders × both predictors, multi-strip
+    (rows_per_strip=5 on h=13 → ragged last strip)."""
+    rng = np.random.RandomState(comp % 97 + predictor)
+    # smooth-ish gradient + noise: exercises predictor gains AND randomness
+    base = (np.arange(13)[:, None, None] * 9 + np.arange(21)[None, :, None] * 3
+            + np.arange(3)[None, None, :] * 31)
+    pix = ((base + rng.randint(0, 9, size=(13, 21, 3))) % 256).astype(np.uint8)
+    buf = TIF.encode_geotiff(
+        pix, origin=(12.5, 47.25), scale=(0.125, 0.0625),
+        compression=comp, predictor=predictor, rows_per_strip=5,
+        byteorder=byteorder,
+    )
+    got, origin, scale = TIF.decode_geotiff(buf)
+    np.testing.assert_array_equal(got, pix)
+    assert origin == (12.5, 47.25) and scale == (0.125, 0.0625)
+
+
+def test_geotiff_lzw_beats_raw_on_smooth_data():
+    """Sanity that the codec actually compresses (predictor 2 on a smooth
+    ramp): compressed file smaller than the uncompressed one."""
+    pix = ((np.arange(64)[:, None] + np.arange(64)[None, :]) % 256).astype(np.uint8)
+    raw = TIF.encode_geotiff(pix, (0.0, 0.0), (1.0, 1.0))
+    lzw = TIF.encode_geotiff(pix, (0.0, 0.0), (1.0, 1.0),
+                             compression=TIF.COMP_LZW, predictor=2)
+    assert len(lzw) < len(raw)
 
 
 def test_geotiff_big_endian_decode():
