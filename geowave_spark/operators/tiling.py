@@ -504,3 +504,299 @@ def render_point_tiles(
         )
 
     return counts.groupBy("tile_ix", "tile_iy").applyInPandas(render, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Styled distributed render (SLD-rule analogue)
+# ---------------------------------------------------------------------------
+
+STYLE_MAX_HALFWIDTH = 3  # marker footprint bound: (2*3+1)^2 = 49 offsets
+
+
+def _style_case(rules, values, default):
+    """First-match-wins CASE over the rule predicates — the SLD rule-list
+    evaluation order, as one Catalyst expression."""
+    expr = F.lit(default)
+    for pred, val in reversed(list(zip(rules, values))):
+        expr = F.when(pred, F.lit(val)).otherwise(expr)
+    return expr
+
+
+_STYLED_SCHEMA = T.StructType(
+    [
+        T.StructField("level", T.LongType()),
+        T.StructField("tile_ix", T.LongType()),
+        T.StructField("tile_iy", T.LongType()),
+        T.StructField("painted", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("chk", T.LongType()),
+        T.StructField("tile_png", T.BinaryType()),
+    ]
+)
+
+
+def _assemble_styled(level: int, tile_size: int):
+    """Per-tile compositor: winner pixels → RGB canvas PNG + exact integer
+    aggregates (painted px, per-band sums, xor checksum over the packed
+    (pixel, rgb) value — summation-order-free, so engine and SQL agree)."""
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        px = pdf["_px"].to_numpy(np.int64)
+        py = pdf["_py"].to_numpy(np.int64)
+        rgb = pdf["rgb"].to_numpy(np.int64)
+        canvas = np.zeros((tile_size, tile_size, 3), dtype=np.uint8)
+        rows = tile_size - 1 - py  # row 0 = NORTH (png orientation only)
+        canvas[rows, px, 0] = (rgb >> 16) & 0xFF
+        canvas[rows, px, 1] = (rgb >> 8) & 0xFF
+        canvas[rows, px, 2] = rgb & 0xFF
+        packed = ((py * tile_size + px) << 24) | rgb
+        chk = np.bitwise_xor.reduce(packed) if len(packed) else 0
+        return pd.DataFrame(
+            {
+                "level": [int(level)],
+                "tile_ix": [int(pdf["tile_ix"].iloc[0])],
+                "tile_iy": [int(pdf["tile_iy"].iloc[0])],
+                "painted": [len(pdf)],
+                "sum_r": [int(((rgb >> 16) & 0xFF).sum())],
+                "sum_g": [int(((rgb >> 8) & 0xFF).sum())],
+                "sum_b": [int((rgb & 0xFF).sum())],
+                "chk": [int(chk)],
+                "tile_png": [PNG.png_encode(canvas)],
+            }
+        )
+
+    return assemble
+
+
+def render_styled_tiles(
+    points: DataFrame,
+    level: int,
+    rules,
+    default_rgb: int = 0x787878,
+    default_halfwidth: int = 0,
+    tile_size: int = TILE_SIZE,
+    order_col: str = "event_id",
+    lon_milli: str = "lon_milli",
+    lat_milli: str = "lat_milli",
+) -> DataFrame:
+    """Styled distributed render of point features — the reference's
+    server-side render path (extensions/adapters/vector/.../plugin/
+    DistributedRenderProcess.java:32-60 + render/DistributedRenderOptions:
+    each server renders styled partials, the client composites), with the
+    SLD rule list re-expressed as Catalyst CASE columns and the composite
+    made DETERMINISTIC: painter's order is ``order_col`` (max wins per
+    pixel), not task arrival order.
+
+    ``rules`` = [(predicate Column, rgb int 0xRRGGBB, halfwidth int), ...]
+    evaluated first-match-wins (the SLD rule semantics); unmatched rows get
+    the defaults.  Markers are squares of side 2*halfwidth+1 (≤
+    STYLE_MAX_HALFWIDTH), exploded from one LITERAL offset array (the KDE
+    49-tap shape — never a computed-array HOF) and filtered per row, so a
+    marker crossing a tile border paints the neighbor tile naturally.
+
+    Plan: style CASE → literal explode (≤49×) → per-PIXEL ``max_by``
+    groupBy (map-side combinable painter argmax — the winner compresses
+    before the shuffle) → one applyInPandas per tile for the PNG + exact
+    integer aggregates.  Output: (level, tile_ix, tile_iy, painted,
+    sum_r, sum_g, sum_b, chk, tile_png); everything but the PNG replays
+    exactly in SQL."""
+    import math
+
+    from geowave_spark.functions import cols as X
+    from geowave_spark.session import spread
+
+    shift = int(math.log2(tile_size))
+    if 1 << shift != tile_size:
+        raise ValueError("tile_size must be a power of two")
+    for _, rgb, hw in rules:
+        if not (0 <= hw <= STYLE_MAX_HALFWIDTH):
+            raise ValueError(f"halfwidth {hw} outside [0, {STYLE_MAX_HALFWIDTH}]")
+        if not (0 <= rgb <= 0xFFFFFF):
+            raise ValueError(f"rgb {rgb:#x} outside 24-bit range")
+    res = level + shift
+    n = 1 << res
+    preds = [p for p, _, _ in rules]
+    rgb_col = _style_case(preds, [r for _, r, _ in rules], default_rgb)
+    hw_col = _style_case(preds, [h for _, _, h in rules], default_halfwidth)
+    r = STYLE_MAX_HALFWIDTH
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-r, r + 1)
+            for dy in range(-r, r + 1)
+        ]
+    )
+    base = spread(
+        points.select(
+            F.col(order_col).cast("long").alias("_ord"),
+            rgb_col.cast("long").alias("rgb"),
+            hw_col.cast("long").alias("_hw"),
+            X.grid_milli_col(F.col(lon_milli), 180_000, 360_000, F.lit(res)).alias("_ix"),
+            X.grid_milli_col(F.col(lat_milli), 90_000, 180_000, F.lit(res)).alias("_iy"),
+        )
+    )
+    px = F.col("_ix") + F.col("o.dx")
+    py = F.col("_iy") + F.col("o.dy")
+    pixels = (
+        base.select("*", F.explode(offsets).alias("o"))
+        .filter(
+            (F.abs(F.col("o.dx")) <= F.col("_hw"))
+            & (F.abs(F.col("o.dy")) <= F.col("_hw"))
+        )
+        .select(
+            "_ord",
+            "rgb",
+            px.alias("_gx"),
+            py.alias("_gy"),
+        )
+        .filter(
+            (F.col("_gx") >= 0) & (F.col("_gx") < n)
+            & (F.col("_gy") >= 0) & (F.col("_gy") < n)
+        )
+    )
+    winners = (
+        pixels.groupBy(
+            F.shiftright(F.col("_gx"), shift).alias("tile_ix"),
+            F.shiftright(F.col("_gy"), shift).alias("tile_iy"),
+            F.col("_gx").bitwiseAND(F.lit(tile_size - 1)).alias("_px"),
+            F.col("_gy").bitwiseAND(F.lit(tile_size - 1)).alias("_py"),
+        )
+        .agg(F.max_by("rgb", F.col("_ord")).alias("rgb"))
+    )
+    return winners.groupBy("tile_ix", "tile_iy").applyInPandas(
+        _assemble_styled(level, tile_size), _STYLED_SCHEMA
+    )
+
+
+MAX_TILES_PER_ENVELOPE = 64  # per-axis explode guard for envelope render
+
+
+def render_envelope_tiles(
+    envelopes: DataFrame,
+    level: int,
+    rules,
+    default_rgb: int = 0x787878,
+    mode: str = "fill",
+    tile_size: int = TILE_SIZE,
+    order_col: str = "event_id",
+    env_cols: tuple[str, str, str, str] = ("minx_m", "miny_m", "maxx_m", "maxy_m"),
+) -> DataFrame:
+    """Styled render of envelope (polygon-box) features: fill or 1-px
+    stroke, deterministic painter's order (max ``order_col`` per pixel) —
+    the polygon arm of the DistributedRenderProcess analogue.
+
+    Plan: style CASE → envelope grid-rect → ≤MAX_TILES_PER_ENVELOPE²
+    tile explode (never-truncate guard raises past the bound) → one
+    applyInPandas per TILE rasterizes its clipped rects in painter order
+    (numpy, bounded by tile_size²) and emits the same schema as
+    :func:`render_styled_tiles`.  The per-pixel winner is
+    order-independent (max order paints last), so the whole raster
+    replays exactly in SQL via per-pixel arg_max."""
+    import math
+
+    from geowave_spark.functions import cols as X
+    from geowave_spark.operators.index import _invariant_guard
+    from geowave_spark.session import spread
+
+    shift = int(math.log2(tile_size))
+    if 1 << shift != tile_size:
+        raise ValueError("tile_size must be a power of two")
+    if mode not in ("fill", "stroke"):
+        raise ValueError(f"mode {mode!r} (fill | stroke)")
+    res = level + shift
+    minx, miny, maxx, maxy = env_cols
+    preds = [p for p, _ in rules]
+    rgb_col = _style_case(preds, [r for _, r in rules], default_rgb)
+    g = lambda c, off, span: X.grid_milli_col(F.col(c), off, span, F.lit(res))  # noqa: E731
+    base = spread(
+        envelopes.select(
+            F.col(order_col).cast("long").alias("_ord"),
+            rgb_col.cast("long").alias("rgb"),
+            g(minx, 180_000, 360_000).alias("gx0"),
+            g(maxx, 180_000, 360_000).alias("gx1"),
+            g(miny, 90_000, 180_000).alias("gy0"),
+            g(maxy, 90_000, 180_000).alias("gy1"),
+        )
+    )
+    tx0, tx1 = F.shiftright(F.col("gx0"), shift), F.shiftright(F.col("gx1"), shift)
+    ty0, ty1 = F.shiftright(F.col("gy0"), shift), F.shiftright(F.col("gy1"), shift)
+    guarded = base.filter(
+        _invariant_guard(
+            ((tx1 - tx0) >= MAX_TILES_PER_ENVELOPE)
+            | ((ty1 - ty0) >= MAX_TILES_PER_ENVELOPE),
+            f"envelope spans more than {MAX_TILES_PER_ENVELOPE} tiles per "
+            "axis at this level — render at a coarser level",
+        )
+    )
+    per_tile = guarded.select(
+        "_ord",
+        "rgb",
+        "gx0", "gx1", "gy0", "gy1",
+        F.explode(F.sequence(tx0, tx1)).alias("tile_ix"),
+        ty0.alias("_ty0"),
+        ty1.alias("_ty1"),
+    ).select(
+        "*", F.explode(F.sequence(F.col("_ty0"), F.col("_ty1"))).alias("tile_iy")
+    ).drop("_ty0", "_ty1")
+
+    fill = mode == "fill"
+
+    def rasterize(pdf: pd.DataFrame) -> pd.DataFrame:
+        tix = int(pdf["tile_ix"].iloc[0])
+        tiy = int(pdf["tile_iy"].iloc[0])
+        ox, oy = tix << shift, tiy << shift
+        order = np.argsort(pdf["_ord"].to_numpy(np.int64), kind="stable")
+        rgb_img = np.zeros((tile_size, tile_size), dtype=np.int64)
+        hit = np.zeros((tile_size, tile_size), dtype=bool)
+        gx0 = pdf["gx0"].to_numpy(np.int64)
+        gx1 = pdf["gx1"].to_numpy(np.int64)
+        gy0 = pdf["gy0"].to_numpy(np.int64)
+        gy1 = pdf["gy1"].to_numpy(np.int64)
+        rgbv = pdf["rgb"].to_numpy(np.int64)
+        for i in order:  # ascending painter order: later (higher) overwrites
+            x0 = max(int(gx0[i]) - ox, 0)
+            x1 = min(int(gx1[i]) - ox, tile_size - 1)
+            y0 = max(int(gy0[i]) - oy, 0)
+            y1 = min(int(gy1[i]) - oy, tile_size - 1)
+            if x0 > x1 or y0 > y1:
+                continue
+            if fill:
+                rgb_img[y0 : y1 + 1, x0 : x1 + 1] = rgbv[i]
+                hit[y0 : y1 + 1, x0 : x1 + 1] = True
+            else:  # stroke: the rect borders that fall inside this tile
+                for yy in (int(gy0[i]) - oy, int(gy1[i]) - oy):
+                    if 0 <= yy < tile_size:
+                        rgb_img[yy, x0 : x1 + 1] = rgbv[i]
+                        hit[yy, x0 : x1 + 1] = True
+                for xx in (int(gx0[i]) - ox, int(gx1[i]) - ox):
+                    if 0 <= xx < tile_size:
+                        rgb_img[y0 : y1 + 1, xx] = rgbv[i]
+                        hit[y0 : y1 + 1, xx] = True
+        py, px = np.nonzero(hit)
+        rgb = rgb_img[py, px]
+        canvas = np.zeros((tile_size, tile_size, 3), dtype=np.uint8)
+        rows = tile_size - 1 - py
+        canvas[rows, px, 0] = (rgb >> 16) & 0xFF
+        canvas[rows, px, 1] = (rgb >> 8) & 0xFF
+        canvas[rows, px, 2] = rgb & 0xFF
+        packed = ((py * tile_size + px) << 24) | rgb
+        chk = np.bitwise_xor.reduce(packed) if len(packed) else 0
+        return pd.DataFrame(
+            {
+                "level": [int(level)],
+                "tile_ix": [tix],
+                "tile_iy": [tiy],
+                "painted": [int(hit.sum())],
+                "sum_r": [int(((rgb >> 16) & 0xFF).sum())],
+                "sum_g": [int(((rgb >> 8) & 0xFF).sum())],
+                "sum_b": [int((rgb & 0xFF).sum())],
+                "chk": [int(chk)],
+                "tile_png": [PNG.png_encode(canvas)],
+            }
+        )
+
+    return per_tile.groupBy("tile_ix", "tile_iy").applyInPandas(
+        rasterize, _STYLED_SCHEMA
+    )

@@ -3563,3 +3563,158 @@ WHERE abs({-2 * h} * (r.cx - l.cx) + {w} * (r.cy - l.cy)) <= {4 * w * h}
 register_extra(
     "triangles_intersect", q_triangles_intersect, _triangles_intersect_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# Styled distributed render (round 4): the reference's
+# DistributedRenderProcess renders SLD-styled features server-side and
+# composites partials; here the SLD rule list is a Catalyst CASE, the
+# composite is a deterministic per-pixel painter argmax, and every numeric
+# band/checksum column replays exactly in SQL (the PNG is pinned by pytest).
+# ---------------------------------------------------------------------------
+
+STYLED_LEVEL, STYLED_TS = 3, 64  # pixel grid res 3 + log2(64) = 9
+
+
+def _styled_rules_spark():
+    return [
+        (F.col("event_type") == "click", 0xDC3C28, 2),
+        (F.col("event_type") == "view", 0x3C78DC, 1),
+    ]
+
+
+_STYLED_RULES_SQL = (
+    "CASE WHEN event_type = 'click' THEN 14433320 "
+    "WHEN event_type = 'view' THEN 3963100 ELSE 7895160 END"
+)
+_STYLED_HW_SQL = (
+    "CASE WHEN event_type = 'click' THEN 2 "
+    "WHEN event_type = 'view' THEN 1 ELSE 0 END"
+)
+
+
+def q_render_styled(spark, sf_dir):
+    geo = TB.geo_events(spark, sf_dir)
+    out = OTL.render_styled_tiles(
+        geo, level=STYLED_LEVEL, rules=_styled_rules_spark(), tile_size=STYLED_TS
+    )
+    return out.select(
+        "level", "tile_ix", "tile_iy", "painted", "sum_r", "sum_g", "sum_b", "chk"
+    )
+
+
+def _render_styled_oracle() -> str:
+    res = STYLED_LEVEL + 6
+    n = 1 << res
+    r = OTL.STYLE_MAX_HALFWIDTH
+
+    def idiv(a: str, b: str) -> str:
+        return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS BIGINT)"
+
+    gx = f"LEAST(GREATEST({idiv(f'(lon_milli + 180000) * {n}', '360000')}, 0), {n - 1})"
+    gy = f"LEAST(GREATEST({idiv(f'(lat_milli + 90000) * {n}', '180000')}, 0), {n - 1})"
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+styled AS (
+  SELECT event_id, {gx} AS ix, {gy} AS iy,
+         {_STYLED_RULES_SQL} AS rgb, {_STYLED_HW_SQL} AS hw
+  FROM geo_events
+),
+offs AS (
+  SELECT unnest(generate_series(-{r}, {r})) AS dx
+),
+pix AS (
+  SELECT s.event_id, s.rgb, s.ix + ox.dx AS gx, s.iy + oy.dx AS gy
+  FROM styled s, offs ox, offs oy
+  WHERE abs(ox.dx) <= s.hw AND abs(oy.dx) <= s.hw
+    AND s.ix + ox.dx >= 0 AND s.ix + ox.dx < {n}
+    AND s.iy + oy.dx >= 0 AND s.iy + oy.dx < {n}
+),
+win AS (
+  SELECT gx >> 6 AS tile_ix, gy >> 6 AS tile_iy,
+         gx & {STYLED_TS - 1} AS px, gy & {STYLED_TS - 1} AS py,
+         arg_max(rgb, event_id) AS rgb
+  FROM pix GROUP BY 1, 2, 3, 4
+)
+SELECT CAST({STYLED_LEVEL} AS BIGINT) AS level, tile_ix, tile_iy,
+       COUNT(*) AS painted,
+       CAST(SUM((rgb >> 16) & 255) AS BIGINT) AS sum_r,
+       CAST(SUM((rgb >> 8) & 255) AS BIGINT) AS sum_g,
+       CAST(SUM(rgb & 255) AS BIGINT) AS sum_b,
+       bit_xor(((py * {STYLED_TS} + px) << 24) | rgb) AS chk
+FROM win GROUP BY 2, 3
+"""
+
+
+register_extra("render_styled_tiles", q_render_styled, _render_styled_oracle())
+
+
+ENV_RENDER_LEVEL = 4  # res 4 + log2(64) = 10
+
+
+def _env_rules_spark():
+    return [
+        (F.col("half_m") >= 512, 0xB43232, None),
+        (F.col("half_m") >= 128, 0x32A050, None),
+    ]
+
+
+_ENV_RULES_SQL = (
+    "CASE WHEN half_m >= 512 THEN 11809330 "
+    "WHEN half_m >= 128 THEN 3317840 ELSE 7895160 END"
+)
+
+
+def q_render_envelopes(spark, sf_dir):
+    fp = TB.geo_footprints(spark, sf_dir)
+    out = OTL.render_envelope_tiles(
+        fp,
+        level=ENV_RENDER_LEVEL,
+        rules=[(p, rgb) for p, rgb, _ in _env_rules_spark()],
+        mode="fill",
+        tile_size=STYLED_TS,
+    )
+    return out.select(
+        "level", "tile_ix", "tile_iy", "painted", "sum_r", "sum_g", "sum_b", "chk"
+    )
+
+
+def _render_envelopes_oracle() -> str:
+    res = ENV_RENDER_LEVEL + 6
+    n = 1 << res
+
+    def idiv(a: str, b: str) -> str:
+        return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS BIGINT)"
+
+    def grid(col: str, off: int, span: int) -> str:
+        return f"LEAST(GREATEST({idiv(f'({col} + {off}) * {n}', str(span))}, 0), {n - 1})"
+
+    return f"""
+WITH geo_footprints AS ({TB.GEO_FOOTPRINTS_SQL}),
+envs AS (
+  SELECT event_id, {_ENV_RULES_SQL} AS rgb,
+         {grid("minx_m", 180_000, 360_000)} AS gx0,
+         {grid("maxx_m", 180_000, 360_000)} AS gx1,
+         {grid("miny_m", 90_000, 180_000)} AS gy0,
+         {grid("maxy_m", 90_000, 180_000)} AS gy1
+  FROM geo_footprints
+),
+xs AS (SELECT event_id, rgb, gy0, gy1, unnest(generate_series(gx0, gx1)) AS gx FROM envs),
+pix AS (SELECT event_id, rgb, gx, unnest(generate_series(gy0, gy1)) AS gy FROM xs),
+win AS (
+  SELECT gx >> 6 AS tile_ix, gy >> 6 AS tile_iy,
+         gx & {STYLED_TS - 1} AS px, gy & {STYLED_TS - 1} AS py,
+         arg_max(rgb, event_id) AS rgb
+  FROM pix GROUP BY 1, 2, 3, 4
+)
+SELECT CAST({ENV_RENDER_LEVEL} AS BIGINT) AS level, tile_ix, tile_iy,
+       COUNT(*) AS painted,
+       CAST(SUM((rgb >> 16) & 255) AS BIGINT) AS sum_r,
+       CAST(SUM((rgb >> 8) & 255) AS BIGINT) AS sum_g,
+       CAST(SUM(rgb & 255) AS BIGINT) AS sum_b,
+       bit_xor(((py * {STYLED_TS} + px) << 24) | rgb) AS chk
+FROM win GROUP BY 2, 3
+"""
+
+
+register_extra("render_envelope_tiles", q_render_envelopes, _render_envelopes_oracle())
