@@ -3718,3 +3718,133 @@ FROM win GROUP BY 2, 3
 
 
 register_extra("render_envelope_tiles", q_render_envelopes, _render_envelopes_oracle())
+
+
+# ---------------------------------------------------------------------------
+# OSM PBF ingest (round 4): the reference's extensions/cli/osm
+# OsmPbfParser.java stages .osm.pbf (osmosis BinaryParser) into
+# node/way/relation tables.  Here: distributed fixture write (one pbf per
+# partition, encoded from the deterministic events derivation) → binaryFile
+# + mapInPandas decode → typed rows; content replays exactly in SQL, so the
+# whole protobuf/zlib/delta-coding path is oracle-checked end to end.
+# ---------------------------------------------------------------------------
+
+OSM_WAY_MOD, OSM_REL_MOD = 100, 200
+
+
+def _osm_write_dir(spark, sf_dir):
+    import os
+    import tempfile
+
+    geo = TB.geo_events(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="gw_osm_")
+
+    def write_part(rows):
+        from geowave_spark.sources import osm as OSM
+
+        rows = sorted(rows, key=lambda r: r.event_id)
+        if not rows:
+            return
+        nodes = [
+            (
+                int(r.event_id),
+                int(r.lon_milli) * 10**6,
+                int(r.lat_milli) * 10**6,
+                {"event_type": r.event_type},
+            )
+            for r in rows
+        ]
+        ways = [
+            (int(r.event_id), [int(r.event_id) + i for i in range(3)],
+             {"kind": "track"})
+            for r in rows
+            if r.event_id % OSM_WAY_MOD == 0
+        ]
+        rels = [
+            (
+                int(r.event_id),
+                [("node", int(r.event_id), "stop"),
+                 ("way", int(r.event_id), "route")],
+                {"type": "route"},
+            )
+            for r in rows
+            if r.event_id % OSM_REL_MOD == 0
+        ]
+        buf = OSM.encode_osm_pbf(nodes, ways, rels)
+        with open(os.path.join(d, f"part{int(rows[0].event_id):012d}.osm.pbf"),
+                  "wb") as fh:
+            fh.write(buf)
+
+    geo.select("event_id", "lon_milli", "lat_milli", "event_type").foreachPartition(
+        write_part
+    )
+    return d
+
+
+def q_osm_nodes(spark, sf_dir):
+    """OSM PBF node round trip: encode → decode → exact integer coords +
+    canonical tag string (sources/osm.py; OsmPbfParser.java parity)."""
+    from geowave_spark.sources import osm as OSM
+
+    d = _osm_write_dir(spark, sf_dir)
+    return OSM.read_osm_nodes(spark, f"{d}/*.osm.pbf").select(
+        F.col("node_id").alias("event_id"),
+        "lon_milli",
+        "lat_milli",
+        "n_tags",
+        "tags",
+    )
+
+
+register_extra(
+    "osm_nodes",
+    q_osm_nodes,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        "SELECT event_id, lon_milli, lat_milli, 1 AS n_tags, "
+        "'event_type=' || event_type AS tags FROM geo_events",
+    ),
+)
+
+
+def q_osm_ways(spark, sf_dir):
+    """OSM PBF way + relation round trip projections (delta-coded refs,
+    member types/roles, string tables)."""
+    from geowave_spark.sources import osm as OSM
+
+    d = _osm_write_dir(spark, sf_dir)
+    ways = OSM.read_osm_ways(spark, f"{d}/*.osm.pbf").select(
+        F.col("way_id").alias("osm_id"),
+        F.lit("way").alias("kind"),
+        "n_refs",
+        F.col("ref_sum").alias("id_sum"),
+        F.col("tags"),
+    )
+    rels = OSM.read_osm_relations(spark, f"{d}/*.osm.pbf").select(
+        F.col("rel_id").alias("osm_id"),
+        F.concat(F.lit("rel:"), "member_types", F.lit(":"), "roles").alias("kind"),
+        F.col("n_members").alias("n_refs"),
+        F.col("memid_sum").alias("id_sum"),
+        F.col("tags"),
+    )
+    return ways.unionByName(rels)
+
+
+register_extra(
+    "osm_ways",
+    q_osm_ways,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f"""
+SELECT event_id AS osm_id, 'way' AS kind, 3 AS n_refs,
+       3 * event_id + 3 AS id_sum, 'kind=track' AS tags
+FROM geo_events WHERE event_id % {OSM_WAY_MOD} = 0
+UNION ALL
+SELECT event_id AS osm_id, 'rel:node,way:stop,route' AS kind, 2 AS n_refs,
+       2 * event_id AS id_sum, 'type=route' AS tags
+FROM geo_events WHERE event_id % {OSM_REL_MOD} = 0
+""",
+    ),
+)

@@ -1,0 +1,490 @@
+"""OSM PBF codec + Spark readers — the reference's OSM ingest staging
+(extensions/cli/osm/.../parser/OsmPbfParser.java: osmosis BinaryParser over
+.osm.pbf, staged as node/way/relation tables the analytics then index).
+
+Pure-python implementation of the PUBLIC OSMPBF wire format
+(fileformat.proto / osmformat.proto, github.com/openstreetmap/OSM-binary):
+protobuf varint wire parsing, [len][BlobHeader][Blob] framing, zlib blobs,
+PrimitiveBlock string tables, DenseNodes delta+zigzag packed coords with
+granularity/offset, Way ref deltas, Relation member deltas — the same
+dependency-free codec posture as sources/avro.py / sources/tiff.py.
+
+Spark shape (the OsmPbfParser's Avro staging, DataFrame-native): one file
+per task via binaryFile + mapInPandas, yielding typed node/way/relation
+rows; nodes carry exact integer nano/milli coords so they feed
+``index_points`` and every spatial operator directly.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+# ---------------------------------------------------------------------------
+# protobuf wire primitives
+# ---------------------------------------------------------------------------
+
+
+def _uv(n: int) -> bytes:
+    """unsigned varint."""
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _sv(n: int) -> bytes:
+    """sint64: zigzag then varint."""
+    return _uv((n << 1) ^ (n >> 63) if n < 0 else n << 1)
+
+
+def _read_uv(buf: bytes, pos: int) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def _unzig(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _fields(buf: bytes):
+    """Iterate (field_no, wire_type, value) over one protobuf message.
+    wire 0 → varint int, wire 2 → bytes, wire 5/1 → fixed raw."""
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_uv(buf, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v, pos = _read_uv(buf, pos)
+        elif wire == 2:
+            ln, pos = _read_uv(buf, pos)
+            v = buf[pos : pos + ln]
+            pos += ln
+        elif wire == 5:
+            v = buf[pos : pos + 4]
+            pos += 4
+        elif wire == 1:
+            v = buf[pos : pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wire}")
+        yield field, wire, v
+
+
+def _packed_uv(buf: bytes) -> list[int]:
+    out, pos = [], 0
+    while pos < len(buf):
+        v, pos = _read_uv(buf, pos)
+        out.append(v)
+    return out
+
+
+def _packed_sv(buf: bytes) -> list[int]:
+    return [_unzig(u) for u in _packed_uv(buf)]
+
+
+def _msg(field: int, payload: bytes) -> bytes:
+    return _uv((field << 3) | 2) + _uv(len(payload)) + payload
+
+
+def _vint(field: int, v: int) -> bytes:
+    return _uv(field << 3) + _uv(v)
+
+
+def _packed(field: int, enc, values) -> bytes:
+    return _msg(field, b"".join(enc(v) for v in values))
+
+
+def _delta(values: list[int]) -> list[int]:
+    prev, out = 0, []
+    for v in values:
+        out.append(v - prev)
+        prev = v
+    return out
+
+
+def _undelta(values: list[int]) -> list[int]:
+    acc, out = 0, []
+    for v in values:
+        acc += v
+        out.append(acc)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# OSMPBF encode (fixture writer) / decode
+# ---------------------------------------------------------------------------
+
+GRANULARITY = 100  # nanodegrees per unit (the format default)
+
+MEMBER_TYPES = ("node", "way", "relation")
+
+
+class _Strings:
+    """PrimitiveBlock string table: index 0 is reserved empty."""
+
+    def __init__(self):
+        self.idx = {"": 0}
+        self.items = [""]
+
+    def __call__(self, s: str) -> int:
+        i = self.idx.get(s)
+        if i is None:
+            i = len(self.items)
+            self.idx[s] = i
+            self.items.append(s)
+        return i
+
+
+def _tag_ids(st: _Strings, tags: dict) -> tuple[list[int], list[int]]:
+    keys = sorted(tags)
+    return [st(k) for k in keys], [st(str(tags[k])) for k in keys]
+
+
+def encode_osm_pbf(
+    nodes: list[tuple[int, int, int, dict]],
+    ways: list[tuple[int, list[int], dict]] = (),
+    relations: list[tuple[int, list[tuple[str, int, str]], dict]] = (),
+    compress: bool = True,
+    lat_offset: int = 0,
+    lon_offset: int = 0,
+) -> bytes:
+    """(id, lon_nano, lat_nano, tags) nodes (+ ways (id, refs, tags) and
+    relations (id, [(type, memid, role)], tags)) → one .osm.pbf file:
+    OSMHeader blob + one OSMData blob (DenseNodes + ways + relations).
+    Coordinates must be multiples of GRANULARITY (exact round trip)."""
+    st = _Strings()
+    groups = []
+    if nodes:
+        for _, lon, lat, _t in nodes:
+            if (lon - lon_offset) % GRANULARITY or (lat - lat_offset) % GRANULARITY:
+                raise ValueError("node coord not on the granularity grid")
+        kv = []
+        for _, _, _, tags in nodes:
+            for k in sorted(tags):
+                kv += [st(k), st(str(tags[k]))]
+            kv.append(0)
+        dense = (
+            _packed(1, _sv, _delta([n[0] for n in nodes]))
+            + _packed(8, _sv, _delta([(n[2] - lat_offset) // GRANULARITY for n in nodes]))
+            + _packed(9, _sv, _delta([(n[1] - lon_offset) // GRANULARITY for n in nodes]))
+            + _packed(10, _uv, kv)
+        )
+        groups.append(_msg(2, dense))
+    for wid, refs, tags in ways:
+        ks, vs = _tag_ids(st, tags)
+        way = (
+            _vint(1, wid)
+            + _packed(2, _uv, ks)
+            + _packed(3, _uv, vs)
+            + _packed(8, _sv, _delta(refs))
+        )
+        groups.append(_msg(3, way))
+    for rid, members, tags in relations:
+        ks, vs = _tag_ids(st, tags)
+        rel = (
+            _vint(1, rid)
+            + _packed(2, _uv, ks)
+            + _packed(3, _uv, vs)
+            + _packed(8, _uv, [st(role) for _, _, role in members])
+            + _packed(9, _sv, _delta([m for _, m, _ in members]))
+            + _packed(10, _uv, [MEMBER_TYPES.index(t) for t, _, _ in members])
+        )
+        groups.append(_msg(4, rel))
+
+    strtab = _msg(1, b"".join(_msg(1, s.encode()) for s in st.items))
+    block = (
+        strtab
+        + b"".join(_msg(2, g) for g in groups)
+        + _vint(17, GRANULARITY)
+        + _vint(19, lat_offset)
+        + _vint(20, lon_offset)
+    )
+    header_block = _msg(4, b"OsmSchema-V0.6") + _msg(4, b"DenseNodes")
+
+    out = bytearray()
+    for btype, payload in (("OSMHeader", header_block), ("OSMData", block)):
+        if compress:
+            blob = _vint(2, len(payload)) + _msg(3, zlib.compress(payload, 6))
+        else:
+            blob = _msg(1, payload)
+        bh = _msg(1, btype.encode()) + _vint(3, len(blob))
+        out += struct.pack(">I", len(bh)) + bh + blob
+    return bytes(out)
+
+
+def decode_osm_pbf(buf: bytes) -> dict:
+    """.osm.pbf bytes → {'nodes': [(id, lon_nano, lat_nano, tags)],
+    'ways': [(id, refs, tags)], 'relations': [(id, members, tags)]} with
+    members = [(type, memid, role)].  Handles raw and zlib blobs, dense
+    and plain nodes, granularity/offset."""
+    nodes, ways, relations = [], [], []
+    pos = 0
+    while pos < len(buf):
+        (hlen,) = struct.unpack_from(">I", buf, pos)
+        pos += 4
+        header = buf[pos : pos + hlen]
+        pos += hlen
+        btype, datasize = "", 0
+        for f, _w, v in _fields(header):
+            if f == 1:
+                btype = v.decode()
+            elif f == 3:
+                datasize = v
+        blob = buf[pos : pos + datasize]
+        pos += datasize
+        payload = None
+        for f, _w, v in _fields(blob):
+            if f == 1:
+                payload = bytes(v)
+            elif f == 3:
+                payload = zlib.decompress(v)
+        if btype != "OSMData" or payload is None:
+            continue
+        _decode_block(payload, nodes, ways, relations)
+    return {"nodes": nodes, "ways": ways, "relations": relations}
+
+
+def _decode_block(block: bytes, nodes, ways, relations) -> None:
+    strings: list[str] = []
+    groups = []
+    gran, lat_off, lon_off = GRANULARITY, 0, 0
+    for f, _w, v in _fields(block):
+        if f == 1:
+            strings = [bytes(s).decode() for _f2, _w2, s in _fields(v) if _f2 == 1]
+        elif f == 2:
+            groups.append(v)
+        elif f == 17:
+            gran = v
+        elif f == 19:
+            lat_off = v
+        elif f == 20:
+            lon_off = v
+    for g in groups:
+        for f, _w, v in _fields(g):
+            if f == 2:  # DenseNodes
+                ids = lats = lons = []
+                kv: list[int] = []
+                for f2, _w2, v2 in _fields(v):
+                    if f2 == 1:
+                        ids = _undelta(_packed_sv(v2))
+                    elif f2 == 8:
+                        lats = _undelta(_packed_sv(v2))
+                    elif f2 == 9:
+                        lons = _undelta(_packed_sv(v2))
+                    elif f2 == 10:
+                        kv = _packed_uv(v2)
+                tag_runs: list[dict] = []
+                cur: dict = {}
+                i = 0
+                while i < len(kv):
+                    if kv[i] == 0:
+                        tag_runs.append(cur)
+                        cur = {}
+                        i += 1
+                    else:
+                        cur[strings[kv[i]]] = strings[kv[i + 1]]
+                        i += 2
+                for j, nid in enumerate(ids):
+                    tags = tag_runs[j] if j < len(tag_runs) else {}
+                    nodes.append(
+                        (
+                            nid,
+                            lon_off + gran * lons[j],
+                            lat_off + gran * lats[j],
+                            tags,
+                        )
+                    )
+            elif f == 1:  # plain Node
+                nid = lat = lon = 0
+                ks: list[int] = []
+                vs: list[int] = []
+                for f2, _w2, v2 in _fields(v):
+                    if f2 == 1:
+                        nid = _unzig(v2)
+                    elif f2 == 2:
+                        ks = _packed_uv(v2)
+                    elif f2 == 3:
+                        vs = _packed_uv(v2)
+                    elif f2 == 8:
+                        lat = _unzig(v2)
+                    elif f2 == 9:
+                        lon = _unzig(v2)
+                nodes.append(
+                    (
+                        nid,
+                        lon_off + gran * lon,
+                        lat_off + gran * lat,
+                        {strings[k]: strings[x] for k, x in zip(ks, vs)},
+                    )
+                )
+            elif f == 3:  # Way
+                wid = 0
+                ks, vs, refs = [], [], []
+                for f2, _w2, v2 in _fields(v):
+                    if f2 == 1:
+                        wid = v2
+                    elif f2 == 2:
+                        ks = _packed_uv(v2)
+                    elif f2 == 3:
+                        vs = _packed_uv(v2)
+                    elif f2 == 8:
+                        refs = _undelta(_packed_sv(v2))
+                ways.append(
+                    (wid, refs, {strings[k]: strings[x] for k, x in zip(ks, vs)})
+                )
+            elif f == 4:  # Relation
+                rid = 0
+                ks, vs, roles, memids, types = [], [], [], [], []
+                for f2, _w2, v2 in _fields(v):
+                    if f2 == 1:
+                        rid = v2
+                    elif f2 == 2:
+                        ks = _packed_uv(v2)
+                    elif f2 == 3:
+                        vs = _packed_uv(v2)
+                    elif f2 == 8:
+                        roles = _packed_uv(v2)
+                    elif f2 == 9:
+                        memids = _undelta(_packed_sv(v2))
+                    elif f2 == 10:
+                        types = _packed_uv(v2)
+                members = [
+                    (MEMBER_TYPES[t], m, strings[r])
+                    for t, m, r in zip(types, memids, roles)
+                ]
+                relations.append(
+                    (rid, members, {strings[k]: strings[x] for k, x in zip(ks, vs)})
+                )
+
+
+# ---------------------------------------------------------------------------
+# Spark readers
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+OSM_NODES_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("node_id", T.LongType()),
+        T.StructField("lon_nano", T.LongType()),
+        T.StructField("lat_nano", T.LongType()),
+        T.StructField("lon_milli", T.LongType()),  # floor(nano / 1e6): exact
+        T.StructField("lat_milli", T.LongType()),
+        T.StructField("lon", T.DoubleType()),  # nano / 1e9: operator-ready
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("n_tags", T.IntegerType()),
+        T.StructField("tags", T.StringType()),  # canonical "k=v\x1f..." sorted
+    ]
+)
+
+OSM_WAYS_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("way_id", T.LongType()),
+        T.StructField("n_refs", T.IntegerType()),
+        T.StructField("ref_first", T.LongType()),
+        T.StructField("ref_last", T.LongType()),
+        T.StructField("ref_sum", T.LongType()),
+        T.StructField("refs", T.ArrayType(T.LongType())),
+        T.StructField("tags", T.StringType()),
+    ]
+)
+
+OSM_RELATIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("rel_id", T.LongType()),
+        T.StructField("n_members", T.IntegerType()),
+        T.StructField("member_types", T.StringType()),  # e.g. "node,way"
+        T.StructField("memid_sum", T.LongType()),
+        T.StructField("roles", T.StringType()),
+        T.StructField("tags", T.StringType()),
+    ]
+)
+
+
+def _tags_str(tags: dict) -> str:
+    return "\x1f".join(f"{k}={tags[k]}" for k in sorted(tags))
+
+
+def _reader(which: str, schema):
+    def read(spark: SparkSession, glob: str) -> DataFrame:
+        def kernel(batches):
+            import pandas as pd
+
+            for b in batches:
+                rows = []
+                for r in b.itertuples():
+                    parsed = decode_osm_pbf(bytes(r.content))
+                    if which == "nodes":
+                        for nid, lon, lat, tags in parsed["nodes"]:
+                            rows.append(
+                                (
+                                    r.path,
+                                    nid,
+                                    lon,
+                                    lat,
+                                    lon // 10**6,
+                                    lat // 10**6,
+                                    lon / 1e9,
+                                    lat / 1e9,
+                                    len(tags),
+                                    _tags_str(tags),
+                                )
+                            )
+                    elif which == "ways":
+                        for wid, refs, tags in parsed["ways"]:
+                            rows.append(
+                                (
+                                    r.path,
+                                    wid,
+                                    len(refs),
+                                    refs[0] if refs else None,
+                                    refs[-1] if refs else None,
+                                    sum(refs),
+                                    refs,
+                                    _tags_str(tags),
+                                )
+                            )
+                    else:
+                        for rid, members, tags in parsed["relations"]:
+                            rows.append(
+                                (
+                                    r.path,
+                                    rid,
+                                    len(members),
+                                    ",".join(t for t, _, _ in members),
+                                    sum(m for _, m, _ in members),
+                                    ",".join(ro for _, _, ro in members),
+                                    _tags_str(tags),
+                                )
+                            )
+                pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+                for f in schema.fields:
+                    if isinstance(f.dataType, T.IntegerType):
+                        pdf[f.name] = pdf[f.name].astype("int32")
+                yield pdf
+
+        files = spark.read.format("binaryFile").load(glob)
+        return files.select("path", "content").mapInPandas(kernel, schema)
+
+    return read
+
+
+read_osm_nodes = _reader("nodes", OSM_NODES_SCHEMA)
+read_osm_ways = _reader("ways", OSM_WAYS_SCHEMA)
+read_osm_relations = _reader("relations", OSM_RELATIONS_SCHEMA)
