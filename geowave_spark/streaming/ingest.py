@@ -42,6 +42,27 @@ class KafkaSource:
     options: dict = field(default_factory=dict)
 
 
+@dataclass
+class SocketSource:
+    """Wire-level Kafka stand-in: ``format('socket')`` (built into Spark)
+    reads newline-delimited JSON records off a REAL TCP connection and
+    feeds the SAME value decode as the Kafka arm
+    (:func:`decode_kafka_records`), so the whole path from socket bytes to
+    indexed rows executes end-to-end in-sandbox.
+
+    Why this exists: the Kafka arm needs the spark-sql-kafka connector
+    jar, which is a separate artifact from pyspark — this container ships
+    neither the jar nor network access to fetch it, and a broker-less
+    wire stub would have to speak the Kafka protocol to a connector that
+    cannot be loaded in the first place.  Production swap is one
+    constructor: ``SocketSource(host, port)`` →
+    ``KafkaSource(bootstrap_servers, topic)``; both land in the same
+    decode + downstream operators."""
+
+    host: str
+    port: int
+
+
 def decode_kafka_records(records: DataFrame, schema) -> DataFrame:
     """Kafka wire rows (key/value binary + topic/partition/offset/…) →
     typed rows: parse the JSON ``value`` against ``schema``.  A plain
@@ -66,6 +87,18 @@ def open_stream(spark: SparkSession, source, schema) -> DataFrame:
         for k, v in source.options.items():
             reader = reader.option(k, v)
         return decode_kafka_records(reader.load(), schema)
+    if isinstance(source, SocketSource):
+        raw = (
+            spark.readStream.format("socket")
+            .option("host", source.host)
+            .option("port", source.port)
+            .load()
+        )
+        # shape the socket line into the Kafka wire column (binary value)
+        # so BOTH arms share one decode
+        return decode_kafka_records(
+            raw.select(F.col("value").cast("binary").alias("value")), schema
+        )
     return spark.readStream.schema(schema).parquet(source)
 
 

@@ -192,6 +192,70 @@ def test_open_stream_sources(spark, sf_dir, tmp_path):
         )
 
 
+def test_socket_source_reads_wire_end_to_end(spark, sf_dir):
+    """The stream actually reads from a SOCKET: a TCP server thread sends
+    JSON-encoded event rows over a real connection; open_stream's
+    SocketSource arm decodes them through the SAME value decode as the
+    Kafka arm and the rows land typed and complete.  (The kafka connector
+    jar itself is absent in-sandbox — see SocketSource's docstring for the
+    one-constructor production swap.)"""
+    import json
+    import socket
+    import threading
+    import time
+
+    from geowave_spark.streaming.ingest import SocketSource, open_stream
+
+    geo = TB.geo_events(spark, sf_dir).limit(50)
+    rows = [r.asDict() for r in geo.collect()]
+    payload = (
+        "\n".join(json.dumps(r, default=str) for r in rows) + "\n"
+    ).encode()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    conns = []
+
+    def serve():
+        conn, _ = srv.accept()
+        conns.append(conn)
+        conn.sendall(payload)
+        # keep the connection open: the socket source treats EOF as query
+        # failure; the test closes it after stopping the query
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    # timestamp columns arrive as strings over the JSON wire — compare on
+    # the integer/string columns (the kafka contract test pins full typing)
+    schema = geo.select("event_id", "event_type", "lon_milli", "lat_milli").schema
+    sdf = open_stream(spark, SocketSource("127.0.0.1", port), schema)
+    assert sdf.isStreaming
+    q = sdf.writeStream.format("memory").queryName("sock_wire").start()
+    try:
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline:
+            if spark.sql("SELECT COUNT(*) c FROM sock_wire").first().c >= len(rows):
+                break
+            time.sleep(0.5)
+        got = {
+            r.event_id: (r.event_type, r.lon_milli, r.lat_milli)
+            for r in spark.sql("SELECT * FROM sock_wire").collect()
+        }
+    finally:
+        q.stop()
+        for c in conns:
+            c.close()
+        srv.close()
+    want = {
+        r["event_id"]: (r["event_type"], r["lon_milli"], r["lat_milli"])
+        for r in rows
+    }
+    assert got == want
+
+
 def test_stream_sink_gains_tier_hints(spark, sf_dir, tmp_path):
     """finalize_stream_stats gives a streamed sink the same stats-driven
     tier hints as a batch write_indexed table: read_indexed attaches
