@@ -693,8 +693,32 @@ SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {k}
 # vectors, so assignment, probing, and ranking replay in SQL.
 # ---------------------------------------------------------------------------
 
-IVF_N_CENTROIDS = 16  # dial: ~sqrt(n)..n/4096 lists at corpus scale
+IVF_N_CENTROIDS = 16  # floor: small corpora keep at least this many lists
 IVF_N_PROBES = 4      # nearest lists scanned per query (recall dial)
+
+
+def centroids_for_corpus(n: int) -> int:
+    """Corpus-derived IVF list count: max(IVF_N_CENTROIDS, isqrt(n)) — the
+    classic IVF balance (assignment work n·L vs per-list pair work n²/L
+    both land at n^1.5 when L = √n).  A FIXED L is the scale trap the sf1
+    gate caught in semdedup: lists grow linearly with the corpus, so the
+    per-list quadratic pair join grows as n² (rows/sec DROPPED 0.61× at
+    10× data).  The SQL oracles replay the same derivation with an exact
+    integer sqrt, so the dial stays oracle-checked at every sf."""
+    import math
+
+    return max(IVF_N_CENTROIDS, math.isqrt(n))
+
+
+def duck_isqrt(n_expr: str) -> str:
+    """Exact integer sqrt in DuckDB, matching Python math.isqrt: float
+    sqrt then ±1 correction (float rounding near perfect squares)."""
+    c = f"CAST(floor(sqrt(CAST(({n_expr}) AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({c})*({c}) > ({n_expr}) THEN ({c}) - 1 "
+        f"WHEN (({c})+1)*(({c})+1) <= ({n_expr}) THEN ({c}) + 1 "
+        f"ELSE ({c}) END)"
+    )
 
 
 def dist2_col(a: str, b: str) -> Column:
@@ -923,7 +947,7 @@ SEMDEDUP_TAU = 0.30
 
 def semdedup_pairs(
     emb: DataFrame,
-    n_centroids: int = IVF_N_CENTROIDS,
+    n_centroids: int | None = None,
     tau: float = SEMDEDUP_TAU,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -931,12 +955,15 @@ def semdedup_pairs(
     """Within-cluster near-dup pairs: IVF coarse assignment buckets the
     corpus, the exact fixed-point cosine runs only inside each bucket.
 
-    The pairwise work is quadratic PER BUCKET, never global: with
-    n_centroids ~ n/4096 the per-list size is bounded, so total candidate
-    pairs grow linearly in n — the paper's own trick for scaling the
-    epsilon-ball search to web scale, and the same shape as
+    The pairwise work is quadratic PER BUCKET, never global:
+    ``n_centroids=None`` derives L = max(16, √n) from the corpus
+    (:func:`centroids_for_corpus`), keeping list sizes ~√n so total pair
+    work grows n^1.5 instead of n² — the paper's own trick for scaling
+    the epsilon-ball search to web scale, and the same shape as
     :func:`neardup_pairs_q`.  Output: (id_a, id_b, bucket, cos ≥ tau).
     """
+    if n_centroids is None:
+        n_centroids = centroids_for_corpus(emb.count())
     assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col("_qv").alias("_va"),
@@ -957,7 +984,7 @@ def semdedup_pairs(
 
 def semdedup(
     emb: DataFrame,
-    n_centroids: int = IVF_N_CENTROIDS,
+    n_centroids: int | None = None,
     tau: float = SEMDEDUP_TAU,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1013,11 +1040,18 @@ def semdedup(
 
 def semdedup_oracle(
     table: str = "embeddings",
-    n_centroids: int = IVF_N_CENTROIDS,
+    n_centroids: int | str | None = None,
     tau: float = SEMDEDUP_TAU,
 ) -> str:
     """DuckDB replay: argmin centroid assignment, within-bucket pair join,
-    recursive-CTE closure, min-label groups."""
+    recursive-CTE closure, min-label groups.  ``n_centroids=None`` mirrors
+    the engine's corpus-derived dial (max(16, isqrt(n)), exact integer
+    sqrt) so the oracle stays exact at every sf."""
+    if n_centroids is None:
+        n_centroids = (
+            f"GREATEST({IVF_N_CENTROIDS}, "
+            f"{duck_isqrt('SELECT COUNT(*) FROM base')})"
+        )
     qv = duck_quant("embedding")
     d2 = (
         "CAST(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {c}) "

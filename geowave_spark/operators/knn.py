@@ -462,3 +462,61 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.col("_d").alias("dist2_milli"))
     )
+
+
+def knn_join_adaptive(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    max_dist_milli: int,
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    lon_milli: str = "lon_milli",
+    lat_milli: str = "lat_milli",
+    exclude_self: bool = True,
+    divisors: tuple[int, ...] = (16, 4, 1),
+) -> DataFrame:
+    """Escalating-radius dataset-scale kNN join — output IDENTICAL to
+    :func:`knn_join` (same rows, same oracle), with candidate work bounded
+    by each query's LOCAL density instead of the spec radius.
+
+    Why (sf1 scale gate): the fixed-radius plan's candidate set is
+    N·density·R² — at 10× data BOTH factors grow, so candidates grew 100×
+    while the output (≤N·k) grew 10× and rows/sec DROPPED 3×.  Here round
+    i runs the exact join at d_i = max_dist/16, /4, /1; a query that
+    already found k neighbors within d_i is FINAL — every point outside
+    d_i is farther than its kth hit, so its top-k cannot change — which
+    finalizes exactly the dense queries whose full-radius candidate sets
+    explode, leaving only sparse stragglers (few candidates by
+    definition) for the big radius.  Rounds are driver-bounded
+    (len(divisors)) and each remaining set is localCheckpointed (the
+    driver-looped-iteration plan-explosion rule).
+
+    Ties are safe across rounds: equal dist2 ≤ d_i² means the tied point
+    is inside d_i and therefore in the round's complete candidate set."""
+    dists = sorted({max(1, int(max_dist_milli) // int(dv)) for dv in divisors})
+    if dists[-1] != int(max_dist_milli):
+        dists.append(int(max_dist_milli))
+    kw = dict(
+        left_id=left_id, right_id=right_id, lon_milli=lon_milli,
+        lat_milli=lat_milli, exclude_self=exclude_self,
+    )
+    remaining = left
+    finals: list[DataFrame] = []
+    for d in dists[:-1]:
+        got = knn_join(remaining, right, k, d, **kw).localCheckpoint()
+        done = (
+            got.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") == k)
+            .select("query_id")
+        )
+        finals.append(got.join(done, "query_id", "semi"))
+        remaining = remaining.join(
+            done.withColumnRenamed("query_id", left_id), left_id, "left_anti"
+        ).localCheckpoint()
+    finals.append(knn_join(remaining, right, k, max_dist_milli, **kw))
+    out = finals[0]
+    for f in finals[1:]:
+        out = out.unionByName(f)
+    return out

@@ -240,7 +240,9 @@ KNN_JOIN_DIST = 250  # milli-degrees (~3x the hot-blob mean NN spacing)
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo = TB.geo_events(spark, sf_dir)
     left = geo.filter(F.col("event_id") % 11 == 0)
-    return OK.knn_join(left, geo, KNN_JOIN_K, KNN_JOIN_DIST)
+    # adaptive (escalating-radius) variant: identical rows to knn_join,
+    # candidate work bounded by local density — the sf1-gate fix
+    return OK.knn_join_adaptive(left, geo, KNN_JOIN_K, KNN_JOIN_DIST)
 
 
 def _knn_join_oracle() -> str:

@@ -83,6 +83,24 @@ def test_knn_join_matches_brute_force(spark, geo):
         assert by_q.get(qid, []) == expect, f"query {qid}"
 
 
+def test_knn_join_adaptive_equals_base(spark, geo):
+    """The escalating-radius plan is an OPTIMIZATION, not new semantics:
+    row-for-row identical to the fixed-radius knn_join on a mixed
+    dense+sparse layout (dense queries finalize at radius/16, sparse ones
+    escalate to the full radius — including partial <k result sets)."""
+    base = sorted(map(tuple, OK.knn_join(geo, geo, k=3, max_dist_milli=1500).collect()))
+    adp = sorted(
+        map(tuple, OK.knn_join_adaptive(geo, geo, k=3, max_dist_milli=1500).collect())
+    )
+    assert base == adp and len(base) > 0
+    # tiny max_dist: divisor rounds collapse (dedup) and still agree
+    b2 = sorted(map(tuple, OK.knn_join(geo, geo, k=2, max_dist_milli=3).collect()))
+    a2 = sorted(
+        map(tuple, OK.knn_join_adaptive(geo, geo, k=2, max_dist_milli=3).collect())
+    )
+    assert b2 == a2
+
+
 def test_knn_join_dateline_wrap(spark):
     """Pair straddling the antimeridian must be found (lon cell wrap)."""
     df = spark.createDataFrame(
