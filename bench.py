@@ -480,6 +480,9 @@ def run_scaling(sf_dir: str = SF_DIR, levels=(4, 16)) -> None:
         "",
         "Per-suite latency numbers (NOT the scaling metric — sub-second jobs",
         "are scheduling-bound): see the driver's `BENCH_r{N}.json`.",
+        "",
+        "Data-scale (sf0.1 → sf1, 10× rows) amortization evidence:",
+        "`BENCH/SCALE_sf1.md` (+ BENCH_sf1.json / SCALE_sf1_gate.json).",
     ]
     md.write_text("\n".join(lines) + "\n")
     print(json.dumps(report))

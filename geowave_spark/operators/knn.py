@@ -464,6 +464,20 @@ def knn_join(
     )
 
 
+KNN_ADAPTIVE_MIN_BYTES = 8 << 20  # right-side estimate below this: one pass
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst optimizer size estimate in bytes; Long.MaxValue ("unknown",
+    statless leaves) maps to huge so unknown sources take the scale path."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return 1 << 62
+
+
 def knn_join_adaptive(
     left: DataFrame,
     right: DataFrame,
@@ -493,7 +507,20 @@ def knn_join_adaptive(
     driver-looped-iteration plan-explosion rule).
 
     Ties are safe across rounds: equal dist2 ≤ d_i² means the tied point
-    is inside d_i and therefore in the round's complete candidate set."""
+    is inside d_i and therefore in the round's complete candidate set.
+
+    Small inputs take the single-pass :func:`knn_join` instead — the
+    escalation's fixed per-round cost (extra joins + checkpoints, ~3s on
+    local[32]) only pays for itself when the candidate fan-out is large.
+    The probe is the free Catalyst size estimate (the session.spread
+    contract: estimate-first, never a count job); unknown-stat sources
+    escalate, which at worst re-pays the fixed overhead."""
+    if _estimated_bytes(right) < KNN_ADAPTIVE_MIN_BYTES:
+        return knn_join(
+            left, right, k, max_dist_milli,
+            left_id=left_id, right_id=right_id, lon_milli=lon_milli,
+            lat_milli=lat_milli, exclude_self=exclude_self,
+        )
     dists = sorted({max(1, int(max_dist_milli) // int(dv)) for dv in divisors})
     if dists[-1] != int(max_dist_milli):
         dists.append(int(max_dist_milli))

@@ -83,11 +83,14 @@ def test_knn_join_matches_brute_force(spark, geo):
         assert by_q.get(qid, []) == expect, f"query {qid}"
 
 
-def test_knn_join_adaptive_equals_base(spark, geo):
+def test_knn_join_adaptive_equals_base(spark, geo, monkeypatch):
     """The escalating-radius plan is an OPTIMIZATION, not new semantics:
     row-for-row identical to the fixed-radius knn_join on a mixed
     dense+sparse layout (dense queries finalize at radius/16, sparse ones
-    escalate to the full radius — including partial <k result sets)."""
+    escalate to the full radius — including partial <k result sets).
+    Threshold forced to 0 so the small fixture actually takes the
+    escalation path (the default routes small estimates to one pass)."""
+    monkeypatch.setattr(OK, "KNN_ADAPTIVE_MIN_BYTES", 0)
     base = sorted(map(tuple, OK.knn_join(geo, geo, k=3, max_dist_milli=1500).collect()))
     adp = sorted(
         map(tuple, OK.knn_join_adaptive(geo, geo, k=3, max_dist_milli=1500).collect())
@@ -99,6 +102,16 @@ def test_knn_join_adaptive_equals_base(spark, geo):
         map(tuple, OK.knn_join_adaptive(geo, geo, k=2, max_dist_milli=3).collect())
     )
     assert b2 == a2
+
+
+def test_knn_join_adaptive_small_input_single_pass(spark, geo):
+    """Below the estimate threshold the adaptive entry point takes ONE
+    knn_join pass (no checkpoint rounds): same rows, and the returned
+    plan is the base plan (no union)."""
+    out = OK.knn_join_adaptive(geo, geo, k=3, max_dist_milli=1500)
+    assert "Union" not in out._jdf.queryExecution().optimizedPlan().toString()
+    base = sorted(map(tuple, OK.knn_join(geo, geo, k=3, max_dist_milli=1500).collect()))
+    assert sorted(map(tuple, out.collect())) == base
 
 
 def test_knn_join_dateline_wrap(spark):
