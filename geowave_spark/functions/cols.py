@@ -229,3 +229,47 @@ def quadkey_col(ix: Column, iy: Column, level: Column,
             F.when(F.lit(s) < lvl, d.cast("string")).otherwise(F.lit(""))
         )
     return F.concat(*terms)
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal binning (H3-analogue) — JVM twin of functions/hexgrid.py.
+# ---------------------------------------------------------------------------
+
+from geowave_spark.functions import hexgrid as HG  # noqa: E402
+
+
+def hex_key_col(lon_milli: Column, lat_milli: Column, res: int) -> Column:
+    """Packed nearest-center comparison key ``d2*PACK + (j*NI + i)`` —
+    minimum over the two candidate rows (see hexgrid.py for the proof
+    that two rows suffice).  Pure integer column math on shifted
+    non-negative coordinates, so Spark DIV / DuckDB ``//`` / Python
+    ``//`` agree exactly; stays inside whole-stage codegen (no UDF).
+    Extract the hex id with ``% PACK``; decode i/j with ``% NI`` and
+    ``DIV NI`` (hex_id_cols below)."""
+    w, h = HG.wh(res)
+    n_i = HG.ni(res)
+    x = lon_milli.cast("long") + F.lit(HG.X_OFF)
+    y = lat_milli.cast("long") + F.lit(HG.Y_OFF)
+    keys = []
+    for dj in (0, 1):
+        j = _idiv(y, h) + F.lit(dj)
+        off = F.pmod(j, F.lit(2)) * F.lit(w // 2)
+        i = _idiv(x - off + F.lit(w // 2), w)
+        dx = x - (i * F.lit(w) + off)
+        dy = y - j * F.lit(h)
+        keys.append((dx * dx + dy * dy) * F.lit(HG.PACK) + (j * F.lit(n_i) + i))
+    return F.least(*keys)
+
+
+def hex_id_cols(key: Column, res: int) -> tuple[Column, Column]:
+    """(hex_i, hex_j) from a hex_key_col result."""
+    n_i = HG.ni(res)
+    hid = F.pmod(key, F.lit(HG.PACK))
+    return F.pmod(hid, F.lit(n_i)).cast("long"), _idiv(hid, n_i)
+
+
+def hex_center_cols(hex_i: Column, hex_j: Column, res: int) -> tuple[Column, Column]:
+    """Hex (i, j) → center (lon_milli, lat_milli) — exact integers."""
+    w, h = HG.wh(res)
+    lon_c = hex_i * F.lit(w) + F.pmod(hex_j, F.lit(2)) * F.lit(w // 2) - F.lit(HG.X_OFF)
+    return lon_c, hex_j * F.lit(h) - F.lit(HG.Y_OFF)

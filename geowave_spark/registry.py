@@ -3850,3 +3850,97 @@ FROM geo_events WHERE event_id % {OSM_REL_MOD} = 0
 """,
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal binning (H3-analogue density + k-ring hotspots) — the brief's
+# H3/S2 axis.  Assignment is an exact-integer two-candidate nearest-center
+# argmin (functions/hexgrid.py has the two-row proof); the oracles replay
+# the identical arithmetic, so both queries are hash-exact.
+# ---------------------------------------------------------------------------
+
+from geowave_spark.functions import hexgrid as HG  # noqa: E402
+from geowave_spark.operators import hexbin as HXB  # noqa: E402
+
+HEX_RES = 6  # W = 512 milli-deg ≈ 0.5° hexes — blob-scale at sf testdata
+HEX_RING_MIN = 20  # hotspot threshold on the 7-hex ring sum
+
+
+def _hex_cand_sql(dj: int) -> str:
+    w, h = HG.wh(HEX_RES)
+    n_i = HG.ni(HEX_RES)
+    j = f"(y // {h} + {dj})"
+    off = f"(({j}) % 2) * {w // 2}"
+    i = f"((x - {off} + {w // 2}) // {w})"
+    dx = f"(x - (({i}) * {w} + {off}))"
+    dy = f"(y - ({j}) * {h})"
+    return f"(({dx})*({dx}) + ({dy})*({dy})) * {HG.PACK} + (({j}) * {n_i} + ({i}))"
+
+
+def _hex_density_ctes() -> str:
+    """Shared CTE chain: shifted coords → packed-key argmin → density.
+    MATERIALIZED where re-referenced (DuckDB re-inlines chained CTEs)."""
+    n_i = HG.ni(HEX_RES)
+    return f"""
+p AS (SELECT lon_milli + {HG.X_OFF} AS x, lat_milli + {HG.Y_OFF} AS y FROM geo_events),
+k AS (SELECT LEAST({_hex_cand_sql(0)}, {_hex_cand_sql(1)}) % {HG.PACK} AS hid FROM p),
+d AS MATERIALIZED (
+  SELECT hid % {n_i} AS hex_i, hid // {n_i} AS hex_j, COUNT(*) AS cnt
+  FROM k GROUP BY 1, 2)"""
+
+
+def q_hex_density(spark, sf_dir):
+    """Per-hex event density at HEX_RES with exact integer hex centers —
+    one map-side-combinable groupBy over a zero-shuffle column-math
+    assignment (no UDF anywhere in the plan)."""
+    return HXB.hex_density(TB.geo_events(spark, sf_dir), HEX_RES).select(
+        "hex_i", "hex_j", "cnt", "lon_c", "lat_c"
+    )
+
+
+def _hex_density_oracle() -> str:
+    w, h = HG.wh(HEX_RES)
+    return TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f""", {_hex_density_ctes()}
+SELECT hex_i, hex_j, cnt,
+       hex_i * {w} + (hex_j % 2) * {w // 2} - {HG.X_OFF} AS lon_c,
+       hex_j * {h} - {HG.Y_OFF} AS lat_c
+FROM d""",
+    )
+
+
+register_extra("hex_density", q_hex_density, _hex_density_oracle())
+
+
+def q_hex_hotspots(spark, sf_dir):
+    """k=1 ring-smoothed hotspots: occupied hexes whose 7-hex ring mass
+    meets HEX_RING_MIN.  Density is contraction-sized before the literal
+    7-offset scatter, so the fan-out never touches raw rows."""
+    d = HXB.hex_density(TB.geo_events(spark, sf_dir), HEX_RES)
+    return (
+        HXB.hex_smooth(d)
+        .filter(F.col("ring_cnt") >= HEX_RING_MIN)
+        .select("hex_i", "hex_j", "cnt", "ring_cnt")
+    )
+
+
+def _hex_hotspots_oracle() -> str:
+    return TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f""", {_hex_density_ctes()},
+contrib AS (
+  SELECT d.hex_i + CASE WHEN d.hex_j % 2 = 1 THEN o.dio ELSE o.die END AS ti,
+         d.hex_j + o.dj AS tj, d.cnt AS c
+  FROM d CROSS JOIN (VALUES (0,0,0),(1,1,0),(-1,-1,0),(0,1,-1),(-1,0,-1),(0,1,1),(-1,0,1))
+       o(die, dio, dj)),
+ring AS (SELECT ti, tj, CAST(SUM(c) AS BIGINT) AS ring_cnt FROM contrib GROUP BY 1, 2)
+SELECT d.hex_i, d.hex_j, d.cnt, r.ring_cnt
+FROM d JOIN ring r ON d.hex_i = r.ti AND d.hex_j = r.tj
+WHERE r.ring_cnt >= {HEX_RING_MIN}""",
+    )
+
+
+register_extra("hex_hotspots", q_hex_hotspots, _hex_hotspots_oracle())
