@@ -273,3 +273,74 @@ def hex_center_cols(hex_i: Column, hex_j: Column, res: int) -> tuple[Column, Col
     w, h = HG.wh(res)
     lon_c = hex_i * F.lit(w) + F.pmod(hex_j, F.lit(2)) * F.lit(w // 2) - F.lit(HG.X_OFF)
     return lon_c, hex_j * F.lit(h) - F.lit(HG.Y_OFF)
+
+
+# ---------------------------------------------------------------------------
+# S2-analogue cell ids — JVM twin of functions/s2cells.py.
+# ---------------------------------------------------------------------------
+
+from geowave_spark.functions import s2cells as S2  # noqa: E402
+
+
+def s2_leaf_col(lon_milli: Column, lat_milli: Column) -> Column:
+    """Point → MAX_LEVEL S2-style leaf id.  Pure integer CASE + DIV +
+    the parallel-prefix Morton spread; bit-identical to s2cells.leaf_id
+    and to the DuckDB oracle replay (registry.py s2_cells/s2_bbox).
+
+    Every stage is LET-BOUND (cols.let): the spread ladder references
+    its input twice per mask stage (2^5 = 32 self-copies), and the
+    optimizer inlines upstream projections into whatever tree reaches
+    it — with derived inputs (geo_events computes lon_milli from
+    events) the naive single expression held 32 copies of the whole
+    coordinate derivation, a 564 KB plan and ~25 s of driver-side
+    fixed-point time at sf0.1.  Bound, each derivation appears in the
+    plan ONCE and duplication copies lambda variables.  The lambda
+    makes evaluation interpreted rather than codegen — measured noise
+    at sf0.1 (~60 scalar int ops/row; same posture as simhash's
+    bit-sum ladder, operators/dedup.py)."""
+    return let(
+        lon_milli.cast("long"),
+        lambda lon: let(lat_milli.cast("long"), lambda lat: _s2_leaf_body(lon, lat)),
+    )
+
+
+def _s2_leaf_body(lon: Column, lat: Column) -> Column:
+    n = 1 << S2.MAX_LEVEL
+    north = lat >= F.lit(S2.EQ_LAT)
+    south = lat < F.lit(-S2.EQ_LAT)
+    cap = north | south
+    x = lon + F.lit(S2.X_OFF)
+    eq_face = F.least(_idiv(x, S2.EQ_SPAN), F.lit(3))
+    face = F.when(north, F.lit(4)).when(south, F.lit(5)).otherwise(eq_face)
+    u = F.when(cap, F.least(x, F.lit(S2.CAP_USPAN - 1))).otherwise(
+        F.least(x - eq_face * F.lit(S2.EQ_SPAN), F.lit(S2.EQ_SPAN - 1))
+    )
+    v = (
+        F.when(north, F.least(lat - F.lit(S2.EQ_LAT), F.lit(S2.CAP_VSPAN - 1)))
+        .when(south, -lat - F.lit(S2.EQ_LAT + 1))
+        .otherwise(lat + F.lit(S2.EQ_LAT))
+    )
+    us = F.when(cap, F.lit(S2.CAP_USPAN)).otherwise(F.lit(S2.EQ_SPAN))
+    vs = F.when(cap, F.lit(S2.CAP_VSPAN)).otherwise(F.lit(S2.EQ_SPAN))
+    iu = F.least(_idiv_col(u * F.lit(n), us), F.lit(n - 1))
+    iv = F.least(_idiv_col(v * F.lit(n), vs), F.lit(n - 1))
+
+    def compose(iu_b: Column, iv_b: Column) -> Column:
+        pos = spread_col(iu_b).bitwiseOR(F.shiftleft(spread_col(iv_b), 1))
+        base = F.shiftleft(face.cast("long"), 2 * S2.MAX_LEVEL).bitwiseOR(pos)
+        return F.shiftleft(base, 1).bitwiseOR(F.lit(1))
+
+    return let(iu, lambda a: let(iv, lambda b: compose(a, b)))
+
+
+def s2_parent_col(cell: Column, level: int) -> Column:
+    """Ancestor id at ``level`` — S2's ``(id & -new_lsb) | new_lsb``."""
+    new_lsb = 1 << (2 * (S2.MAX_LEVEL - level))
+    return cell.bitwiseAND(F.lit(-new_lsb)).bitwiseOR(F.lit(new_lsb))
+
+
+def s2_range_cols(cell: Column) -> tuple[Column, Column]:
+    """(range_min, range_max): the contiguous leaf-id interval of the
+    cell's descendants — ``lsb = id & -id`` in column math."""
+    lsb = cell.bitwiseAND(-cell)
+    return cell - lsb + F.lit(1), cell + lsb - F.lit(1)

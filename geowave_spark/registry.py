@@ -3944,3 +3944,124 @@ WHERE r.ring_cnt >= {HEX_RING_MIN}""",
 
 
 register_extra("hex_hotspots", q_hex_hotspots, _hex_hotspots_oracle())
+
+
+# ---------------------------------------------------------------------------
+# S2-analogue cell family — the brief's H3/S2 axis, S2 half (hexgrid.py
+# is the H3 half).  One sortable id space for every level: face bits |
+# Morton position | sentinel lsb, descendants = one contiguous id range.
+# The oracles replay the full encode (face CASE -> quantize -> parallel-
+# prefix Morton spread -> id compose) bit-for-bit in DuckDB.
+# ---------------------------------------------------------------------------
+
+from geowave_spark.functions import s2cells as S2C  # noqa: E402
+from geowave_spark.operators import s2 as S2OP  # noqa: E402
+
+S2_LEVEL = 10  # density aggregation level (~350 m equatorial u-step)
+# bbox crossing the equatorial/north-cap face seam at lat 45° AND
+# holding the NYC hot blob — exercises multi-face covers + skew cells.
+S2_BOX = (-76_000, 40_000, -72_000, 47_000)
+S2_MAX_CELLS = 48  # covering budget (S2RegionCoverer max_cells)
+
+
+def _s2_spread_sql(col: str) -> str:
+    """Parallel-prefix bit spread (bit i -> 2i) — same mask ladder as
+    cols.spread_col, decimal literals for DuckDB."""
+    masks = (
+        (16, 281470681808895),
+        (8, 71777214294589695),
+        (4, 1085102592571150095),
+        (2, 3689348814741910323),
+        (1, 6148914691236517205),
+    )
+    e = f"({col} & 4294967295)"
+    for sh, m in masks:
+        e = f"(({e} | ({e} << {sh})) & {m})"
+    return e
+
+
+def _s2_leaf_ctes() -> str:
+    """geo_events -> leaf ids, the shared oracle CTE chain (MATERIALIZED:
+    each stage is re-referenced by the next via two expressions)."""
+    ml = S2C.MAX_LEVEL
+    n = 1 << ml
+    return f"""
+s2f AS MATERIALIZED (
+  SELECT event_id, lon_milli, lat_milli,
+    CASE WHEN lat_milli >= {S2C.EQ_LAT} THEN 4
+         WHEN lat_milli < {-S2C.EQ_LAT} THEN 5
+         ELSE LEAST((lon_milli + {S2C.X_OFF}) // {S2C.EQ_SPAN}, 3) END AS face
+  FROM geo_events),
+s2uv AS MATERIALIZED (
+  SELECT event_id, lon_milli, lat_milli, face,
+    CASE WHEN face >= 4 THEN LEAST(lon_milli + {S2C.X_OFF}, {S2C.CAP_USPAN - 1})
+         ELSE LEAST((lon_milli + {S2C.X_OFF}) - face * {S2C.EQ_SPAN},
+                    {S2C.EQ_SPAN - 1}) END AS u,
+    CASE WHEN face = 4 THEN LEAST(lat_milli - {S2C.EQ_LAT}, {S2C.CAP_VSPAN - 1})
+         WHEN face = 5 THEN -lat_milli - {S2C.EQ_LAT + 1}
+         ELSE lat_milli + {S2C.EQ_LAT} END AS v,
+    CASE WHEN face >= 4 THEN {S2C.CAP_USPAN} ELSE {S2C.EQ_SPAN} END AS us,
+    CASE WHEN face >= 4 THEN {S2C.CAP_VSPAN} ELSE {S2C.EQ_SPAN} END AS vs
+  FROM s2f),
+s2q AS MATERIALIZED (
+  SELECT event_id, lon_milli, lat_milli, face,
+    LEAST(u * {n} // us, {n - 1}) AS iu,
+    LEAST(v * {n} // vs, {n - 1}) AS iv
+  FROM s2uv),
+s2leaf AS MATERIALIZED (
+  SELECT event_id, lon_milli, lat_milli,
+    (((face << {2 * ml}) |
+      ({_s2_spread_sql('iu')} | ({_s2_spread_sql('iv')} << 1))) << 1) | 1 AS leaf
+  FROM s2q)"""
+
+
+def q_s2_cells(spark, sf_dir):
+    """Per-cell event density at S2_LEVEL with each cell's contiguous
+    descendant leaf-id range — one map-side-combinable groupBy on the
+    single packed id, whole-stage codegen end-to-end (no UDF)."""
+    return S2OP.s2_density(TB.geo_events(spark, sf_dir), S2_LEVEL)
+
+
+def _s2_cells_oracle() -> str:
+    lsb = 1 << (2 * (S2C.MAX_LEVEL - S2_LEVEL))
+    return TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f""", {_s2_leaf_ctes()},
+s2cell AS (SELECT (leaf & {-lsb}) | {lsb} AS cell_id FROM s2leaf)
+SELECT cell_id,
+       cell_id >> {S2C.FACE_SHIFT} AS face,
+       cell_id - (cell_id & (-cell_id)) + 1 AS range_min,
+       cell_id + (cell_id & (-cell_id)) - 1 AS range_max,
+       COUNT(*) AS cnt
+FROM s2cell GROUP BY 1""",
+    )
+
+
+register_extra("s2_cells", q_s2_cells, _s2_cells_oracle())
+
+
+def q_s2_bbox(spark, sf_dir):
+    """Box query through the budgeted mixed-level covering (driver-side
+    literal, ≤ S2_MAX_CELLS cells) translated to merged leaf-id ranges:
+    interior ranges match outright, boundary ranges AND the exact
+    predicate — one scan filter of two-compare arms, no join.  The
+    oracle is the plain box predicate, so an exact match proves the
+    whole covering + contiguity + refinement path."""
+    return S2OP.s2_bbox_query(
+        TB.geo_events(spark, sf_dir), *S2_BOX, max_cells=S2_MAX_CELLS
+    ).select("event_id", "lon_milli", "lat_milli")
+
+
+def _s2_bbox_oracle() -> str:
+    x0, y0, x1, y1 = S2_BOX
+    return TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f"""SELECT event_id, lon_milli, lat_milli
+FROM geo_events
+WHERE lon_milli BETWEEN {x0} AND {x1} AND lat_milli BETWEEN {y0} AND {y1}""",
+    )
+
+
+register_extra("s2_bbox", q_s2_bbox, _s2_bbox_oracle())

@@ -58,6 +58,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="name=reason — record the query as skipped "
                          "instead of running it (e.g. a closure oracle "
                          "that goes quadratic at this scale)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names: gate just these "
+                         "(iteration aid; the artifact still only counts "
+                         "as the round gate when run without it)")
     args = ap.parse_args(argv)
     sf_dir = args.sf_dir
     skips = dict(s.split("=", 1) for s in args.skip)
@@ -68,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
 
         queries.update(QUERIES)
         oracles.update(ORACLES)
+    if args.only:
+        keep = set(args.only.split(","))
+        missing = keep - set(queries)
+        if missing:
+            ap.error(f"unknown query names: {sorted(missing)}")
+        queries = {k: v for k, v in queries.items() if k in keep}
 
     spark = get_spark(app_name="extra_gate")
     con = duckdb.connect()
