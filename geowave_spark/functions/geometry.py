@@ -157,6 +157,30 @@ def points_in_polygon(px, py, polys: list[list[np.ndarray]]) -> np.ndarray:
     return inside
 
 
+def evenodd_sql(rings: list[np.ndarray], lon: str = "lon", lat: str = "lat") -> str:
+    """Even-odd ray-casting parity as an ANSI-SQL predicate string —
+    the same IEEE operation order as ``_pip_ring``
+    (xint = x0 + (py-y0)*(x1-x0)/(y1-y0)), so the crossing test is
+    bit-identical across numpy, Spark SQL (F.expr) and DuckDB; holes
+    ride on parity for free.  Both the engine's refine predicate and
+    the registry oracles are generated from this one function, so the
+    two sides always carry the SAME vertex literals."""
+    terms = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        for i in range(len(r) - 1):
+            x0, y0 = (float(v) for v in r[i])
+            x1, y1 = (float(v) for v in r[i + 1])
+            terms.append(
+                f"(CASE WHEN ({y0!r} > {lat}) <> ({y1!r} > {lat}) "
+                f"AND {lon} < {x0!r} + ({lat} - {y0!r}) * ({x1!r} - {x0!r}) "
+                f"/ ({y1!r} - {y0!r}) THEN 1 ELSE 0 END)"
+            )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
 def points_in_wkb(px, py, buf: bytes) -> np.ndarray:
     return points_in_polygon(px, py, polygon_rings(buf))
 

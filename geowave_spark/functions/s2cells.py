@@ -315,6 +315,87 @@ def chart_to_lonlat(face, u, v):
     return lon, lat
 
 
+def covering_region(
+    classify,
+    max_cells: int = 48,
+    fine_level: int = MAX_LEVEL,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Budgeted mixed-level covering of an ARBITRARY region — the
+    S2RegionCoverer shape (s2geometry S2RegionCoverer::GetCovering):
+    seed with the 6 face cells, pop COARSEST-FIRST, classify fully-
+    contained cells as interior, and subdivide crossing cells into
+    their intersecting children until splitting would exceed
+    ``max_cells`` (or ``fine_level``), at which point crossing cells
+    land in the boundary set as-is.
+
+    ``classify(cids: int64 array) -> int8 array`` is the region oracle:
+    0 = cell outside (dropped), 1 = crossing (subdivide or boundary),
+    2 = fully inside (interior) — the same 3-way verdict as
+    geometry.classify_cells_vs_polygon.
+
+    Returns (interior_ids, boundary_ids): interior cells need NO exact
+    refinement downstream, boundary cells AND the exact predicate.
+    Driver-side by construction: ≤ max_cells output cells and
+    ≤ 4·max_cells pops — the cover is a bounded query literal
+    regardless of data or region size, which is what keeps the scan
+    predicate small at 100 TB."""
+    import heapq
+
+    if max_cells < 6:
+        raise ValueError("max_cells must allow at least the 6 face cells")
+    faces = np.array(
+        [int(np.atleast_1d(cell_id(f, 0, 0, 0))[0]) for f in range(6)],
+        dtype=np.int64,
+    )
+    verdicts = classify(faces)
+    heap: list[tuple[int, int, int]] = []  # (level, cid, verdict)
+    interior: list[int] = []
+    boundary: list[int] = []
+    for cid, v in zip(faces.tolist(), verdicts.tolist()):
+        if v:
+            heapq.heappush(heap, (0, cid, int(v)))
+    while heap:
+        lvl, cid, v = heapq.heappop(heap)
+        if v == 2:
+            interior.append(cid)
+            continue
+        budget_left = max_cells - (len(interior) + len(boundary) + len(heap))
+        if lvl >= fine_level or budget_left < 4:
+            boundary.append(cid)
+            continue
+        kids = children(cid)
+        kv = classify(kids)
+        for k, kvv in zip(kids.tolist(), kv.tolist()):
+            if kvv:
+                heapq.heappush(heap, (lvl + 1, int(k), int(kvv)))
+    return (
+        np.sort(np.array(interior, dtype=np.int64)),
+        np.sort(np.array(boundary, dtype=np.int64)),
+    )
+
+
+def box_classifier(minx_m: int, miny_m: int, maxx_m: int, maxy_m: int):
+    """Region oracle for a closed milli-degree box."""
+
+    def classify(cids: np.ndarray) -> np.ndarray:
+        lo_lon, lo_lat, hi_lon, hi_lat = cell_box_milli(cids)
+        hit = (
+            (lo_lon <= maxx_m)
+            & (hi_lon >= minx_m)
+            & (lo_lat <= maxy_m)
+            & (hi_lat >= miny_m)
+        )
+        inside = (
+            (lo_lon >= minx_m)
+            & (hi_lon <= maxx_m)
+            & (lo_lat >= miny_m)
+            & (hi_lat <= maxy_m)
+        )
+        return np.where(inside, 2, hit.astype(np.int8)).astype(np.int8)
+
+    return classify
+
+
 def covering(
     minx_m: int,
     miny_m: int,
@@ -323,57 +404,12 @@ def covering(
     max_cells: int = 48,
     fine_level: int = MAX_LEVEL,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Budgeted mixed-level covering of the closed box — the
-    S2RegionCoverer shape (s2geometry S2RegionCoverer::GetCovering):
-    seed with the intersecting face cells, pop COARSEST-FIRST, classify
-    fully-contained cells as interior, and subdivide crossing cells into
-    their intersecting children until splitting would exceed
-    ``max_cells`` (or ``fine_level``), at which point crossing cells
-    land in the boundary set as-is.
-
-    Returns (interior_ids, boundary_ids): interior cells are fully
-    contained (downstream needs NO exact refinement), boundary cells
-    intersect but stick out (AND the exact predicate).  Driver-side by
-    construction: ≤ max_cells output cells and ≤ 4·max_cells pops —
-    the cover is a bounded query literal regardless of data size or box
-    size, which is what keeps the scan predicate small at 100 TB."""
-    import heapq
-
-    if max_cells < 6:
-        raise ValueError("max_cells must allow at least the 6 face cells")
-    heap: list[tuple[int, int]] = []  # (level, cid): coarsest first
-    interior: list[int] = []
-    boundary: list[int] = []
-    for face in range(6):
-        fx0, fy0, fx1, fy1 = face_box_milli(face)
-        if minx_m <= fx1 and maxx_m >= fx0 and miny_m <= fy1 and maxy_m >= fy0:
-            heapq.heappush(heap, (0, int(np.atleast_1d(cell_id(face, 0, 0, 0))[0])))
-    while heap:
-        lvl, cid = heapq.heappop(heap)
-        if bool(
-            cell_contained_in_box(
-                np.array([cid]), minx_m, miny_m, maxx_m, maxy_m
-            )[0]
-        ):
-            interior.append(cid)
-            continue
-        budget_left = max_cells - (len(interior) + len(boundary) + len(heap))
-        if lvl >= fine_level or budget_left < 4:
-            boundary.append(cid)
-            continue
-        kids = children(cid)
-        lo_lon, lo_lat, hi_lon, hi_lat = cell_box_milli(kids)
-        hit = (
-            (lo_lon <= maxx_m)
-            & (hi_lon >= minx_m)
-            & (lo_lat <= maxy_m)
-            & (hi_lat >= miny_m)
-        )
-        for k in kids[hit].tolist():
-            heapq.heappush(heap, (lvl + 1, int(k)))
-    return (
-        np.sort(np.array(interior, dtype=np.int64)),
-        np.sort(np.array(boundary, dtype=np.int64)),
+    """Budgeted covering of the closed milli-degree box — the box special
+    case of ``covering_region``."""
+    return covering_region(
+        box_classifier(minx_m, miny_m, maxx_m, maxy_m),
+        max_cells=max_cells,
+        fine_level=fine_level,
     )
 
 

@@ -35,7 +35,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+import numpy as np
+
 from geowave_spark.functions import cols as X
+from geowave_spark.functions import geometry as G
 from geowave_spark.functions import s2cells as S2
 from geowave_spark.session import spread
 
@@ -135,6 +138,56 @@ def s2_bbox_query(
     return df.filter(
         X.let(
             X.s2_leaf_col(lon, lat),
+            lambda leaf: _range_arms(leaf, int_ranges)
+            | (_range_arms(leaf, bnd_ranges) & exact),
+        )
+    )
+
+
+def s2_polygon_query(
+    df: DataFrame,
+    rings_milli: list[np.ndarray],
+    max_cells: int = 64,
+    fine_level: int = S2.MAX_LEVEL,
+    lon_col: str = "lon_milli",
+    lat_col: str = "lat_milli",
+    leaf_col: str | None = None,
+) -> DataFrame:
+    """Rows inside the (Multi)Polygon (rings in MILLI-degree floats,
+    even-odd semantics — holes ride on parity), answered the
+    S2RegionCoverer way: budgeted driver-side covering of the polygon
+    (geometry.classify_cells_vs_polygon as the region oracle), merged
+    leaf-id ranges, interior ranges unrefined, boundary ranges AND the
+    exact even-odd predicate.
+
+    The refine is geometry.evenodd_sql via F.expr — a pure column CASE
+    parity sum inside whole-stage codegen, and the SAME generator the
+    DuckDB oracle uses, so both sides carry identical vertex literals
+    (the repo's bit-identical-refine convention).  Parity with the
+    reference's decomposeRange-over-geometry + DistributableFilter
+    split (core/index/.../sfc/tiered/TieredSFCIndexStrategy.java,
+    core/geotime/.../store/query/filter/SpatialQueryFilter.java)."""
+    polys = [rings_milli]
+
+    def classify(cids: np.ndarray) -> np.ndarray:
+        lo_lon, lo_lat, hi_lon, hi_lat = S2.cell_box_milli(cids)
+        return G.classify_cells_vs_polygon(lo_lon, lo_lat, hi_lon, hi_lat, polys)
+
+    interior, boundary = S2.covering_region(
+        classify, max_cells=max_cells, fine_level=fine_level
+    )
+    int_ranges = S2.merged_leaf_ranges(interior)
+    bnd_ranges = S2.merged_leaf_ranges(boundary)
+    exact = F.expr(G.evenodd_sql(rings_milli, lon=lon_col, lat=lat_col))
+    if leaf_col is not None:
+        stored = F.col(leaf_col)
+        return df.filter(
+            _range_arms(stored, int_ranges)
+            | (_range_arms(stored, bnd_ranges) & exact)
+        )
+    return df.filter(
+        X.let(
+            X.s2_leaf_col(F.col(lon_col), F.col(lat_col)),
             lambda leaf: _range_arms(leaf, int_ranges)
             | (_range_arms(leaf, bnd_ranges) & exact),
         )

@@ -150,23 +150,9 @@ def q_pip_concave_hole(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _evenodd_pred(rings: list[np.ndarray]) -> str:
-    """Even-odd ray-casting parity as SQL — the same IEEE operation order
-    as geometry._pip_ring (xint = x0 + (py-y0)*(x1-x0)/(y1-y0)), so the
-    crossing test is bit-identical; holes ride on parity for free."""
-    terms = []
-    for ring in rings:
-        r = np.asarray(ring, dtype=np.float64)
-        if not np.array_equal(r[0], r[-1]):
-            r = np.vstack([r, r[:1]])
-        for i in range(len(r) - 1):
-            x0, y0 = (float(v) for v in r[i])
-            x1, y1 = (float(v) for v in r[i + 1])
-            terms.append(
-                f"(CASE WHEN ({y0!r} > lat) <> ({y1!r} > lat) "
-                f"AND lon < {x0!r} + (lat - {y0!r}) * ({x1!r} - {x0!r}) "
-                f"/ ({y1!r} - {y0!r}) THEN 1 ELSE 0 END)"
-            )
-    return "(" + " + ".join(terms) + ") % 2 = 1"
+    """Canonical copy lives in geometry.evenodd_sql (shared with the
+    S2 polygon-query refine so both sides carry identical literals)."""
+    return G.evenodd_sql(rings)
 
 
 register(
@@ -4065,3 +4051,53 @@ WHERE lon_milli BETWEEN {x0} AND {x1} AND lat_milli BETWEEN {y0} AND {y1}""",
 
 
 register_extra("s2_bbox", q_s2_bbox, _s2_bbox_oracle())
+
+
+# Concave L-shape with a hole over the NYC blob, vertices in MILLI floats
+# off the integer lattice (no derived point sits exactly on an edge).
+S2_POLY = [
+    np.array(
+        [
+            [-75_800.3, 39_900.7],
+            [-72_900.1, 39_900.7],
+            [-72_900.1, 41_800.9],
+            [-74_200.7, 41_800.9],
+            [-74_200.7, 40_900.3],
+            [-75_800.3, 40_900.3],
+        ]
+    ),
+    np.array(
+        [
+            [-74_500.9, 40_200.1],
+            [-73_600.3, 40_200.1],
+            [-73_600.3, 40_700.9],
+            [-74_500.9, 40_700.9],
+        ]
+    ),
+]
+
+
+def q_s2_polygon(spark, sf_dir):
+    """Concave-with-hole polygon query via the generalized
+    S2RegionCoverer (classify_cells_vs_polygon as the region oracle):
+    interior leaf ranges match outright, boundary ranges AND the
+    even-odd parity predicate — generated by the SAME function as the
+    DuckDB oracle below, so the refine literals are bit-identical.
+    One scan filter, whole-stage codegen (the parity sum is column
+    CASE math), no join."""
+    return S2OP.s2_polygon_query(
+        TB.geo_events(spark, sf_dir), S2_POLY, max_cells=64
+    ).select("event_id", "lon_milli", "lat_milli")
+
+
+def _s2_polygon_oracle() -> str:
+    return TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f"""SELECT event_id, lon_milli, lat_milli
+FROM geo_events
+WHERE {G.evenodd_sql(S2_POLY, lon="lon_milli", lat="lat_milli")}""",
+    )
+
+
+register_extra("s2_polygon", q_s2_polygon, _s2_polygon_oracle())

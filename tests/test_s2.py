@@ -273,3 +273,95 @@ def test_plan_is_bounded(spark):
                          -76_000, 40_000, -72_000, 47_000)
     plan = q._jdf.queryExecution().optimizedPlan().toString()
     assert len(plan) < 100_000
+
+
+# ---------------------------------------------------------------------------
+# polygon covering (covering_region generalization)
+# ---------------------------------------------------------------------------
+
+L_POLY = [
+    np.array(
+        [[-75_800.3, 39_900.7], [-72_900.1, 39_900.7], [-72_900.1, 41_800.9],
+         [-74_200.7, 41_800.9], [-74_200.7, 40_900.3], [-75_800.3, 40_900.3]]
+    ),
+    np.array(
+        [[-74_500.9, 40_200.1], [-73_600.3, 40_200.1],
+         [-73_600.3, 40_700.9], [-74_500.9, 40_700.9]]
+    ),
+]
+
+
+def _poly_classify(polys):
+    from geowave_spark.functions import geometry as G
+
+    def classify(cids):
+        lo_lon, lo_lat, hi_lon, hi_lat = S2.cell_box_milli(cids)
+        return G.classify_cells_vs_polygon(lo_lon, lo_lat, hi_lon, hi_lat, polys)
+
+    return classify
+
+
+def test_polygon_covering_exact_membership():
+    """Interior-range OR (boundary-range AND even-odd) is EXACTLY the
+    even-odd predicate — brute-forced on points dense around the polygon."""
+    from geowave_spark.functions import geometry as G
+
+    interior, boundary = S2.covering_region(_poly_classify([L_POLY]), max_cells=64)
+    assert interior.size > 0  # concave region still yields interior cells
+    lon = RNG.integers(-76_500, -72_000, 6000)
+    lat = RNG.integers(39_000, 42_500, 6000)
+    leaf = S2.leaf_id(lon, lat)
+    in_poly = G.points_in_polygon(lon, lat, [L_POLY])
+
+    def in_ranges(ids):
+        hit = np.zeros(leaf.shape, dtype=bool)
+        for lo, hi in S2.merged_leaf_ranges(ids):
+            hit |= (leaf >= lo) & (leaf <= hi)
+        return hit
+
+    got = in_ranges(interior) | (in_ranges(boundary) & in_poly)
+    assert np.array_equal(got, in_poly)
+    # interior cells are sound alone: never a point outside the polygon
+    assert (~in_ranges(interior) | in_poly).all()
+
+
+def test_box_covering_via_region_equivalent():
+    """covering() is the box special case of covering_region()."""
+    box = (-76_000, 40_000, -72_000, 47_000)
+    a_i, a_b = S2.covering(*box, max_cells=48)
+    b_i, b_b = S2.covering_region(S2.box_classifier(*box), max_cells=48)
+    assert np.array_equal(a_i, b_i) and np.array_equal(a_b, b_b)
+
+
+def test_polygon_query_matches_brute_force(spark):
+    from geowave_spark.functions import geometry as G
+    import pandas as pd
+
+    lon = RNG.integers(-76_500, -72_000, 3000)
+    lat = RNG.integers(39_000, 42_500, 3000)
+    df = spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(3000), "lon_milli": lon, "lat_milli": lat})
+    )
+    got = sorted(
+        r.event_id
+        for r in OP.s2_polygon_query(df, L_POLY).select("event_id").collect()
+    )
+    exp = sorted(int(i) for i in np.nonzero(G.points_in_polygon(lon, lat, [L_POLY]))[0])
+    assert got == exp
+
+
+def test_polygon_query_stored_leaf(spark, tmp_path):
+    from geowave_spark.functions import geometry as G
+    import pandas as pd
+
+    lon = RNG.integers(-76_500, -72_000, 2000)
+    lat = RNG.integers(39_000, 42_500, 2000)
+    df = spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(2000), "lon_milli": lon, "lat_milli": lat})
+    )
+    path = str(tmp_path / "s2poly")
+    OP.s2_index(df).sort("s2_leaf").write.parquet(path)
+    q = OP.s2_polygon_query(spark.read.parquet(path), L_POLY, leaf_col="s2_leaf")
+    got = sorted(r.event_id for r in q.select("event_id").collect())
+    exp = sorted(int(i) for i in np.nonzero(G.points_in_polygon(lon, lat, [L_POLY]))[0])
+    assert got == exp
