@@ -110,6 +110,13 @@ def s2_bbox_query(
     core/index/.../sfc/tiered/TieredSFCIndexStrategy.java) collapsed
     into one scan predicate of ≤ max_cells two-compare arms.
 
+    ``minx_m > maxx_m`` means ANTIMERIDIAN WRAP (LongitudeDefinition bin
+    semantics, same contract as plans/planner.py): the region is the
+    union of [minx, 180°] and [-180°, maxx] — covered as the
+    elementwise-max of the two boxes' classifiers (cells never wrap, so
+    union-interior ⇔ interior in one part) and refined with the wrapped
+    predicate.
+
     ``leaf_col``: name of a STORED leaf-id column (written by
     ``s2_index`` at ingest).  With it the range arms are plain column
     compares — pushable to parquet row-group min/max on a leaf-sorted
@@ -117,18 +124,25 @@ def s2_bbox_query(
     test_s2.py).  Without it the leaf is computed on the fly and MUST be
     let-bound: inlined naively the encode tree is copied into every arm
     and Catalyst's fixed-point passes OOM (measured at 9 isin arms)."""
-    interior, boundary = S2.covering(
-        minx_m, miny_m, maxx_m, maxy_m, max_cells=max_cells, fine_level=fine_level
-    )
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    if minx_m > maxx_m:  # antimeridian wrap: two-box union
+        c1 = S2.box_classifier(minx_m, miny_m, 180_000, maxy_m)
+        c2 = S2.box_classifier(-180_000, miny_m, maxx_m, maxy_m)
+        interior, boundary = S2.covering_region(
+            lambda cids: np.maximum(c1(cids), c2(cids)),
+            max_cells=max_cells,
+            fine_level=fine_level,
+        )
+        lon_ok = (lon >= F.lit(minx_m)) | (lon <= F.lit(maxx_m))
+    else:
+        interior, boundary = S2.covering(
+            minx_m, miny_m, maxx_m, maxy_m,
+            max_cells=max_cells, fine_level=fine_level,
+        )
+        lon_ok = (lon >= F.lit(minx_m)) & (lon <= F.lit(maxx_m))
     int_ranges = S2.merged_leaf_ranges(interior)
     bnd_ranges = S2.merged_leaf_ranges(boundary)
-    lon, lat = F.col(lon_col), F.col(lat_col)
-    exact = (
-        (lon >= F.lit(minx_m))
-        & (lon <= F.lit(maxx_m))
-        & (lat >= F.lit(miny_m))
-        & (lat <= F.lit(maxy_m))
-    )
+    exact = lon_ok & (lat >= F.lit(miny_m)) & (lat <= F.lit(maxy_m))
     if leaf_col is not None:
         stored = F.col(leaf_col)
         return df.filter(

@@ -4101,3 +4101,33 @@ WHERE {G.evenodd_sql(S2_POLY, lon="lon_milli", lat="lat_milli")}""",
 
 
 register_extra("s2_polygon", q_s2_polygon, _s2_polygon_oracle())
+
+
+# Antimeridian-wrapping box over the Tokyo blob's longitude band:
+# minx > maxx means [170°E, 180°] ∪ [-180°, -170°E]… here a band wide
+# enough to hold data on both sides of the date line.
+S2_WRAP_BOX = (139_000, -10_000, -170_000, 50_000)
+
+
+def q_s2_bbox_wrap(spark, sf_dir):
+    """Date-line-wrapping box (minx > maxx — LongitudeDefinition bin
+    semantics): union-of-two-boxes covering via the elementwise-max
+    classifier, wrapped OR refine.  Same scan-filter shape as s2_bbox."""
+    return S2OP.s2_bbox_query(
+        TB.geo_events(spark, sf_dir), *S2_WRAP_BOX, max_cells=S2_MAX_CELLS
+    ).select("event_id", "lon_milli", "lat_milli")
+
+
+def _s2_bbox_wrap_oracle() -> str:
+    x0, y0, x1, y1 = S2_WRAP_BOX
+    return TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f"""SELECT event_id, lon_milli, lat_milli
+FROM geo_events
+WHERE (lon_milli >= {x0} OR lon_milli <= {x1})
+  AND lat_milli BETWEEN {y0} AND {y1}""",
+    )
+
+
+register_extra("s2_bbox_wrap", q_s2_bbox_wrap, _s2_bbox_wrap_oracle())

@@ -365,3 +365,42 @@ def test_polygon_query_stored_leaf(spark, tmp_path):
     got = sorted(r.event_id for r in q.select("event_id").collect())
     exp = sorted(int(i) for i in np.nonzero(G.points_in_polygon(lon, lat, [L_POLY]))[0])
     assert got == exp
+
+
+def test_wrap_covering_exact_membership():
+    """Antimeridian wrap (minx > maxx): union-of-two-boxes covering is
+    exact under the wrapped predicate."""
+    box = (170_000, -20_000, -165_000, 30_000)
+    c1 = S2.box_classifier(box[0], box[1], 180_000, box[3])
+    c2 = S2.box_classifier(-180_000, box[1], box[2], box[3])
+    interior, boundary = S2.covering_region(
+        lambda cids: np.maximum(c1(cids), c2(cids)), max_cells=48
+    )
+    lon, lat = _points(5000)
+    leaf = S2.leaf_id(lon, lat)
+    in_box = ((lon >= box[0]) | (lon <= box[2])) & (lat >= box[1]) & (lat <= box[3])
+
+    def in_ranges(ids):
+        hit = np.zeros(leaf.shape, dtype=bool)
+        for lo, hi in S2.merged_leaf_ranges(ids):
+            hit |= (leaf >= lo) & (leaf <= hi)
+        return hit
+
+    got = in_ranges(interior) | (in_ranges(boundary) & in_box)
+    assert np.array_equal(got, in_box)
+    assert (~in_ranges(interior) | in_box).all()
+
+
+def test_wrap_query_matches_plain_filter(spark):
+    import pandas as pd
+
+    lon, lat = _points(3000)
+    df = spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(3000), "lon_milli": lon, "lat_milli": lat})
+    )
+    box = (170_000, -20_000, -165_000, 30_000)
+    got = sorted(
+        r.event_id for r in OP.s2_bbox_query(df, *box).select("event_id").collect()
+    )
+    keep = ((lon >= box[0]) | (lon <= box[2])) & (lat >= box[1]) & (lat <= box[3])
+    assert got == sorted(int(i) for i in np.nonzero(keep)[0])
