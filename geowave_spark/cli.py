@@ -148,12 +148,13 @@ def cmd_config(args, spark, out) -> int:
         print(f"store {args.name} -> {args.path}", file=out)
     elif args.config_cmd == "addindex":
         cfg["indexes"][args.name] = {
+            "strategy": args.strategy,
             "res": args.res,
             "salt_buckets": args.salt_buckets,
             "salt_mode": args.salt_mode,
         }
         _save_config(args, cfg)
-        print(f"index {args.name}: res={args.res}", file=out)
+        print(f"index {args.name}: strategy={args.strategy} res={args.res}", file=out)
     else:  # list
         print(json.dumps(cfg, indent=2, sort_keys=True), file=out)
     return 0
@@ -194,6 +195,28 @@ def cmd_ingest(args, spark_injected, out) -> int:
     from geowave_spark.operators import index as OI
 
     df, kind = _read_source(spark, args.format, args.src, args)
+    if idx.get("strategy", "tiered") == "s2":
+        if kind != "points":
+            raise SystemExit(
+                "--strategy s2 indexes point sources; envelope sources "
+                "(shapefile) need the tiered strategy's multi-cell cover"
+            )
+        from pyspark.sql import functions as F
+
+        from geowave_spark.operators import s2 as OS2
+
+        if "lon_milli" not in df.columns:
+            df = df.withColumn(
+                "lon_milli", F.round(F.col(args.lon_col) * 1000).cast("long")
+            ).withColumn(
+                "lat_milli", F.round(F.col(args.lat_col) * 1000).cast("long")
+            )
+        OS2.write_s2_store(
+            df, path, mode="append" if args.append else "overwrite"
+        )
+        n = spark.read.parquet(path).count()
+        print(f"ingested: store {args.store} now holds {n} rows", file=out)
+        return n
     if kind == "points":
         indexed = OI.index_points(
             df,
@@ -242,7 +265,14 @@ def cmd_query(args, spark_injected, out) -> int:
     from geowave_spark.plans.cql import cql_query
 
     data = OI.read_indexed(spark, path)
-    res = cql_query(data, args.cql, id_col=args.id_col)
+    if "s2_leaf" in data.columns:
+        # store was written with the S2 strategy: same CQL string, the
+        # leaf-range planner (pushable scan filter, no cover join)
+        from geowave_spark.plans.s2cql import s2_cql_query
+
+        res = s2_cql_query(data, args.cql, id_col=args.id_col, leaf_col="s2_leaf")
+    else:
+        res = cql_query(data, args.cql, id_col=args.id_col)
     return _emit(res, args, out)
 
 
@@ -486,6 +516,10 @@ def _build_parser() -> argparse.ArgumentParser:
     a.add_argument("--path", required=True)
     a = cs.add_parser("addindex")
     a.add_argument("name")
+    # pluggable index strategy (SpatialDimensionalityTypeProvider presets):
+    # 'tiered' = Morton tiered SFC (operators/index.py), 's2' = single
+    # leaf-sorted S2-analogue curve (operators/s2.py write_s2_store)
+    a.add_argument("--strategy", choices=("tiered", "s2"), default="tiered")
     a.add_argument("--res", type=int, default=29)
     a.add_argument("--salt-buckets", type=int, default=8)
     a.add_argument("--salt-mode", choices=("hash", "round_robin"), default="hash")

@@ -89,6 +89,97 @@ def _range_arms(leaf: Column, ranges: list[tuple[int, int]]) -> Column:
     return cond
 
 
+# ---------------------------------------------------------------------------
+# Leaf-sorted store: the single-SFC analogue of operators/index.py's
+# tiered cell_p store.  One partition column (the level-LEAF_PARTITION_LEVEL
+# ancestor id — ≤ 6*4^L directories, never data-dependent) gives
+# directory-level PartitionFilters pruning; the within-file sort on the
+# leaf id gives parquet row-group min/max pruning for the range arms.
+# Together a box query reads only the directories AND row groups its
+# covering touches — the reference's range-scan read path
+# (core/store/.../base/BaseDataStore.java query over sorted KV ranges)
+# re-expressed as parquet layout.
+# ---------------------------------------------------------------------------
+
+LEAF_PARTITION_LEVEL = 2  # 6 faces × 4^2 = 96 directories max
+LEAF_PARTITION_COL = "leaf_p"
+_PRUNE_CAP = 96  # isin wider than the directory count prunes nothing
+
+
+def write_s2_store(
+    df: DataFrame,
+    path: str,
+    lon_col: str = "lon_milli",
+    lat_col: str = "lat_milli",
+    mode: str = "overwrite",
+    leaf_col: str = "s2_leaf",
+) -> None:
+    """Persist a leaf-sorted S2 store: attach the leaf id + its
+    level-LEAF_PARTITION_LEVEL ancestor, repartition by the ancestor
+    (one writer task family per directory), sort within partitions by
+    (leaf_p, leaf) — partitionBy requires the partition-column prefix,
+    and the leaf suffix is what makes every file a sorted run for
+    row-group min/max pruning (the write_indexed lesson,
+    operators/index.py:128).  Production: Iceberg PARTITIONED BY
+    (leaf_p) SORTED BY (s2_leaf); the sandbox emits the same layout as
+    partitioned parquet."""
+    out = s2_index(df, lon_col=lon_col, lat_col=lat_col, out_col=leaf_col)
+    out = out.withColumn(
+        LEAF_PARTITION_COL, X.s2_parent_col(F.col(leaf_col), LEAF_PARTITION_LEVEL)
+    )
+    (
+        out.repartition(F.col(LEAF_PARTITION_COL))
+        .sortWithinPartitions(LEAF_PARTITION_COL, leaf_col)
+        .write.mode(mode)
+        .partitionBy(LEAF_PARTITION_COL)
+        .parquet(path)
+    )
+
+
+def read_s2_store(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def _partition_prune_ids(
+    ranges: list[tuple[int, int]], level: int = LEAF_PARTITION_LEVEL
+) -> list[int] | None:
+    """Level-``level`` ancestor ids of every leaf in the merged ranges —
+    the directory prune set.  Ancestors of a contiguous leaf interval are
+    themselves contiguous in id space (stride 2·lsb), so each range
+    contributes an arithmetic progression.  Returns None when the set
+    reaches the directory count (prune would be vacuous)."""
+    step = np.int64(2) << np.int64(2 * (S2.MAX_LEVEL - level))
+    ids: set[int] = set()
+    for lo, hi in ranges:
+        p_lo = int(S2.parent(np.int64(lo), level))
+        p_hi = int(S2.parent(np.int64(hi), level))
+        n = (p_hi - p_lo) // int(step) + 1
+        if len(ids) + n > _PRUNE_CAP:
+            return None
+        ids.update(range(p_lo, p_hi + 1, int(step)))
+    return sorted(ids)
+
+
+def _stored_filter(
+    df: DataFrame,
+    leaf_col: str,
+    int_ranges: list[tuple[int, int]],
+    bnd_ranges: list[tuple[int, int]],
+    exact: Column,
+) -> DataFrame:
+    """Range arms over a STORED leaf column, plus the directory prune
+    when the store carries the leaf_p partition column."""
+    stored = F.col(leaf_col)
+    cond = _range_arms(stored, int_ranges) | (
+        _range_arms(stored, bnd_ranges) & exact
+    )
+    if LEAF_PARTITION_COL in df.columns:
+        prune = _partition_prune_ids(int_ranges + bnd_ranges)
+        if prune is not None:
+            cond = F.col(LEAF_PARTITION_COL).isin(prune) & cond
+    return df.filter(cond)
+
+
 def s2_bbox_query(
     df: DataFrame,
     minx_m: int,
@@ -144,11 +235,7 @@ def s2_bbox_query(
     bnd_ranges = S2.merged_leaf_ranges(boundary)
     exact = lon_ok & (lat >= F.lit(miny_m)) & (lat <= F.lit(maxy_m))
     if leaf_col is not None:
-        stored = F.col(leaf_col)
-        return df.filter(
-            _range_arms(stored, int_ranges)
-            | (_range_arms(stored, bnd_ranges) & exact)
-        )
+        return _stored_filter(df, leaf_col, int_ranges, bnd_ranges, exact)
     return df.filter(
         X.let(
             X.s2_leaf_col(lon, lat),
@@ -194,11 +281,7 @@ def s2_polygon_query(
     bnd_ranges = S2.merged_leaf_ranges(boundary)
     exact = F.expr(G.evenodd_sql(rings_milli, lon=lon_col, lat=lat_col))
     if leaf_col is not None:
-        stored = F.col(leaf_col)
-        return df.filter(
-            _range_arms(stored, int_ranges)
-            | (_range_arms(stored, bnd_ranges) & exact)
-        )
+        return _stored_filter(df, leaf_col, int_ranges, bnd_ranges, exact)
     return df.filter(
         X.let(
             X.s2_leaf_col(F.col(lon_col), F.col(lat_col)),

@@ -226,6 +226,33 @@ def _linearize_or(data, where, matches, tiers, max_cells, id_col):
     return out.dropDuplicates([id_col])
 
 
+def _time_and_residual(rest_ops: list[str]):
+    """Split the non-spatial top-level AND operands into (time_pred,
+    residual SQL).  Temporal fast path: a timestamp-literal BETWEEN that
+    is itself a whole operand gets explicit to_timestamp coercion; any
+    other BETWEEN (non-timestamp literals, or embedded under OR/NOT)
+    stays in the residual — Catalyst evaluates it with the column's own
+    type, no blind coercion and no semantics change.  Shared by the
+    tiered planner here and the S2 planner (plans/s2cql.py)."""
+    time_pred = None
+    residual_ops: list[str] = []
+    for op in rest_ops:
+        tm = _BETWEEN.fullmatch(op)
+        if (
+            time_pred is None
+            and tm
+            and _TS_LIT.match(tm.group(2))
+            and _TS_LIT.match(tm.group(3))
+        ):
+            col, t0, t1 = tm.group(1), tm.group(2), tm.group(3)
+            time_pred = (F.col(col) >= F.to_timestamp(F.lit(t0))) & (
+                F.col(col) <= F.to_timestamp(F.lit(t1))
+            )
+        else:
+            residual_ops.append(op)
+    return time_pred, " AND ".join(f"({o})" for o in residual_ops)
+
+
 def cql_query(
     data: DataFrame,
     where: str,
@@ -244,29 +271,7 @@ def cql_query(
     """
     matches = _spatial_matches(where)
     spatial_op, rest_ops = _decompose(where, matches)
-
-    # Temporal fast path: a timestamp-literal BETWEEN that is itself a
-    # whole top-level AND operand.  Any other BETWEEN (non-timestamp
-    # literals, or embedded under OR/NOT inside an operand) stays in the
-    # residual — Catalyst evaluates it with the column's own type, no
-    # blind to_timestamp coercion and no semantics change.
-    time_pred = None
-    residual_ops: list[str] = []
-    for op in rest_ops:
-        tm = _BETWEEN.fullmatch(op)
-        if (
-            time_pred is None
-            and tm
-            and _TS_LIT.match(tm.group(2))
-            and _TS_LIT.match(tm.group(3))
-        ):
-            col, t0, t1 = tm.group(1), tm.group(2), tm.group(3)
-            time_pred = (F.col(col) >= F.to_timestamp(F.lit(t0))) & (
-                F.col(col) <= F.to_timestamp(F.lit(t1))
-            )
-        else:
-            residual_ops.append(op)
-    residual = " AND ".join(f"({o})" for o in residual_ops)
+    time_pred, residual = _time_and_residual(rest_ops)
 
     if spatial_op is None:
         out = data

@@ -4131,3 +4131,40 @@ WHERE (lon_milli >= {x0} OR lon_milli <= {x1})
 
 
 register_extra("s2_bbox_wrap", q_s2_bbox_wrap, _s2_bbox_wrap_oracle())
+
+
+S2_CQL_STRING = (
+    "BBOX(geom, -76.0, 40.0, -72.0, 47.0) "
+    "AND ts BETWEEN '2024-01-01 00:00:00' AND '2024-01-20 23:59:59' "
+    "AND event_type IN ('click', 'purchase')"
+)
+
+
+def q_s2_cql(spark, sf_dir):
+    """The CQL string front door routed through the S2 leaf-range
+    planner (plans/s2cql.py) — the reference's pluggable-index-under-
+    one-query-surface property (CQLQuery.createOptimalQuery planning
+    against whatever index the store carries): the SAME grammar as
+    compound_cql, but the BBOX becomes a driver-side covering → merged
+    leaf-id range arms (one scan filter, no cover join); BETWEEN and
+    the IN predicate ride as Catalyst residuals."""
+    from geowave_spark.plans.s2cql import s2_cql_query
+
+    return s2_cql_query(
+        TB.geo_events(spark, sf_dir), S2_CQL_STRING, max_cells=S2_MAX_CELLS
+    ).select("event_id", "event_type", "ts", "lon_milli", "lat_milli")
+
+
+def _s2_cql_oracle() -> str:
+    return TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        """SELECT event_id, event_type, ts, lon_milli, lat_milli
+FROM geo_events
+WHERE lon_milli BETWEEN -76000 AND -72000 AND lat_milli BETWEEN 40000 AND 47000
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 23:59:59'
+  AND event_type IN ('click', 'purchase')""",
+    )
+
+
+register_extra("s2_cql", q_s2_cql, _s2_cql_oracle())
