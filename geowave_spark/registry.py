@@ -2040,9 +2040,10 @@ def q_geotiff_tiles(spark, sf_dir):
     scene, written by the tasks) → read_geotiff → envelope + pixel-sum
     projection.  Scenes deterministically cycle the real-world layouts —
     none/LZW/deflate/packbits compression, predictor 2 on LZW/deflate
-    (what actual Landsat ships), both byte orders, multi-strip — so the
-    oracle exactness covers every codec path; decoded pixels are
-    identical regardless, so the SQL replay is unchanged."""
+    (what actual Landsat ships), both byte orders, multi-strip AND the
+    tiled (tags 322-325, COG-style) blocking — so the oracle exactness
+    covers every codec and layout path; decoded pixels are identical
+    regardless, so the SQL replay is unchanged."""
     import os
     import tempfile
 
@@ -2055,22 +2056,23 @@ def q_geotiff_tiles(spark, sf_dir):
         from geowave_spark.sources import tiff as TIF
         from geowave_spark.sources.synthetic import pixels_for
 
-        layouts = [  # (compression, predictor) — cycled per scene
-            (TIF.COMP_NONE, 1),
-            (TIF.COMP_LZW, 2),
-            (TIF.COMP_DEFLATE, 2),
-            (TIF.COMP_PACKBITS, 1),
-            (TIF.COMP_DEFLATE_OLD, 1),
+        layouts = [  # (compression, predictor, tile_size) — cycled per scene
+            (TIF.COMP_NONE, 1, None),
+            (TIF.COMP_LZW, 2, None),
+            (TIF.COMP_DEFLATE, 2, (16, 16)),  # tiled COG-style blocking
+            (TIF.COMP_PACKBITS, 1, None),
+            (TIF.COMP_DEFLATE_OLD, 1, None),
+            (TIF.COMP_LZW, 2, (16, 16)),
         ]
         for r in rows:
             ev = int(r.event_id)
             pix = pixels_for(ev % 256, 32, 32)
             minx, miny = r.minx_m / 1000.0, r.miny_m / 1000.0
             maxx, maxy = r.maxx_m / 1000.0, r.maxy_m / 1000.0
-            comp, pred = layouts[(ev // GEOTIFF_MOD) % len(layouts)]
+            comp, pred, tile = layouts[(ev // GEOTIFF_MOD) % len(layouts)]
             buf = TIF.encode_geotiff(
                 pix, (minx, maxy), ((maxx - minx) / 32.0, (maxy - miny) / 32.0),
-                compression=comp, predictor=pred,
+                compression=comp, predictor=pred, tile_size=tile,
                 rows_per_strip=8 if (ev // GEOTIFF_MOD) % 2 else None,
                 byteorder="MM" if (ev // GEOTIFF_MOD) % 3 == 1 else "II",
             )

@@ -34,6 +34,8 @@ TAG_WIDTH, TAG_HEIGHT, TAG_BITS, TAG_COMPRESSION = 256, 257, 258, 259
 TAG_PHOTOMETRIC, TAG_STRIP_OFFSETS, TAG_SAMPLES = 262, 273, 277
 TAG_ROWS_PER_STRIP, TAG_STRIP_COUNTS, TAG_PLANAR = 278, 279, 284
 TAG_PREDICTOR = 317
+TAG_TILE_WIDTH, TAG_TILE_LENGTH = 322, 323
+TAG_TILE_OFFSETS, TAG_TILE_COUNTS = 324, 325
 TAG_SAMPLE_FORMAT = 339
 TAG_MODEL_PIXEL_SCALE, TAG_MODEL_TIEPOINT = 33550, 33922
 
@@ -212,6 +214,20 @@ _STRIP_ENCODERS = {
 }
 
 
+def _diff_rows(pix: np.ndarray) -> np.ndarray:
+    """Horizontal-differencing predictor (tag 317 = 2), forward."""
+    body = pix.astype(np.int16)
+    body[:, 1:, :] = (body[:, 1:, :] - body[:, :-1, :]) % 256
+    return body.astype(np.uint8)
+
+
+def _undiff_rows(pix: np.ndarray) -> np.ndarray:
+    """Horizontal-differencing predictor, inverse (per-row cumsum mod 256).
+    Applied per decompression chunk: each strip/tile restarts the
+    accumulator at its own first column (TIFF 6.0 §14)."""
+    return (np.cumsum(pix, axis=1, dtype=np.int64) % 256).astype(np.uint8)
+
+
 def encode_geotiff(
     pix: np.ndarray,
     origin: tuple[float, float],
@@ -219,6 +235,7 @@ def encode_geotiff(
     compression: int = COMP_NONE,
     predictor: int = 1,
     rows_per_strip: int | None = None,
+    tile_size: tuple[int, int] | None = None,
     byteorder: str = "II",
 ) -> bytes:
     """uint8 raster (h,w) or (h,w,bands) → GeoTIFF bytes.
@@ -228,34 +245,51 @@ def encode_geotiff(
     both positive.  Chunky planar layout; ``compression`` ∈ {1 none,
     5 LZW, 8/32946 deflate, 32773 packbits}; ``predictor=2`` applies
     horizontal differencing before compression (the layout real Landsat
-    scenes use); ``byteorder`` 'II' little / 'MM' big."""
+    scenes use); ``byteorder`` 'II' little / 'MM' big.
+
+    ``tile_size`` = (tile_width, tile_height) switches to the TILED
+    layout (TIFF 6.0 §15, tags 322-325 — the cloud-optimized-GeoTIFF /
+    Landsat internal blocking): the raster is cut into fixed tiles in
+    row-major tile order, right/bottom edge tiles zero-padded to full
+    size as the spec requires; dims must be multiples of 16."""
     if pix.dtype != np.uint8:
         raise ValueError("encoder writes 8-bit samples")
     if compression not in _STRIP_ENCODERS:
         raise ValueError(f"unsupported compression {compression}")
     if byteorder not in ("II", "MM"):
         raise ValueError("byteorder must be 'II' or 'MM'")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
     e = "<" if byteorder == "II" else ">"
     if pix.ndim == 2:
         pix = pix[:, :, None]
     h, w, bands = pix.shape
-    if predictor == 2:
-        body = pix.astype(np.int16)
-        body[:, 1:, :] = (body[:, 1:, :] - body[:, :-1, :]) % 256
-        pix = body.astype(np.uint8)
-    elif predictor != 1:
-        raise ValueError(f"unsupported predictor {predictor}")
-    rps = h if rows_per_strip is None else int(rows_per_strip)
     enc = _STRIP_ENCODERS[compression]
-    strips = [
-        enc(pix[r : r + rps].tobytes()) for r in range(0, h, rps)
-    ]
+    if tile_size is not None:
+        tw, th = tile_size
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError("TIFF tile dimensions must be positive multiples of 16")
+        ta, td = -(-w // tw), -(-h // th)
+        padded = np.zeros((td * th, ta * tw, bands), np.uint8)
+        padded[:h, :w] = pix  # pad BEFORE the predictor: decode undoes it per tile
+        chunks = []
+        for r in range(td):
+            for c in range(ta):
+                t = padded[r * th : (r + 1) * th, c * tw : (c + 1) * tw]
+                if predictor == 2:
+                    t = _diff_rows(t)
+                chunks.append(enc(t.tobytes()))
+    else:
+        if predictor == 2:
+            pix = _diff_rows(pix)
+        rps = h if rows_per_strip is None else int(rows_per_strip)
+        chunks = [enc(pix[r : r + rps].tobytes()) for r in range(0, h, rps)]
     offsets, counts, off = [], [], 8
-    for s in strips:
+    for s in chunks:
         offsets.append(off)
         counts.append(len(s))
         off += len(s)
-    data = b"".join(strips)
+    data = b"".join(chunks)
 
     extra = bytearray()          # out-of-line value areas, placed after data
     extra_base = 8 + len(data)
@@ -278,12 +312,21 @@ def encode_geotiff(
         entry(TAG_BITS, _T_SHORT, [8] * bands),
         entry(TAG_COMPRESSION, _T_SHORT, [compression]),
         entry(TAG_PHOTOMETRIC, _T_SHORT, [2 if bands >= 3 else 1]),
-        entry(TAG_STRIP_OFFSETS, _T_LONG, offsets),
-        entry(TAG_SAMPLES, _T_SHORT, [bands]),
-        entry(TAG_ROWS_PER_STRIP, _T_LONG, [rps]),
-        entry(TAG_STRIP_COUNTS, _T_LONG, counts),
-        entry(TAG_PLANAR, _T_SHORT, [1]),
-        entry(TAG_PREDICTOR, _T_SHORT, [predictor]),
+    ]
+    if tile_size is None:
+        entries.append(entry(TAG_STRIP_OFFSETS, _T_LONG, offsets))
+    entries.append(entry(TAG_SAMPLES, _T_SHORT, [bands]))
+    if tile_size is None:
+        entries.append(entry(TAG_ROWS_PER_STRIP, _T_LONG, [rps]))
+        entries.append(entry(TAG_STRIP_COUNTS, _T_LONG, counts))
+    entries.append(entry(TAG_PLANAR, _T_SHORT, [1]))
+    entries.append(entry(TAG_PREDICTOR, _T_SHORT, [predictor]))
+    if tile_size is not None:
+        entries.append(entry(TAG_TILE_WIDTH, _T_LONG, [tile_size[0]]))
+        entries.append(entry(TAG_TILE_LENGTH, _T_LONG, [tile_size[1]]))
+        entries.append(entry(TAG_TILE_OFFSETS, _T_LONG, offsets))
+        entries.append(entry(TAG_TILE_COUNTS, _T_LONG, counts))
+    entries += [
         entry(TAG_SAMPLE_FORMAT, _T_SHORT, [1] * bands),
         entry(
             TAG_MODEL_PIXEL_SCALE, _T_DOUBLE, [float(scale[0]), float(scale[1]), 0.0]
@@ -295,8 +338,8 @@ def encode_geotiff(
         ),
     ]
     # IFD entries MUST be sorted by tag (TIFF 6.0); PREDICTOR (317) lands
-    # after PLANAR (284) and before SAMPLE_FORMAT (339) already, so the
-    # list above is in tag order by construction
+    # after PLANAR (284) and before the tile block (322-325) / SAMPLE_FORMAT
+    # (339), so the list is in tag order by construction for both layouts
     ifd_off = extra_base + len(extra)
     ifd = (
         struct.pack(e + "H", len(entries))
@@ -311,9 +354,13 @@ def decode_geotiff(
 ) -> tuple[np.ndarray, tuple[float, float] | None, tuple[float, float] | None]:
     """GeoTIFF bytes → (pixels (h,w) or (h,w,bands) uint8, origin, scale).
 
-    Handles both byte orders, multi-strip layouts, inline and out-of-line
-    values, LZW/deflate/packbits strips, horizontal-differencing
-    predictor.  Raises NotImplementedError for JPEG-in-TIFF / non-8-bit."""
+    Handles both byte orders, multi-strip AND tiled layouts (TIFF 6.0
+    §15 tags 322-325 — the cloud-optimized-GeoTIFF / Landsat internal
+    blocking; edge tiles are stored full-size and cropped here), inline
+    and out-of-line values, LZW/deflate/packbits chunks,
+    horizontal-differencing predictor (undone per chunk — each strip or
+    tile restarts the accumulator).  Raises NotImplementedError for
+    JPEG-in-TIFF / non-8-bit / planar-separate."""
     bom = buf[:2]
     if bom == b"II":
         e = "<"
@@ -349,18 +396,43 @@ def decode_geotiff(
     if predictor not in (1, 2):
         raise NotImplementedError(f"unsupported TIFF predictor {predictor}")
 
+    if tags.get(TAG_PLANAR, [1])[0] != 1:
+        raise NotImplementedError(
+            "planar-separate (PlanarConfiguration=2) TIFF not supported — "
+            "chunky interleaved only"
+        )
     w, h = tags[TAG_WIDTH][0], tags[TAG_HEIGHT][0]
     bands = tags.get(TAG_SAMPLES, [1])[0]
     dec = _STRIP_DECODERS[comp]
-    strips = b"".join(
-        dec(buf[o : o + c])
-        for o, c in zip(tags[TAG_STRIP_OFFSETS], tags[TAG_STRIP_COUNTS])
-    )
-    pix = np.frombuffer(strips, dtype=np.uint8, count=w * h * bands).reshape(
-        h, w, bands
-    )
-    if predictor == 2:  # undo horizontal differencing: per-row cumsum mod 256
-        pix = (np.cumsum(pix, axis=1, dtype=np.int64) % 256).astype(np.uint8)
+    if TAG_TILE_OFFSETS in tags:  # tiled layout (tags 322-325)
+        tw, th = tags[TAG_TILE_WIDTH][0], tags[TAG_TILE_LENGTH][0]
+        ta, td = -(-w // tw), -(-h // th)
+        offs, cnts = tags[TAG_TILE_OFFSETS], tags[TAG_TILE_COUNTS]
+        if len(offs) != ta * td:
+            raise ValueError(
+                f"tile count {len(offs)} != grid {ta}x{td} for {w}x{h} "
+                f"raster with {tw}x{th} tiles"
+            )
+        full = np.zeros((td * th, ta * tw, bands), np.uint8)
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            t = np.frombuffer(
+                dec(buf[o : o + c]), dtype=np.uint8, count=tw * th * bands
+            ).reshape(th, tw, bands)
+            if predictor == 2:
+                t = _undiff_rows(t)
+            r, cx = divmod(i, ta)
+            full[r * th : (r + 1) * th, cx * tw : (cx + 1) * tw] = t
+        pix = full[:h, :w]
+    else:
+        strips = b"".join(
+            dec(buf[o : o + c])
+            for o, c in zip(tags[TAG_STRIP_OFFSETS], tags[TAG_STRIP_COUNTS])
+        )
+        pix = np.frombuffer(strips, dtype=np.uint8, count=w * h * bands).reshape(
+            h, w, bands
+        )
+        if predictor == 2:
+            pix = _undiff_rows(pix)
     if bands == 1:
         pix = pix[:, :, 0]
 

@@ -144,3 +144,57 @@ def test_read_geotiff_spark(spark, tmp_path):
     assert (r.maxx, r.miny) == (13.0 + 32 * 0.125, 50.0 - 32 * 0.25)
     got = np.frombuffer(r.pixels, dtype=np.uint8).reshape(32, 32)
     np.testing.assert_array_equal(got, pixels_for(3, 32, 32))
+
+
+@pytest.mark.parametrize("comp", [TIF.COMP_NONE, TIF.COMP_LZW,
+                                  TIF.COMP_DEFLATE, TIF.COMP_PACKBITS])
+@pytest.mark.parametrize("byteorder", ["II", "MM"])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_geotiff_tiled_roundtrip(comp, byteorder, predictor):
+    """TILED layout (tags 322-325, the COG/Landsat internal blocking):
+    37x53 raster with 16x16 tiles → 3x4 grid, every edge tile partial
+    (zero-padded on disk, cropped on decode); all codecs × byte orders ×
+    predictors."""
+    rng = np.random.RandomState(comp % 89 + predictor)
+    base = (np.arange(37)[:, None, None] * 5 + np.arange(53)[None, :, None] * 11
+            + np.arange(3)[None, None, :] * 17)
+    pix = ((base + rng.randint(0, 7, size=(37, 53, 3))) % 256).astype(np.uint8)
+    buf = TIF.encode_geotiff(
+        pix, origin=(-120.0, 38.5), scale=(0.25, 0.125),
+        compression=comp, predictor=predictor, tile_size=(16, 16),
+        byteorder=byteorder,
+    )
+    got, origin, scale = TIF.decode_geotiff(buf)
+    np.testing.assert_array_equal(got, pix)
+    assert origin == (-120.0, 38.5) and scale == (0.25, 0.125)
+
+
+def test_geotiff_tiled_gray_and_exact_grid():
+    """Single band + dims that are exact tile multiples (no padding)."""
+    pix = ((np.arange(32)[:, None] * 7 + np.arange(48)[None, :] * 3) % 256).astype(
+        np.uint8
+    )
+    got, origin, _ = TIF.decode_geotiff(
+        TIF.encode_geotiff(pix, origin=(5.0, 50.0), scale=(0.1, 0.1),
+                           compression=TIF.COMP_LZW, predictor=2,
+                           tile_size=(16, 32))
+    )
+    np.testing.assert_array_equal(got, pix)
+
+
+def test_geotiff_tiled_matches_stripped_bytes_decode():
+    """Same raster through both layouts decodes identically."""
+    rng = np.random.RandomState(42)
+    pix = rng.randint(0, 256, size=(19, 27, 3), dtype=np.uint8)
+    kw = dict(origin=(0.0, 0.0), scale=(1.0, 1.0),
+              compression=TIF.COMP_DEFLATE, predictor=2)
+    a, _, _ = TIF.decode_geotiff(TIF.encode_geotiff(pix, rows_per_strip=4, **kw))
+    b, _, _ = TIF.decode_geotiff(TIF.encode_geotiff(pix, tile_size=(16, 16), **kw))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, pix)
+
+
+def test_geotiff_tile_dims_must_be_multiples_of_16():
+    pix = np.zeros((20, 20), np.uint8)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        TIF.encode_geotiff(pix, origin=(0, 0), scale=(1, 1), tile_size=(20, 16))
