@@ -11,9 +11,11 @@ dependency-free posture as sources/png.py.  Compression codecs implemented
 per TIFF 6.0 §7 (PackBits, 32773), §13 (LZW with the spec's early-change
 code widths, 5) and the Adobe/old Deflate extensions (8 / 32946, zlib
 streams), each with the horizontal-differencing Predictor (tag 317 = 2)
-real Landsat/earth-observation scenes ship with.  JPEG-in-TIFF and
-non-8-bit samples still raise NotImplementedError with a clear message —
-exactly where a deployment slots in rasterio/GDAL.
+real Landsat/earth-observation scenes ship with; both the strip and the
+tiled (§15, COG-style) layouts; 8- and 16-bit unsigned samples (real
+Landsat Level-1 is 16-bit).  JPEG-in-TIFF, other sample depths and
+planar-separate files still raise NotImplementedError with a clear
+message — exactly where a deployment slots in rasterio/GDAL.
 
 Spark shape: one file per task (binaryFile scan + Arrow-batched decode),
 yielding georeferenced raster rows (pixels + envelope) that feed the
@@ -215,17 +217,21 @@ _STRIP_ENCODERS = {
 
 
 def _diff_rows(pix: np.ndarray) -> np.ndarray:
-    """Horizontal-differencing predictor (tag 317 = 2), forward."""
-    body = pix.astype(np.int16)
-    body[:, 1:, :] = (body[:, 1:, :] - body[:, :-1, :]) % 256
-    return body.astype(np.uint8)
+    """Horizontal-differencing predictor (tag 317 = 2), forward.  Operates
+    on SAMPLE VALUES (mod 2^bits — for 16-bit samples the differencing is
+    on the 16-bit words, not the bytes, per TIFF 6.0 §14)."""
+    mod = 1 << (8 * pix.itemsize)
+    body = pix.astype(np.int64)
+    body[:, 1:, :] = (body[:, 1:, :] - body[:, :-1, :]) % mod
+    return body.astype(pix.dtype)
 
 
 def _undiff_rows(pix: np.ndarray) -> np.ndarray:
-    """Horizontal-differencing predictor, inverse (per-row cumsum mod 256).
-    Applied per decompression chunk: each strip/tile restarts the
-    accumulator at its own first column (TIFF 6.0 §14)."""
-    return (np.cumsum(pix, axis=1, dtype=np.int64) % 256).astype(np.uint8)
+    """Horizontal-differencing predictor, inverse (per-row cumsum mod
+    2^bits).  Applied per decompression chunk: each strip/tile restarts
+    the accumulator at its own first column (TIFF 6.0 §14)."""
+    mod = 1 << (8 * pix.itemsize)
+    return (np.cumsum(pix, axis=1, dtype=np.int64) % mod).astype(pix.dtype)
 
 
 def encode_geotiff(
@@ -238,22 +244,28 @@ def encode_geotiff(
     tile_size: tuple[int, int] | None = None,
     byteorder: str = "II",
 ) -> bytes:
-    """uint8 raster (h,w) or (h,w,bands) → GeoTIFF bytes.
+    """uint8/uint16 raster (h,w) or (h,w,bands) → GeoTIFF bytes.
 
     ``origin`` = (lon, lat) of the TOP-LEFT corner (raster space 0,0 —
     GeoTIFF tiepoint convention), ``scale`` = (deg/px east, deg/px south),
     both positive.  Chunky planar layout; ``compression`` ∈ {1 none,
     5 LZW, 8/32946 deflate, 32773 packbits}; ``predictor=2`` applies
     horizontal differencing before compression (the layout real Landsat
-    scenes use); ``byteorder`` 'II' little / 'MM' big.
+    scenes use); ``byteorder`` 'II' little / 'MM' big.  uint16 input
+    writes BitsPerSample=16 with sample bytes in the file's byte order —
+    the layout actual Landsat Level-1 band files use.
 
     ``tile_size`` = (tile_width, tile_height) switches to the TILED
     layout (TIFF 6.0 §15, tags 322-325 — the cloud-optimized-GeoTIFF /
     Landsat internal blocking): the raster is cut into fixed tiles in
     row-major tile order, right/bottom edge tiles zero-padded to full
     size as the spec requires; dims must be multiples of 16."""
-    if pix.dtype != np.uint8:
-        raise ValueError("encoder writes 8-bit samples")
+    if pix.dtype == np.uint8:
+        bits = 8
+    elif pix.dtype == np.uint16:
+        bits = 16
+    else:
+        raise ValueError("encoder writes 8- or 16-bit unsigned samples")
     if compression not in _STRIP_ENCODERS:
         raise ValueError(f"unsupported compression {compression}")
     if byteorder not in ("II", "MM"):
@@ -261,6 +273,9 @@ def encode_geotiff(
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor {predictor}")
     e = "<" if byteorder == "II" else ">"
+    # sample bytes follow the FILE byte order (TIFF 6.0: multi-byte
+    # samples are stored in the header's byte order)
+    sdt = np.uint8 if bits == 8 else np.dtype(e + "u2")
     if pix.ndim == 2:
         pix = pix[:, :, None]
     h, w, bands = pix.shape
@@ -270,7 +285,7 @@ def encode_geotiff(
         if tw % 16 or th % 16 or tw <= 0 or th <= 0:
             raise ValueError("TIFF tile dimensions must be positive multiples of 16")
         ta, td = -(-w // tw), -(-h // th)
-        padded = np.zeros((td * th, ta * tw, bands), np.uint8)
+        padded = np.zeros((td * th, ta * tw, bands), pix.dtype)
         padded[:h, :w] = pix  # pad BEFORE the predictor: decode undoes it per tile
         chunks = []
         for r in range(td):
@@ -278,12 +293,14 @@ def encode_geotiff(
                 t = padded[r * th : (r + 1) * th, c * tw : (c + 1) * tw]
                 if predictor == 2:
                     t = _diff_rows(t)
-                chunks.append(enc(t.tobytes()))
+                chunks.append(enc(t.astype(sdt).tobytes()))
     else:
         if predictor == 2:
             pix = _diff_rows(pix)
         rps = h if rows_per_strip is None else int(rows_per_strip)
-        chunks = [enc(pix[r : r + rps].tobytes()) for r in range(0, h, rps)]
+        chunks = [
+            enc(pix[r : r + rps].astype(sdt).tobytes()) for r in range(0, h, rps)
+        ]
     offsets, counts, off = [], [], 8
     for s in chunks:
         offsets.append(off)
@@ -309,7 +326,7 @@ def encode_geotiff(
     entries = [
         entry(TAG_WIDTH, _T_LONG, [w]),
         entry(TAG_HEIGHT, _T_LONG, [h]),
-        entry(TAG_BITS, _T_SHORT, [8] * bands),
+        entry(TAG_BITS, _T_SHORT, [bits] * bands),
         entry(TAG_COMPRESSION, _T_SHORT, [compression]),
         entry(TAG_PHOTOMETRIC, _T_SHORT, [2 if bands >= 3 else 1]),
     ]
@@ -352,15 +369,19 @@ def encode_geotiff(
 def decode_geotiff(
     buf: bytes,
 ) -> tuple[np.ndarray, tuple[float, float] | None, tuple[float, float] | None]:
-    """GeoTIFF bytes → (pixels (h,w) or (h,w,bands) uint8, origin, scale).
+    """GeoTIFF bytes → (pixels (h,w) or (h,w,bands) uint8/uint16, origin,
+    scale).
 
     Handles both byte orders, multi-strip AND tiled layouts (TIFF 6.0
     §15 tags 322-325 — the cloud-optimized-GeoTIFF / Landsat internal
-    blocking; edge tiles are stored full-size and cropped here), inline
+    blocking; edge tiles are stored full-size and cropped here), 8- and
+    16-bit unsigned samples (16-bit is real Landsat Level-1 — sample
+    words follow the file byte order, output is native uint16), inline
     and out-of-line values, LZW/deflate/packbits chunks,
-    horizontal-differencing predictor (undone per chunk — each strip or
-    tile restarts the accumulator).  Raises NotImplementedError for
-    JPEG-in-TIFF / non-8-bit / planar-separate."""
+    horizontal-differencing predictor (undone per chunk on sample
+    values — each strip or tile restarts the accumulator).  Raises
+    NotImplementedError for JPEG-in-TIFF / other depths /
+    planar-separate."""
     bom = buf[:2]
     if bom == b"II":
         e = "<"
@@ -390,8 +411,13 @@ def decode_geotiff(
             f"unsupported TIFF compression {comp} (have: none/LZW/deflate/"
             "packbits) — plug in rasterio/GDAL for JPEG-in-TIFF etc."
         )
-    if any(b != 8 for b in tags.get(TAG_BITS, [8])):
-        raise NotImplementedError("only 8-bit samples in this decoder")
+    bits_list = tags.get(TAG_BITS, [8])
+    if len(set(bits_list)) != 1 or bits_list[0] not in (8, 16):
+        raise NotImplementedError(
+            f"unsupported BitsPerSample {bits_list} — uniform 8- or 16-bit "
+            "unsigned samples only (16-bit is the real Landsat Level-1 depth)"
+        )
+    bits = bits_list[0]
     predictor = tags.get(TAG_PREDICTOR, [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"unsupported TIFF predictor {predictor}")
@@ -403,6 +429,8 @@ def decode_geotiff(
         )
     w, h = tags[TAG_WIDTH][0], tags[TAG_HEIGHT][0]
     bands = tags.get(TAG_SAMPLES, [1])[0]
+    # sample bytes are in the FILE byte order; normalized to native below
+    sdt = np.uint8 if bits == 8 else np.dtype(e + "u2")
     dec = _STRIP_DECODERS[comp]
     if TAG_TILE_OFFSETS in tags:  # tiled layout (tags 322-325)
         tw, th = tags[TAG_TILE_WIDTH][0], tags[TAG_TILE_LENGTH][0]
@@ -413,10 +441,10 @@ def decode_geotiff(
                 f"tile count {len(offs)} != grid {ta}x{td} for {w}x{h} "
                 f"raster with {tw}x{th} tiles"
             )
-        full = np.zeros((td * th, ta * tw, bands), np.uint8)
+        full = np.zeros((td * th, ta * tw, bands), sdt)
         for i, (o, c) in enumerate(zip(offs, cnts)):
             t = np.frombuffer(
-                dec(buf[o : o + c]), dtype=np.uint8, count=tw * th * bands
+                dec(buf[o : o + c]), dtype=sdt, count=tw * th * bands
             ).reshape(th, tw, bands)
             if predictor == 2:
                 t = _undiff_rows(t)
@@ -428,11 +456,12 @@ def decode_geotiff(
             dec(buf[o : o + c])
             for o, c in zip(tags[TAG_STRIP_OFFSETS], tags[TAG_STRIP_COUNTS])
         )
-        pix = np.frombuffer(strips, dtype=np.uint8, count=w * h * bands).reshape(
+        pix = np.frombuffer(strips, dtype=sdt, count=w * h * bands).reshape(
             h, w, bands
         )
         if predictor == 2:
             pix = _undiff_rows(pix)
+    pix = pix.astype(np.uint8 if bits == 8 else np.uint16, copy=False)
     if bands == 1:
         pix = pix[:, :, 0]
 
@@ -458,6 +487,7 @@ GEOTIFF_SCHEMA = T.StructType(
         T.StructField("w", T.IntegerType()),
         T.StructField("h", T.IntegerType()),
         T.StructField("bands", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),  # sample depth (8 or 16)
         T.StructField("lon0", T.DoubleType()),   # top-left corner
         T.StructField("lat0", T.DoubleType()),
         T.StructField("sx", T.DoubleType()),     # deg/px east
@@ -467,7 +497,9 @@ GEOTIFF_SCHEMA = T.StructType(
         T.StructField("maxx", T.DoubleType()),
         T.StructField("maxy", T.DoubleType()),
         T.StructField("px_sum", T.LongType()),
-        T.StructField("pixels", T.BinaryType()),  # raw chunky uint8
+        # raw chunky samples, LITTLE-endian words regardless of source
+        # file order (one canonical layout for downstream consumers)
+        T.StructField("pixels", T.BinaryType()),
     ]
 )
 
@@ -488,6 +520,7 @@ def read_geotiff(spark: SparkSession, glob: str) -> DataFrame:
                 pix, origin, scale = decode_geotiff(bytes(r.content))
                 h, w = pix.shape[:2]
                 bands = 1 if pix.ndim == 2 else pix.shape[2]
+                bits = 8 * pix.itemsize
                 lon0, lat0 = origin if origin else (None, None)
                 sx, sy = scale if scale else (None, None)
                 env = (
@@ -495,14 +528,15 @@ def read_geotiff(spark: SparkSession, glob: str) -> DataFrame:
                     if origin
                     else (None, None, None, None)
                 )
+                out_pix = pix if bits == 8 else pix.astype("<u2")
                 rows.append(
                     (
-                        r.path, w, h, bands, lon0, lat0, sx, sy, *env,
-                        int(pix.sum(dtype=np.int64)), pix.tobytes(),
+                        r.path, w, h, bands, bits, lon0, lat0, sx, sy, *env,
+                        int(pix.sum(dtype=np.int64)), out_pix.tobytes(),
                     )
                 )
             pdf = pd.DataFrame(rows, columns=cols)
-            for icol in ("w", "h", "bands"):
+            for icol in ("w", "h", "bands", "bits"):
                 pdf[icol] = pdf[icol].astype("int32")
             pdf["px_sum"] = pdf["px_sum"].astype("int64")
             yield pdf

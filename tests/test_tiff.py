@@ -198,3 +198,54 @@ def test_geotiff_tile_dims_must_be_multiples_of_16():
     pix = np.zeros((20, 20), np.uint8)
     with pytest.raises(ValueError, match="multiples of 16"):
         TIF.encode_geotiff(pix, origin=(0, 0), scale=(1, 1), tile_size=(20, 16))
+
+
+@pytest.mark.parametrize("comp", [TIF.COMP_NONE, TIF.COMP_LZW, TIF.COMP_DEFLATE])
+@pytest.mark.parametrize("byteorder", ["II", "MM"])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("tiled", [False, True])
+def test_geotiff_16bit_roundtrip(comp, byteorder, predictor, tiled):
+    """16-bit unsigned samples (real Landsat Level-1 depth): words in the
+    file's byte order, predictor differencing on 16-bit VALUES (incl.
+    deltas that wrap mod 65536), strip and tiled layouts."""
+    rng = np.random.RandomState(3 * comp + predictor + tiled)
+    # full 16-bit range incl. >255 and wrap-prone jumps
+    pix = rng.randint(0, 65536, size=(21, 35), dtype=np.uint16)
+    kw = dict(tile_size=(16, 16)) if tiled else dict(rows_per_strip=6)
+    buf = TIF.encode_geotiff(
+        pix, origin=(10.0, 45.0), scale=(0.01, 0.01),
+        compression=comp, predictor=predictor, byteorder=byteorder, **kw,
+    )
+    got, origin, scale = TIF.decode_geotiff(buf)
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, pix)
+    assert origin == (10.0, 45.0)
+
+
+def test_geotiff_16bit_multiband_and_spark_reader(spark, tmp_path):
+    """3-band uint16 through the distributed reader: bits column, px_sum
+    over 16-bit values, pixels round-trip as little-endian words."""
+    rng = np.random.RandomState(11)
+    pix = rng.randint(0, 65536, size=(17, 23, 3), dtype=np.uint16)
+    buf = TIF.encode_geotiff(
+        pix, origin=(-3.0, 51.0), scale=(0.02, 0.04),
+        compression=TIF.COMP_LZW, predictor=2, byteorder="MM",
+    )
+    (tmp_path / "scene16.tif").write_bytes(buf)
+    row = TIF.read_geotiff(spark, str(tmp_path / "*.tif")).collect()[0]
+    assert (row.w, row.h, row.bands, row.bits) == (23, 17, 3, 16)
+    assert row.px_sum == int(pix.sum(dtype=np.int64))
+    back = np.frombuffer(row.pixels, dtype="<u2").reshape(17, 23, 3)
+    np.testing.assert_array_equal(back, pix)
+
+
+def test_geotiff_rejects_other_depths():
+    pix = np.zeros((8, 8), np.uint8)
+    buf = bytearray(TIF.encode_geotiff(pix, origin=(0, 0), scale=(1, 1)))
+    # corrupt BitsPerSample to 32 in place: find the tag-258 IFD entry
+    import struct
+    idx = bytes(buf).rfind(struct.pack("<HHI", TIF.TAG_BITS, 3, 1))
+    assert idx > 0
+    struct.pack_into("<H", buf, idx + 8, 32)
+    with pytest.raises(NotImplementedError, match="BitsPerSample"):
+        TIF.decode_geotiff(bytes(buf))
