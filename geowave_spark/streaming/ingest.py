@@ -314,6 +314,59 @@ def stream_geofence(
     return writer.start()
 
 
+def stream_cql(
+    spark: SparkSession,
+    source,
+    where: str,
+    schema,
+    sink_dir: str,
+    checkpoint_dir: str,
+    max_cells: int = 48,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    available_now: bool = True,
+):
+    """Continuous CQL filtering: the SAME WHERE string the batch `query`
+    verb takes, planned by the S2 leaf-range planner (plans/s2cql.py)
+    against the stream.
+
+    Why the S2 planner and not the tiered one here: its spatial plan is
+    a pure SCAN FILTER — the covering is compiled driver-side from the
+    query literal into ≤max_cells two-compare range arms, so the
+    streaming plan has no join, no state, no watermark; a stateless map
+    that scales with source parallelism (the reference's
+    constraints-to-ranges query path, pushed into a stream).  Residual
+    and timestamp predicates ride the same filter.
+
+    Restriction: ONE spatial clause.  An OR group of several would need
+    the union + id-dedup linearization, and dropDuplicates on an
+    unwatermarked stream keeps every id in state forever — run one
+    stream per clause instead (raises with that guidance)."""
+    from geowave_spark.plans.cql import _spatial_matches
+    from geowave_spark.plans.s2cql import s2_cql_query
+
+    if len(_spatial_matches(where)) > 1:
+        raise ValueError(
+            "stream_cql supports one spatial clause: the OR-group "
+            "linearization dedups by id, which is unbounded state on a "
+            "stream — run one stream per clause and union the sinks"
+        )
+    raw = open_stream(spark, source, schema)
+    milli = raw.withColumn(
+        "lon_milli", F.round(F.col(lon_col) * 1000).cast("long")
+    ).withColumn("lat_milli", F.round(F.col(lat_col) * 1000).cast("long"))
+    matched = s2_cql_query(milli, where, max_cells=max_cells)
+    writer = (
+        matched.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_knn(
     spark: SparkSession,
     source,

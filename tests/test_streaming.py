@@ -383,3 +383,42 @@ def test_stream_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
         for r in OD.incremental_dedup(None, batch, corpus_bands=idx).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_cql_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming CQL (S2 leaf-range scan filter — no join, no state) ==
+    the batch S2 planner over the same staged events; compound string
+    with time + residual predicates."""
+    from geowave_spark.plans.s2cql import s2_cql_query
+    from geowave_spark.streaming.ingest import stream_cql
+
+    src = str(tmp_path / "cqlsrc")
+    geo = TB.geo_events(spark, sf_dir)
+    geo.coalesce(1).write.mode("overwrite").parquet(src)
+
+    where = (
+        "BBOX(geom, -76.0, 40.0, -72.0, 47.0) "
+        "AND ts BETWEEN '2024-01-01 00:00:00' AND '2024-01-20 23:59:59' "
+        "AND event_type IN ('click', 'purchase')"
+    )
+    sink, ckpt = str(tmp_path / "cqlsink"), str(tmp_path / "cqlckpt")
+    q = stream_cql(spark, src, where, geo.schema, sink, ckpt)
+    q.awaitTermination(180)
+
+    got = {r.event_id for r in spark.read.parquet(sink).select("event_id").collect()}
+    want = {r.event_id for r in s2_cql_query(geo, where).select("event_id").collect()}
+    assert got == want and len(want) > 0
+
+
+def test_stream_cql_rejects_or_group(spark, sf_dir, tmp_path):
+    import pytest
+
+    from geowave_spark.streaming.ingest import stream_cql
+
+    geo = TB.geo_events(spark, sf_dir)
+    with pytest.raises(ValueError, match="one spatial clause"):
+        stream_cql(
+            spark, str(tmp_path), 
+            "BBOX(geom, 0, 0, 1, 1) OR BBOX(geom, 2, 2, 3, 3)",
+            geo.schema, str(tmp_path / "s"), str(tmp_path / "c"),
+        )
