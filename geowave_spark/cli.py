@@ -195,6 +195,15 @@ def cmd_ingest(args, spark_injected, out) -> int:
     from geowave_spark.operators import index as OI
 
     df, kind = _read_source(spark, args.format, args.src, args)
+    if getattr(args, "crs", None) and args.crs.upper() != "EPSG:4326":
+        # projected source (Landsat-style UTM, Web Mercator, ...): attach
+        # lon/lat via the closed forms / pyproj hook, then index on those
+        if kind != "points":
+            raise SystemExit("--crs applies to point sources (x/y columns)")
+        from geowave_spark.functions.crs import with_wgs84
+
+        df = with_wgs84(df, args.lon_col, args.lat_col, args.crs)
+        args.lon_col, args.lat_col = "lon", "lat"
     if idx.get("strategy", "tiered") == "s2":
         if kind != "points":
             raise SystemExit(
@@ -534,6 +543,9 @@ def _build_parser() -> argparse.ArgumentParser:
     i.add_argument("--lat-col", default="lat")
     i.add_argument("--id-col", default="event_id")
     i.add_argument("--append", action="store_true")
+    # source CRS (AddStoreCommand's CRS plugin option): projected x/y in
+    # --lon-col/--lat-col are transformed to WGS84 before indexing
+    i.add_argument("--crs", default="EPSG:4326")
 
     s = sub.add_parser("stat")
     ss = s.add_subparsers(dest="stat_cmd", required=True)

@@ -40,6 +40,12 @@ TAG_TILE_WIDTH, TAG_TILE_LENGTH = 322, 323
 TAG_TILE_OFFSETS, TAG_TILE_COUNTS = 324, 325
 TAG_SAMPLE_FORMAT = 339
 TAG_MODEL_PIXEL_SCALE, TAG_MODEL_TIEPOINT = 33550, 33922
+TAG_GEO_KEYS = 34735  # GeoKeyDirectory (GeoTIFF 1.1 §7.1)
+
+# GeoKey ids (GeoTIFF 1.1 public spec)
+GKEY_MODEL_TYPE = 1024       # 1 = projected, 2 = geographic
+GKEY_GEOGRAPHIC_CS = 2048    # EPSG geographic code (e.g. 4326)
+GKEY_PROJECTED_CS = 3072     # EPSG projected code (e.g. 32633 = UTM 33N)
 
 COMP_NONE, COMP_LZW, COMP_DEFLATE = 1, 5, 8
 COMP_PACKBITS, COMP_DEFLATE_OLD = 32773, 32946
@@ -243,6 +249,7 @@ def encode_geotiff(
     rows_per_strip: int | None = None,
     tile_size: tuple[int, int] | None = None,
     byteorder: str = "II",
+    epsg: int | None = None,
 ) -> bytes:
     """uint8/uint16 raster (h,w) or (h,w,bands) → GeoTIFF bytes.
 
@@ -354,6 +361,16 @@ def encode_geotiff(
             [0.0, 0.0, 0.0, float(origin[0]), float(origin[1]), 0.0],
         ),
     ]
+    if epsg is not None:
+        # GeoKeyDirectory (GeoTIFF 1.1 §7.1): version header + inline
+        # SHORT keys; geographic CRS → GeographicTypeGeoKey, projected
+        # (UTM etc. — what real Landsat carries) → ProjectedCSTypeGeoKey
+        geographic = epsg == 4326
+        gkeys = [1, 1, 0, 2, GKEY_MODEL_TYPE, 0, 1, 2 if geographic else 1]
+        gkeys += [
+            GKEY_GEOGRAPHIC_CS if geographic else GKEY_PROJECTED_CS, 0, 1, epsg
+        ]
+        entries.append(entry(TAG_GEO_KEYS, _T_SHORT, gkeys))
     # IFD entries MUST be sorted by tag (TIFF 6.0); PREDICTOR (317) lands
     # after PLANAR (284) and before the tile block (322-325) / SAMPLE_FORMAT
     # (339), so the list is in tag order by construction for both layouts
@@ -364,6 +381,59 @@ def encode_geotiff(
         + struct.pack(e + "I", 0)  # no next IFD
     )
     return struct.pack(e + "2sHI", byteorder.encode(), 42, ifd_off) + data + bytes(extra) + ifd
+
+
+def _parse_ifd(buf: bytes) -> tuple[str, dict[int, list]]:
+    """TIFF header + first IFD → (endianness char, {tag: values})."""
+    bom = buf[:2]
+    if bom == b"II":
+        e = "<"
+    elif bom == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    magic, ifd_off = struct.unpack_from(e + "HI", buf, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    (n,) = struct.unpack_from(e + "H", buf, ifd_off)
+    tags: dict[int, list] = {}
+    fmt_of = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}
+    for k in range(n):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack_from(e + "HHI", buf, off)
+        if typ not in _SZ:
+            continue  # rational/ascii tags: not needed for baseline decode
+        size = _SZ[typ] * count
+        voff = off + 8 if size <= 4 else struct.unpack_from(e + "I", buf, off + 8)[0]
+        tags[tag] = list(struct.unpack_from(e + str(count) + fmt_of[typ], buf, voff))
+    return e, tags
+
+
+def geotiff_epsg(buf: bytes) -> int | None:
+    """EPSG code from the GeoKeyDirectory (tag 34735), or None.
+
+    Reads ProjectedCSTypeGeoKey (3072) for projected scenes (real Landsat
+    is UTM — EPSG:326xx) and GeographicTypeGeoKey (2048) for geographic
+    ones; only inline SHORT values are consulted (codes always are)."""
+    _, tags = _parse_ifd(buf)
+    gk = tags.get(TAG_GEO_KEYS)
+    if not gk or len(gk) < 4:
+        return None
+    keys = {}
+    n_keys = gk[3]
+    for i in range(1, n_keys + 1):
+        base = 4 * i
+        if base + 4 > len(gk):
+            break
+        kid, loc, cnt, val = gk[base : base + 4]
+        if loc == 0:  # inline SHORT value
+            keys[kid] = val
+    model = keys.get(GKEY_MODEL_TYPE)
+    if model == 1:
+        return keys.get(GKEY_PROJECTED_CS)
+    if model == 2:
+        return keys.get(GKEY_GEOGRAPHIC_CS)
+    return keys.get(GKEY_PROJECTED_CS) or keys.get(GKEY_GEOGRAPHIC_CS)
 
 
 def decode_geotiff(
@@ -382,29 +452,7 @@ def decode_geotiff(
     values — each strip or tile restarts the accumulator).  Raises
     NotImplementedError for JPEG-in-TIFF / other depths /
     planar-separate."""
-    bom = buf[:2]
-    if bom == b"II":
-        e = "<"
-    elif bom == b"MM":
-        e = ">"
-    else:
-        raise ValueError("not a TIFF (bad byte-order mark)")
-    magic, ifd_off = struct.unpack_from(e + "HI", buf, 2)
-    if magic != 42:
-        raise ValueError("not a TIFF (bad magic)")
-
-    (n,) = struct.unpack_from(e + "H", buf, ifd_off)
-    tags: dict[int, list] = {}
-    fmt_of = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}
-    for k in range(n):
-        off = ifd_off + 2 + 12 * k
-        tag, typ, count = struct.unpack_from(e + "HHI", buf, off)
-        if typ not in _SZ:
-            continue  # rational/ascii tags: not needed for baseline decode
-        size = _SZ[typ] * count
-        voff = off + 8 if size <= 4 else struct.unpack_from(e + "I", buf, off + 8)[0]
-        tags[tag] = list(struct.unpack_from(e + str(count) + fmt_of[typ], buf, voff))
-
+    e, tags = _parse_ifd(buf)
     comp = tags.get(TAG_COMPRESSION, [1])[0]
     if comp not in _STRIP_DECODERS:
         raise NotImplementedError(
@@ -488,14 +536,15 @@ GEOTIFF_SCHEMA = T.StructType(
         T.StructField("h", T.IntegerType()),
         T.StructField("bands", T.IntegerType()),
         T.StructField("bits", T.IntegerType()),  # sample depth (8 or 16)
-        T.StructField("lon0", T.DoubleType()),   # top-left corner
+        T.StructField("epsg", T.IntegerType()),  # GeoKeyDirectory CRS (null = none)
+        T.StructField("lon0", T.DoubleType()),   # top-left corner, NATIVE CRS units
         T.StructField("lat0", T.DoubleType()),
-        T.StructField("sx", T.DoubleType()),     # deg/px east
-        T.StructField("sy", T.DoubleType()),     # deg/px south
-        T.StructField("minx", T.DoubleType()),   # derived envelope
-        T.StructField("miny", T.DoubleType()),
-        T.StructField("maxx", T.DoubleType()),
-        T.StructField("maxy", T.DoubleType()),
+        T.StructField("sx", T.DoubleType()),     # units/px east (native CRS)
+        T.StructField("sy", T.DoubleType()),     # units/px south (native CRS)
+        T.StructField("minx", T.DoubleType()),   # envelope in EPSG:4326 degrees
+        T.StructField("miny", T.DoubleType()),   # (reprojected from UTM/3857
+        T.StructField("maxx", T.DoubleType()),   # via the closed forms when the
+        T.StructField("maxy", T.DoubleType()),   # scene is projected)
         T.StructField("px_sum", T.LongType()),
         # raw chunky samples, LITTLE-endian words regardless of source
         # file order (one canonical layout for downstream consumers)
@@ -508,36 +557,59 @@ def read_geotiff(spark: SparkSession, glob: str) -> DataFrame:
     """GeoTIFF files → georeferenced raster rows.  The envelope columns feed
     ``index_envelopes``/``assign_tiles`` directly (the RasterDataAdapter
     ingest: scene → footprint → pyramid tiles); ``pixels`` carries the
-    decoded raster for the mosaic/retile operators."""
+    decoded raster for the mosaic/retile operators.
+
+    Scenes whose GeoKeyDirectory names a projected CRS the engine has a
+    closed form for (WGS84 UTM zones, Web Mercator) get their envelope
+    REPROJECTED to EPSG:4326 — the canonical index grid — via a densified
+    corner walk (crs.transform_box), exactly the reference's Landsat8
+    path (RasterIngestRunner reprojects scene footprints before
+    indexing).  Projected scenes with no built-in closed form keep a
+    null envelope and their native origin/scale + epsg, so the caller
+    can route them through pyproj rather than silently mis-indexing
+    metres as degrees."""
 
     def kernel(batches):
         import pandas as pd
+
+        from geowave_spark.functions import crs as CRS
 
         cols = [f.name for f in GEOTIFF_SCHEMA.fields]
         for b in batches:
             rows = []
             for r in b.itertuples():
-                pix, origin, scale = decode_geotiff(bytes(r.content))
+                content = bytes(r.content)
+                pix, origin, scale = decode_geotiff(content)
+                epsg = geotiff_epsg(content)
                 h, w = pix.shape[:2]
                 bands = 1 if pix.ndim == 2 else pix.shape[2]
                 bits = 8 * pix.itemsize
                 lon0, lat0 = origin if origin else (None, None)
                 sx, sy = scale if scale else (None, None)
-                env = (
-                    (lon0, lat0 - h * sy, lon0 + w * sx, lat0)
-                    if origin
-                    else (None, None, None, None)
-                )
+                env = (None, None, None, None)
+                if origin:
+                    env = (lon0, lat0 - h * sy, lon0 + w * sx, lat0)
+                    if epsg is not None and epsg != 4326:
+                        try:
+                            env = CRS.transform_box(
+                                env[0], env[1], env[2], env[3], f"EPSG:{epsg}"
+                            )
+                        except NotImplementedError:
+                            env = (None, None, None, None)  # no closed form:
+                            # native units must NOT pose as degrees
                 out_pix = pix if bits == 8 else pix.astype("<u2")
                 rows.append(
                     (
-                        r.path, w, h, bands, bits, lon0, lat0, sx, sy, *env,
-                        int(pix.sum(dtype=np.int64)), out_pix.tobytes(),
+                        r.path, w, h, bands, bits, epsg, lon0, lat0, sx, sy,
+                        *env, int(pix.sum(dtype=np.int64)), out_pix.tobytes(),
                     )
                 )
             pdf = pd.DataFrame(rows, columns=cols)
             for icol in ("w", "h", "bands", "bits"):
                 pdf[icol] = pdf[icol].astype("int32")
+            # epsg is nullable: pandas would infer float64 (the mixed-null
+            # int trap) — route through nullable Int32
+            pdf["epsg"] = pdf["epsg"].astype("Int32")
             pdf["px_sum"] = pdf["px_sum"].astype("int64")
             yield pdf
 

@@ -287,3 +287,38 @@ def test_cli_pipeline_verb(spark, sf_dir, tmp_path):
              "--invalidate", "splits")
     with pytest.raises(SystemExit, match="unknown store"):
         _run(spark, tmp_path, "pipeline", "corpus", sf_dir, "nope")
+
+
+def test_cli_ingest_utm_crs(spark, tmp_path):
+    """`ingest --crs EPSG:32633` transforms projected x/y to WGS84 via the
+    closed-form Krüger inverse before indexing; a degree-space BBOX query
+    then finds the rows."""
+    import numpy as np
+
+    from geowave_spark.functions import crs as CRS
+
+    rng = np.random.RandomState(9)
+    ex = rng.uniform(400_000, 600_000, 50)
+    ey = rng.uniform(5_000_000, 5_300_000, 50)
+    src = str(tmp_path / "utmsrc")
+    spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(zip(ex, ey))],
+        "event_id long, x double, y double",
+    ).write.parquet(src)
+    store = str(tmp_path / "utmstore")
+    _run(spark, tmp_path, "config", "addstore", "u", "--path", store)
+    _run(spark, tmp_path, "config", "addindex", "sp")
+    _run(
+        spark, tmp_path, "ingest", src, "u", "sp", "--format", "parquet",
+        "--crs", "EPSG:32633", "--lon-col", "x", "--lat-col", "y",
+    )
+    lon, lat = CRS.utm_inverse(ex, ey, 33)
+    q = _run(
+        spark, tmp_path, "query", "u",
+        "BBOX(geom, 13.0, 45.0, 17.0, 48.5)", "--limit", "1000",
+    )
+    n_q = len(q.strip().splitlines()) - 1
+    want = int(
+        ((lon >= 13.0) & (lon <= 17.0) & (lat >= 45.0) & (lat <= 48.5)).sum()
+    )
+    assert n_q == want and want > 0

@@ -69,4 +69,84 @@ def test_unknown_crs_requires_pyproj():
     if has_pyproj:
         pytest.skip("pyproj installed: hook active")
     with pytest.raises(NotImplementedError, match="pyproj"):
-        CRS.get_transformer("EPSG:32633", "EPSG:4326")
+        CRS.get_transformer("EPSG:2154", "EPSG:4326")  # Lambert-93: no closed form
+
+
+# ---------------------------------------------------------------------------
+# UTM (closed-form Krüger series) — checked against an INDEPENDENT numeric
+# oracle: the meridian-arc integral M(φ) = a(1-e²)∫dφ/(1-e²sin²φ)^{3/2},
+# which the transverse Mercator northing must equal (×k0) on the central
+# meridian.  This validates A + the alpha series + the conformal-latitude
+# machinery absolutely, not just as a self-consistent round trip.
+# ---------------------------------------------------------------------------
+
+
+def _meridian_arc(lat_deg: float) -> float:
+    e2 = CRS.WGS84_F * (2.0 - CRS.WGS84_F)
+    phi = np.linspace(0.0, np.radians(lat_deg), 2_000_001)
+    integrand = CRS.WGS84_A * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+    return float(np.trapz(integrand, phi))
+
+
+def test_utm_central_meridian_is_scaled_meridian_arc():
+    for lat in (0.0, 15.0, 45.0, 70.0):
+        e, n = CRS.utm_forward(CRS.utm_central_meridian(33), lat, 33)
+        assert abs(float(e) - 500_000.0) < 1e-6
+        assert abs(float(n) - CRS.UTM_K0 * _meridian_arc(lat)) < 1e-3
+
+
+def test_utm_quarter_meridian_public_constant():
+    """Quarter meridian of WGS84 ≈ 10 001 965.729 m (public geodesy
+    constant) — pins the series absolutely at the pole."""
+    assert abs(_meridian_arc(90.0) - 10_001_965.729) < 0.5
+
+
+def test_utm_roundtrip_within_zone():
+    rng = np.random.RandomState(33)
+    cm = CRS.utm_central_meridian(33)
+    lon = cm + rng.uniform(-3.0, 3.0, 500)
+    lat = rng.uniform(-80.0, 84.0, 500)
+    e, n = CRS.utm_forward(lon, lat, 33)
+    lon2, lat2 = CRS.utm_inverse(e, n, 33)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_utm_south_false_northing():
+    e, n = CRS.utm_forward(CRS.utm_central_meridian(19), 0.0, 19, south=True)
+    assert abs(float(n) - CRS.UTM_FN_SOUTH) < 1e-6
+    lon, lat = CRS.utm_inverse(500_000.0, 10_000_000.0, 19, south=True)
+    assert abs(float(lat)) < 1e-12
+
+
+def test_utm_epsg_routing_and_box():
+    assert CRS.parse_utm_epsg("EPSG:32633") == (33, False)
+    assert CRS.parse_utm_epsg("EPSG:32719") == (19, True)
+    assert CRS.parse_utm_epsg("EPSG:32661") is None  # UPS, not UTM
+    assert CRS.parse_utm_epsg("EPSG:3857") is None
+    f = CRS.get_transformer("EPSG:32633", "EPSG:4326")
+    lon, lat = f(500_000.0, 0.0)
+    assert abs(float(lon) - 15.0) < 1e-12 and abs(float(lat)) < 1e-12
+    # envelope of a UTM box bounds all its interior points in 4326
+    minx, miny, maxx, maxy = CRS.transform_box(
+        400_000, 5_000_000, 600_000, 5_200_000, "EPSG:32633"
+    )
+    rng = np.random.RandomState(7)
+    ex = rng.uniform(400_000, 600_000, 300)
+    ey = rng.uniform(5_000_000, 5_200_000, 300)
+    lon2, lat2 = CRS.utm_inverse(ex, ey, 33)
+    assert (lon2 >= minx - 1e-9).all() and (lon2 <= maxx + 1e-9).all()
+    assert (lat2 >= miny - 1e-9).all() and (lat2 <= maxy + 1e-9).all()
+
+
+def test_with_wgs84_ingest_utm(spark):
+    rng = np.random.RandomState(5)
+    ex = rng.uniform(300_000, 700_000, 200)
+    ey = rng.uniform(4_000_000, 6_000_000, 200)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(ex, ey)], "x double, y double"
+    )
+    got = CRS.with_wgs84(df, "x", "y", "EPSG:32614").select("lon", "lat").toPandas()
+    lon, lat = CRS.utm_inverse(ex, ey, 14)
+    np.testing.assert_allclose(np.sort(got["lon"].to_numpy()), np.sort(lon), atol=1e-12)
+    np.testing.assert_allclose(np.sort(got["lat"].to_numpy()), np.sort(lat), atol=1e-12)

@@ -249,3 +249,61 @@ def test_geotiff_rejects_other_depths():
     struct.pack_into("<H", buf, idx + 8, 32)
     with pytest.raises(NotImplementedError, match="BitsPerSample"):
         TIF.decode_geotiff(bytes(buf))
+
+
+def test_geotiff_geokeys_roundtrip():
+    pix = np.zeros((8, 8), np.uint8)
+    for code in (4326, 32633, 32719, 3857):
+        buf = TIF.encode_geotiff(pix, origin=(0, 0), scale=(1, 1), epsg=code)
+        assert TIF.geotiff_epsg(buf) == code
+    # no geokeys → None
+    assert TIF.geotiff_epsg(
+        TIF.encode_geotiff(pix, origin=(0, 0), scale=(1, 1))
+    ) is None
+
+
+def test_read_geotiff_utm_reprojects_envelope(spark, tmp_path):
+    """A UTM-georeferenced scene (the real Landsat shape: metres + EPSG:326xx
+    in the GeoKeyDirectory) comes back with its envelope in EPSG:4326 via
+    the closed-form Krüger inverse — the RasterIngestRunner reprojection."""
+    from geowave_spark.functions import crs as CRS
+
+    rng = np.random.RandomState(3)
+    pix = rng.randint(0, 65536, size=(64, 64), dtype=np.uint16)
+    # 30 m pixels (the Landsat grid), origin mid-zone 33N
+    x0, y0, res = 499_000.0, 5_200_000.0, 30.0
+    buf = TIF.encode_geotiff(
+        pix, origin=(x0, y0), scale=(res, res),
+        compression=TIF.COMP_LZW, predictor=2, tile_size=(16, 16), epsg=32633,
+    )
+    (tmp_path / "utm.tif").write_bytes(buf)
+    row = TIF.read_geotiff(spark, str(tmp_path / "*.tif")).collect()[0]
+    assert row.epsg == 32633
+    assert (row.lon0, row.lat0, row.sx, row.sy) == (x0, y0, res, res)
+    want = CRS.transform_box(
+        x0, y0 - 64 * res, x0 + 64 * res, y0, "EPSG:32633"
+    )
+    got = (row.minx, row.miny, row.maxx, row.maxy)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    # sanity: zone 33 central meridian is 15°E; the box must straddle it
+    assert got[0] < 15.0 < got[2] and 46.0 < got[1] < got[3] < 48.0
+
+
+def test_read_geotiff_unknown_projection_nulls_envelope(spark, tmp_path):
+    """A projected CRS with no closed form must NOT pose metres as
+    degrees: envelope comes back null, epsg + native georef preserved."""
+    pix = np.zeros((8, 8), np.uint8)
+    buf = TIF.encode_geotiff(
+        pix, origin=(700_000.0, 6_600_000.0), scale=(2.0, 2.0), epsg=2154
+    )
+    (tmp_path / "lambert.tif").write_bytes(buf)
+    row = TIF.read_geotiff(spark, str(tmp_path / "*.tif")).collect()[0]
+    try:
+        import pyproj  # noqa: F401
+
+        return  # pyproj present: the hook reprojects instead — skip
+    except ImportError:
+        pass
+    assert row.epsg == 2154
+    assert row.minx is None and row.maxy is None
+    assert row.lon0 == 700_000.0 and row.sx == 2.0
