@@ -29,9 +29,11 @@ import struct
 
 import numpy as np
 
-_T_SHORT, _T_LONG, _T_DOUBLE = 3, 4, 12
-_SZ = {_T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8}
+_T_SHORT, _T_LONG, _T_DOUBLE, _T_LONG8 = 3, 4, 12, 16
+_SZ = {_T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8, _T_LONG8: 8}
+_FMT_OF = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d", _T_LONG8: "Q"}
 
+TAG_SUBFILE = 254  # NewSubfileType: bit 0 = reduced-resolution (overview)
 TAG_WIDTH, TAG_HEIGHT, TAG_BITS, TAG_COMPRESSION = 256, 257, 258, 259
 TAG_PHOTOMETRIC, TAG_STRIP_OFFSETS, TAG_SAMPLES = 262, 273, 277
 TAG_ROWS_PER_STRIP, TAG_STRIP_COUNTS, TAG_PLANAR = 278, 279, 284
@@ -250,6 +252,8 @@ def encode_geotiff(
     tile_size: tuple[int, int] | None = None,
     byteorder: str = "II",
     epsg: int | None = None,
+    bigtiff: bool = False,
+    overviews: list[np.ndarray] | None = None,
 ) -> bytes:
     """uint8/uint16 raster (h,w) or (h,w,bands) → GeoTIFF bytes.
 
@@ -266,13 +270,14 @@ def encode_geotiff(
     layout (TIFF 6.0 §15, tags 322-325 — the cloud-optimized-GeoTIFF /
     Landsat internal blocking): the raster is cut into fixed tiles in
     row-major tile order, right/bottom edge tiles zero-padded to full
-    size as the spec requires; dims must be multiples of 16."""
-    if pix.dtype == np.uint8:
-        bits = 8
-    elif pix.dtype == np.uint16:
-        bits = 16
-    else:
-        raise ValueError("encoder writes 8- or 16-bit unsigned samples")
+    size as the spec requires; dims must be multiples of 16.
+
+    ``bigtiff=True`` writes the BigTIFF variant (magic 43: 8-byte
+    offsets, 20-byte IFD entries, LONG8 chunk offsets — the public
+    64-bit extension real >4 GB scenes/COGs use).  ``overviews`` =
+    reduced-resolution rasters appended as chained IFDs flagged
+    NewSubfileType=1 (the COG overview-pyramid layout); read them back
+    with ``decode_geotiff(buf, ifd=i)``."""
     if compression not in _STRIP_ENCODERS:
         raise ValueError(f"unsupported compression {compression}")
     if byteorder not in ("II", "MM"):
@@ -280,111 +285,194 @@ def encode_geotiff(
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor {predictor}")
     e = "<" if byteorder == "II" else ">"
-    # sample bytes follow the FILE byte order (TIFF 6.0: multi-byte
-    # samples are stored in the header's byte order)
-    sdt = np.uint8 if bits == 8 else np.dtype(e + "u2")
-    if pix.ndim == 2:
-        pix = pix[:, :, None]
-    h, w, bands = pix.shape
-    enc = _STRIP_ENCODERS[compression]
-    if tile_size is not None:
-        tw, th = tile_size
-        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
-            raise ValueError("TIFF tile dimensions must be positive multiples of 16")
-        ta, td = -(-w // tw), -(-h // th)
-        padded = np.zeros((td * th, ta * tw, bands), pix.dtype)
-        padded[:h, :w] = pix  # pad BEFORE the predictor: decode undoes it per tile
-        chunks = []
-        for r in range(td):
-            for c in range(ta):
-                t = padded[r * th : (r + 1) * th, c * tw : (c + 1) * tw]
-                if predictor == 2:
-                    t = _diff_rows(t)
-                chunks.append(enc(t.astype(sdt).tobytes()))
+    images = [pix] + list(overviews or [])
+    hdr_len = 16 if bigtiff else 8
+
+    cursor = hdr_len
+    datas: list[bytes] = []
+    image_tags: list[list[tuple[int, int, list]]] = []
+    for lvl, img in enumerate(images):
+        if img.dtype == np.uint8:
+            bits = 8
+        elif img.dtype == np.uint16:
+            bits = 16
+        else:
+            raise ValueError("encoder writes 8- or 16-bit unsigned samples")
+        # sample bytes follow the FILE byte order (TIFF 6.0: multi-byte
+        # samples are stored in the header's byte order)
+        sdt = np.uint8 if bits == 8 else np.dtype(e + "u2")
+        if img.ndim == 2:
+            img = img[:, :, None]
+        h, w, bands = img.shape
+        enc = _STRIP_ENCODERS[compression]
+        rps = None
+        if tile_size is not None:
+            tw, th = tile_size
+            if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+                raise ValueError(
+                    "TIFF tile dimensions must be positive multiples of 16"
+                )
+            ta, td = -(-w // tw), -(-h // th)
+            padded = np.zeros((td * th, ta * tw, bands), img.dtype)
+            padded[:h, :w] = img  # pad BEFORE predictor: decode undoes per tile
+            chunks = []
+            for r in range(td):
+                for c in range(ta):
+                    t = padded[r * th : (r + 1) * th, c * tw : (c + 1) * tw]
+                    if predictor == 2:
+                        t = _diff_rows(t)
+                    chunks.append(enc(t.astype(sdt).tobytes()))
+        else:
+            if predictor == 2:
+                img = _diff_rows(img)
+            rps = h if rows_per_strip is None else int(rows_per_strip)
+            chunks = [
+                enc(img[r : r + rps].astype(sdt).tobytes())
+                for r in range(0, h, rps)
+            ]
+        offsets, counts = [], []
+        for s in chunks:
+            offsets.append(cursor)
+            counts.append(len(s))
+            cursor += len(s)
+        datas.append(b"".join(chunks))
+
+        off_t = _T_LONG8 if bigtiff else _T_LONG
+        tags: list[tuple[int, int, list]] = []
+        if lvl > 0:  # overview IFDs: reduced-resolution subfile, no georef
+            tags.append((TAG_SUBFILE, _T_LONG, [1]))
+        tags += [
+            (TAG_WIDTH, _T_LONG, [w]),
+            (TAG_HEIGHT, _T_LONG, [h]),
+            (TAG_BITS, _T_SHORT, [bits] * bands),
+            (TAG_COMPRESSION, _T_SHORT, [compression]),
+            (TAG_PHOTOMETRIC, _T_SHORT, [2 if bands >= 3 else 1]),
+        ]
+        if tile_size is None:
+            tags.append((TAG_STRIP_OFFSETS, off_t, offsets))
+        tags.append((TAG_SAMPLES, _T_SHORT, [bands]))
+        if tile_size is None:
+            tags.append((TAG_ROWS_PER_STRIP, _T_LONG, [rps]))
+            tags.append((TAG_STRIP_COUNTS, _T_LONG, counts))
+        tags.append((TAG_PLANAR, _T_SHORT, [1]))
+        tags.append((TAG_PREDICTOR, _T_SHORT, [predictor]))
+        if tile_size is not None:
+            tags.append((TAG_TILE_WIDTH, _T_LONG, [tile_size[0]]))
+            tags.append((TAG_TILE_LENGTH, _T_LONG, [tile_size[1]]))
+            tags.append((TAG_TILE_OFFSETS, off_t, offsets))
+            tags.append((TAG_TILE_COUNTS, _T_LONG, counts))
+        tags.append((TAG_SAMPLE_FORMAT, _T_SHORT, [1] * bands))
+        if lvl == 0:
+            tags += [
+                (
+                    TAG_MODEL_PIXEL_SCALE,
+                    _T_DOUBLE,
+                    [float(scale[0]), float(scale[1]), 0.0],
+                ),
+                (
+                    TAG_MODEL_TIEPOINT,
+                    _T_DOUBLE,
+                    [0.0, 0.0, 0.0, float(origin[0]), float(origin[1]), 0.0],
+                ),
+            ]
+            if epsg is not None:
+                # GeoKeyDirectory (GeoTIFF 1.1 §7.1): version header +
+                # inline SHORT keys; geographic CRS → GeographicTypeGeoKey,
+                # projected (UTM — real Landsat) → ProjectedCSTypeGeoKey
+                geographic = epsg == 4326
+                gkeys = [1, 1, 0, 2, GKEY_MODEL_TYPE, 0, 1,
+                         2 if geographic else 1]
+                gkeys += [
+                    GKEY_GEOGRAPHIC_CS if geographic else GKEY_PROJECTED_CS,
+                    0, 1, epsg,
+                ]
+                tags.append((TAG_GEO_KEYS, _T_SHORT, gkeys))
+        # IFD entries MUST be sorted by tag (TIFF 6.0); the lists above are
+        # in tag order by construction for every layout combination
+        image_tags.append(tags)
+
+    ifds = _render_ifds(e, bigtiff, image_tags, cursor)
+    first_extras, _ = _ifd_sizes(bigtiff, image_tags[0])
+    first_ifd_off = cursor + first_extras  # IFD0 sits after its own extras
+    if bigtiff:
+        # BigTIFF header: magic 43, offset size 8, pad 0, 8-byte IFD offset
+        head = struct.pack(
+            e + "2sHHHQ", byteorder.encode(), 43, 8, 0, first_ifd_off
+        )
     else:
-        if predictor == 2:
-            pix = _diff_rows(pix)
-        rps = h if rows_per_strip is None else int(rows_per_strip)
-        chunks = [
-            enc(pix[r : r + rps].astype(sdt).tobytes()) for r in range(0, h, rps)
-        ]
-    offsets, counts, off = [], [], 8
-    for s in chunks:
-        offsets.append(off)
-        counts.append(len(s))
-        off += len(s)
-    data = b"".join(chunks)
+        head = struct.pack(e + "2sHI", byteorder.encode(), 42, first_ifd_off)
+    return head + b"".join(datas) + ifds
 
-    extra = bytearray()          # out-of-line value areas, placed after data
-    extra_base = 8 + len(data)
 
-    def entry(tag: int, typ: int, values: list) -> bytes:
-        count = len(values)
-        fmt = {_T_SHORT: e + "H", _T_LONG: e + "I", _T_DOUBLE: e + "d"}[typ]
-        payload = b"".join(struct.pack(fmt, v) for v in values)
-        if len(payload) <= 4:
-            return struct.pack(e + "HHI", tag, typ, count) + payload.ljust(4, b"\x00")
-        off = extra_base + len(extra)
-        extra.extend(payload)
-        if len(extra) % 2:
-            extra.append(0)
-        return struct.pack(e + "HHII", tag, typ, count, off)
-
-    entries = [
-        entry(TAG_WIDTH, _T_LONG, [w]),
-        entry(TAG_HEIGHT, _T_LONG, [h]),
-        entry(TAG_BITS, _T_SHORT, [bits] * bands),
-        entry(TAG_COMPRESSION, _T_SHORT, [compression]),
-        entry(TAG_PHOTOMETRIC, _T_SHORT, [2 if bands >= 3 else 1]),
-    ]
-    if tile_size is None:
-        entries.append(entry(TAG_STRIP_OFFSETS, _T_LONG, offsets))
-    entries.append(entry(TAG_SAMPLES, _T_SHORT, [bands]))
-    if tile_size is None:
-        entries.append(entry(TAG_ROWS_PER_STRIP, _T_LONG, [rps]))
-        entries.append(entry(TAG_STRIP_COUNTS, _T_LONG, counts))
-    entries.append(entry(TAG_PLANAR, _T_SHORT, [1]))
-    entries.append(entry(TAG_PREDICTOR, _T_SHORT, [predictor]))
-    if tile_size is not None:
-        entries.append(entry(TAG_TILE_WIDTH, _T_LONG, [tile_size[0]]))
-        entries.append(entry(TAG_TILE_LENGTH, _T_LONG, [tile_size[1]]))
-        entries.append(entry(TAG_TILE_OFFSETS, _T_LONG, offsets))
-        entries.append(entry(TAG_TILE_COUNTS, _T_LONG, counts))
-    entries += [
-        entry(TAG_SAMPLE_FORMAT, _T_SHORT, [1] * bands),
-        entry(
-            TAG_MODEL_PIXEL_SCALE, _T_DOUBLE, [float(scale[0]), float(scale[1]), 0.0]
-        ),
-        entry(
-            TAG_MODEL_TIEPOINT,
-            _T_DOUBLE,
-            [0.0, 0.0, 0.0, float(origin[0]), float(origin[1]), 0.0],
-        ),
-    ]
-    if epsg is not None:
-        # GeoKeyDirectory (GeoTIFF 1.1 §7.1): version header + inline
-        # SHORT keys; geographic CRS → GeographicTypeGeoKey, projected
-        # (UTM etc. — what real Landsat carries) → ProjectedCSTypeGeoKey
-        geographic = epsg == 4326
-        gkeys = [1, 1, 0, 2, GKEY_MODEL_TYPE, 0, 1, 2 if geographic else 1]
-        gkeys += [
-            GKEY_GEOGRAPHIC_CS if geographic else GKEY_PROJECTED_CS, 0, 1, epsg
-        ]
-        entries.append(entry(TAG_GEO_KEYS, _T_SHORT, gkeys))
-    # IFD entries MUST be sorted by tag (TIFF 6.0); PREDICTOR (317) lands
-    # after PLANAR (284) and before the tile block (322-325) / SAMPLE_FORMAT
-    # (339), so the list is in tag order by construction for both layouts
-    ifd_off = extra_base + len(extra)
-    ifd = (
-        struct.pack(e + "H", len(entries))
-        + b"".join(entries)
-        + struct.pack(e + "I", 0)  # no next IFD
+def _ifd_sizes(big: bool, tags: list[tuple[int, int, list]]) -> tuple[int, int]:
+    """(out-of-line extras length incl. even padding, IFD block length)."""
+    inline = 8 if big else 4
+    entry_sz = 20 if big else 12
+    extras_len = 0
+    for _tag, typ, values in tags:
+        plen = _SZ[typ] * len(values)
+        if plen > inline:
+            extras_len += plen + (plen % 2)
+    ifd_len = (
+        (8 + entry_sz * len(tags) + 8) if big else (2 + entry_sz * len(tags) + 4)
     )
-    return struct.pack(e + "2sHI", byteorder.encode(), 42, ifd_off) + data + bytes(extra) + ifd
+    return extras_len, ifd_len
 
 
-def _parse_ifd(buf: bytes) -> tuple[str, dict[int, list]]:
-    """TIFF header + first IFD → (endianness char, {tag: values})."""
+def _render_ifds(
+    e: str, big: bool, image_tags: list[list[tuple[int, int, list]]], data_end: int
+) -> bytes:
+    """Render the IFD chain (one IFD per image, each preceded by its
+    out-of-line value area) starting at ``data_end``.  Two-phase: sizes
+    are closed-form (so every next-IFD pointer and payload offset is known
+    before a byte is written), then everything is materialized."""
+    inline = 8 if big else 4
+    placements, pos = [], data_end
+    for tags in image_tags:
+        extras_len, ifd_len = _ifd_sizes(big, tags)
+        placements.append((pos, extras_len))
+        pos += extras_len + ifd_len
+    out = bytearray()
+    for i, tags in enumerate(image_tags):
+        base, extras_len = placements[i]
+        next_off = 0
+        if i + 1 < len(image_tags):
+            nb, nel = placements[i + 1]
+            next_off = nb + nel  # the next IFD sits after ITS extras
+        extras = bytearray()
+        entries = []
+        for tag, typ, values in tags:
+            payload = b"".join(struct.pack(e + _FMT_OF[typ], v) for v in values)
+            head = struct.pack(
+                e + ("HHQ" if big else "HHI"), tag, typ, len(values)
+            )
+            if len(payload) <= inline:
+                entries.append(head + payload.ljust(inline, b"\x00"))
+            else:
+                off = base + len(extras)
+                extras.extend(payload)
+                if len(extras) % 2:
+                    extras.append(0)
+                entries.append(head + struct.pack(e + ("Q" if big else "I"), off))
+        if big:
+            ifd = (
+                struct.pack(e + "Q", len(entries))
+                + b"".join(entries)
+                + struct.pack(e + "Q", next_off)
+            )
+        else:
+            ifd = (
+                struct.pack(e + "H", len(entries))
+                + b"".join(entries)
+                + struct.pack(e + "I", next_off)
+            )
+        out += bytes(extras) + ifd
+    return bytes(out)
+
+
+def _tiff_header(buf: bytes) -> tuple[str, bool, int]:
+    """→ (endianness char, is_bigtiff, first IFD offset).  Accepts both
+    classic (magic 42) and BigTIFF (magic 43) headers."""
     bom = buf[:2]
     if bom == b"II":
         e = "<"
@@ -392,21 +480,76 @@ def _parse_ifd(buf: bytes) -> tuple[str, dict[int, list]]:
         e = ">"
     else:
         raise ValueError("not a TIFF (bad byte-order mark)")
-    magic, ifd_off = struct.unpack_from(e + "HI", buf, 2)
-    if magic != 42:
-        raise ValueError("not a TIFF (bad magic)")
-    (n,) = struct.unpack_from(e + "H", buf, ifd_off)
+    (magic,) = struct.unpack_from(e + "H", buf, 2)
+    if magic == 42:
+        (ifd_off,) = struct.unpack_from(e + "I", buf, 4)
+        return e, False, ifd_off
+    if magic == 43:
+        osize, pad = struct.unpack_from(e + "HH", buf, 4)
+        if osize != 8 or pad != 0:
+            raise ValueError(f"bad BigTIFF header (offset size {osize})")
+        (ifd_off,) = struct.unpack_from(e + "Q", buf, 8)
+        return e, True, ifd_off
+    raise ValueError("not a TIFF (bad magic)")
+
+
+def _read_ifd_at(
+    buf: bytes, e: str, big: bool, ifd_off: int
+) -> tuple[dict[int, list], int]:
+    """One IFD at ``ifd_off`` → ({tag: values}, next-IFD offset or 0)."""
+    if big:
+        (n,) = struct.unpack_from(e + "Q", buf, ifd_off)
+        entry_base, entry_sz, inline = ifd_off + 8, 20, 8
+    else:
+        (n,) = struct.unpack_from(e + "H", buf, ifd_off)
+        entry_base, entry_sz, inline = ifd_off + 2, 12, 4
     tags: dict[int, list] = {}
-    fmt_of = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}
     for k in range(n):
-        off = ifd_off + 2 + 12 * k
-        tag, typ, count = struct.unpack_from(e + "HHI", buf, off)
+        off = entry_base + entry_sz * k
+        if big:
+            tag, typ = struct.unpack_from(e + "HH", buf, off)
+            (count,) = struct.unpack_from(e + "Q", buf, off + 4)
+            vfield = off + 12
+        else:
+            tag, typ, count = struct.unpack_from(e + "HHI", buf, off)
+            vfield = off + 8
         if typ not in _SZ:
             continue  # rational/ascii tags: not needed for baseline decode
         size = _SZ[typ] * count
-        voff = off + 8 if size <= 4 else struct.unpack_from(e + "I", buf, off + 8)[0]
-        tags[tag] = list(struct.unpack_from(e + str(count) + fmt_of[typ], buf, voff))
+        voff = (
+            vfield
+            if size <= inline
+            else struct.unpack_from(e + ("Q" if big else "I"), buf, vfield)[0]
+        )
+        tags[tag] = list(
+            struct.unpack_from(e + str(count) + _FMT_OF[typ], buf, voff)
+        )
+    next_off_pos = entry_base + entry_sz * n
+    (next_off,) = struct.unpack_from(e + ("Q" if big else "I"), buf, next_off_pos)
+    return tags, next_off
+
+
+def _parse_ifd(buf: bytes, index: int = 0) -> tuple[str, dict[int, list]]:
+    """TIFF header + the ``index``-th IFD of the chain → (endianness char,
+    {tag: values}).  index 0 = the full-resolution image; higher indexes
+    are chained subfiles (COG overview levels)."""
+    e, big, ifd_off = _tiff_header(buf)
+    for _ in range(index):
+        _, ifd_off = _read_ifd_at(buf, e, big, ifd_off)
+        if ifd_off == 0:
+            raise IndexError(f"TIFF has no IFD #{index}")
+    tags, _ = _read_ifd_at(buf, e, big, ifd_off)
     return e, tags
+
+
+def geotiff_ifd_count(buf: bytes) -> int:
+    """Number of chained IFDs (1 + overview levels)."""
+    e, big, ifd_off = _tiff_header(buf)
+    n = 0
+    while ifd_off:
+        _, ifd_off = _read_ifd_at(buf, e, big, ifd_off)
+        n += 1
+    return n
 
 
 def geotiff_epsg(buf: bytes) -> int | None:
@@ -438,6 +581,7 @@ def geotiff_epsg(buf: bytes) -> int | None:
 
 def decode_geotiff(
     buf: bytes,
+    ifd: int = 0,
 ) -> tuple[np.ndarray, tuple[float, float] | None, tuple[float, float] | None]:
     """GeoTIFF bytes → (pixels (h,w) or (h,w,bands) uint8/uint16, origin,
     scale).
@@ -452,7 +596,7 @@ def decode_geotiff(
     values — each strip or tile restarts the accumulator).  Raises
     NotImplementedError for JPEG-in-TIFF / other depths /
     planar-separate."""
-    e, tags = _parse_ifd(buf)
+    e, tags = _parse_ifd(buf, ifd)
     comp = tags.get(TAG_COMPRESSION, [1])[0]
     if comp not in _STRIP_DECODERS:
         raise NotImplementedError(

@@ -307,3 +307,51 @@ def test_read_geotiff_unknown_projection_nulls_envelope(spark, tmp_path):
     assert row.epsg == 2154
     assert row.minx is None and row.maxy is None
     assert row.lon0 == 700_000.0 and row.sx == 2.0
+
+
+@pytest.mark.parametrize("comp", [TIF.COMP_NONE, TIF.COMP_LZW, TIF.COMP_DEFLATE])
+@pytest.mark.parametrize("byteorder", ["II", "MM"])
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_bigtiff_roundtrip(comp, byteorder, tiled, dtype):
+    """BigTIFF (magic 43: 8-byte offsets, 20-byte entries, LONG8 chunk
+    offsets — the >4 GB scene/COG container) across codecs, byte orders,
+    layouts and sample depths."""
+    rng = np.random.RandomState(comp + tiled)
+    hi = 256 if dtype == np.uint8 else 65536
+    pix = rng.randint(0, hi, size=(23, 31, 3)).astype(dtype)
+    kw = dict(tile_size=(16, 16)) if tiled else dict(rows_per_strip=7)
+    buf = TIF.encode_geotiff(
+        pix, origin=(4.5, 52.0), scale=(0.01, 0.02),
+        compression=comp, predictor=2, byteorder=byteorder,
+        bigtiff=True, **kw,
+    )
+    assert buf[2:4] in (b"\x2b\x00", b"\x00\x2b")  # magic 43
+    got, origin, scale = TIF.decode_geotiff(buf)
+    np.testing.assert_array_equal(got, pix)
+    assert origin == (4.5, 52.0) and scale == (0.01, 0.02)
+
+
+@pytest.mark.parametrize("bigtiff", [False, True])
+def test_geotiff_overview_chain(bigtiff):
+    """COG-style overview pyramid: chained IFDs flagged reduced-resolution,
+    each level independently decodable by index; geokeys stay on IFD 0."""
+    base = ((np.arange(64)[:, None] * 5 + np.arange(64)[None, :] * 3) % 256).astype(
+        np.uint8
+    )
+    ovr1 = base[::2, ::2].copy()
+    ovr2 = base[::4, ::4].copy()
+    buf = TIF.encode_geotiff(
+        base, origin=(-120.0, 40.0), scale=(0.001, 0.001),
+        compression=TIF.COMP_DEFLATE, predictor=2, tile_size=(16, 16),
+        epsg=4326, bigtiff=bigtiff, overviews=[ovr1, ovr2],
+    )
+    assert TIF.geotiff_ifd_count(buf) == 3
+    for i, want in enumerate((base, ovr1, ovr2)):
+        got, origin, _ = TIF.decode_geotiff(buf, ifd=i)
+        np.testing.assert_array_equal(got, want)
+        if i == 0:
+            assert origin == (-120.0, 40.0)
+    assert TIF.geotiff_epsg(buf) == 4326
+    with pytest.raises(IndexError):
+        TIF.decode_geotiff(buf, ifd=3)
