@@ -179,6 +179,23 @@ def _read_source(spark, fmt: str, src: str, args):
         from geowave_spark.sources.avro import read_avro
 
         return read_avro(spark, src), "points"
+    if fmt == "geotiff":
+        from pyspark.sql import functions as F
+
+        from geowave_spark.sources.tiff import read_geotiff
+
+        df = read_geotiff(spark, src, level=getattr(args, "level", 0) or 0)
+        # scenes whose CRS has no closed form carry a null envelope
+        # (tiff.py keeps metres out of the degree grid) — excluding them
+        # here is the loud-at-read choice; route them through pyproj
+        n_null = df.filter(F.col("minx").isNull()).count()
+        if n_null:
+            print(
+                f"warning: skipping {n_null} scene(s) with no EPSG:4326 "
+                "envelope (unsupported CRS — install pyproj)",
+                file=sys.stderr,
+            )
+        return df.filter(F.col("minx").isNotNull()), "envelopes"
     if fmt in ("parquet", "csv", "json"):
         r = spark.read
         if fmt == "csv":
@@ -238,7 +255,9 @@ def cmd_ingest(args, spark_injected, out) -> int:
         )
     else:
         indexed = OI.index_envelopes(
-            df, salt_buckets=idx["salt_buckets"], id_col="recno"
+            df,
+            salt_buckets=idx["salt_buckets"],
+            id_col="recno" if "recno" in df.columns else None,
         )
     OI.write_indexed(indexed, path, mode="append" if args.append else "overwrite")
     n = spark.read.parquet(path).count()
@@ -280,6 +299,12 @@ def cmd_query(args, spark_injected, out) -> int:
         from geowave_spark.plans.s2cql import s2_cql_query
 
         res = s2_cql_query(data, args.cql, id_col=args.id_col, leaf_col="s2_leaf")
+    elif "lon" not in data.columns and "minx" in data.columns:
+        # envelope-grain store (shapefile/geotiff ingest): BBOX clauses
+        # answer as envelope intersection, not point containment
+        from geowave_spark.plans.cql import envelope_cql_query
+
+        res = envelope_cql_query(data, args.cql, id_col=args.id_col)
     else:
         res = cql_query(data, args.cql, id_col=args.id_col)
     return _emit(res, args, out)
@@ -546,6 +571,8 @@ def _build_parser() -> argparse.ArgumentParser:
     # source CRS (AddStoreCommand's CRS plugin option): projected x/y in
     # --lon-col/--lat-col are transformed to WGS84 before indexing
     i.add_argument("--crs", default="EPSG:4326")
+    # geotiff only: COG overview level to decode (0 = full resolution)
+    i.add_argument("--level", type=int, default=0)
 
     s = sub.add_parser("stat")
     ss = s.add_subparsers(dest="stat_cmd", required=True)

@@ -253,6 +253,51 @@ def _time_and_residual(rest_ops: list[str]):
     return time_pred, " AND ".join(f"({o})" for o in residual_ops)
 
 
+def envelope_cql_query(
+    data: DataFrame,
+    where: str,
+    tiers: list[int] | None = None,
+    max_cells: int = 1024,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CQL over an ENVELOPE-grain store (shapefile/GeoTIFF ingest: one row
+    per covering cell, ``minx..maxy`` degree footprint columns).
+
+    BBOX clauses run as envelope-INTERSECTION queries (query_bbox_envelopes
+    — cover join + exact interval-overlap residual + DedupeFilter); a
+    top-level OR group of BBOXes unions through one multi-query cover join
+    and id-dedups.  INTERSECTS/DWITHIN raise loudly: a point predicate
+    over a footprint row would silently answer a different question (the
+    reference's raster/vector adapters make the same split — envelope
+    constraints at the index, geometry refinement only where a point/geom
+    column exists)."""
+    matches = _spatial_matches(where)
+    spatial_op, rest_ops = _decompose(where, matches)
+    time_pred, residual = _time_and_residual(rest_ops)
+    if any(kind != "bbox" for kind, _ in matches):
+        raise ValueError(
+            "envelope stores accept BBOX clauses only: INTERSECTS/DWITHIN "
+            "refine on point coordinates this store does not have"
+        )
+    if matches:
+        qs = [
+            P.BoxQuery(f"cql{i}", *(float(m.group(j)) for j in range(2, 6)))
+            for i, (_k, m) in enumerate(matches)
+        ]
+        out = OB.query_bbox_envelopes(
+            data, qs, id_cols=(id_col,), tiers=tiers, max_cells=max_cells
+        ).drop("query_id")
+        if len(matches) > 1:
+            out = out.dropDuplicates([id_col])
+    else:
+        out = data
+    if time_pred is not None:
+        out = out.filter(time_pred)
+    if residual:
+        out = out.filter(F.expr(residual))
+    return out
+
+
 def cql_query(
     data: DataFrame,
     where: str,

@@ -4170,3 +4170,87 @@ WHERE lon_milli BETWEEN -76000 AND -72000 AND lat_milli BETWEEN 40000 AND 47000
 
 
 register_extra("s2_cql", q_s2_cql, _s2_cql_oracle())
+
+
+def q_geotiff_overview(spark, sf_dir):
+    """COG overview read path (read_geotiff(level=1)): scenes written
+    with a 2x-decimated overview as a chained IFD (NewSubfileType=1),
+    cycling classic/BigTIFF containers and tiled/strip layouts; the
+    reader decodes ONLY the overview IFD — w/h halve, px_sum is the
+    strided sum, and the envelope is IDENTICAL to full-res (IFD-0
+    georef scaled — the level-invariance the tile-server path relies
+    on).  The oracle replays the decimated procedural pixels and the
+    SAME envelope arithmetic as geotiff_tiles."""
+    import os
+    import tempfile
+
+    fp = TB.geo_footprints(spark, sf_dir).filter(
+        F.col("event_id") % GEOTIFF_MOD == 0
+    )
+    d = tempfile.mkdtemp(prefix="gw_cog_")
+
+    def write_scenes(rows):
+        from geowave_spark.sources import tiff as TIF
+        from geowave_spark.sources.synthetic import pixels_for
+
+        for r in rows:
+            ev = int(r.event_id)
+            pix = pixels_for(ev % 256, 32, 32)
+            minx, miny = r.minx_m / 1000.0, r.miny_m / 1000.0
+            maxx, maxy = r.maxx_m / 1000.0, r.maxy_m / 1000.0
+            k = ev // GEOTIFF_MOD
+            buf = TIF.encode_geotiff(
+                pix, (minx, maxy), ((maxx - minx) / 32.0, (maxy - miny) / 32.0),
+                compression=TIF.COMP_DEFLATE if k % 2 else TIF.COMP_LZW,
+                predictor=2,
+                tile_size=(16, 16) if k % 3 == 0 else None,
+                bigtiff=k % 2 == 1,
+                byteorder="MM" if k % 3 == 1 else "II",
+                overviews=[pix[::2, ::2].copy()],
+            )
+            with open(os.path.join(d, f"ev{ev:012d}.tif"), "wb") as fh:
+                fh.write(buf)
+
+    fp.select("event_id", "minx_m", "miny_m", "maxx_m", "maxy_m").foreachPartition(
+        write_scenes
+    )
+
+    from geowave_spark.sources import tiff as TIF
+
+    feats = TIF.read_geotiff(spark, f"{d}/*.tif", level=1)
+    return feats.select(
+        F.regexp_extract("file", r"ev(\d+)\.tif", 1).cast("long").alias("event_id"),
+        "w",
+        "h",
+        "px_sum",
+        F.round(F.col("minx") * 1000).cast("long").alias("minx_m"),
+        F.round(F.col("miny") * 1000).cast("long").alias("miny_m"),
+        F.round(F.col("maxx") * 1000).cast("long").alias("maxx_m"),
+        F.round(F.col("maxy") * 1000).cast("long").alias("maxy_m"),
+    )
+
+
+register_extra(
+    "geotiff_overview",
+    q_geotiff_overview,
+    TB.oracle_with(
+        TB.GEO_FOOTPRINTS_SQL,
+        "geo_footprints",
+        f"""
+SELECT s.event_id, 16 AS w, 16 AS h,
+       CAST(px.px_sum AS BIGINT) AS px_sum,
+       s.minx_m, s.miny_m, s.maxx_m, s.maxy_m
+FROM (SELECT event_id, minx_m, miny_m, maxx_m, maxy_m
+      FROM geo_footprints WHERE event_id % {GEOTIFF_MOD} = 0) s
+JOIN (
+  SELECT f.event_id,
+         SUM(((f.event_id % 256) * 31 + x.x * 7 + y.y * 13) % 256) AS px_sum
+  FROM geo_footprints f,
+       LATERAL unnest(generate_series(0, 31, 2)) AS x(x),
+       LATERAL unnest(generate_series(0, 31, 2)) AS y(y)
+  WHERE f.event_id % {GEOTIFF_MOD} = 0
+  GROUP BY f.event_id
+) px ON s.event_id = px.event_id
+""",
+    ),
+)

@@ -697,7 +697,7 @@ GEOTIFF_SCHEMA = T.StructType(
 )
 
 
-def read_geotiff(spark: SparkSession, glob: str) -> DataFrame:
+def read_geotiff(spark: SparkSession, glob: str, level: int = 0) -> DataFrame:
     """GeoTIFF files → georeferenced raster rows.  The envelope columns feed
     ``index_envelopes``/``assign_tiles`` directly (the RasterDataAdapter
     ingest: scene → footprint → pyramid tiles); ``pixels`` carries the
@@ -711,7 +711,12 @@ def read_geotiff(spark: SparkSession, glob: str) -> DataFrame:
     indexing).  Projected scenes with no built-in closed form keep a
     null envelope and their native origin/scale + epsg, so the caller
     can route them through pyproj rather than silently mis-indexing
-    metres as degrees."""
+    metres as degrees.
+
+    ``level`` selects a COG overview: IFD ``min(level, levels-1)`` is
+    decoded instead of the full-resolution image (the tile-server read
+    path — a coarse zoom never pays the full-res decode), with georef
+    scaled from IFD 0 so the envelope is identical at every level."""
 
     def kernel(batches):
         import pandas as pd
@@ -723,7 +728,25 @@ def read_geotiff(spark: SparkSession, glob: str) -> DataFrame:
             rows = []
             for r in b.itertuples():
                 content = bytes(r.content)
-                pix, origin, scale = decode_geotiff(content)
+                use = min(level, geotiff_ifd_count(content) - 1) if level else 0
+                pix, origin, scale = decode_geotiff(content, ifd=use)
+                if use > 0:
+                    # overview IFDs carry no georef: scale IFD 0's.  The
+                    # envelope below is level-invariant because
+                    # w_lvl * sx_lvl == w0 * sx0 by construction.
+                    _, tags0 = _parse_ifd(content, 0)
+                    if (
+                        TAG_MODEL_TIEPOINT in tags0
+                        and TAG_MODEL_PIXEL_SCALE in tags0
+                    ):
+                        tp, sc = (
+                            tags0[TAG_MODEL_TIEPOINT],
+                            tags0[TAG_MODEL_PIXEL_SCALE],
+                        )
+                        origin = (tp[3] - tp[0] * sc[0], tp[4] + tp[1] * sc[1])
+                        w0, h0 = tags0[TAG_WIDTH][0], tags0[TAG_HEIGHT][0]
+                        hl, wl = pix.shape[:2]
+                        scale = (sc[0] * w0 / wl, sc[1] * h0 / hl)
                 epsg = geotiff_epsg(content)
                 h, w = pix.shape[:2]
                 bands = 1 if pix.ndim == 2 else pix.shape[2]

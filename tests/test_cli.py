@@ -322,3 +322,41 @@ def test_cli_ingest_utm_crs(spark, tmp_path):
         ((lon >= 13.0) & (lon <= 17.0) & (lat >= 45.0) & (lat <= 48.5)).sum()
     )
     assert n_q == want and want > 0
+
+
+def test_cli_ingest_geotiff_scenes(spark, tmp_path):
+    """`ingest --format geotiff`: UTM scenes land as 4326 envelopes in a
+    tiered envelope store, queryable with a degree BBOX (the Landsat8
+    RasterIngestRunner story end-to-end at the CLI surface)."""
+    import numpy as np
+
+    from geowave_spark.sources import tiff as TIF
+
+    scenes = str(tmp_path / "scenes")
+    os.makedirs(scenes)
+    rng = np.random.RandomState(21)
+    for i in range(6):
+        pix = rng.randint(0, 65536, size=(32, 32), dtype=np.uint16)
+        x0 = 400_000.0 + i * 20_000.0
+        buf = TIF.encode_geotiff(
+            pix, origin=(x0, 5_200_000.0), scale=(30.0, 30.0),
+            compression=TIF.COMP_LZW, predictor=2, tile_size=(16, 16),
+            epsg=32633,
+        )
+        with open(f"{scenes}/scene{i}.tif", "wb") as fh:
+            fh.write(buf)
+    store = str(tmp_path / "rstore")
+    _run(spark, tmp_path, "config", "addstore", "r", "--path", store)
+    _run(spark, tmp_path, "config", "addindex", "sp")
+    got = _run(spark, tmp_path, "ingest", scenes, "r", "sp", "--format", "geotiff")
+    assert "now holds" in got  # one row per (scene, covering cell)
+    stored = spark.read.parquet(store)
+    assert stored.select("file").distinct().count() == 6
+    assert stored.filter(stored.epsg == 32633).select("file").distinct().count() == 6
+    # a degree-space box over zone 33 mid-latitudes finds every scene
+    q = _run(
+        spark, tmp_path, "query", "r",
+        "BBOX(geom, 13.0, 46.0, 15.5, 48.0)", "--limit", "100",
+        "--id-col", "file",
+    )
+    assert len(q.strip().splitlines()) - 1 == 6

@@ -199,3 +199,31 @@ def test_cql_between_under_or_stays_residual(spark, geo):
     ).filter("ts BETWEEN '2024-01-01' AND '2024-01-05' OR event_type = 'click'")
     assert _ids(got) == _ids(want)
     assert len(_ids(got)) > 0
+
+
+def test_envelope_cql_matches_brute(spark, sf_dir):
+    """envelope_cql_query (envelope-grain stores): BBOX = interval overlap
+    + residual; INTERSECTS raises loudly."""
+    fps = TB.geo_footprints(spark, sf_dir).select(
+        "event_id",
+        (F.col("minx_m") / 1000.0).alias("minx"),
+        (F.col("miny_m") / 1000.0).alias("miny"),
+        (F.col("maxx_m") / 1000.0).alias("maxx"),
+        (F.col("maxy_m") / 1000.0).alias("maxy"),
+    )
+    idx = OI.index_envelopes(fps, id_col="event_id")
+    got = PC.envelope_cql_query(
+        idx, "BBOX(geom, -74.5, 40.2, -73.5, 41.2) AND event_id > 100"
+    )
+    want = fps.filter(
+        (F.col("minx") <= -73.5) & (F.col("maxx") >= -74.5)
+        & (F.col("miny") <= 41.2) & (F.col("maxy") >= 40.2)
+        & (F.col("event_id") > 100)
+    )
+    assert _ids(got) == _ids(want) and _ids(got)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="BBOX clauses only"):
+        PC.envelope_cql_query(
+            idx, "INTERSECTS(geom, POLYGON((0 0, 1 0, 1 1, 0 1)))"
+        )

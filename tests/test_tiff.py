@@ -355,3 +355,27 @@ def test_geotiff_overview_chain(bigtiff):
     assert TIF.geotiff_epsg(buf) == 4326
     with pytest.raises(IndexError):
         TIF.decode_geotiff(buf, ifd=3)
+
+
+def test_read_geotiff_overview_level(spark, tmp_path):
+    """read_geotiff(level=k) decodes the overview IFD with IFD-0 georef
+    scaled — identical envelope at every level, quarter the pixels per
+    level, clamped to the coarsest available."""
+    base = ((np.arange(64)[:, None] * 5 + np.arange(64)[None, :] * 3) % 256).astype(
+        np.uint8
+    )
+    ovr1, ovr2 = base[::2, ::2].copy(), base[::4, ::4].copy()
+    buf = TIF.encode_geotiff(
+        base, origin=(-120.0, 40.0), scale=(0.001, 0.001),
+        tile_size=(16, 16), epsg=4326, overviews=[ovr1, ovr2],
+    )
+    (tmp_path / "cog.tif").write_bytes(buf)
+    envs = []
+    for lvl, want_w, want_pix in ((0, 64, base), (1, 32, ovr1), (2, 16, ovr2),
+                                  (9, 16, ovr2)):  # 9 clamps to coarsest
+        row = TIF.read_geotiff(spark, str(tmp_path / "*.tif"), level=lvl).collect()[0]
+        assert row.w == want_w
+        assert row.px_sum == int(want_pix.sum(dtype=np.int64))
+        envs.append((row.minx, row.miny, row.maxx, row.maxy))
+        assert abs(row.sx * row.w - 0.001 * 64) < 1e-12  # extent invariant
+    assert len(set(envs)) == 1  # envelope identical at every level
