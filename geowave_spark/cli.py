@@ -179,6 +179,12 @@ def _read_source(spark, fmt: str, src: str, args):
         from geowave_spark.sources.avro import read_avro
 
         return read_avro(spark, src), "points"
+    if fmt == "landsat":
+        # Landsat8 scene catalog (scene_list CSV) → scene footprints as
+        # an envelope store: the landsat8 VectorIngestRunner story
+        from geowave_spark.sources.landsat import read_scene_catalog
+
+        return read_scene_catalog(spark, src), "envelopes"
     if fmt == "geotiff":
         from pyspark.sql import functions as F
 

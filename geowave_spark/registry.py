@@ -4254,3 +4254,113 @@ JOIN (
 """,
     ),
 )
+
+
+def q_landsat_best_scenes(spark, sf_dir):
+    """Landsat8 scene-selection parity (SceneFeatureIterator.nBestScenes
+    + BandFeatureIterator, extensions/cli/landsat8): a deterministic
+    synthetic scene catalog (integer-derived WRS2 path/row + cloud
+    cover), the 2 lowest-cloud scenes per (path, row) cell via a rank
+    window (groups are scene-counts-per-cell — never data-sized), then
+    the literal-array band explode.  Every step is integer/window math,
+    so the DuckDB oracle replays the whole pipeline exactly."""
+    from geowave_spark.sources import landsat as LS
+
+    ev = TB.geo_events(spark, sf_dir).select("event_id")
+    cat = ev.select(
+        F.concat(F.lit("LC08_"), F.col("event_id").cast("string")).alias("entityId"),
+        (F.col("event_id") % 13 + 1).cast("int").alias("path"),
+        ((F.col("event_id") * 7) % 11 + 1).cast("int").alias("row"),
+        (((F.col("event_id") * 7919) % 1001).cast("double") / F.lit(10.0)).alias(
+            "cloudCover"
+        ),
+    )
+    best = LS.n_best_scenes(cat, 2)
+    bands = LS.expand_bands(best, ("B2", "B3", "B4"))
+    return bands.select(
+        F.col("entityId").alias("entity_id"),
+        F.col("path").alias("wrs_path"),
+        F.col("row").alias("wrs_row"),
+        F.col("cloudCover").alias("cloud_cover"),
+        "band",
+        "band_file",
+    )
+
+
+register_extra(
+    "landsat_best_scenes",
+    q_landsat_best_scenes,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        """, cat AS (
+  SELECT 'LC08_' || CAST(event_id AS VARCHAR) AS entity_id,
+         CAST(event_id % 13 + 1 AS INTEGER) AS wrs_path,
+         CAST((event_id * 7) % 11 + 1 AS INTEGER) AS wrs_row,
+         CAST((event_id * 7919) % 1001 AS DOUBLE) / CAST(10 AS DOUBLE)
+           AS cloud_cover
+  FROM geo_events),
+best AS (
+  SELECT entity_id, wrs_path, wrs_row, cloud_cover FROM (
+    SELECT cat.*, row_number() OVER (
+      PARTITION BY wrs_path, wrs_row
+      ORDER BY cloud_cover ASC, entity_id ASC) AS rk
+    FROM cat) t
+  WHERE rk <= 2)
+SELECT entity_id, wrs_path, wrs_row, cloud_cover, band,
+       entity_id || '_' || band || '.TIF' AS band_file
+FROM best CROSS JOIN unnest(['B2', 'B3', 'B4']) AS b(band)""",
+    ),
+)
+
+
+def q_landsat_analyze(spark, sf_dir):
+    """Landsat8 `analyze` parity (AnalyzeRunner.java:104-162): the
+    catalog-wide AnalysisInfo ranges (path/row, lon/lat, dates, cloud
+    cover, scene count) as ONE map-side-combinable aggregation over a
+    deterministic synthetic catalog.  avg_cloud_cover is dropped from
+    the gated projection only because a double mean is summation-order-
+    dependent across engines (the repo's fixed-point rule); min/max/count
+    are order-free and replay exactly."""
+    from geowave_spark.sources import landsat as LS
+
+    fp = TB.geo_footprints(spark, sf_dir)
+    cat = fp.select(
+        (F.col("event_id") % 13 + 1).cast("int").alias("path"),
+        ((F.col("event_id") * 7) % 11 + 1).cast("int").alias("row"),
+        (((F.col("event_id") * 7919) % 1001).cast("double") / F.lit(10.0)).alias(
+            "cloudCover"
+        ),
+        F.col("ts").alias("acquisitionDate"),
+        (F.col("minx_m").cast("double") / F.lit(1000.0)).alias("minx"),
+        (F.col("miny_m").cast("double") / F.lit(1000.0)).alias("miny"),
+        (F.col("maxx_m").cast("double") / F.lit(1000.0)).alias("maxx"),
+        (F.col("maxy_m").cast("double") / F.lit(1000.0)).alias("maxy"),
+    )
+    return LS.analyze_catalog(cat).drop("avg_cloud_cover")
+
+
+register_extra(
+    "landsat_analyze",
+    q_landsat_analyze,
+    TB.oracle_with(
+        TB.GEO_FOOTPRINTS_SQL,
+        "geo_footprints",
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_scenes,
+       MIN(CAST(event_id % 13 + 1 AS INTEGER)) AS min_path,
+       MAX(CAST(event_id % 13 + 1 AS INTEGER)) AS max_path,
+       MIN(CAST((event_id * 7) % 11 + 1 AS INTEGER)) AS min_row,
+       MAX(CAST((event_id * 7) % 11 + 1 AS INTEGER)) AS max_row,
+       MIN(CAST(minx_m AS DOUBLE) / CAST(1000 AS DOUBLE)) AS min_lon,
+       MAX(CAST(maxx_m AS DOUBLE) / CAST(1000 AS DOUBLE)) AS max_lon,
+       MIN(CAST(miny_m AS DOUBLE) / CAST(1000 AS DOUBLE)) AS min_lat,
+       MAX(CAST(maxy_m AS DOUBLE) / CAST(1000 AS DOUBLE)) AS max_lat,
+       MIN(ts) AS start_date,
+       MAX(ts) AS end_date,
+       MIN(CAST((event_id * 7919) % 1001 AS DOUBLE) / CAST(10 AS DOUBLE))
+         AS min_cloud_cover,
+       MAX(CAST((event_id * 7919) % 1001 AS DOUBLE) / CAST(10 AS DOUBLE))
+         AS max_cloud_cover
+FROM geo_footprints""",
+    ),
+)
