@@ -123,6 +123,144 @@ def analyze_catalog(catalog: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Band converters (Landsat8BandConverterSpi analogues): pure integer numpy
+# kernels over the stacked coverage, lifted with mapInPandas.
+# ---------------------------------------------------------------------------
+
+
+def qa_ice_mask_plane(qa) -> "object":
+    """QA band (uint16 bit flags) → ice-mask codes, the EXACT integer
+    mapping of QABandToIceMaskConverter.getIceSample
+    (extensions/cli/landsat8/.../qa/QABandToIceMaskConverter.java:76-96):
+    0 = invalid (any of bits 0-2: fill/dropped-frame/occlusion),
+    1 = cloud (bits 14-15 == 3 or bits 12-13 == 3),
+    3 = ice (bits 10-11 > 1), 2 = clear otherwise."""
+    import numpy as np
+
+    qa = np.asarray(qa).astype(np.int64)
+    out = np.where((qa >> 10) & 3 > 1, 3, 2).astype(np.uint8)
+    cloud = (((qa >> 14) & 3) == 3) | (((qa >> 12) & 3) == 3)
+    out[cloud] = 1
+    out[(qa & 0x0007) > 0] = 0
+    return out
+
+
+def ndvi_milli_plane(nir, red) -> "object":
+    """Fixed-point NDVI: (nir-red)·1000 // (nir+red), 0 where the
+    denominator is 0 — integer end-to-end (the repo's oracle-parity
+    convention; // floors, documented so a SQL twin can match)."""
+    import numpy as np
+
+    nir = np.asarray(nir).astype(np.int64)
+    red = np.asarray(red).astype(np.int64)
+    den = nir + red
+    num = (nir - red) * 1000
+    return np.where(den == 0, 0, np.floor_divide(num, np.where(den == 0, 1, den))).astype(np.int16)
+
+
+_MASK_SCHEMA = T.StructType(
+    [
+        T.StructField("scene_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("n_invalid", T.LongType()),
+        T.StructField("n_cloud", T.LongType()),
+        T.StructField("n_clear", T.LongType()),
+        T.StructField("n_ice", T.LongType()),
+        T.StructField("mask", T.BinaryType()),  # uint8 codes, row-major
+    ]
+)
+
+
+def qa_ice_mask(stacked: DataFrame) -> DataFrame:
+    """Stacked coverages → per-scene ice mask from the BQA plane (the
+    'icemask' converter applied at ingest).  Scenes without a BQA band
+    are dropped (the SPI returns the original coverage for non-QA bands;
+    the mask product only exists where QA does)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for b in batches:
+            rows = []
+            for r in b.itertuples():
+                if "BQA" not in list(r.band_names):
+                    continue
+                i = list(r.band_names).index("BQA")
+                dt = np.uint8 if r.bits == 8 else np.dtype("<u2")
+                stack = np.frombuffer(r.pixels, dtype=dt).reshape(
+                    r.h, r.w, len(r.band_names)
+                )
+                mask = qa_ice_mask_plane(stack[:, :, i])
+                counts = np.bincount(mask.ravel(), minlength=4)
+                rows.append(
+                    (
+                        r.scene_id, int(r.w), int(r.h),
+                        int(counts[0]), int(counts[1]),
+                        int(counts[2]), int(counts[3]),
+                        mask.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _MASK_SCHEMA.fields]
+            )
+
+    return stacked.mapInPandas(kernel, _MASK_SCHEMA)
+
+
+_NDVI_SCHEMA = T.StructType(
+    [
+        T.StructField("scene_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("ndvi_min", T.IntegerType()),
+        T.StructField("ndvi_max", T.IntegerType()),
+        T.StructField("ndvi_sum", T.LongType()),
+        T.StructField("ndvi", T.BinaryType()),  # int16 milli-NDVI, LE words
+    ]
+)
+
+
+def ndvi(stacked: DataFrame, nir: str = "B5", red: str = "B4") -> DataFrame:
+    """Per-scene fixed-point NDVI plane + summary from the stacked
+    coverage (band math over the RasterIngestRunner merge — the usual
+    first derived product of a Landsat ingest)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for b in batches:
+            rows = []
+            for r in b.itertuples():
+                names = list(r.band_names)
+                if nir not in names or red not in names:
+                    raise ValueError(
+                        f"scene {r.scene_id}: needs bands {nir},{red}; "
+                        f"has {names}"
+                    )
+                dt = np.uint8 if r.bits == 8 else np.dtype("<u2")
+                stack = np.frombuffer(r.pixels, dtype=dt).reshape(
+                    r.h, r.w, len(names)
+                )
+                plane = ndvi_milli_plane(
+                    stack[:, :, names.index(nir)], stack[:, :, names.index(red)]
+                )
+                rows.append(
+                    (
+                        r.scene_id, int(r.w), int(r.h),
+                        int(plane.min()), int(plane.max()),
+                        int(plane.sum(dtype=np.int64)),
+                        plane.astype("<i2").tobytes(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _NDVI_SCHEMA.fields]
+            )
+
+    return stacked.mapInPandas(kernel, _NDVI_SCHEMA)
+
+
 _STACK_SCHEMA = T.StructType(
     [
         T.StructField("scene_id", T.StringType()),

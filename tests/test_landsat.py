@@ -153,3 +153,61 @@ def test_cli_landsat_catalog_ingest(spark, tmp_path):
     )
     lines = q.strip().splitlines()
     assert len(lines) - 1 == 1 and "S2" in lines[1]
+
+
+def test_qa_ice_mask_bit_truth_table():
+    """Exact QABandToIceMaskConverter.getIceSample mapping."""
+    qa = np.array([
+        0x0001,          # fill bit -> invalid 0
+        0x0004,          # occlusion bit -> invalid 0
+        0b11 << 14,      # cloud conf 3 -> cloud 1
+        0b11 << 12,      # cirrus conf 3 -> cloud 1
+        0b10 << 10,      # snow/ice conf 2 -> ice 3
+        0b11 << 10,      # snow/ice conf 3 -> ice 3
+        0b01 << 10,      # snow/ice conf 1 -> clear 2
+        0x0000,          # nothing -> clear 2
+        (0b11 << 14) | 1,  # fill wins over cloud -> 0
+    ], dtype=np.uint16)
+    got = LS.qa_ice_mask_plane(qa)
+    assert got.tolist() == [0, 0, 1, 1, 3, 3, 2, 2, 0]
+
+
+def test_ndvi_milli_plane_closed_form():
+    nir = np.array([[600, 0, 100]], dtype=np.uint16)
+    red = np.array([[200, 0, 300]], dtype=np.uint16)
+    got = LS.ndvi_milli_plane(nir, red)
+    assert got.dtype == np.int16
+    # (600-200)*1000 // 800 = 500; 0/0 -> 0; (100-300)*1000 // 400 = -500
+    assert got.tolist() == [[500, 0, -500]]
+
+
+def test_qa_mask_and_ndvi_end_to_end(spark, tmp_path):
+    """stack_bands → qa_ice_mask + ndvi over a scene with B4/B5/BQA."""
+    rng = np.random.RandomState(23)
+    planes = {}
+    for b in ("B4", "B5", "BQA"):
+        pix = rng.randint(0, 65536, size=(16, 16), dtype=np.uint16)
+        planes[b] = pix
+        (tmp_path / f"LC89_{b}.TIF").write_bytes(
+            TIF.encode_geotiff(pix, origin=(10.0, 50.0), scale=(0.01, 0.01))
+        )
+    stacked = LS.stack_bands(TIF.read_geotiff(spark, str(tmp_path / "*.TIF")))
+    m = LS.qa_ice_mask(stacked).collect()[0]
+    want_mask = LS.qa_ice_mask_plane(planes["BQA"])
+    assert np.frombuffer(m.mask, np.uint8).reshape(16, 16).tolist() == want_mask.tolist()
+    assert (
+        m.n_invalid + m.n_cloud + m.n_clear + m.n_ice == 256
+        and m.n_invalid == int((want_mask == 0).sum())
+    )
+    n = LS.ndvi(stacked).collect()[0]
+    want = LS.ndvi_milli_plane(planes["B5"], planes["B4"])
+    np.testing.assert_array_equal(
+        np.frombuffer(n.ndvi, "<i2").reshape(16, 16), want
+    )
+    assert n.ndvi_sum == int(want.sum(dtype=np.int64))
+    # scene without the needed bands raises with the scene named
+    import pytest as _pytest
+
+    only_b4 = stacked  # same stack but ask for a missing band name
+    with _pytest.raises(Exception, match="needs bands"):
+        LS.ndvi(only_b4, nir="B6").collect()
