@@ -67,16 +67,21 @@ def read_scene_catalog(spark: SparkSession, path: str) -> DataFrame:
 
 
 def n_best_scenes(
-    catalog: DataFrame, n: int, by_path_row: bool = True
+    catalog: DataFrame,
+    n: int,
+    by_path_row: bool = True,
+    group_cols: tuple[str, ...] = ("path", "row"),
 ) -> DataFrame:
-    """The N lowest-cloud scenes — per WRS2 (path, row) cell when
-    ``by_path_row`` (SceneFeatureIterator.nBestScenes semantics), else
-    globally.  Deterministic tie-break on entityId so reruns and the
-    SQL oracle agree.  A rank window per (path,row) is safe at catalog
-    scale: groups are scene counts per cell (hundreds), never data-
-    volume-sized; the global variant is a single ordered limit."""
+    """The N lowest-cloud scenes — per spatial cell when ``by_path_row``
+    (SceneFeatureIterator.nBestScenes semantics; ``group_cols`` is the
+    cell key: WRS2 (path, row) for Landsat, ('location',) for the Theia/
+    Sentinel-2 tile grid), else globally.  Deterministic tie-break on
+    entityId so reruns and the SQL oracle agree.  A rank window per cell
+    is safe at catalog scale: groups are scene counts per cell
+    (hundreds), never data-volume-sized; the global variant is a single
+    ordered limit."""
     if by_path_row:
-        w = Window.partitionBy("path", "row").orderBy(
+        w = Window.partitionBy(*group_cols).orderBy(
             F.col("cloudCover").asc(), F.col("entityId").asc()
         )
         return (
@@ -120,6 +125,43 @@ def analyze_catalog(catalog: DataFrame) -> DataFrame:
         F.min("cloudCover").alias("min_cloud_cover"),
         F.max("cloudCover").alias("max_cloud_cover"),
         F.avg("cloudCover").alias("avg_cloud_cover"),
+    )
+
+
+def read_theia_catalog(spark: SparkSession, path: str) -> DataFrame:
+    """Theia/Sentinel-2 scene catalog (GeoJSON FeatureCollection — the
+    reference's theia SceneFeatureIterator.java:70-97 attribute set) →
+    catalog DataFrame in the same envelope convention as the Landsat
+    reader, so n_best_scenes (grouped on the ``location`` tile),
+    envelope_cql_query and index_envelopes apply unchanged.
+
+    The footprint envelope is computed from the GeoJSON polygon with
+    pure column math (flatten + transform + array_min/max — no UDF)."""
+    raw = spark.read.option("multiLine", "true").json(path)
+    feats = raw.select(F.explode("features").alias("f"))
+    flat = F.flatten(F.col("f.geometry.coordinates"))
+    xs = F.transform(flat, lambda p: p[0])
+    ys = F.transform(flat, lambda p: p[1])
+    return feats.select(
+        F.col("f.id").alias("entityId"),
+        F.to_timestamp(F.col("f.properties.startDate")).alias("acquisitionDate"),
+        F.col("f.properties.cloudCover").cast("double").alias("cloudCover"),
+        F.col("f.properties.snowCover").cast("double").alias("snowCover"),
+        F.col("f.properties.waterCover").cast("double").alias("waterCover"),
+        F.col("f.properties.processingLevel"),
+        F.col("f.properties.productIdentifier"),
+        F.col("f.properties.productType"),
+        F.col("f.properties.collection"),
+        F.col("f.properties.platform"),
+        F.col("f.properties.location"),
+        F.col("f.properties.orbitNumber").cast("int").alias("orbitNumber"),
+        F.col("f.properties.relativeOrbitNumber").cast("int").alias(
+            "relativeOrbitNumber"
+        ),
+        F.array_min(xs).alias("minx"),
+        F.array_min(ys).alias("miny"),
+        F.array_max(xs).alias("maxx"),
+        F.array_max(ys).alias("maxy"),
     )
 
 

@@ -211,3 +211,53 @@ def test_qa_mask_and_ndvi_end_to_end(spark, tmp_path):
     only_b4 = stacked  # same stack but ask for a missing band name
     with _pytest.raises(Exception, match="needs bands"):
         LS.ndvi(only_b4, nir="B6").collect()
+
+
+THEIA_JSON = """{
+  "type": "FeatureCollection",
+  "features": [
+    {"type": "Feature", "id": "T1A",
+     "properties": {"startDate": "2024-03-01 10:30:00", "cloudCover": 20.0,
+       "snowCover": 0.0, "waterCover": 5.0, "processingLevel": "LEVEL2A",
+       "productIdentifier": "S2A_T31TCJ_A", "productType": "REFLECTANCE",
+       "collection": "SENTINEL2", "platform": "S2A", "location": "T31TCJ",
+       "orbitNumber": 100, "relativeOrbitNumber": 51},
+     "geometry": {"type": "Polygon",
+       "coordinates": [[[1.0, 43.0], [2.1, 43.0], [2.1, 44.1], [1.0, 44.1], [1.0, 43.0]]]}},
+    {"type": "Feature", "id": "T1B",
+     "properties": {"startDate": "2024-03-11 10:30:00", "cloudCover": 4.5,
+       "snowCover": 0.0, "waterCover": 5.0, "processingLevel": "LEVEL2A",
+       "productIdentifier": "S2A_T31TCJ_B", "productType": "REFLECTANCE",
+       "collection": "SENTINEL2", "platform": "S2A", "location": "T31TCJ",
+       "orbitNumber": 101, "relativeOrbitNumber": 51},
+     "geometry": {"type": "Polygon",
+       "coordinates": [[[1.0, 43.0], [2.1, 43.0], [2.1, 44.1], [1.0, 44.1], [1.0, 43.0]]]}},
+    {"type": "Feature", "id": "T2A",
+     "properties": {"startDate": "2024-03-02 10:40:00", "cloudCover": 9.0,
+       "snowCover": 1.0, "waterCover": 0.0, "processingLevel": "LEVEL2A",
+       "productIdentifier": "S2B_T32ULU_A", "productType": "REFLECTANCE",
+       "collection": "SENTINEL2", "platform": "S2B", "location": "T32ULU",
+       "orbitNumber": 7, "relativeOrbitNumber": 8},
+     "geometry": {"type": "Polygon",
+       "coordinates": [[[8.0, 48.0], [9.2, 48.0], [9.2, 49.1], [8.0, 49.1], [8.0, 48.0]]]}}
+  ]
+}"""
+
+
+def test_read_theia_catalog_and_best_per_tile(spark, tmp_path):
+    """Theia/Sentinel-2 GeoJSON catalog: attributes + column-math envelope;
+    n_best_scenes grouped on the tile location."""
+    p = tmp_path / "theia.json"
+    p.write_text(THEIA_JSON)
+    cat = LS.read_theia_catalog(spark, str(p))
+    rows = {r.entityId: r for r in cat.collect()}
+    assert set(rows) == {"T1A", "T1B", "T2A"}
+    r = rows["T1A"]
+    assert (r.minx, r.miny, r.maxx, r.maxy) == (1.0, 43.0, 2.1, 44.1)
+    assert r.location == "T31TCJ" and r.platform == "S2A"
+    assert r.cloudCover == 20.0 and r.relativeOrbitNumber == 51
+    assert str(r.acquisitionDate).startswith("2024-03-01")
+
+    best = LS.n_best_scenes(cat, 1, group_cols=("location",))
+    got = sorted(r.entityId for r in best.collect())
+    assert got == ["T1B", "T2A"]  # lowest cloud per tile
