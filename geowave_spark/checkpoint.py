@@ -513,3 +513,62 @@ def raster_pipeline(
         params={},
     )
     return pipe
+
+
+def landsat_pipeline(
+    spark: SparkSession,
+    scenes_glob: str,
+    store: str,
+    catalog: str,
+    n_best: int = 2,
+) -> Pipeline:
+    """The Landsat scene DAG (the reference's landsat8 analyze →
+    download-best → raster-ingest flow, extensions/cli/landsat8), with
+    per-stage resume:
+
+    1. ``scene_select`` — catalog CSV → the ``n_best`` lowest-cloud
+       scenes per WRS2 (path, row) cell (SceneFeatureIterator.nBestScenes);
+    2. ``scene_stack`` — per-band GeoTIFFs under ``scenes_glob`` decoded
+       and stacked into one multi-band coverage per scene
+       (RasterIngestRunner's band merge), kept only for SELECTED scenes
+       (broadcast semi-join on entityId — the selection is
+       catalog-sized);
+    3. ``scene_mask`` — the QA-band ice-mask product with per-class
+       pixel counts (QABandToIceMaskConverter);
+    4. ``scene_ndvi`` — fixed-point milli-NDVI plane + summary (band
+       math over the merged coverage; scenes must carry B4/B5).
+
+    Same fingerprinted-manifest resume contract as the other DAGs."""
+    from geowave_spark.sources import landsat as LS
+    from geowave_spark.sources import tiff as TIF
+
+    pipe = Pipeline(spark, store)
+
+    def build_select(sp: SparkSession) -> DataFrame:
+        return LS.n_best_scenes(LS.read_scene_catalog(sp, catalog), n_best)
+
+    selected = pipe.run_stage(
+        "scene_select", build_select, inputs=[catalog],
+        params={"n_best": n_best},
+    )
+
+    def build_stack(sp: SparkSession) -> DataFrame:
+        stacked = LS.stack_bands(TIF.read_geotiff(sp, scenes_glob))
+        keep = selected.select(F.col("entityId").alias("scene_id")).distinct()
+        return stacked.join(F.broadcast(keep), "scene_id", "left_semi")
+
+    stacked = pipe.run_stage(
+        "scene_stack", build_stack,
+        inputs=[scenes_glob, os.path.join(store, "scene_select")],
+        params={},
+    )
+
+    pipe.run_stage(
+        "scene_mask", lambda sp: LS.qa_ice_mask(stacked),
+        inputs=[os.path.join(store, "scene_stack")], params={},
+    )
+    pipe.run_stage(
+        "scene_ndvi", lambda sp: LS.ndvi(stacked),
+        inputs=[os.path.join(store, "scene_stack")], params={},
+    )
+    return pipe

@@ -474,6 +474,7 @@ PIPELINE_STAGES = {
     "image": ["image_features", "image_dedup_groups", "image_split",
               "image_batches"],
     "raster": ["raster_tiles", "raster_pyramid", "raster_overviews"],
+    "landsat": ["scene_select", "scene_stack", "scene_mask", "scene_ndvi"],
 }
 
 
@@ -495,6 +496,7 @@ def cmd_pipeline(args, spark_injected, out) -> int:
         "corpus": CK.corpus_pipeline,
         "image": CK.image_pipeline,
         "raster": CK.raster_pipeline,
+        "landsat": CK.landsat_pipeline,
     }[args.which]
     if args.invalidate:
         stages = PIPELINE_STAGES[args.which]
@@ -517,6 +519,12 @@ def cmd_pipeline(args, spark_injected, out) -> int:
             kw["level"] = args.level
         if args.min_level is not None:
             kw["min_level"] = args.min_level
+    if args.which == "landsat":
+        if not args.catalog:
+            raise SystemExit("pipeline landsat requires --catalog <scene_list.csv>")
+        kw["catalog"] = args.catalog
+        if args.n_best is not None:
+            kw["n_best"] = args.n_best
     pipe = runner(spark, args.src, path, **kw)
     for s in pipe.stages_run:
         print(f"ran\t{s}", file=out)
@@ -648,8 +656,12 @@ def _build_parser() -> argparse.ArgumentParser:
     e.add_argument("--format", default="parquet")
 
     pl = sub.add_parser("pipeline")  # checkpointed multi-stage DAG runner
-    pl.add_argument("which", choices=["ingest", "corpus", "image", "raster"])
-    pl.add_argument("src", help="sf_dir (ingest/corpus) or images parquet path")
+    pl.add_argument(
+        "which", choices=["ingest", "corpus", "image", "raster", "landsat"]
+    )
+    pl.add_argument(
+        "src", help="sf_dir (ingest/corpus), images parquet path, or scenes glob"
+    )
     pl.add_argument("store", help="registered store name (config addstore)")
     pl.add_argument("--invalidate", default=None,
                     help="drop this stage's manifest first (suffix re-runs)")
@@ -659,6 +671,10 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="image pipeline: training batch size")
     pl.add_argument("--level", type=int, default=None,
                     help="raster pipeline: base mosaic level")
+    pl.add_argument("--catalog", default=None,
+                    help="landsat pipeline: scene_list CSV path")
+    pl.add_argument("--n-best", type=int, default=None,
+                    help="landsat pipeline: scenes kept per (path,row) cell")
     pl.add_argument("--min-level", type=int, default=None,
                     help="raster pipeline: coarsest pyramid level")
 

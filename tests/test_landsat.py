@@ -261,3 +261,60 @@ def test_read_theia_catalog_and_best_per_tile(spark, tmp_path):
     best = LS.n_best_scenes(cat, 1, group_cols=("location",))
     got = sorted(r.entityId for r in best.collect())
     assert got == ["T1B", "T2A"]  # lowest cloud per tile
+
+
+def test_landsat_pipeline_end_to_end_and_resume(spark, tmp_path):
+    """pipeline landsat: catalog select → band stack (selected scenes
+    only) → QA mask + NDVI products, all checkpointed; second run skips
+    every stage."""
+    import io
+
+    from geowave_spark.cli import main
+
+    # catalog: two (path,row) cells, 2 scenes each; n_best=1 keeps one per
+    # cell — LOW1 and LOW2; HIGH* band files on disk must be dropped
+    src = _catalog_csv(tmp_path, [
+        "LOW1,2024-01-01 00:00:00.000,5.0,L1TP,1,1,40.0,10.0,41.0,11.0,u",
+        "HIGH1,2024-01-02 00:00:00.000,80.0,L1TP,1,1,40.0,10.0,41.0,11.0,u",
+        "LOW2,2024-01-03 00:00:00.000,7.0,L1TP,2,2,42.0,12.0,43.0,13.0,u",
+        "HIGH2,2024-01-04 00:00:00.000,90.0,L1TP,2,2,42.0,12.0,43.0,13.0,u",
+    ])
+    scenes = tmp_path / "scenes"
+    scenes.mkdir()
+    rng = np.random.RandomState(31)
+    for s in ("LOW1", "HIGH1", "LOW2", "HIGH2"):
+        for b in ("B4", "B5", "BQA"):
+            pix = rng.randint(0, 65536, size=(16, 16), dtype=np.uint16)
+            (scenes / f"{s}_{b}.TIF").write_bytes(
+                TIF.encode_geotiff(pix, origin=(10.0, 41.0), scale=(0.01, 0.01))
+            )
+    store = str(tmp_path / "lpstore")
+
+    def run(*argv):
+        out = io.StringIO()
+        rc = main(["--config", str(tmp_path / "cfg.json"), *argv], spark=spark, out=out)
+        assert rc == 0
+        return out.getvalue()
+
+    run("config", "addstore", "lp", "--path", store)
+    got = run(
+        "pipeline", "landsat", str(scenes / "*.TIF"), "lp",
+        "--catalog", src, "--n-best", "1",
+    )
+    assert got.count("ran\t") == 4 and "skipped" not in got
+    stacked = spark.read.parquet(f"{store}/scene_stack")
+    assert sorted(r.scene_id for r in stacked.collect()) == ["LOW1", "LOW2"]
+    assert spark.read.parquet(f"{store}/scene_mask").count() == 2
+    ndvi = spark.read.parquet(f"{store}/scene_ndvi")
+    assert ndvi.count() == 2 and "ndvi_sum" in ndvi.columns
+    # lineage is queryable per stage
+    from geowave_spark.checkpoint import Pipeline
+
+    mt = Pipeline(spark, store).metrics_table()
+    assert mt.filter(mt.stage == "scene_stack").count() >= 1
+
+    again = run(
+        "pipeline", "landsat", str(scenes / "*.TIF"), "lp",
+        "--catalog", src, "--n-best", "1",
+    )
+    assert again.count("skipped\t") == 4 and "ran\t" not in again
