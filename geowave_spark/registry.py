@@ -4364,3 +4364,46 @@ register_extra(
 FROM geo_footprints""",
     ),
 )
+
+
+def q_osm_way_geometry(spark, sf_dir):
+    """OSM way-geometry assembly (the reference's feature-conversion
+    step, extensions/cli/osm): way refs posexploded, ONE node-id
+    equi-join (the only big×big step — bucket-by-node_id at planet
+    scale), per-way ordered reassembly with bounded collect_list (OSM
+    caps ways at 2000 nodes).  The oracle replays the ref expansion +
+    node join in SQL; refs past the last event id surface as
+    complete=false, never silently-shorter geometry."""
+    from geowave_spark.sources import osm as OSM
+
+    d = _osm_write_dir(spark, sf_dir)
+    ways = OSM.read_osm_ways(spark, f"{d}/*.osm.pbf")
+    nodes = OSM.read_osm_nodes(spark, f"{d}/*.osm.pbf")
+    return OSM.assemble_ways(ways, nodes).select(
+        "way_id", "n_refs", "n_found", "complete", "closed",
+        "minx_m", "miny_m", "maxx_m", "maxy_m",
+    )
+
+
+register_extra(
+    "osm_way_geometry",
+    q_osm_way_geometry,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        f""", ways AS (
+  SELECT event_id AS way_id FROM geo_events
+  WHERE event_id % {OSM_WAY_MOD} = 0),
+refs AS (
+  SELECT way_id, way_id + o.o AS node_id
+  FROM ways CROSS JOIN unnest(generate_series(0, 2)) AS o(o)),
+j AS (
+  SELECT r.way_id, g.lon_milli, g.lat_milli
+  FROM refs r JOIN geo_events g ON g.event_id = r.node_id)
+SELECT way_id, 3 AS n_refs, CAST(COUNT(*) AS INTEGER) AS n_found,
+       COUNT(*) = 3 AS complete, FALSE AS closed,
+       MIN(lon_milli) AS minx_m, MIN(lat_milli) AS miny_m,
+       MAX(lon_milli) AS maxx_m, MAX(lat_milli) AS maxy_m
+FROM j GROUP BY way_id""",
+    ),
+)

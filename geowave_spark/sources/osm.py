@@ -374,6 +374,7 @@ def _decode_block(block: bytes, nodes, ways, relations) -> None:
 # ---------------------------------------------------------------------------
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
 
 OSM_NODES_SCHEMA = T.StructType(
@@ -488,3 +489,60 @@ def _reader(which: str, schema):
 read_osm_nodes = _reader("nodes", OSM_NODES_SCHEMA)
 read_osm_ways = _reader("ways", OSM_WAYS_SCHEMA)
 read_osm_relations = _reader("relations", OSM_RELATIONS_SCHEMA)
+
+
+def assemble_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Way node-refs → ordered vertex geometry — the reference's OSM
+    feature-conversion step (extensions/cli/osm: ways resolve their node
+    coordinates before becoming line/polygon features).
+
+    Scale shape: posexplode the refs (one row per (way, ordinal, node)),
+    ONE equi-join against the node table on node_id — the only big×big
+    step; at planet scale both sides bucket/sort by node_id so this is
+    the co-located join — then per-way reassembly via sort_array over
+    (ordinal, vertex) structs.  The per-way array is bounded by OSM's
+    2000-node way cap, so collect_list groups stay small regardless of
+    data volume.  Nodes missing from the extract surface as
+    ``complete = false`` (n_found < n_refs) instead of silently shorter
+    geometry; ``closed`` comes from the ref ids (first == last), exact
+    even when the boundary nodes are missing."""
+    refs = ways.select(
+        "way_id", F.posexplode("refs").alias("ord", "node_id")
+    )
+    j = refs.join(
+        nodes.select("node_id", "lon_milli", "lat_milli", "lon", "lat"),
+        "node_id",
+    )
+    agg = j.groupBy("way_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("ord", "lon", "lat", "lon_milli", "lat_milli")
+            )
+        ).alias("pts"),
+        F.count(F.lit(1)).alias("n_found"),
+        F.min("lon_milli").alias("minx_m"),
+        F.min("lat_milli").alias("miny_m"),
+        F.max("lon_milli").alias("maxx_m"),
+        F.max("lat_milli").alias("maxy_m"),
+    )
+    out = agg.join(
+        ways.select("way_id", "n_refs", "ref_first", "ref_last", "tags"),
+        "way_id",
+    )
+    return out.select(
+        "way_id",
+        "tags",
+        "n_refs",
+        F.col("n_found").cast("int").alias("n_found"),
+        (F.col("n_found") == F.col("n_refs")).alias("complete"),
+        (
+            (F.col("ref_first") == F.col("ref_last")) & (F.col("n_refs") >= 4)
+        ).alias("closed"),
+        F.transform("pts", lambda p: p["lon"]).alias("lons"),
+        F.transform("pts", lambda p: p["lat"]).alias("lats"),
+        "minx_m", "miny_m", "maxx_m", "maxy_m",
+        (F.col("minx_m") / F.lit(1000.0)).alias("minx"),
+        (F.col("miny_m") / F.lit(1000.0)).alias("miny"),
+        (F.col("maxx_m") / F.lit(1000.0)).alias("maxx"),
+        (F.col("maxy_m") / F.lit(1000.0)).alias("maxy"),
+    )

@@ -92,3 +92,34 @@ def test_nodes_feed_index_points(spark, tmp_path):
     idx = OI.index_points(nodes, id_col="node_id")
     assert idx.count() == len(NODES)
     assert "cell" in idx.columns
+
+
+def test_assemble_ways(spark, tmp_path):
+    """Way refs → ordered vertices: order preserved (not node-id order),
+    missing refs flagged complete=false, closed ring detected from the
+    ref ids, exact milli envelope."""
+    nodes = [
+        (1, -74_500_000_000, 40_700_000_000, {}),
+        (2, 2_300_000_000, 48_800_000_000, {}),
+        (3, 139_600_000_000, 35_600_000_000, {}),
+    ]
+    ways = [
+        (11, [3, 1, 2], {"highway": "residential"}),   # order ≠ id order
+        (12, [1, 2, 999], {}),                          # 999 missing
+        (13, [1, 2, 3, 1], {"building": "yes"}),        # closed ring
+    ]
+    (tmp_path / "w.osm.pbf").write_bytes(O.encode_osm_pbf(nodes, ways))
+    w = O.read_osm_ways(spark, str(tmp_path / "*.osm.pbf"))
+    n = O.read_osm_nodes(spark, str(tmp_path / "*.osm.pbf"))
+    out = {r.way_id: r for r in O.assemble_ways(w, n).collect()}
+
+    r = out[11]
+    assert r.complete and not r.closed
+    assert r.lons == [139.6, -74.5, 2.3]  # ref order, exactly
+    assert (r.minx_m, r.miny_m, r.maxx_m, r.maxy_m) == (
+        -74_500, 35_600, 139_600, 48_800
+    )
+    r = out[12]
+    assert not r.complete and r.n_found == 2 and r.n_refs == 3
+    r = out[13]
+    assert r.closed and r.complete and len(r.lons) == 4
