@@ -78,6 +78,8 @@ HEADLINE_INPUTS = {
     "triangles_intersect": "events",
     # round 3 (cont.): new-batch-vs-corpus dedup (no corpus self-pairing)
     "incremental_dedup": "documents",
+    # round 4 (cont.): fixed-token-window chunking (zero-shuffle array op)
+    "chunk_documents": "documents",
     # round 4: the brief's H3/S2 cell-encode axis (hex + S2 analogues)
     "hex_density": "events",
     "hex_hotspots": "events",

@@ -681,3 +681,79 @@ def export_shards(
     man = shard_manifest(assigned, id_col=id_col).localCheckpoint()
     man.write.mode("overwrite").parquet(f"{path}/_manifest")
     return man
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document's token stream into fixed-size windows with
+    ``overlap`` tokens of overlap (stride = chunk_tokens - overlap) — the
+    standard retrieval/embedding chunking pass of an LLM data pipeline.
+
+    Output per (doc, window): ``(id, chunk_ix, n_chunk_tokens,
+    chunk_text)`` with chunk_text the space-joined canonical tokens (the
+    same tokenization every other text operator uses, so chunk counts
+    line up with pack_sequences/token stats).  A document with fewer
+    tokens than a window (including zero) yields exactly one chunk —
+    every input row stays represented.
+
+    Scale shape: one Generate barrier binds the token array (computed
+    ONCE per row — the re-inlining trap from the working notes), then a
+    bounded ``sequence()`` explode per document (fan-out = its chunk
+    count) and pure array slicing.  No shuffle at all: chunking is
+    embarrassingly row-parallel."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens (got {overlap}, {chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    base = docs.select(
+        F.col(id_col),
+        # 1-element explode = Generate barrier: the tokenization is a
+        # runtime attribute, evaluated once, never re-inlined downstream
+        F.explode(F.array(OTX.tokens_col(F.col(text_col)))).alias("_toks"),
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        (
+            (F.greatest(F.lit(0), F.size("_toks") - overlap) + (stride - 1))
+            / stride
+        ).cast("long"),
+    )
+    d = base.withColumn(
+        "chunk_ix", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    piece = F.expr(f"slice(_toks, chunk_ix * {stride} + 1, {chunk_tokens})")
+    return d.select(
+        id_col,
+        F.col("chunk_ix").cast("int").alias("chunk_ix"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_oracle(
+    table: str = "documents", chunk_tokens: int = 64, overlap: int = 16
+) -> str:
+    stride = chunk_tokens - overlap
+    toks = OTX.duck_tokens("text")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM {table}),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+           greatest(1, (greatest(0, len(toks) - {overlap}) + {stride - 1})
+                       // {stride}) - 1)) AS chunk_ix
+  FROM d)
+SELECT doc_id, CAST(chunk_ix AS INTEGER) AS chunk_ix,
+       CAST(len(list_slice(toks, chunk_ix * {stride} + 1,
+                           chunk_ix * {stride} + {chunk_tokens}))
+            AS INTEGER) AS n_chunk_tokens,
+       COALESCE(array_to_string(list_slice(toks, chunk_ix * {stride} + 1,
+                                           chunk_ix * {stride} + {chunk_tokens}),
+                                ' '), '') AS chunk_text
+FROM c"""

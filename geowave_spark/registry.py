@@ -4407,3 +4407,17 @@ SELECT way_id, 3 AS n_refs, CAST(COUNT(*) AS INTEGER) AS n_found,
 FROM j GROUP BY way_id""",
     ),
 )
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-token-window chunking with overlap (the retrieval/embedding
+    chunk pass): token array bound once per row behind a Generate
+    barrier, bounded sequence() explode per document, pure array slices
+    — zero shuffle.  The oracle replays the windows with DuckDB list
+    slicing over the SAME tokenization."""
+    return OCORP.chunk_documents(_docs(spark, sf_dir))
+
+
+register_extra(
+    "chunk_documents", q_chunk_documents, OCORP.chunk_documents_oracle("documents")
+)

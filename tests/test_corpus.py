@@ -291,3 +291,38 @@ def test_shard_assign_null_id_raises(spark):
     df = spark.createDataFrame(rows, "doc_id string, nbytes long")
     with pytest.raises(Exception, match="null order key"):
         OC.shard_assign(df, "nbytes", id_col="doc_id").collect()
+
+
+def test_chunk_documents_windows(spark):
+    """Window arithmetic: stride/overlap coverage, short and empty docs
+    kept as exactly one chunk, consecutive chunks sharing `overlap`
+    tokens, validation of bad overlap."""
+    import pytest
+
+    from geowave_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "only two"),
+            (3, ""),
+            (4, " ".join(f"u{i}" for i in range(5))),   # exactly one window
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=5, overlap=2)
+    rows = sorted(
+        ((r.doc_id, r.chunk_ix, r.n_chunk_tokens, r.chunk_text) for r in out.collect())
+    )
+    by_doc = {}
+    for d, ix, n, txt in rows:
+        by_doc.setdefault(d, []).append((ix, n, txt))
+    # doc 1: stride 3 → ceil((10-2)/3) = 3 chunks; last clamps to 4 tokens
+    assert [x[:2] for x in by_doc[1]] == [(0, 5), (1, 5), (2, 4)]
+    c0, c1 = by_doc[1][0][2].split(), by_doc[1][1][2].split()
+    assert c0[-2:] == c1[:2]  # overlap tokens shared
+    assert by_doc[2] == [(0, 2, "only two")]
+    assert by_doc[3] == [(0, 0, "")]
+    assert by_doc[4] == [(0, 5, "u0 u1 u2 u3 u4")]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
