@@ -414,6 +414,10 @@ OSM_RELATIONS_SCHEMA = T.StructType(
         T.StructField("memid_sum", T.LongType()),
         T.StructField("roles", T.StringType()),
         T.StructField("tags", T.StringType()),
+        # full member triples (needed by assemble_multipolygons)
+        T.StructField("member_ids", T.ArrayType(T.LongType())),
+        T.StructField("member_types_arr", T.ArrayType(T.StringType())),
+        T.StructField("member_roles", T.ArrayType(T.StringType())),
     ]
 )
 
@@ -472,6 +476,9 @@ def _reader(which: str, schema):
                                     sum(m for _, m, _ in members),
                                     ",".join(ro for _, _, ro in members),
                                     _tags_str(tags),
+                                    [m for _, m, _ in members],
+                                    [t for t, _, _ in members],
+                                    [ro for _, _, ro in members],
                                 )
                             )
                 pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
@@ -533,6 +540,8 @@ def assemble_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         "way_id",
         "tags",
         "n_refs",
+        "ref_first",
+        "ref_last",
         F.col("n_found").cast("int").alias("n_found"),
         (F.col("n_found") == F.col("n_refs")).alias("complete"),
         (
@@ -546,3 +555,146 @@ def assemble_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         (F.col("maxx_m") / F.lit(1000.0)).alias("maxx"),
         (F.col("maxy_m") / F.lit(1000.0)).alias("maxy"),
     )
+
+
+_MP_SCHEMA = T.StructType(
+    [
+        T.StructField("rel_id", T.LongType()),
+        T.StructField("tags", T.StringType()),
+        T.StructField("n_ways", T.IntegerType()),
+        T.StructField("n_missing", T.IntegerType()),
+        T.StructField("n_rings", T.IntegerType()),
+        T.StructField("n_outer", T.IntegerType()),
+        T.StructField("n_inner", T.IntegerType()),
+        T.StructField("complete", T.BooleanType()),  # all ways found + all rings closed
+        T.StructField("minx_m", T.LongType()),
+        T.StructField("miny_m", T.LongType()),
+        T.StructField("maxx_m", T.LongType()),
+        T.StructField("maxy_m", T.LongType()),
+        # rings as arrays-of-arrays: lons/lats per ring, outer rings first
+        T.StructField("ring_roles", T.ArrayType(T.StringType())),
+        T.StructField("ring_lons", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("ring_lats", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ]
+)
+
+
+def assemble_multipolygons(
+    relations: DataFrame, assembled_ways: DataFrame
+) -> DataFrame:
+    """type=multipolygon relations → stitched rings (the reference's OSM
+    relation feature conversion: outer/inner member WAYS chained
+    end-to-end into closed rings).
+
+    Scale shape: explode the relation's way members (role outer/inner),
+    ONE equi-join against :func:`assemble_ways` output on way_id, then
+    one ``applyInPandas`` stitch per relation — a relation's member set
+    is tens-to-hundreds of ways (bounded by OSM practice), so the greedy
+    endpoint-matching loop is per-group small no matter the data volume.
+    Stitching matches way ENDPOINT NODE IDS (ref_first/ref_last),
+    reversing a way when it chains backwards — coordinates never decide
+    identity.  Missing member ways or unclosable chains surface as
+    ``complete = false`` with the partial rings kept."""
+    import numpy as np
+    import pandas as pd
+
+    mem = relations.filter(
+        F.col("tags").contains("type=multipolygon")
+    ).select(
+        "rel_id",
+        F.col("tags").alias("rel_tags"),
+        F.explode(
+            F.arrays_zip(
+                F.col("member_ids").alias("mid"),
+                F.col("member_types_arr").alias("mtype"),
+                F.col("member_roles").alias("mrole"),
+            )
+        ).alias("m"),
+    ).filter(
+        (F.col("m.mtype") == "way") & F.col("m.mrole").isin("outer", "inner")
+    ).select(
+        "rel_id", "rel_tags",
+        F.col("m.mid").alias("way_id"), F.col("m.mrole").alias("role"),
+    )
+    j = mem.join(
+        assembled_ways.select(
+            "way_id", "ref_first", "ref_last", "complete",
+            "lons", "lats", "minx_m", "miny_m", "maxx_m", "maxy_m",
+        ),
+        "way_id",
+        "left",
+    )
+
+    def stitch(key, pdf):
+        (rel_id,) = key
+        rel_tags = pdf.iloc[0]["rel_tags"]
+        found = pdf[pdf["ref_first"].notna()]
+        n_missing = int(len(pdf) - len(found)) + int(
+            (~found["complete"].astype(bool)).sum()
+        )
+        segs = [
+            (
+                int(r.ref_first), int(r.ref_last), str(r.role),
+                list(r.lons), list(r.lats),
+            )
+            for r in found.itertuples()
+            if bool(r.complete)
+        ]
+        rings, all_closed = [], True
+        used = [False] * len(segs)
+        for i in range(len(segs)):
+            if used[i]:
+                continue
+            used[i] = True
+            first, last, role, lons, lats = segs[i]
+            roles = [role]
+            while last != first:
+                hit = None
+                for k in range(len(segs)):
+                    if used[k]:
+                        continue
+                    f2, l2, r2, lo2, la2 = segs[k]
+                    if f2 == last:
+                        hit = (k, l2, r2, lo2[1:], la2[1:])
+                    elif l2 == last:
+                        hit = (k, f2, r2, lo2[::-1][1:], la2[::-1][1:])
+                    if hit:
+                        break
+                if hit is None:
+                    all_closed = False
+                    break
+                k, last, r2, lo2, la2 = hit
+                used[k] = True
+                roles.append(r2)
+                lons += lo2
+                lats += la2
+            # majority role of the constituent ways labels the ring
+            rings.append(
+                (max(set(roles), key=roles.count), lons, lats)
+            )
+        rings.sort(key=lambda r: (r[0] != "outer", len(r[1])))
+        env = (None, None, None, None)
+        if len(found):
+            env = (
+                int(found["minx_m"].min()), int(found["miny_m"].min()),
+                int(found["maxx_m"].max()), int(found["maxy_m"].max()),
+            )
+        return pd.DataFrame(
+            [
+                (
+                    rel_id, rel_tags, int(len(pdf)), n_missing,
+                    len(rings),
+                    sum(1 for r in rings if r[0] == "outer"),
+                    sum(1 for r in rings if r[0] == "inner"),
+                    bool(n_missing == 0 and all_closed and rings),
+                    *env,
+                    [r[0] for r in rings],
+                    [r[1] for r in rings],
+                    [r[2] for r in rings],
+                )
+            ],
+            columns=[f.name for f in _MP_SCHEMA.fields],
+        )
+
+    _ = np  # numpy reserved for larger kernels; keep the import local-stable
+    return j.groupBy("rel_id").applyInPandas(stitch, _MP_SCHEMA)

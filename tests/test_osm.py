@@ -123,3 +123,52 @@ def test_assemble_ways(spark, tmp_path):
     assert not r.complete and r.n_found == 2 and r.n_refs == 3
     r = out[13]
     assert r.closed and r.complete and len(r.lons) == 4
+
+
+def test_assemble_multipolygons(spark, tmp_path):
+    """type=multipolygon relations: outer ring split across three ways
+    (one stored reversed), an inner hole ring, a relation with a missing
+    member way — stitched by endpoint NODE ids, partials flagged."""
+    M = 1_000_000_000  # degree in nanodegrees
+    nodes = [
+        # outer square corners 1..4 (0,0) (4,0) (4,4) (0,4) degrees
+        (1, 0, 0, {}), (2, 4 * M, 0, {}), (3, 4 * M, 4 * M, {}),
+        (4, 0, 4 * M, {}),
+        # inner hole corners 5..8
+        (5, 1 * M, 1 * M, {}), (6, 2 * M, 1 * M, {}),
+        (7, 2 * M, 2 * M, {}), (8, 1 * M, 2 * M, {}),
+    ]
+    ways = [
+        (31, [1, 2, 3], {}),        # outer part a
+        (32, [4, 3], {}),           # outer part b, REVERSED direction
+        (33, [4, 1], {}),           # outer part c
+        (34, [5, 6, 7, 8, 5], {}),  # hole, already closed
+        (35, [1, 2], {}),           # member of the incomplete relation
+    ]
+    rels = [
+        (61, [("way", 31, "outer"), ("way", 32, "outer"),
+              ("way", 33, "outer"), ("way", 34, "inner")],
+         {"type": "multipolygon"}),
+        (62, [("way", 35, "outer"), ("way", 999, "outer")],
+         {"type": "multipolygon"}),
+        (63, [("node", 1, "stop")], {"type": "route"}),  # not a multipolygon
+    ]
+    (tmp_path / "mp.osm.pbf").write_bytes(O.encode_osm_pbf(nodes, ways, rels))
+    w = O.read_osm_ways(spark, str(tmp_path / "*.osm.pbf"))
+    n = O.read_osm_nodes(spark, str(tmp_path / "*.osm.pbf"))
+    r = O.read_osm_relations(spark, str(tmp_path / "*.osm.pbf"))
+    aw = O.assemble_ways(w, n)
+    out = {x.rel_id: x for x in O.assemble_multipolygons(r, aw).collect()}
+
+    assert set(out) == {61, 62}  # route relation excluded
+    a = out[61]
+    assert a.complete and a.n_rings == 2 and a.n_outer == 1 and a.n_inner == 1
+    assert a.ring_roles == ["outer", "inner"]
+    outer_lons = a.ring_lons[0]
+    # stitched outer ring closes: first vertex == last vertex
+    assert outer_lons[0] == outer_lons[-1]
+    assert len(outer_lons) == 5  # 4 corners + closing vertex
+    assert (a.minx_m, a.miny_m, a.maxx_m, a.maxy_m) == (0, 0, 4000, 4000)
+
+    b = out[62]
+    assert not b.complete and b.n_missing == 1 and b.n_ways == 2
