@@ -1214,3 +1214,192 @@ SELECT vec_id, bucket, proto_cos,
        rk > CAST(floor(nb * {prune_frac}) AS BIGINT) AS keep
 FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the third ANN family next to hyperplane-LSH
+# and IVF — compress vectors to m sub-codes against per-subspace
+# codebooks, answer top-k by asymmetric distance (ADC) over the codes.
+# At 100 TB this is the memory-bound regime's tool: 64-dim float vectors
+# (256 B quantized) become m=8 one-byte codes, and a query touches only
+# the code column + a driver-built m×K lookup table.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8   # subspaces
+PQ_K = 16  # codewords per subspace
+
+
+def _pq_codebooks(enc: DataFrame, m: int, K: int, id_col: str) -> list:
+    """Deterministic codebooks: the first K vectors' subvectors (the same
+    sample-as-codebook convention as _ivf_centroids — production swaps in
+    the engine's fixed-point Lloyd per subspace; every downstream shape
+    is unchanged).  Driver-side list [m][K][sub] of python ints."""
+    rows = sorted(
+        enc.filter(F.col(id_col) < K).select(id_col, "_qv").collect(),
+        key=lambda r: r[0],
+    )
+    if len(rows) < K:
+        raise ValueError(f"need at least {K} vectors to seed PQ codebooks")
+    dim = len(rows[0]["_qv"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[int(x) for x in r["_qv"][j * sub : (j + 1) * sub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = PQ_M,
+    K: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list]:
+    """→ ((id, _qv, codes), codebooks): every vector's m sub-codes, each
+    the argmin-d2 codeword of its subvector (ties to the lower codeword
+    id via the packed d2·K+c key).
+
+    ZERO-shuffle encode: the codebooks are driver-side literals, so each
+    code is a plain least()-of-K packed integer expression over the
+    let-bound quantized array (the literal-argmin pattern the r4 KMeans
+    fix established — no crossJoin, no window, no aggregation).  The
+    literal tree is m·K·sub terms (~2 MB task binary at 8·16·8); it
+    suits K ≤ ~32 — a K=256 deployment flips the encode to the
+    broadcast-join + min_by argmin (the ivf_assign shape) and keeps
+    every downstream stage unchanged."""
+    from geowave_spark.session import spread
+
+    base = spread(
+        emb.select(
+            F.col(id_col),
+            # Generate barrier: quantization evaluated once per row, never
+            # re-inlined into the ~m·K·sub-term code expressions
+            F.explode(F.array(quant_col(F.col(vec_col)))).alias("_qv"),
+        )
+    )
+    cb = _pq_codebooks(base, m, K, id_col)
+    sub = len(cb[0][0])
+
+    def d2(j: int, c: int) -> Column:
+        t0 = F.lit(0).cast("long")
+        acc = t0
+        for t in range(sub):
+            x = F.element_at("_qv", j * sub + t + 1) - F.lit(cb[j][c][t])
+            acc = acc + x * x
+        return acc
+
+    codes = [
+        (
+            F.least(*[d2(j, c) * K + c for c in range(K)]) % K
+        ).cast("int")
+        for j in range(m)
+    ]
+    return base.withColumn("codes", F.array(*codes)), cb
+
+
+def pq_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    m: int = PQ_M,
+    K: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC approximate top-k by squared L2: queries (id < n_queries)
+    build their m×K distance tables DRIVER-side from the collected query
+    vectors (bounded: n_queries rows) + the codebooks; every corpus
+    vector's approximate distance is then m array lookups summed — pure
+    codegen column math over the code column, one broadcast of the tiny
+    query-table frame, and the per-query top-k window.  Output:
+    (q_id, rank, vec_id, ad2)."""
+    from pyspark.sql import Window
+
+    enc, cb = pq_encode(emb, m, K, id_col, vec_col)
+    sub = len(cb[0][0])
+    qrows = sorted(
+        enc.filter(F.col(id_col) < n_queries).select(id_col, "_qv").collect(),
+        key=lambda r: r[0],
+    )
+    tabs = []
+    for r in qrows:
+        qv = [int(x) for x in r["_qv"]]
+        tab = [
+            [
+                sum(
+                    (qv[j * sub + t] - cb[j][c][t]) ** 2 for t in range(sub)
+                )
+                for c in range(K)
+            ]
+            for j in range(m)
+        ]
+        tabs.append((int(r[0]), tab))
+    qdf = emb.sparkSession.createDataFrame(
+        tabs, "q_id long, tab array<array<bigint>>"
+    )
+    ad2 = F.expr(" + ".join(f"tab[{j}][codes[{j}]]" for j in range(m)))
+    w = Window.partitionBy("q_id").orderBy(F.col("ad2").asc(), F.col(id_col).asc())
+    return (
+        enc.crossJoin(F.broadcast(qdf))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("ad2", ad2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", id_col, "ad2")
+    )
+
+
+def pq_topk_oracle(
+    table: str = "embeddings",
+    n_queries: int = 8,
+    k: int = 10,
+    m: int = PQ_M,
+    K: int = PQ_K,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the WHOLE PQ pipeline: quantize → codebooks =
+    first-K subvectors → per-vector sub-codes via packed arg_min →
+    query m×K tables → ADC sum → ranked top-k.  Integer end-to-end."""
+    sub = dim // m
+    qv = duck_quant("embedding")
+
+    def d2(j: int, a: str, b: str) -> str:
+        return " + ".join(
+            f"({a}[{j * sub + t + 1}] - {b}[{j * sub + t + 1}])"
+            f" * ({a}[{j * sub + t + 1}] - {b}[{j * sub + t + 1}])"
+            for t in range(sub)
+        )
+
+    code_arms = " UNION ALL ".join(
+        f"""SELECT v.vec_id, {j} AS j,
+       CAST(arg_min(c.cid, ({d2(j, 'v.qv', 'c.qv')}) * {K} + c.cid) AS INTEGER)
+         AS code
+FROM q v CROSS JOIN cb c GROUP BY v.vec_id"""
+        for j in range(m)
+    )
+    tab_arms = " UNION ALL ".join(
+        f"""SELECT qq.vec_id AS q_id, {j} AS j, c.cid,
+       CAST({d2(j, 'qq.qv', 'c.qv')} AS BIGINT) AS d2q
+FROM qq CROSS JOIN cb c"""
+        for j in range(m)
+    )
+    return f"""
+WITH q AS MATERIALIZED (SELECT vec_id, {qv} AS qv FROM {table}),
+cb AS MATERIALIZED (SELECT vec_id AS cid, qv FROM q WHERE vec_id < {K}),
+qq AS MATERIALIZED (SELECT vec_id, qv FROM q WHERE vec_id < {n_queries}),
+codes AS MATERIALIZED ({code_arms}),
+tabs AS MATERIALIZED ({tab_arms}),
+ad AS (
+  SELECT t.q_id, v.vec_id, SUM(t.d2q) AS ad2
+  FROM codes v JOIN tabs t ON t.j = v.j AND t.cid = v.code
+  WHERE v.vec_id != t.q_id
+  GROUP BY t.q_id, v.vec_id),
+rk AS (
+  SELECT q_id, vec_id, CAST(ad2 AS BIGINT) AS ad2,
+         row_number() OVER (PARTITION BY q_id ORDER BY ad2 ASC, vec_id ASC)
+           AS rank
+  FROM ad)
+SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, ad2
+FROM rk WHERE rank <= {k}"""

@@ -4421,3 +4421,16 @@ def q_chunk_documents(spark, sf_dir):
 register_extra(
     "chunk_documents", q_chunk_documents, OCORP.chunk_documents_oracle("documents")
 )
+
+
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (the memory-bound regime's family next
+    to LSH and IVF): zero-shuffle literal-argmin encode against
+    driver-side codebooks, ADC top-k as m array lookups summed per
+    candidate — one broadcast of the tiny query-table frame and the
+    per-query rank window.  The oracle replays quantize → codebooks →
+    packed-arg_min codes → ADC → rank, integer end-to-end."""
+    return OE.pq_topk(_emb(spark, sf_dir))
+
+
+register_extra("pq_topk", q_pq_topk, OE.pq_topk_oracle())

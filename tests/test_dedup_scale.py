@@ -469,3 +469,28 @@ def test_ann_recall_exhaustive_probe_is_perfect(spark, emb):
         ar = a[a.vec_id == true1]["rank"]
         want_mrr = round(1.0 / int(ar.iloc[0]), 6) if len(ar) else 0.0
         assert prows[q] == (len(hits), round(len(hits) / len(e), 6), want_mrr)
+
+
+def test_pq_codes_and_adc_exact_on_codewords(spark, sf_dir):
+    """PQ invariants: (1) a codebook-seed vector encodes to its own
+    codeword in every subspace (d2 = 0 argmin); (2) for query AND
+    candidate both inside the seed set, the ADC distance equals the
+    EXACT quantized L2 distance (each sub-code reconstructs the
+    candidate exactly, so the approximation error is zero)."""
+    from geowave_spark.operators import embed as OE
+    from geowave_spark.sources import tables as TB
+
+    emb = TB.load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    enc, cb = OE.pq_encode(emb)
+    K = OE.PQ_K
+    seeds = {r.vec_id: r for r in enc.filter(F.col("vec_id") < K).collect()}
+    for vid, r in seeds.items():
+        assert list(r.codes) == [vid] * OE.PQ_M  # own subvector = argmin
+    out = OE.pq_topk(emb, n_queries=8, k=600)  # k > corpus: every pair ranked
+    rows = out.filter(F.col("vec_id") < K).collect()
+    assert len(rows) == 8 * (K - 1)  # every (query, other-seed) pair present
+    for r in rows:
+        qv = list(seeds[r.q_id]["_qv"])
+        vv = list(seeds[r.vec_id]["_qv"])
+        exact = sum((a - b) * (a - b) for a, b in zip(qv, vv))
+        assert r.ad2 == exact
