@@ -599,7 +599,9 @@ def assemble_multipolygons(
     import pandas as pd
 
     mem = relations.filter(
-        F.col("tags").contains("type=multipolygon")
+        # exact tag match against the \x1f-joined canonical string — a
+        # substring test would also hit e.g. "subtype=multipolygon"
+        F.array_contains(F.split(F.col("tags"), "\x1f"), "type=multipolygon")
     ).select(
         "rel_id",
         F.col("tags").alias("rel_tags"),
