@@ -33,6 +33,7 @@ reproduces bit-for-bit (empirically verified in tests).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints + closures need it
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1261,14 +1262,17 @@ def pq_encode(
     the argmin-d2 codeword of its subvector (ties to the lower codeword
     id via the packed d2·K+c key).
 
-    ZERO-shuffle encode: the codebooks are driver-side literals, so each
-    code is a plain least()-of-K packed integer expression over the
-    let-bound quantized array (the literal-argmin pattern the r4 KMeans
-    fix established — no crossJoin, no window, no aggregation).  The
-    literal tree is m·K·sub terms (~2 MB task binary at 8·16·8); it
-    suits K ≤ ~32 — a K=256 deployment flips the encode to the
-    broadcast-join + min_by argmin (the ivf_assign shape) and keeps
-    every downstream stage unchanged."""
+    ZERO-shuffle encode: the codebooks ride the UDF closure as driver
+    literals and each batch's codes are ONE vectorized numpy argmin over
+    a (batch, m, K, sub) difference tensor — Arrow-batched, no
+    crossJoin, no window, no aggregation.  (A pure-Catalyst literal
+    least()-of-K expression tree was measured first: at m·K·sub =
+    8·16·8 the fused stage exceeds the 64 KB codegen method limit and
+    the WHOLE stage falls back to interpreted eval — the numpy kernel
+    is the faster and cleaner form, the repo's standard escape for
+    dense per-row arithmetic.)  numpy argmin takes the FIRST minimum,
+    which is exactly the packed d2·K+c lowest-codeword tie-break the
+    SQL oracle replays."""
     from geowave_spark.session import spread
 
     base = spread(
@@ -1282,21 +1286,20 @@ def pq_encode(
     cb = _pq_codebooks(base, m, K, id_col)
     sub = len(cb[0][0])
 
-    def d2(j: int, c: int) -> Column:
-        t0 = F.lit(0).cast("long")
-        acc = t0
-        for t in range(sub):
-            x = F.element_at("_qv", j * sub + t + 1) - F.lit(cb[j][c][t])
-            acc = acc + x * x
-        return acc
+    import numpy as np
 
-    codes = [
-        (
-            F.least(*[d2(j, c) * K + c for c in range(K)]) % K
-        ).cast("int")
-        for j in range(m)
-    ]
-    return base.withColumn("codes", F.array(*codes)), cb
+    from pyspark.sql import types as T
+
+    C = np.asarray(cb, dtype=np.int64)  # (m, K, sub) — closure literal
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _codes(qv: pd.Series) -> pd.Series:
+        A = np.stack(qv.to_numpy()).astype(np.int64).reshape(-1, m, sub)
+        d2 = ((A[:, :, None, :] - C[None, :, :, :]) ** 2).sum(-1)  # (n, m, K)
+        codes = d2.argmin(axis=2).astype("int32")  # first min = lowest c
+        return pd.Series(list(codes))
+
+    return base.withColumn("codes", _codes(F.col("_qv"))), cb
 
 
 def pq_topk(
@@ -1403,3 +1406,104 @@ rk AS (
   FROM ad)
 SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, ad2
 FROM rk WHERE rank <= {k}"""
+
+
+def l2_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT squared-L2 top-k scan (the PQ ground truth; the L2 twin of
+    :func:`cosine_topk`): broadcast query side, one pass over the
+    corpus, per-query rank window.  Output: (q_id, rank, vec_id, d2)."""
+    from pyspark.sql import Window
+
+    from geowave_spark.session import spread
+
+    base = spread(
+        emb.select(F.col(id_col), quant_col(F.col(vec_col)).alias("_qv"))
+    )
+    q = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col("_qv").alias("q_emb")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col(id_col).asc())
+    return (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("d2", dist2_col("_qv", "q_emb"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", id_col, "d2")
+    )
+
+
+def pq_recall(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    m: int = PQ_M,
+    K: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ retrieval quality vs the exact L2 scan — the measured number
+    behind the (m, K) dial, same shape as :func:`ann_recall`:
+    (q_id, n_hits, recall, mrr1)."""
+    exact = l2_topk(emb, n_queries, k, id_col, vec_col).select(
+        "q_id", F.col(id_col), F.col("rank").alias("_er")
+    )
+    approx = pq_topk(emb, n_queries, k, m, K, id_col, vec_col).select(
+        "q_id", F.col(id_col), F.col("rank").alias("_ar")
+    )
+    j = exact.join(approx, ["q_id", id_col], "left")
+    rr = F.when(
+        (F.col("_er") == 1) & F.col("_ar").isNotNull(),
+        F.lit(1.0) / F.col("_ar"),
+    )
+    return j.groupBy("q_id").agg(
+        F.count("_ar").alias("n_hits"),
+        F.round(
+            F.count("_ar").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("recall"),
+        F.round(F.coalesce(F.max(rr), F.lit(0.0)), 6).alias("mrr1"),
+    )
+
+
+def pq_recall_oracle(
+    table: str = "embeddings",
+    n_queries: int = 8,
+    k: int = 10,
+    m: int = PQ_M,
+    K: int = PQ_K,
+    dim: int = 64,
+) -> str:
+    d2 = (
+        "CAST(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {b}) "
+        "+ list_dot_product({b}, {b}) AS BIGINT)"
+    )
+    qv = duck_quant("embedding")
+    return f"""
+WITH pq AS MATERIALIZED ({pq_topk_oracle(table, n_queries, k, m, K, dim)}),
+base AS (SELECT vec_id, {qv} AS qv FROM {table}),
+exact AS (
+  SELECT q_id, vec_id, rank AS er FROM (
+    SELECT q.vec_id AS q_id, b.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {d2.format(a='b.qv', b='q.qv')} ASC, b.vec_id ASC)
+             AS rank
+    FROM base b CROSS JOIN base q
+    WHERE q.vec_id < {n_queries} AND b.vec_id <> q.vec_id
+  ) WHERE rank <= {k}),
+j AS (
+  SELECT e.q_id, e.vec_id, e.er, p.rank AS ar
+  FROM exact e LEFT JOIN pq p ON p.q_id = e.q_id AND p.vec_id = e.vec_id)
+SELECT q_id,
+       CAST(COUNT(ar) AS BIGINT) AS n_hits,
+       round(CAST(COUNT(ar) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS recall,
+       round(COALESCE(MAX(CASE WHEN er = 1 AND ar IS NOT NULL
+                                THEN CAST(1 AS DOUBLE) / ar END), 0.0), 6)
+         AS mrr1
+FROM j GROUP BY q_id"""

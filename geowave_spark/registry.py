@@ -4434,3 +4434,12 @@ def q_pq_topk(spark, sf_dir):
 
 
 register_extra("pq_topk", q_pq_topk, OE.pq_topk_oracle())
+
+
+def q_pq_recall(spark, sf_dir):
+    """PQ retrieval quality vs the exact L2 scan — the measured evidence
+    for the (m, K) compression dial, same contract as ann_recall."""
+    return OE.pq_recall(_emb(spark, sf_dir))
+
+
+register_extra("pq_recall", q_pq_recall, OE.pq_recall_oracle())
