@@ -4443,3 +4443,73 @@ def q_pq_recall(spark, sf_dir):
 
 
 register_extra("pq_recall", q_pq_recall, OE.pq_recall_oracle())
+
+
+def _snapshot_store(spark, sf_dir):
+    """Build a two-commit snapshot store over indexed geo events in a
+    temp dir (deterministic split on event_id % 4) — shared by the
+    snapshot queries below."""
+    import tempfile
+
+    from geowave_spark.operators import snapshots as SNAP
+
+    geo = TB.geo_events(spark, sf_dir)
+    pts = OI.index_points(
+        geo.select("event_id", "lon", "lat", "lon_milli", "lat_milli"),
+        lon_col="lon", lat_col="lat", id_col="event_id",
+    )
+    d = tempfile.mkdtemp(prefix="gw_snap_")
+    SNAP.commit(pts.filter(F.col("event_id") % 4 < 3), d, mode="append")
+    SNAP.commit(pts.filter(F.col("event_id") % 4 == 3), d, mode="append")
+    return d, SNAP
+
+
+_SNAP_PROJ = [
+    "event_id", "lon_milli", "lat_milli",
+]
+
+
+def q_snapshot_incremental(spark, sf_dir):
+    """Iceberg-style incremental scan (operators/snapshots.py): two
+    atomic commits land in a snapshot log; the v1→v2 delta reads ONLY
+    the second commit's files (asserted via inputFiles in pytest) —
+    the resume/backfill path of the north rule's "checkpoints
+    per-partition lineage + row counts to Iceberg".  The oracle
+    replays the deterministic batch split."""
+    d, SNAP = _snapshot_store(spark, sf_dir)
+    inc = SNAP.incremental(spark, d, from_version=1, to_version=2)
+    return inc.select(*_SNAP_PROJ, F.col("commit").cast("int").alias("commit"))
+
+
+register_extra(
+    "snapshot_incremental",
+    q_snapshot_incremental,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        "SELECT event_id, lon_milli, lat_milli, CAST(2 AS INTEGER) AS commit "
+        "FROM geo_events WHERE event_id % 4 = 3",
+    ),
+)
+
+
+def q_snapshot_time_travel(spark, sf_dir):
+    """Time travel: after the second commit, reading snapshot v1 returns
+    exactly the first batch — the training-data provenance contract
+    (which corpus state a model trained on), reproducible forever.
+    The oracle is the first batch's split predicate."""
+    d, SNAP = _snapshot_store(spark, sf_dir)
+    v1 = SNAP.read(spark, d, version=1)
+    return v1.select(*_SNAP_PROJ, F.col("commit").cast("int").alias("commit"))
+
+
+register_extra(
+    "snapshot_time_travel",
+    q_snapshot_time_travel,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        "SELECT event_id, lon_milli, lat_milli, CAST(1 AS INTEGER) AS commit "
+        "FROM geo_events WHERE event_id % 4 < 3",
+    ),
+)
