@@ -4513,3 +4513,93 @@ register_extra(
         "FROM geo_events WHERE event_id % 4 < 3",
     ),
 )
+
+
+def _idiv_sql(a: str, b: str) -> str:
+    return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS BIGINT)"
+
+
+def q_mvt_points(spark, sf_dir):
+    """Vector-tile export, point arm (operators/mvt.py over the
+    sources/mvt.py codec): exact-integer quantization to tile-local
+    screen coords, ONE tile groupBy, per-tile protobuf assembly.  The
+    projected aggregates are computed from the DECODED payload, so a
+    green row proves encode→decode→values end-to-end (the codec-oracle
+    pattern); byte-level geometry/tags pinned by test_mvt.py including
+    the public spec's golden command vectors."""
+    from geowave_spark.operators import mvt as OMV
+
+    geo = TB.geo_events(spark, sf_dir)
+    return OMV.mvt_point_tiles(geo, level=3, tag_cols=("event_type",)).select(
+        "level", "tile_ix", "tile_iy", "n_features", "sum_x", "sum_y", "xor_id"
+    )
+
+
+def _mvt_points_oracle() -> str:
+    n = 1 << 15  # res = level 3 + log2(4096)
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+px AS (
+  SELECT event_id,
+         {_idiv_sql(f"(lon_milli + 180000) * {n}", "360000")} AS ix,
+         {_idiv_sql(f"(lat_milli + 90000) * {n}", "180000")} AS iy
+  FROM geo_events
+)
+SELECT CAST(3 AS BIGINT) AS level, (ix >> 12) AS tile_ix, (iy >> 12) AS tile_iy,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(ix & 4095) AS BIGINT) AS sum_x,
+       CAST(SUM(4095 - (iy & 4095)) AS BIGINT) AS sum_y,
+       bit_xor(event_id) AS xor_id
+FROM px GROUP BY 2, 3
+"""
+
+
+register_extra("mvt_points", q_mvt_points, _mvt_points_oracle())
+
+
+def q_mvt_envelopes(spark, sf_dir):
+    """Vector-tile export, polygon arm: image-footprint envelopes →
+    per-tile clipped CW box rings (clip coords span [0, extent] so
+    adjacent tiles share exact boundary geometry).  Aggregates decoded
+    from the payload; the oracle replays grid → bounded tile explode →
+    clip → ring-vertex sums in integer SQL."""
+    from geowave_spark.operators import mvt as OMV
+
+    fps = TB.geo_footprints(spark, sf_dir)
+    return OMV.mvt_envelope_tiles(fps, level=6).select(
+        "level", "tile_ix", "tile_iy", "n_features", "sum_x", "sum_y", "xor_id"
+    )
+
+
+def _mvt_envelopes_oracle() -> str:
+    n = 1 << 18  # res = level 6 + log2(4096)
+    return f"""
+WITH geo_footprints AS ({TB.GEO_FOOTPRINTS_SQL}),
+g AS (
+  SELECT event_id,
+         {_idiv_sql(f"(minx_m + 180000) * {n}", "360000")} AS gx0,
+         {_idiv_sql(f"(maxx_m + 180000) * {n}", "360000")} AS gx1,
+         {_idiv_sql(f"(miny_m + 90000) * {n}", "180000")} AS gy0,
+         {_idiv_sql(f"(maxy_m + 90000) * {n}", "180000")} AS gy1
+  FROM geo_footprints
+),
+tx AS (SELECT *, unnest(generate_series(gx0 >> 12, gx1 >> 12)) AS tile_ix FROM g),
+ty AS (SELECT *, unnest(generate_series(gy0 >> 12, gy1 >> 12)) AS tile_iy FROM tx),
+cl AS (
+  SELECT event_id, tile_ix, tile_iy,
+         greatest(gx0 - tile_ix * 4096, 0) AS cx0,
+         least(gx1 - tile_ix * 4096 + 1, 4096) AS cx1,
+         greatest(gy0 - tile_iy * 4096, 0) AS cy0,
+         least(gy1 - tile_iy * 4096 + 1, 4096) AS cy1
+  FROM ty
+)
+SELECT CAST(6 AS BIGINT) AS level, tile_ix, tile_iy,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(2 * (cx0 + cx1)) AS BIGINT) AS sum_x,
+       CAST(SUM(2 * (8192 - cy0 - cy1)) AS BIGINT) AS sum_y,
+       bit_xor(event_id) AS xor_id
+FROM cl GROUP BY 2, 3
+"""
+
+
+register_extra("mvt_envelopes", q_mvt_envelopes, _mvt_envelopes_oracle())
