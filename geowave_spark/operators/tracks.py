@@ -1,0 +1,314 @@
+"""Trajectory analytics over the reference's track data model.
+
+The reference ingests four track formats — GPX (`extensions/formats/gpx/
+.../GPXConsumer.java`), GeoLife (`.../geolife/GeoLifeIngestPlugin.java`),
+T-Drive (`.../tdrive/TdriveIngestPlugin.java`), STANAG4676 (`.../stanag4676`)
+— all producing ordered (track_id, timestamp, lon, lat) points, but ships
+no analytics over them beyond spatial indexing.  This module adds the
+operations a track corpus actually needs, each in the scale-correct Spark
+shape:
+
+* **segmentation** (`segment_tracks`) — time-gap sessionization: one
+  window per track (partitions are device-history-sized, never
+  data-volume-sized) splits each track at gaps > ``gap_s``;
+* **segment summaries** (`segment_summary`) — per-segment counts,
+  duration, exact-integer Manhattan path length in milli-degrees (the
+  fixed-grid length proxy that keeps the DuckDB oracle bit-exact;
+  haversine meters are one extra float column in production), max step;
+* **stay points** (`stay_points`) — grid-dwell runs: consecutive points
+  in the same coarse cell for ≥ ``min_dur_s`` (the run-length-encoded,
+  SQL-replayable variant of GeoLife-style stay-point detection);
+* **simplification** (`simplify_tracks`) — Douglas–Peucker per segment
+  with EXACT integer predicates (cross-product² vs tol²·|chord|² — no
+  float distance, so keep/drop decisions are reproducible bit-for-bit);
+* **similarity** (`track_hausdorff_pairs`) — discrete symmetric Hausdorff
+  distance² between candidate track pairs, candidates gated by a shared
+  coarse start cell (never all-pairs), the max-min computed as two
+  map-side-combinable aggregations over a role-swapped union (one joined
+  frame, no per-pair loop).
+
+Everything except Douglas–Peucker (recursive; pytest-pinned against a
+brute-force reference) is integer math end-to-end and replays exactly in
+DuckDB — see the track_* registry oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def track_points(
+    geo: DataFrame,
+    track_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    x_col: str = "lon_milli",
+    y_col: str = "lat_milli",
+) -> DataFrame:
+    """Normalize a point table to the track grain: (track_id, pt_id, ts,
+    t [unix seconds], x, y).  Ordering key is (ts, pt_id) — full timestamp
+    precision with a unique tie-break, the contract every window below
+    relies on."""
+    return geo.select(
+        F.col(track_col).cast("long").alias("track_id"),
+        F.col(id_col).cast("long").alias("pt_id"),
+        F.col(ts_col).alias("ts"),
+        F.unix_timestamp(ts_col).alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+
+
+def _track_window() -> Window:
+    return Window.partitionBy("track_id").orderBy("ts", "pt_id")
+
+
+def segment_tracks(pts: DataFrame, gap_s: int = 86_400) -> DataFrame:
+    """Split each track where the time gap to the previous point exceeds
+    ``gap_s``: adds ``seg`` (0-based per track).  ONE window per track —
+    the lag and the running sum share the same partitioning+sort, so
+    Catalyst plans a single exchange and a single sort."""
+    w = _track_window()
+    brk = pts.withColumn(
+        "_brk",
+        F.when(F.col("t") - F.lag("t").over(w) > F.lit(gap_s), 1).otherwise(0),
+    )
+    return brk.withColumn(
+        "seg",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("_brk")
+
+
+def segment_summary(seg_pts: DataFrame) -> DataFrame:
+    """Per-(track, seg) summary: n_points, t_start/t_end/dur_s, exact
+    integer Manhattan path length and max step in milli-degrees.  The lag
+    reuses the segmentation window's partitioning; the groupBy is
+    map-side combinable."""
+    w = _track_window()
+    stepped = seg_pts.withColumn(
+        "_step",
+        F.when(
+            F.lag("seg").over(w) == F.col("seg"),
+            F.abs(F.col("x") - F.lag("x").over(w))
+            + F.abs(F.col("y") - F.lag("y").over(w)),
+        ).otherwise(F.lit(0)),
+    )
+    return stepped.groupBy("track_id", "seg").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("t").alias("t_start"),
+        F.max("t").alias("t_end"),
+        (F.max("t") - F.min("t")).alias("dur_s"),
+        F.sum("_step").alias("path_m"),
+        F.max("_step").alias("max_step_m"),
+    )
+
+
+def stay_points(
+    pts: DataFrame,
+    cell_milli: int = 2_000,
+    min_dur_s: int = 21_600,
+) -> DataFrame:
+    """Grid-dwell stay points: maximal runs of consecutive points (track
+    order) inside one ``cell_milli`` grid cell, kept when the dwell lasts
+    ≥ ``min_dur_s``.  Output: (track_id, gx, gy, t_start, t_end, dur_s,
+    n_points).
+
+    This is the run-length-encoded variant of GeoLife stay-point
+    detection (Zheng et al.): anchor-radius semantics need a sequential
+    scan, grid-dwell needs two windows and one groupBy — the shape that
+    replays in SQL and survives 10^12 points."""
+    from geowave_spark.functions.cols import _idiv_col
+
+    gx = _idiv_col(F.col("x") + F.lit(180_000), F.lit(cell_milli))
+    gy = _idiv_col(F.col("y") + F.lit(90_000), F.lit(cell_milli))
+    w = _track_window()
+    celled = pts.withColumn("gx", gx).withColumn("gy", gy)
+    flagged = celled.withColumn(
+        "_chg",
+        F.when(
+            (F.lag("gx").over(w) == F.col("gx"))
+            & (F.lag("gy").over(w) == F.col("gy")),
+            0,
+        ).otherwise(1),
+    )
+    runs = flagged.withColumn(
+        "_run",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("_chg")
+    return (
+        runs.groupBy("track_id", "_run", "gx", "gy")
+        .agg(
+            F.min("t").alias("t_start"),
+            F.max("t").alias("t_end"),
+            (F.max("t") - F.min("t")).alias("dur_s"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .filter(F.col("dur_s") >= F.lit(min_dur_s))
+        .drop("_run")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Douglas–Peucker simplification (exact integer predicates)
+# ---------------------------------------------------------------------------
+
+
+def _dp_keep_mask(xs: np.ndarray, ys: np.ndarray, tol_milli: int) -> np.ndarray:
+    """Iterative Douglas–Peucker over one polyline; returns the keep mask.
+    The distance test is exact: point P is farther than tol from chord AB
+    iff  cross(AB, AP)² > tol² · |AB|².  cross can reach ~2^38 so its
+    square overflows int64 — the loop deliberately uses Python ints
+    (arbitrary precision), never numpy arithmetic."""
+    n = len(xs)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    tol2 = int(tol_milli) * int(tol_milli)
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        ax, ay, bx, by = int(xs[a]), int(ys[a]), int(xs[b]), int(ys[b])
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        best, best_i = -1, -1
+        for i in range(a + 1, b):
+            px, py = int(xs[i]) - ax, int(ys[i]) - ay
+            if len2 == 0:  # degenerate chord: plain squared distance to A
+                metric, thresh = px * px + py * py, tol2
+            else:
+                cross = dx * py - dy * px
+                metric, thresh = cross * cross, tol2 * len2
+            if metric > thresh and metric > best:
+                best, best_i = metric, i
+        if best_i >= 0:
+            keep[best_i] = True
+            stack.append((a, best_i))
+            stack.append((best_i, b))
+    return keep
+
+
+_SIMPLIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("track_id", T.LongType()),
+        T.StructField("seg", T.LongType()),
+        T.StructField("pt_id", T.LongType()),
+        T.StructField("t", T.LongType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+    ]
+)
+
+
+def simplify_tracks(seg_pts: DataFrame, tol_milli: int = 500) -> DataFrame:
+    """Douglas–Peucker per (track, seg): keeps endpoints plus every point
+    whose exact integer deviation from the current chord exceeds
+    ``tol_milli``.  Per-segment ``applyInPandas`` — segment sizes are
+    bounded by the segmentation gap, so the kernel is bounded work;
+    the decision predicate is integer-exact (bit-reproducible across
+    runs and partitionings; pytest pins it against a brute-force
+    recursive reference)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "pt_id"], kind="mergesort")
+        if len(pdf) <= 2:
+            mask = np.ones(len(pdf), dtype=bool)
+        else:
+            mask = _dp_keep_mask(
+                pdf["x"].to_numpy(np.int64),
+                pdf["y"].to_numpy(np.int64),
+                tol_milli,
+            )
+        out = pdf.loc[mask, ["track_id", "seg", "pt_id", "t", "x", "y"]]
+        return out
+
+    return seg_pts.groupBy("track_id", "seg").applyInPandas(
+        kernel, _SIMPLIFY_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# track similarity: discrete symmetric Hausdorff² over candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def track_hausdorff_pairs(
+    pts: DataFrame,
+    cell_milli: int = 2_000,
+) -> DataFrame:
+    """Symmetric discrete Hausdorff distance² (milli-degrees²) between
+    every candidate track pair, candidates = pairs whose FIRST points
+    share a ``cell_milli`` grid cell (the banding gate: never all-pairs —
+    the standard trick every dedup operator in this repo uses).
+
+    Plan: starts via one per-track window (rn = 1) → self-join on the
+    start cell (a < b) → the candidate list joins each side's points →
+    role-swapped union → groupBy (pair, side, point) MIN then
+    groupBy (pair) MAX.  Both aggregations are map-side combinable; no
+    window touches the joined point set.  Output: (track_a, track_b,
+    hausdorff2)."""
+    from geowave_spark.functions.cols import _idiv_col
+
+    w = _track_window()
+    starts = (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "track_id",
+            _idiv_col(F.col("x") + F.lit(180_000), F.lit(cell_milli)).alias("gx"),
+            _idiv_col(F.col("y") + F.lit(90_000), F.lit(cell_milli)).alias("gy"),
+        )
+    )
+    a = starts.select(
+        F.col("track_id").alias("track_a"), "gx", "gy"
+    )
+    b = starts.select(
+        F.col("track_id").alias("track_b"), "gx", "gy"
+    )
+    cand = (
+        a.join(b, on=["gx", "gy"])
+        .filter(F.col("track_a") < F.col("track_b"))
+        .select("track_a", "track_b")
+    )
+    slim = pts.select("track_id", "pt_id", "x", "y")
+    pa = slim.select(
+        F.col("track_id").alias("track_a"),
+        F.col("pt_id").alias("pa_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+    )
+    pb = slim.select(
+        F.col("track_id").alias("track_b"),
+        F.col("pt_id").alias("pb_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+    )
+    joined = cand.join(pa, "track_a").join(pb, "track_b")
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    both = joined.select(
+        "track_a",
+        "track_b",
+        F.lit(0).alias("side"),
+        F.col("pa_id").alias("pid"),
+        d2.alias("d2"),
+    ).unionByName(
+        joined.select(
+            "track_a",
+            "track_b",
+            F.lit(1).alias("side"),
+            F.col("pb_id").alias("pid"),
+            d2.alias("d2"),
+        )
+    )
+    per_point = both.groupBy("track_a", "track_b", "side", "pid").agg(
+        F.min("d2").alias("min_d2")
+    )
+    return per_point.groupBy("track_a", "track_b").agg(
+        F.max("min_d2").alias("hausdorff2")
+    )

@@ -4603,3 +4603,159 @@ FROM cl GROUP BY 2, 3
 
 
 register_extra("mvt_envelopes", q_mvt_envelopes, _mvt_envelopes_oracle())
+
+
+def _track_pts(spark, sf_dir):
+    from geowave_spark.operators import tracks as TRK
+
+    return TRK.track_points(TB.geo_events(spark, sf_dir))
+
+
+_TRACK_PTS_SQL = """
+SELECT user_id AS track_id, event_id AS pt_id, ts,
+       CAST(floor(epoch(ts)) AS BIGINT) AS t,
+       lon_milli AS x, lat_milli AS y
+FROM geo_events
+"""
+
+
+def q_track_segments(spark, sf_dir):
+    """Trajectory segmentation + summaries (operators/tracks.py over the
+    reference's GPX/GeoLife/T-Drive track model): time-gap sessionization
+    (one window per track) then per-segment counts, duration, exact
+    integer Manhattan path length.  The oracle replays both windows and
+    the aggregation."""
+    from geowave_spark.operators import tracks as TRK
+
+    seg = TRK.segment_tracks(_track_pts(spark, sf_dir), gap_s=86_400)
+    return TRK.segment_summary(seg)
+
+
+def _track_segments_oracle() -> str:
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+pts AS ({_TRACK_PTS_SQL}),
+brk AS (
+  SELECT *, CASE WHEN t - lag(t) OVER w > 86400 THEN 1 ELSE 0 END AS b
+  FROM pts WINDOW w AS (PARTITION BY track_id ORDER BY ts, pt_id)
+),
+segd AS (
+  SELECT *, CAST(SUM(b) OVER (PARTITION BY track_id ORDER BY ts, pt_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+  FROM brk
+),
+stepd AS (
+  SELECT *, CASE WHEN lag(seg) OVER w2 = seg
+                 THEN abs(x - lag(x) OVER w2) + abs(y - lag(y) OVER w2)
+                 ELSE 0 END AS st
+  FROM segd WINDOW w2 AS (PARTITION BY track_id ORDER BY ts, pt_id)
+)
+SELECT track_id, seg, CAST(COUNT(*) AS BIGINT) AS n_points,
+       MIN(t) AS t_start, MAX(t) AS t_end, MAX(t) - MIN(t) AS dur_s,
+       CAST(SUM(st) AS BIGINT) AS path_m, MAX(st) AS max_step_m
+FROM stepd GROUP BY 1, 2
+"""
+
+
+register_extra("track_segments", q_track_segments, _track_segments_oracle())
+
+
+def q_track_stays(spark, sf_dir):
+    """Grid-dwell stay points: maximal same-cell runs per track kept when
+    the dwell lasts ≥ 1h — the SQL-replayable run-length variant of
+    GeoLife stay-point detection.  Exact integer cell math; the oracle
+    replays the change-flag running sum and the run aggregation."""
+    from geowave_spark.operators import tracks as TRK
+
+    stays = TRK.stay_points(
+        _track_pts(spark, sf_dir), cell_milli=2_000, min_dur_s=3_600
+    )
+    return stays.select(
+        "track_id", "gx", "gy", "t_start", "t_end", "dur_s", "n_points"
+    )
+
+
+def _track_stays_oracle() -> str:
+    idiv = _idiv_sql
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+pts AS ({_TRACK_PTS_SQL}),
+celled AS (
+  SELECT *, {idiv("x + 180000", "2000")} AS gx,
+            {idiv("y + 90000", "2000")} AS gy
+  FROM pts
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(gx) OVER w = gx AND lag(gy) OVER w = gy
+                 THEN 0 ELSE 1 END AS chg
+  FROM celled WINDOW w AS (PARTITION BY track_id ORDER BY ts, pt_id)
+),
+runs AS (
+  SELECT *, CAST(SUM(chg) OVER (PARTITION BY track_id ORDER BY ts, pt_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+  FROM flagged
+),
+agg AS (
+  SELECT track_id, run, gx, gy, MIN(t) AS t_start, MAX(t) AS t_end,
+         MAX(t) - MIN(t) AS dur_s, CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM runs GROUP BY 1, 2, 3, 4
+)
+SELECT track_id, gx, gy, t_start, t_end, dur_s, n_points
+FROM agg WHERE dur_s >= 3600
+"""
+
+
+register_extra("track_stays", q_track_stays, _track_stays_oracle())
+
+
+def q_track_hausdorff(spark, sf_dir):
+    """Symmetric discrete Hausdorff² between candidate track pairs
+    (candidates = tracks whose FIRST points share a 2° cell — banding,
+    never all-pairs).  max-min as two map-side-combinable groupBys over a
+    role-swapped union; exact integer milli-degree distances, replayed
+    verbatim in the oracle."""
+    from geowave_spark.operators import tracks as TRK
+
+    return TRK.track_hausdorff_pairs(_track_pts(spark, sf_dir), cell_milli=2_000)
+
+
+def _track_hausdorff_oracle() -> str:
+    idiv = _idiv_sql
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+pts AS ({_TRACK_PTS_SQL}),
+ranked AS (
+  SELECT track_id, x, y,
+         row_number() OVER (PARTITION BY track_id ORDER BY ts, pt_id) AS rn
+  FROM pts
+),
+starts AS (
+  SELECT track_id, {idiv("x + 180000", "2000")} AS gx,
+         {idiv("y + 90000", "2000")} AS gy
+  FROM ranked WHERE rn = 1
+),
+cand AS (
+  SELECT a.track_id AS ta, b.track_id AS tb
+  FROM starts a JOIN starts b
+    ON a.gx = b.gx AND a.gy = b.gy AND a.track_id < b.track_id
+),
+ab AS (
+  SELECT c.ta, c.tb, pa.pt_id AS pid, 0 AS side,
+         (pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y) AS d2
+  FROM cand c JOIN pts pa ON pa.track_id = c.ta
+              JOIN pts pb ON pb.track_id = c.tb
+  UNION ALL
+  SELECT c.ta, c.tb, pb.pt_id AS pid, 1 AS side,
+         (pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y) AS d2
+  FROM cand c JOIN pts pa ON pa.track_id = c.ta
+              JOIN pts pb ON pb.track_id = c.tb
+),
+per_point AS (
+  SELECT ta, tb, side, pid, MIN(d2) AS min_d2 FROM ab GROUP BY 1, 2, 3, 4
+)
+SELECT ta AS track_a, tb AS track_b, MAX(min_d2) AS hausdorff2
+FROM per_point GROUP BY 1, 2
+"""
+
+
+register_extra("track_hausdorff", q_track_hausdorff, _track_hausdorff_oracle())

@@ -1,0 +1,176 @@
+"""Trajectory family (operators/tracks.py): segmentation, summaries,
+grid-dwell stay points, integer Douglas–Peucker vs brute force, Hausdorff
+pairs vs brute force."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark.operators import tracks as TK
+
+
+def _pts(spark, rows):
+    """rows: (track_id, pt_id, t_seconds, x, y) with ts derived from t."""
+    df = spark.createDataFrame(
+        rows, "track_id long, pt_id long, t long, x long, y long"
+    )
+    return df.select(
+        "track_id", "pt_id",
+        F.timestamp_seconds("t").alias("ts"),
+        "t", "x", "y",
+    )
+
+
+def test_segment_gap_split(spark):
+    rows = [
+        (1, 1, 0, 0, 0),
+        (1, 2, 100, 10, 0),
+        (1, 3, 100_000, 20, 0),   # > default 86400? no: gap 99900 > 86400 → split
+        (1, 4, 100_050, 30, 0),
+        (2, 5, 0, 0, 0),          # independent track
+    ]
+    seg = TK.segment_tracks(_pts(spark, rows), gap_s=86_400)
+    got = {r["pt_id"]: r["seg"] for r in seg.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_segment_summary_manhattan(spark):
+    rows = [
+        (1, 1, 0, 0, 0),
+        (1, 2, 10, 3, 4),     # step |3|+|4| = 7
+        (1, 3, 20, -2, 4),    # step 5
+        (1, 4, 1_000_000, 0, 0),  # new segment (single point)
+    ]
+    seg = TK.segment_tracks(_pts(spark, rows), gap_s=3600)
+    summ = {
+        (r["track_id"], r["seg"]): r
+        for r in TK.segment_summary(seg).collect()
+    }
+    s0 = summ[(1, 0)]
+    assert (s0["n_points"], s0["path_m"], s0["max_step_m"]) == (3, 12, 7)
+    assert (s0["t_start"], s0["t_end"], s0["dur_s"]) == (0, 20, 20)
+    s1 = summ[(1, 1)]
+    assert (s1["n_points"], s1["path_m"], s1["dur_s"]) == (1, 0, 0)
+
+
+def test_stay_points_runs(spark):
+    # track 1: 3 points in one cell (dwell 100s), hop away, return (new run)
+    rows = [
+        (1, 1, 0, 100, 100),
+        (1, 2, 50, 150, 120),
+        (1, 3, 100, 180, 110),
+        (1, 4, 200, 50_000, 100),   # different cell
+        (1, 5, 300, 120, 100),      # back: a NEW run in the first cell
+        (1, 6, 450, 130, 105),
+    ]
+    stays = TK.stay_points(_pts(spark, rows), cell_milli=1000, min_dur_s=100)
+    got = sorted(
+        (r["t_start"], r["t_end"], r["n_points"]) for r in stays.collect()
+    )
+    assert got == [(0, 100, 3), (300, 450, 2)]
+
+
+def _brute_dp(pts, tol):
+    """Recursive float Douglas–Peucker (textbook form) for cross-checking
+    the integer kernel; tol chosen away from decision boundaries."""
+    if len(pts) <= 2:
+        return list(pts)
+    ax, ay = pts[0]
+    bx, by = pts[-1]
+    dx, dy = bx - ax, by - ay
+    ln = (dx * dx + dy * dy) ** 0.5
+    best, bi = -1.0, -1
+    for i in range(1, len(pts) - 1):
+        px, py = pts[i][0] - ax, pts[i][1] - ay
+        d = (
+            abs(dx * py - dy * px) / ln
+            if ln > 0
+            else (px * px + py * py) ** 0.5
+        )
+        if d > best:
+            best, bi = d, i
+    if best <= tol:
+        return [pts[0], pts[-1]]
+    return _brute_dp(pts[: bi + 1], tol)[:-1] + _brute_dp(pts[bi:], tol)
+
+
+def test_simplify_matches_brute_force(spark):
+    rng = np.random.RandomState(11)
+    rows = []
+    tracks = {}
+    for tid in range(6):
+        n = int(rng.randint(3, 40))
+        xs = np.cumsum(rng.randint(-800, 801, n))
+        ys = np.cumsum(rng.randint(-800, 801, n))
+        tracks[tid] = list(zip(map(int, xs), map(int, ys)))
+        for j in range(n):
+            rows.append((tid, tid * 1000 + j, j * 10, int(xs[j]), int(ys[j])))
+    pts = TK.segment_tracks(_pts(spark, rows), gap_s=3600)
+    tol = 500
+    out = TK.simplify_tracks(pts, tol_milli=tol).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["track_id"], []).append((r["t"], r["x"], r["y"]))
+    for tid, pl in tracks.items():
+        exp = _brute_dp(pl, float(tol))
+        kept = [(x, y) for _, x, y in sorted(got[tid])]
+        assert kept == exp, f"track {tid}"
+
+
+def test_simplify_properties(spark):
+    rows = [(1, j, j * 10, j * 100, (j % 5) * 40) for j in range(30)]
+    pts = TK.segment_tracks(_pts(spark, rows), gap_s=3600)
+    out = sorted(
+        (r["t"], r["x"], r["y"])
+        for r in TK.simplify_tracks(pts, tol_milli=50).collect()
+    )
+    # endpoints always kept
+    assert out[0] == (0, 0, 0) and out[-1] == (290, 2900, 160)
+    # idempotence: simplifying the simplified output changes nothing
+    rows2 = [(1, i, t, x, y) for i, (t, x, y) in enumerate(out)]
+    pts2 = TK.segment_tracks(_pts(spark, rows2), gap_s=10**9)
+    out2 = sorted(
+        (r["t"], r["x"], r["y"])
+        for r in TK.simplify_tracks(pts2, tol_milli=50).collect()
+    )
+    assert out2 == out
+
+
+def _brute_hausdorff2(pa, pb):
+    def directed(u, v):
+        return max(min((ux - vx) ** 2 + (uy - vy) ** 2 for vx, vy in v)
+                   for ux, uy in u)
+
+    return max(directed(pa, pb), directed(pb, pa))
+
+
+def test_hausdorff_vs_brute(spark):
+    rng = np.random.RandomState(3)
+    rows, tracks = [], {}
+    # three tracks starting in the same 2000-cell, one far away
+    for tid, (bx, by) in enumerate([(0, 0), (300, 300), (900, 100),
+                                    (90_000, 0)]):
+        n = int(rng.randint(4, 12))
+        xs = bx + np.cumsum(rng.randint(-300, 301, n))
+        ys = by + np.cumsum(rng.randint(-300, 301, n))
+        # force the START point into the base cell for determinism
+        xs[0], ys[0] = bx, by
+        tracks[tid] = list(zip(map(int, xs), map(int, ys)))
+        for j in range(n):
+            rows.append((tid, tid * 100 + j, j, int(xs[j]), int(ys[j])))
+    out = TK.track_hausdorff_pairs(_pts(spark, rows), cell_milli=2000)
+    got = {
+        (r["track_a"], r["track_b"]): r["hausdorff2"] for r in out.collect()
+    }
+    # candidates: only the three co-started tracks pair up
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    for (a, b), h2 in got.items():
+        assert h2 == _brute_hausdorff2(tracks[a], tracks[b]), (a, b)
+
+
+def test_hausdorff_identical_tracks_zero(spark):
+    rows = [(1, j, j, j * 10, j * 20) for j in range(5)]
+    rows += [(2, 100 + j, j, j * 10, j * 20) for j in range(5)]
+    out = TK.track_hausdorff_pairs(_pts(spark, rows), cell_milli=2000)
+    assert [(r["track_a"], r["track_b"], r["hausdorff2"])
+            for r in out.collect()] == [(1, 2, 0)]
