@@ -1507,3 +1507,85 @@ SELECT q_id,
                                 THEN CAST(1 AS DOUBLE) / ar END), 0.0), 6)
          AS mrr1
 FROM j GROUP BY q_id"""
+
+
+def hard_negatives(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_cos: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    ``k`` MOST similar vectors with a DIFFERENT ``label_col`` (the
+    supervised-contrastive negatives; the hardest ones are exactly the
+    most-similar cross-label items).  ``max_cos`` additionally drops
+    candidates above a cosine ceiling — the false-negative filter for
+    weakly-labeled corpora (a cross-label pair at cos≈1 is almost surely
+    a labeling error, not a useful negative).
+
+    Same plan as :func:`cosine_topk` (anchors broadcast, norms computed
+    once below the join boundary, per-anchor rank window); the label
+    filter rides the join condition, so excluded pairs never reach the
+    window.  Output: (q_id, rank, vec_id, cos, label)."""
+    from pyspark.sql import Window
+
+    base = emb.withColumn("_qv", quant_col(F.col(vec_col))).withColumn(
+        "_n", norm_col("_qv")
+    )
+    q = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"),
+        F.col("_qv").alias("q_emb"),
+        F.col("_n").alias("_qn"),
+        F.col(label_col).alias("_ql"),
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col(label_col) != F.col("_ql"))
+        .withColumn(
+            "cos",
+            F.round(dot_col("_qv", "q_emb") / (F.col("_n") * F.col("_qn")), 6),
+        )
+    )
+    if max_cos is not None:
+        pairs = pairs.filter(F.col("cos") < F.lit(max_cos))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", F.col(id_col), "cos", F.col(label_col))
+    )
+
+
+def hard_negatives_oracle(
+    table: str = "embeddings",
+    n_queries: int = 8,
+    k: int = 10,
+    max_cos: float | None = None,
+) -> str:
+    qv = duck_quant("embedding")
+    ceil = f"AND cos < {max_cos}" if max_cos is not None else ""
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, {qv} AS qv FROM {table}
+),
+q AS (
+  SELECT vec_id AS q_id, label AS ql, qv AS q_emb
+  FROM base WHERE vec_id < {n_queries}
+),
+pairs AS (
+  SELECT q.q_id, e.vec_id, e.label,
+         round(list_dot_product(e.qv, q.q_emb) /
+               (sqrt(list_dot_product(e.qv, e.qv)) *
+                sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos
+  FROM base e CROSS JOIN q WHERE e.label <> q.ql
+),
+ranked AS (
+  SELECT q_id, vec_id, cos, label,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM pairs WHERE 1=1 {ceil}
+)
+SELECT q_id, rank, vec_id, cos, label FROM ranked WHERE rank <= {k}
+"""

@@ -312,3 +312,35 @@ def track_hausdorff_pairs(
     return per_point.groupBy("track_a", "track_b").agg(
         F.max("min_d2").alias("hausdorff2")
     )
+
+
+def od_flows(
+    pts: DataFrame,
+    cell_milli: int = 2_000,
+) -> DataFrame:
+    """Origin–destination flow matrix: per track, each consecutive point
+    pair whose ``cell_milli`` grid cells differ contributes one
+    (origin cell → destination cell) transition; flows are the global
+    counts.  One lag window per track + one map-side-combinable groupBy —
+    the aggregate is cells², never points², so the result is tiny at any
+    input scale.  Output: (gx0, gy0, gx1, gy1, n_trips, n_tracks)."""
+    from geowave_spark.functions.cols import _idiv_col
+
+    gx = _idiv_col(F.col("x") + F.lit(180_000), F.lit(cell_milli))
+    gy = _idiv_col(F.col("y") + F.lit(90_000), F.lit(cell_milli))
+    w = _track_window()
+    celled = pts.withColumn("gx", gx).withColumn("gy", gy)
+    hops = celled.select(
+        "track_id",
+        F.lag("gx").over(w).alias("gx0"),
+        F.lag("gy").over(w).alias("gy0"),
+        F.col("gx").alias("gx1"),
+        F.col("gy").alias("gy1"),
+    ).filter(
+        F.col("gx0").isNotNull()
+        & ((F.col("gx0") != F.col("gx1")) | (F.col("gy0") != F.col("gy1")))
+    )
+    return hops.groupBy("gx0", "gy0", "gx1", "gy1").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        F.count_distinct("track_id").alias("n_tracks"),
+    )

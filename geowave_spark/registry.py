@@ -4759,3 +4759,56 @@ FROM per_point GROUP BY 1, 2
 
 
 register_extra("track_hausdorff", q_track_hausdorff, _track_hausdorff_oracle())
+
+
+def q_od_flows(spark, sf_dir):
+    """Origin–destination flow matrix over track cell transitions: lag
+    window per track → cell-pair groupBy (output is cells², never
+    points²).  n_tracks is a distinct count per flow — the one extra
+    shuffle a distinct needs, bounded by the flow-matrix size."""
+    from geowave_spark.operators import tracks as TRK
+
+    return TRK.od_flows(_track_pts(spark, sf_dir), cell_milli=20_000)
+
+
+def _od_flows_oracle() -> str:
+    idiv = _idiv_sql
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+pts AS ({_TRACK_PTS_SQL}),
+celled AS (
+  SELECT track_id, ts, pt_id,
+         {idiv("x + 180000", "20000")} AS gx,
+         {idiv("y + 90000", "20000")} AS gy
+  FROM pts
+),
+hops AS (
+  SELECT track_id,
+         lag(gx) OVER w AS gx0, lag(gy) OVER w AS gy0,
+         gx AS gx1, gy AS gy1
+  FROM celled WINDOW w AS (PARTITION BY track_id ORDER BY ts, pt_id)
+)
+SELECT gx0, gy0, gx1, gy1, CAST(COUNT(*) AS BIGINT) AS n_trips,
+       CAST(COUNT(DISTINCT track_id) AS BIGINT) AS n_tracks
+FROM hops
+WHERE gx0 IS NOT NULL AND (gx0 != gx1 OR gy0 != gy1)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+register_extra("od_flows", q_od_flows, _od_flows_oracle())
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training (embed.py): per
+    anchor the k most-similar DIFFERENT-label vectors, with a cosine
+    ceiling as the false-negative filter.  Anchors broadcast; the label
+    filter rides the join, excluded pairs never reach the rank window."""
+    return OE.hard_negatives(_emb(spark, sf_dir), max_cos=0.95)
+
+
+register_extra(
+    "hard_negatives",
+    q_hard_negatives,
+    OE.hard_negatives_oracle(max_cos=0.95),
+)

@@ -184,3 +184,45 @@ def test_ivf_assign_partitions_corpus(spark, sf_dir):
     for c in range(OE.IVF_N_CENTROIDS):
         assert byid[c] == c  # a centroid's nearest centroid is itself
     assert assigned["bucket"].value_counts().max() < 0.5 * n
+
+
+def test_hard_negatives_excludes_same_label(spark, sf_dir):
+    import numpy as np
+
+    from geowave_spark.operators import embed as OE
+    from geowave_spark.sources import tables as TB
+
+    emb = TB.load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    out = OE.hard_negatives(emb, n_queries=4, k=5).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    assert len(out) > 0
+    for r in out:
+        assert r["label"] != labels[r["q_id"]], "negative shares anchor label"
+        assert r["label"] == labels[r["vec_id"]]
+    # hardest-first: ranks are 1..k, cos non-increasing per anchor
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append((r["rank"], r["cos"]))
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+        cs = [c for _, c in rows]
+        assert cs == sorted(cs, reverse=True)
+    # brute-force agreement on one anchor (float64 vs quantized path can
+    # only disagree on exact ties, which round-6dp ordering makes stable)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    q0 = vecs[0]
+    cand = [
+        (vid, float(np.dot(v, q0) / (np.linalg.norm(v) * np.linalg.norm(q0))))
+        for vid, v in vecs.items()
+        if labels[vid] != labels[0]
+    ]
+    cand.sort(key=lambda t: (-round(t[1], 4), t[0]))
+    got0 = sorted(
+        (r["rank"], r["vec_id"]) for r in out if r["q_id"] == 0
+    )
+    assert [v for _, v in got0] == [v for v, _ in cand[:5]]

@@ -174,3 +174,26 @@ def test_hausdorff_identical_tracks_zero(spark):
     out = TK.track_hausdorff_pairs(_pts(spark, rows), cell_milli=2000)
     assert [(r["track_a"], r["track_b"], r["hausdorff2"])
             for r in out.collect()] == [(1, 2, 0)]
+
+
+def test_od_flows_closed_form(spark):
+    # track 1: cell A -> A -> B -> A ; track 2: A -> B
+    rows = [
+        (1, 1, 0, 100, 100),
+        (1, 2, 10, 200, 150),        # same cell (1000-cell): no hop
+        (1, 3, 20, 5_000, 100),      # A -> B
+        (1, 4, 30, 100, 100),        # B -> A
+        (2, 5, 0, 150, 110),
+        (2, 6, 10, 5_100, 120),      # A -> B
+    ]
+    out = TK.od_flows(_pts(spark, rows), cell_milli=1000)
+    got = {
+        (r["gx0"], r["gy0"], r["gx1"], r["gy1"]): (r["n_trips"], r["n_tracks"])
+        for r in out.collect()
+    }
+    a = (180, 90)   # (100+180000)//1000, (100+90000)//1000
+    b = (185, 90)
+    assert got == {
+        (a[0], a[1], b[0], b[1]): (2, 2),
+        (b[0], b[1], a[0], a[1]): (1, 1),
+    }
