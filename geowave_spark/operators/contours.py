@@ -1,0 +1,285 @@
+"""Contour (isoline) extraction over density grids — marching squares.
+
+The raster→vector closing arm next to ``vectorize.polygonize`` (masks →
+boundary polygons): given the engine's density/KDE surfaces (exact
+integer cell values — scan.density_grid, kde.kde_grid), emit the
+threshold-T isoline as per-block line segments with fixed-point
+interpolated endpoints.
+
+Exactness contract: the whole derivation — corner gathering, the 16-case
+marching-squares table (saddles resolved by the integer center rule),
+and the edge interpolation — is ONE generated SQL fragment evaluated via
+``F.expr`` on the Spark side and embedded verbatim in the DuckDB oracle
+(the evenodd_sql pattern: one generator, bit-identical literals).
+Interpolation is integer fixed-point: position on a crossing edge =
+``((T - v_out) * SCALE) // (v_in - v_out)`` oriented so every term is
+non-negative (DuckDB ``//`` truncates, Python floors — non-negative
+makes them agree; CLAUDE.md rule).
+
+Plan shape: each non-empty grid cell contributes its value to the ≤4
+blocks it corners (LITERAL 4-struct explode — never a computed array),
+ONE groupBy pivots the corners, segments emerge from a literal [0, 1]
+slot explode + CASE filter.  Work is proportional to non-empty cells;
+empty regions produce no blocks and no segments (all-outside blocks are
+case 0 by construction since T ≥ 1).
+
+No reference analogue (GeoWave renders rasters; it never vectorizes
+them) — engine-native capability on the raster↔vector axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1000  # fixed-point positions per grid step
+
+# Marching-squares case table.  Corner bits: 1=v00 (SW), 2=v10 (SE),
+# 4=v11 (NE), 8=v01 (NW).  Edges: 0=bottom (v00-v10), 1=right (v10-v11),
+# 2=top (v01-v11), 3=left (v00-v01).  Each case lists up to two segments
+# as (edge_a, edge_b); saddles (5, 10) carry two variants keyed by the
+# integer center rule v00+v10+v01+v11 >= 4T.
+CASES: dict[int, list[tuple[int, int]]] = {
+    0: [],
+    1: [(0, 3)],
+    2: [(1, 0)],
+    3: [(1, 3)],
+    4: [(2, 1)],
+    6: [(2, 0)],
+    7: [(2, 3)],
+    8: [(3, 2)],
+    9: [(0, 2)],
+    11: [(1, 2)],
+    12: [(3, 1)],
+    13: [(0, 1)],
+    14: [(3, 0)],
+    15: [],
+}
+SADDLE_IN = {5: [(2, 3), (0, 1)], 10: [(3, 0), (1, 2)]}   # center >= 4T
+SADDLE_OUT = {5: [(2, 1), (0, 3)], 10: [(3, 2), (1, 0)]}  # center < 4T
+
+
+def _seg_pack_sql(threshold: int) -> str:
+    """CASE expression → packed edge pair (edge_a*4 + edge_b) or NULL for
+    (case_id, si, center); shared verbatim by Spark F.expr and DuckDB."""
+    arms = []
+    for case_id in range(16):
+        if case_id in (5, 10):
+            for flag, table in (("", SADDLE_IN), (" = FALSE", SADDLE_OUT)):
+                segs = table[case_id]
+                cond = (
+                    f"(v00 + v10 + v01 + v11 >= 4 * {threshold})"
+                    + ("" if flag == "" else " = FALSE")
+                )
+                for si, (ea, eb) in enumerate(segs):
+                    arms.append(
+                        f"WHEN case_id = {case_id} AND si = {si} "
+                        f"AND {cond} THEN {ea * 4 + eb}"
+                    )
+        else:
+            for si, (ea, eb) in enumerate(CASES[case_id]):
+                arms.append(
+                    f"WHEN case_id = {case_id} AND si = {si} THEN {ea * 4 + eb}"
+                )
+    return "CASE " + " ".join(arms) + " ELSE NULL END"
+
+
+def _idiv(a: str, b: str) -> str:
+    """Exact integer floor division for non-negative operands, valid in
+    both Spark SQL and DuckDB."""
+    return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS BIGINT)"
+
+
+def _interp_sql(v_lo: str, v_hi: str, threshold: int) -> str:
+    """Fixed-point crossing position along an edge from corner ``v_lo``
+    (position 0) to corner ``v_hi`` (position SCALE); valid only when
+    exactly one side is >= threshold (guaranteed by the case table)."""
+    t = threshold
+    fwd = _idiv(f"({t} - {v_lo}) * {SCALE}", f"{v_hi} - {v_lo}")
+    bwd = _idiv(f"({t} - {v_hi}) * {SCALE}", f"{v_lo} - {v_hi}")
+    return (
+        f"CASE WHEN {v_hi} >= {t} AND {v_lo} < {t} THEN {fwd} "
+        f"WHEN {v_lo} >= {t} AND {v_hi} < {t} THEN {SCALE} - {bwd} "
+        f"ELSE NULL END"
+    )
+
+
+def _edge_xy_sql(threshold: int) -> tuple[str, str, str, str, str, str]:
+    """(pb, pr, pt, pl, px_case, py_case) SQL fragments.  px/py are in
+    block-local fixed-point coords, selected by an ``edge`` column."""
+    pb = _interp_sql("v00", "v10", threshold)
+    pr = _interp_sql("v10", "v11", threshold)
+    pt = _interp_sql("v01", "v11", threshold)
+    pl = _interp_sql("v00", "v01", threshold)
+    px = (
+        "CASE edge WHEN 0 THEN pb WHEN 1 THEN {S} "
+        "WHEN 2 THEN pt ELSE 0 END".format(S=SCALE)
+    )
+    py = (
+        "CASE edge WHEN 0 THEN 0 WHEN 1 THEN pr "
+        "WHEN 2 THEN {S} ELSE pl END".format(S=SCALE)
+    )
+    return pb, pr, pt, pl, px, py
+
+
+def contour_segments(
+    grid: DataFrame,
+    threshold: int,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    val_col: str = "v",
+) -> DataFrame:
+    """Marching-squares segments of the ``threshold`` isoline over a
+    sparse integer grid (missing cells are value 0; ``threshold`` must be
+    >= 1 so absent regions are all-outside).  Output one row per segment:
+    (bx, by, case_id, x0, y0, x1, y1) with endpoint coords in global
+    fixed-point units (cell index × SCALE + local position)."""
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1 (absent cells are 0)")
+    corners = grid.select(
+        F.col(gx_col).alias("_gx"),
+        F.col(gy_col).alias("_gy"),
+        F.col(val_col).cast("long").alias("_v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx in (0, 1)
+                    for dy in (0, 1)
+                ]
+            )
+        ).alias("_c"),
+    ).select(
+        (F.col("_gx") - F.col("_c.dx")).alias("bx"),
+        (F.col("_gy") - F.col("_c.dy")).alias("by"),
+        F.col("_c.dx").alias("dx"),
+        F.col("_c.dy").alias("dy"),
+        "_v",
+    )
+
+    def pick(dx: int, dy: int):
+        return F.coalesce(
+            F.max(F.when((F.col("dx") == dx) & (F.col("dy") == dy), F.col("_v"))),
+            F.lit(0).cast("long"),
+        )
+
+    blocks = corners.groupBy("bx", "by").agg(
+        pick(0, 0).alias("v00"),
+        pick(1, 0).alias("v10"),
+        pick(0, 1).alias("v01"),
+        pick(1, 1).alias("v11"),
+    )
+    t = int(threshold)
+    blocks = blocks.withColumn(
+        "case_id",
+        F.expr(
+            f"CASE WHEN v00 >= {t} THEN 1 ELSE 0 END + "
+            f"CASE WHEN v10 >= {t} THEN 2 ELSE 0 END + "
+            f"CASE WHEN v11 >= {t} THEN 4 ELSE 0 END + "
+            f"CASE WHEN v01 >= {t} THEN 8 ELSE 0 END"
+        ),
+    ).filter((F.col("case_id") > 0) & (F.col("case_id") < 15))
+    slots = blocks.withColumn("si", F.explode(F.array(F.lit(0), F.lit(1))))
+    segs = slots.withColumn("seg_pack", F.expr(_seg_pack_sql(t))).filter(
+        F.col("seg_pack").isNotNull()
+    )
+    pb, pr, pt_, pl, px, py = _edge_xy_sql(t)
+    segs = (
+        segs.withColumn("pb", F.expr(pb))
+        .withColumn("pr", F.expr(pr))
+        .withColumn("pt", F.expr(pt_))
+        .withColumn("pl", F.expr(pl))
+    )
+    out = (
+        segs.withColumn("ea", F.expr(_idiv("seg_pack", "4")))
+        .withColumn("eb", F.col("seg_pack") % 4)
+        .withColumn("_xa", F.expr(px.replace("edge", "ea")))
+        .withColumn("_ya", F.expr(py.replace("edge", "ea")))
+        .withColumn("_xb", F.expr(px.replace("edge", "eb")))
+        .withColumn("_yb", F.expr(py.replace("edge", "eb")))
+    )
+    s = SCALE
+    return out.select(
+        "bx",
+        "by",
+        F.col("case_id").cast("long").alias("case_id"),
+        (F.col("bx") * s + F.col("_xa")).alias("x0"),
+        (F.col("by") * s + F.col("_ya")).alias("y0"),
+        (F.col("bx") * s + F.col("_xb")).alias("x1"),
+        (F.col("by") * s + F.col("_yb")).alias("y1"),
+    )
+
+
+def grid_density(
+    points: DataFrame,
+    res: int,
+    lon_milli: str = "lon_milli",
+    lat_milli: str = "lat_milli",
+) -> DataFrame:
+    """Rectangular count grid at ``res`` (2^res × 2^res world cells) —
+    the contour input surface.  One map-side-combinable groupBy."""
+    from geowave_spark.functions import cols as X
+
+    gx = X.grid_milli_col(F.col(lon_milli), 180_000, 360_000, F.lit(res))
+    gy = X.grid_milli_col(F.col(lat_milli), 90_000, 180_000, F.lit(res))
+    return (
+        points.select(gx.alias("gx"), gy.alias("gy"))
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+
+
+def contour_oracle_sql(grid_sql: str, threshold: int) -> str:
+    """DuckDB replay of :func:`contour_segments` over ``grid_sql``
+    (a query producing gx, gy, v) — the SAME generated case/interp
+    fragments the Spark plan evaluates."""
+    t = int(threshold)
+    pb, pr, pt_, pl, px, py = _edge_xy_sql(t)
+    seg_case = _seg_pack_sql(t)
+    return f"""
+WITH grid AS ({grid_sql}),
+corners AS (
+  SELECT gx - d.dx AS bx, gy - d.dy AS by, d.dx AS dx, d.dy AS dy, v
+  FROM grid, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS d(dx, dy)
+),
+blocks AS (
+  SELECT bx, by,
+         COALESCE(MAX(CASE WHEN dx = 0 AND dy = 0 THEN v END), 0) AS v00,
+         COALESCE(MAX(CASE WHEN dx = 1 AND dy = 0 THEN v END), 0) AS v10,
+         COALESCE(MAX(CASE WHEN dx = 0 AND dy = 1 THEN v END), 0) AS v01,
+         COALESCE(MAX(CASE WHEN dx = 1 AND dy = 1 THEN v END), 0) AS v11
+  FROM corners GROUP BY 1, 2
+),
+cased AS (
+  SELECT *, CASE WHEN v00 >= {t} THEN 1 ELSE 0 END
+          + CASE WHEN v10 >= {t} THEN 2 ELSE 0 END
+          + CASE WHEN v11 >= {t} THEN 4 ELSE 0 END
+          + CASE WHEN v01 >= {t} THEN 8 ELSE 0 END AS case_id
+  FROM blocks
+),
+slotted AS (
+  SELECT c.*, s.si FROM cased c, (VALUES (0), (1)) AS s(si)
+  WHERE case_id > 0 AND case_id < 15
+),
+packed AS (
+  SELECT *, {seg_case} AS seg_pack FROM slotted
+),
+interp AS (
+  SELECT *, {pb} AS pb, {pr} AS pr, {pt_} AS pt, {pl} AS pl
+  FROM packed WHERE seg_pack IS NOT NULL
+),
+pts AS (
+  SELECT *, {_idiv('seg_pack', '4')} AS ea, seg_pack % 4 AS eb
+  FROM interp
+),
+xy AS (
+  SELECT bx, by, case_id,
+         {px.replace('edge', 'ea')} AS xa, {py.replace('edge', 'ea')} AS ya,
+         {px.replace('edge', 'eb')} AS xb, {py.replace('edge', 'eb')} AS yb
+  FROM pts
+)
+SELECT bx, by, CAST(case_id AS BIGINT) AS case_id,
+       bx * {SCALE} + xa AS x0, by * {SCALE} + ya AS y0,
+       bx * {SCALE} + xb AS x1, by * {SCALE} + yb AS y1
+FROM xy
+"""

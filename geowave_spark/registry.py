@@ -4812,3 +4812,33 @@ register_extra(
     q_hard_negatives,
     OE.hard_negatives_oracle(max_cos=0.95),
 )
+
+
+def q_density_contours(spark, sf_dir):
+    """Marching-squares isoline extraction over the event density grid
+    (operators/contours.py): corner gather via a literal 4-struct
+    explode, ONE groupBy pivot, case table + fixed-point edge
+    interpolation as ONE generated SQL fragment shared verbatim with the
+    oracle (the evenodd_sql pattern).  Raster→vector closing arm next to
+    polygonize."""
+    from geowave_spark.operators import contours as CT
+
+    geo = TB.geo_events(spark, sf_dir)
+    grid = CT.grid_density(geo, res=9)
+    return CT.contour_segments(grid, threshold=10)
+
+
+def _density_contours_oracle() -> str:
+    from geowave_spark.operators import contours as CT
+
+    n = 1 << 9
+    grid_sql = (
+        f"SELECT {_idiv_sql(f'(lon_milli + 180000) * {n}', '360000')} AS gx, "
+        f"{_idiv_sql(f'(lat_milli + 90000) * {n}', '180000')} AS gy, "
+        f"CAST(COUNT(*) AS BIGINT) AS v "
+        f"FROM ({TB.GEO_EVENTS_SQL}) geo GROUP BY 1, 2"
+    )
+    return CT.contour_oracle_sql(grid_sql, threshold=10)
+
+
+register_extra("density_contours", q_density_contours, _density_contours_oracle())

@@ -1,0 +1,124 @@
+"""Marching-squares contours (operators/contours.py): case-table
+combinatorics, closed form, and Spark-vs-python replay."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geowave_spark.operators import contours as C
+
+
+def _inside(case_id, corner_bit):
+    return bool(case_id & corner_bit)
+
+
+EDGE_CORNERS = {0: (1, 2), 1: (2, 4), 2: (8, 4), 3: (1, 8)}
+
+
+def _crossing_edges(case_id):
+    return [
+        e
+        for e, (a, b) in EDGE_CORNERS.items()
+        if _inside(case_id, a) != _inside(case_id, b)
+    ]
+
+
+def test_case_table_combinatorics():
+    """Every crossing edge of every case is used by exactly one segment
+    (in both saddle variants) — the table is topologically complete."""
+    for case_id in range(16):
+        variants = (
+            [C.SADDLE_IN[case_id], C.SADDLE_OUT[case_id]]
+            if case_id in (5, 10)
+            else [C.CASES[case_id]]
+        )
+        for segs in variants:
+            used = [e for seg in segs for e in seg]
+            assert sorted(used) == sorted(_crossing_edges(case_id)), case_id
+
+
+def _py_contours(cells: dict, t: int):
+    """Independent python replay of the integer marching-squares rules."""
+    S = C.SCALE
+    blocks = set()
+    for (gx, gy) in cells:
+        for dx in (0, 1):
+            for dy in (0, 1):
+                blocks.add((gx - dx, gy - dy))
+
+    def interp(v_lo, v_hi):
+        if v_hi >= t > v_lo:
+            return ((t - v_lo) * S) // (v_hi - v_lo)
+        return S - ((t - v_hi) * S) // (v_lo - v_hi)
+
+    out = []
+    for (bx, by) in blocks:
+        v00 = cells.get((bx, by), 0)
+        v10 = cells.get((bx + 1, by), 0)
+        v01 = cells.get((bx, by + 1), 0)
+        v11 = cells.get((bx + 1, by + 1), 0)
+        case_id = (
+            (v00 >= t) * 1 + (v10 >= t) * 2 + (v11 >= t) * 4 + (v01 >= t) * 8
+        )
+        if case_id in (0, 15):
+            continue
+        if case_id in (5, 10):
+            segs = (
+                C.SADDLE_IN[case_id]
+                if v00 + v10 + v01 + v11 >= 4 * t
+                else C.SADDLE_OUT[case_id]
+            )
+        else:
+            segs = C.CASES[case_id]
+        epos = {
+            0: lambda: (interp(v00, v10), 0),
+            1: lambda: (S, interp(v10, v11)),
+            2: lambda: (interp(v01, v11), S),
+            3: lambda: (0, interp(v00, v01)),
+        }
+        for ea, eb in segs:
+            xa, ya = epos[ea]()
+            xb, yb = epos[eb]()
+            out.append(
+                (bx, by, case_id, bx * S + xa, by * S + ya,
+                 bx * S + xb, by * S + yb)
+            )
+    return sorted(out)
+
+
+def test_closed_form_single_cell():
+    # one hot cell: 4 blocks, each a single-corner case, a diamond around it
+    segs = _py_contours({(10, 10): 5}, t=3)
+    assert len(segs) == 4
+    assert {s[2] for s in segs} == {1, 2, 4, 8}
+    # crossing position: ((3-0)*1000)//(5-0) = 600 from the cold corner
+    for s in segs:
+        for coord in s[3:]:
+            assert coord % 1000 in (0, 400, 600)
+
+
+def test_spark_matches_python_replay(spark):
+    rng = np.random.RandomState(5)
+    cells = {}
+    for _ in range(120):
+        cells[(int(rng.randint(0, 12)), int(rng.randint(0, 12)))] = int(
+            rng.randint(1, 9)
+        )
+    df = spark.createDataFrame(
+        [(gx, gy, v) for (gx, gy), v in cells.items()],
+        "gx long, gy long, v long",
+    )
+    for t in (1, 3, 5, 8):
+        got = sorted(
+            (r["bx"], r["by"], r["case_id"], r["x0"], r["y0"], r["x1"], r["y1"])
+            for r in C.contour_segments(df, threshold=t).collect()
+        )
+        assert got == _py_contours(cells, t), f"threshold {t}"
+
+
+def test_grid_density_counts(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 1), (100, 100)], "lon_milli long, lat_milli long"
+    )
+    g = {(r["gx"], r["gy"]): r["v"]
+         for r in C.grid_density(df, res=9).collect()}
+    assert sum(g.values()) == 3 and len(g) == 1  # all in one 512-cell
