@@ -344,3 +344,100 @@ def od_flows(
         F.count(F.lit(1)).alias("n_trips"),
         F.count_distinct("track_id").alias("n_tracks"),
     )
+
+
+def _frechet2_kernel(ax, ay, bx, by) -> int:
+    """Discrete Fréchet distance² via the standard O(n·m) DP (Eiter &
+    Mannila 1994), integer-exact: c[i,j] = max(d²(i,j), min(c[i-1,j],
+    c[i,j-1], c[i-1,j-1])).  Row-rolling numpy; d² ≤ 2·(360000)² < 2^39
+    so int64 arithmetic never overflows."""
+    n, m = len(ax), len(bx)
+    dx = ax[:, None] - bx[None, :]
+    dy = ay[:, None] - by[None, :]
+    d2 = dx * dx + dy * dy  # (n, m) int64
+    prev = np.empty(m, dtype=np.int64)
+    prev[0] = d2[0, 0]
+    for j in range(1, m):
+        prev[j] = max(prev[j - 1], d2[0, j])
+    for i in range(1, n):
+        cur = np.empty(m, dtype=np.int64)
+        cur[0] = max(prev[0], d2[i, 0])
+        for j in range(1, m):
+            cur[j] = max(min(prev[j], cur[j - 1], prev[j - 1]), d2[i, j])
+        prev = cur
+    return int(prev[m - 1])
+
+
+_FRECHET_SCHEMA = T.StructType(
+    [
+        T.StructField("track_a", T.LongType()),
+        T.StructField("track_b", T.LongType()),
+        T.StructField("frechet2", T.LongType()),
+        T.StructField("n_a", T.LongType()),
+        T.StructField("n_b", T.LongType()),
+    ]
+)
+
+
+def track_frechet_pairs(
+    pts: DataFrame,
+    cell_milli: int = 2_000,
+) -> DataFrame:
+    """Discrete Fréchet distance² between candidate track pairs — the
+    ORDER-AWARE companion to :func:`track_hausdorff_pairs` (a there-and-
+    back track is Hausdorff-close to its first leg but Fréchet-far).
+    Same start-cell banding gate; per pair, BOTH tracks' points gather
+    into one ``applyInPandas`` group (n+m rows, never n·m — the DP
+    materializes the n×m lattice only inside the numpy kernel, bounded
+    by track length).  Integer-exact; pytest-pinned against a recursive
+    brute force (the minimax DP has no SQL-window replay, so this is a
+    rows-only operator by construction)."""
+    from geowave_spark.functions.cols import _idiv_col
+
+    w = _track_window()
+    starts = (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "track_id",
+            _idiv_col(F.col("x") + F.lit(180_000), F.lit(cell_milli)).alias("gx"),
+            _idiv_col(F.col("y") + F.lit(90_000), F.lit(cell_milli)).alias("gy"),
+        )
+    )
+    a = starts.select(F.col("track_id").alias("track_a"), "gx", "gy")
+    b = starts.select(F.col("track_id").alias("track_b"), "gx", "gy")
+    cand = (
+        a.join(b, on=["gx", "gy"])
+        .filter(F.col("track_a") < F.col("track_b"))
+        .select("track_a", "track_b")
+    )
+    slim = pts.select("track_id", "ts", "pt_id", "x", "y")
+    sa = cand.join(
+        slim.withColumnRenamed("track_id", "track_a"), "track_a"
+    ).select("track_a", "track_b", F.lit(0).alias("side"), "ts", "pt_id", "x", "y")
+    sb = cand.join(
+        slim.withColumnRenamed("track_id", "track_b"), "track_b"
+    ).select("track_a", "track_b", F.lit(1).alias("side"), "ts", "pt_id", "x", "y")
+    both = sa.unionByName(sb)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "pt_id"], kind="mergesort")
+        pa = pdf[pdf["side"] == 0]
+        pb = pdf[pdf["side"] == 1]
+        f2 = _frechet2_kernel(
+            pa["x"].to_numpy(np.int64), pa["y"].to_numpy(np.int64),
+            pb["x"].to_numpy(np.int64), pb["y"].to_numpy(np.int64),
+        )
+        return pd.DataFrame(
+            {
+                "track_a": [int(pdf["track_a"].iloc[0])],
+                "track_b": [int(pdf["track_b"].iloc[0])],
+                "frechet2": [f2],
+                "n_a": [len(pa)],
+                "n_b": [len(pb)],
+            }
+        )
+
+    return both.groupBy("track_a", "track_b").applyInPandas(
+        kernel, _FRECHET_SCHEMA
+    )

@@ -197,3 +197,52 @@ def test_od_flows_closed_form(spark):
         (a[0], a[1], b[0], b[1]): (2, 2),
         (b[0], b[1], a[0], a[1]): (1, 1),
     }
+
+
+def _brute_frechet2(pa, pb):
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def c(i, j):
+        d2 = (pa[i][0] - pb[j][0]) ** 2 + (pa[i][1] - pb[j][1]) ** 2
+        if i == 0 and j == 0:
+            return d2
+        if i == 0:
+            return max(c(0, j - 1), d2)
+        if j == 0:
+            return max(c(i - 1, 0), d2)
+        return max(min(c(i - 1, j), c(i, j - 1), c(i - 1, j - 1)), d2)
+
+    return c(len(pa) - 1, len(pb) - 1)
+
+
+def test_frechet_vs_brute(spark):
+    rng = np.random.RandomState(9)
+    rows, tracks = [], {}
+    for tid in range(4):
+        n = int(rng.randint(3, 15))
+        xs = np.cumsum(rng.randint(-400, 401, n))
+        ys = np.cumsum(rng.randint(-400, 401, n))
+        xs[0], ys[0] = tid * 10, tid * 10  # co-located starts -> all pair up
+        tracks[tid] = list(zip(map(int, xs), map(int, ys)))
+        for j in range(n):
+            rows.append((tid, tid * 100 + j, j, int(xs[j]), int(ys[j])))
+    out = TK.track_frechet_pairs(_pts(spark, rows), cell_milli=2000)
+    got = {(r["track_a"], r["track_b"]): r["frechet2"] for r in out.collect()}
+    assert len(got) == 6
+    for (a, b), f2 in got.items():
+        assert f2 == _brute_frechet2(tuple(tracks[a]), tuple(tracks[b])), (a, b)
+
+
+def test_frechet_order_aware_vs_hausdorff(spark):
+    # out-and-back track vs its first leg: Hausdorff-close, Frechet-far
+    leg = [(i * 100, 0) for i in range(5)]
+    back = leg + leg[-2::-1]
+    rows = [(1, j, j, x, y) for j, (x, y) in enumerate(back)]
+    rows += [(2, 100 + j, j, x, y) for j, (x, y) in enumerate(leg)]
+    pts = _pts(spark, rows)
+    h2 = TK.track_hausdorff_pairs(pts, cell_milli=2000).collect()[0]["hausdorff2"]
+    f2 = TK.track_frechet_pairs(pts, cell_milli=2000).collect()[0]["frechet2"]
+    assert h2 == 0
+    assert f2 == _brute_frechet2(tuple(back), tuple(leg))
+    assert f2 > h2
