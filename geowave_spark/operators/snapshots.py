@@ -198,52 +198,10 @@ def commit(
                     f"append schema mismatch vs snapshot v{prev_v}: "
                     f"stored={sorted(stored)} incoming={sorted(incoming)}"
                 )
-        # next commit id = 1 + max over EVERY commit dir on disk (not just
-        # the live set: after a rollback, rolled-past commits still exist
-        # and their ids must never be reused) and the previous manifest.
-        data_dir = os.path.join(path, "data")
-        on_disk = [
-            int(d.split("=", 1)[1])
-            for d in (os.listdir(data_dir) if os.path.isdir(data_dir) else [])
-            if d.startswith("commit=")
-        ]
-        commit_id = 1 + max(
-            [0, *on_disk, *(prev["commits"] if prev else [])]
+        commit_id = _next_commit_id(path, prev)
+        parts, tiers, added_rows = _write_data_commit(
+            df, path, commit_id, partition_col, sort_col
         )
-        commit_dir = os.path.join(path, "data", f"commit={commit_id}")
-        sort_cols = [partition_col] + (
-            [sort_col] if sort_col in df.columns else []
-        )
-        (
-            df.repartition(F.col(partition_col))
-            .sortWithinPartitions(*sort_cols)
-            .write.mode("errorifexists")
-            .partitionBy(partition_col)
-            .parquet(commit_dir)
-        )
-        # lineage from the FILES JUST WRITTEN (read-back, never the input
-        # plan twice): per-partition row counts + tier histogram — one
-        # map-side-combinable agg over the new commit only.
-        spark = df.sparkSession
-        written = spark.read.parquet(commit_dir)
-        tier_expr = (
-            F.first("tier") if "tier" in written.columns else F.lit(None)
-        )
-        parts = {
-            str(r[partition_col]): r["n"]
-            for r in written.groupBy(partition_col)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        tiers: dict[str, int] = {}
-        if "tier" in written.columns:
-            tiers = {
-                str(r["tier"]): r["n"]
-                for r in written.groupBy("tier")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-        added_rows = sum(parts.values())
         commits = ([*prev["commits"], commit_id]
                    if (prev and mode == "append") else [commit_id])
         man = {
@@ -264,11 +222,201 @@ def commit(
             "schema_json": df.schema.json(),
             "partitions": {str(commit_id): parts},
             "tiers": {str(commit_id): tiers},
+            # equality-delete entries (merge-on-read) carry forward on
+            # append; an overwrite resets the table, so they clear
+            "deletes": (list(prev.get("deletes", []))
+                        if (prev and mode == "append") else []),
         }
         if prev and mode == "append":
             man["partitions"].update(prev["partitions"])
             man["tiers"].update(prev["tiers"])
         return _publish(path, man)
+
+
+def _next_commit_id(path: str, prev: dict | None) -> int:
+    """1 + max over EVERY commit dir on disk (data AND deletes — after a
+    rollback, rolled-past commits still exist and their ids must never be
+    reused) and the previous manifest's live sets."""
+    on_disk: list[int] = []
+    for sub in ("data", "deletes"):
+        d = os.path.join(path, sub)
+        if os.path.isdir(d):
+            on_disk += [
+                int(e.split("=", 1)[1])
+                for e in os.listdir(d)
+                if e.startswith("commit=")
+            ]
+    prev_ids = (
+        [*prev["commits"], *(d["commit"] for d in prev.get("deletes", []))]
+        if prev
+        else []
+    )
+    return 1 + max([0, *on_disk, *prev_ids])
+
+
+def _write_data_commit(
+    df: DataFrame, path: str, commit_id: int, partition_col: str, sort_col: str
+):
+    """Write one immutable ``data/commit=N`` dir (partitioned, sorted)
+    and return (per-partition counts, tier histogram, added_rows) —
+    lineage from the FILES JUST WRITTEN (read-back, never the input plan
+    twice); both aggs are map-side combinable over the new commit only."""
+    commit_dir = os.path.join(path, "data", f"commit={commit_id}")
+    sort_cols = [partition_col] + ([sort_col] if sort_col in df.columns else [])
+    (
+        df.repartition(F.col(partition_col))
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("errorifexists")
+        .partitionBy(partition_col)
+        .parquet(commit_dir)
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(commit_dir)
+    parts = {
+        str(r[partition_col]): r["n"]
+        for r in written.groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    tiers: dict[str, int] = {}
+    if "tier" in written.columns:
+        tiers = {
+            str(r["tier"]): r["n"]
+            for r in written.groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    return parts, tiers, sum(parts.values())
+
+
+def _write_delete_commit(
+    keys_df: DataFrame, path: str, commit_id: int, key_col: str
+) -> int:
+    """Write one immutable ``deletes/commit=N`` key file; returns the
+    distinct-key count."""
+    del_dir = os.path.join(path, "deletes", f"commit={commit_id}")
+    keys = keys_df.select(F.col(key_col)).distinct()
+    keys.coalesce(1).write.mode("errorifexists").parquet(del_dir)
+    return keys_df.sparkSession.read.parquet(del_dir).count()
+
+
+def _check_delete_key(prev: dict | None, key_col: str) -> None:
+    if prev:
+        for d in prev.get("deletes", []):
+            if d["key"] != key_col:
+                raise ValueError(
+                    f"store already carries equality deletes on "
+                    f"{d['key']!r}; one delete key per store"
+                )
+        if prev["commits"]:
+            stored_names = {c.split(":", 1)[0] for c in prev["schema_cols"]}
+            if key_col not in stored_names:
+                raise ValueError(
+                    f"delete key {key_col!r} is not a stored column"
+                )
+
+
+def commit_delete(keys_df: DataFrame, path: str, key_col: str) -> int:
+    """Commit an equality-delete (Iceberg v2 merge-on-read): every stored
+    row from an EARLIER commit whose ``key_col`` appears in ``keys_df``
+    becomes invisible to reads at this and later snapshots.  No data file
+    is rewritten — the mask applies at read time; ``materialize`` folds
+    the debt away.  Returns the new version."""
+    with _commit_lock(path):
+        prev_v = head_version(path)
+        if prev_v == 0:
+            raise ValueError(f"{path}: cannot delete from an empty store")
+        prev = manifest(path, prev_v)
+        _check_delete_key(prev, key_col)
+        commit_id = _next_commit_id(path, prev)
+        n_keys = _write_delete_commit(keys_df, path, commit_id, key_col)
+        man = dict(prev)
+        man.update(
+            version=prev_v + 1,
+            operation="delete",
+            ts=time.time(),
+            added_commit=None,
+            added_rows=0,
+            deleted_keys=n_keys,
+            deletes=[*prev.get("deletes", []),
+                     {"commit": commit_id, "key": key_col, "n_keys": n_keys}],
+        )
+        return _publish(path, man)
+
+
+def commit_upsert(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    partition_col: str = "cell_p",
+    sort_col: str = "cell",
+) -> int:
+    """MERGE semantics in ONE atomic snapshot: rows whose ``key_col``
+    matches an existing row replace it (equality delete on the batch's
+    keys + append of the batch — the delete only masks EARLIER commits,
+    so the batch's own rows survive).  Latest-upsert-wins under repeated
+    upserts of one key.  Returns the new version."""
+    if partition_col not in df.columns:
+        raise ValueError(
+            f"snapshot upsert needs the {partition_col!r} partition column"
+        )
+    with _commit_lock(path):
+        prev_v = head_version(path)
+        prev = manifest(path, prev_v) if prev_v else None
+        if prev is not None and prev["commits"]:
+            stored = set(prev["schema_cols"])
+            incoming = {f"{c.name}:{c.dataType.simpleString()}"
+                        for c in df.schema.fields}
+            if incoming != stored:
+                raise ValueError(
+                    f"upsert schema mismatch vs snapshot v{prev_v}: "
+                    f"stored={sorted(stored)} incoming={sorted(incoming)}"
+                )
+        _check_delete_key(prev, key_col)
+        del_id = _next_commit_id(path, prev)
+        data_id = del_id + 1
+        n_keys = _write_delete_commit(df, path, del_id, key_col)
+        parts, tiers, added_rows = _write_data_commit(
+            df, path, data_id, partition_col, sort_col
+        )
+        man = {
+            "version": (prev_v + 1),
+            "operation": "upsert",
+            "ts": time.time(),
+            "commits": [*(prev["commits"] if prev else []), data_id],
+            "added_commit": data_id,
+            "added_rows": added_rows,
+            "deleted_keys": n_keys,
+            "total_rows": added_rows + (prev["total_rows"] if prev else 0),
+            "partition_col": partition_col,
+            "schema_cols": sorted(
+                f"{c.name}:{c.dataType.simpleString()}"
+                for c in df.schema.fields
+            ),
+            "schema_json": df.schema.json(),
+            "partitions": {str(data_id): parts},
+            "tiers": {str(data_id): tiers},
+            "deletes": [*(prev.get("deletes", []) if prev else []),
+                        {"commit": del_id, "key": key_col, "n_keys": n_keys}],
+        }
+        if prev:
+            man["partitions"].update(prev["partitions"])
+            man["tiers"].update(prev["tiers"])
+        return _publish(path, man)
+
+
+def materialize(spark: SparkSession, path: str) -> int:
+    """Fold the merge-on-read delete debt away: rewrite HEAD's effective
+    rows as one fresh overwrite snapshot (Iceberg's rewrite_data_files).
+    Time travel to pre-materialize versions still works until expired."""
+    man = manifest(path)
+    if not man.get("deletes"):
+        return man["version"]  # nothing to fold
+    eff = read(spark, path).drop("commit").localCheckpoint()
+    return commit(
+        eff, path, mode="overwrite",
+        partition_col=man["partition_col"],
+    )
 
 
 def rollback(path: str, version: int) -> int:
@@ -321,16 +469,20 @@ def expire(path: str, keep_last: int = 2) -> dict:
         expired = [v for v in all_versions if v not in keep]
         live: set[int] = set()
         for v in keep:
-            live.update(manifest(path, v)["commits"])
+            m = manifest(path, v)
+            live.update(m["commits"])
+            live.update(d["commit"] for d in m.get("deletes", []))
         removed: list[int] = []
-        data_dir = os.path.join(path, "data")
-        if os.path.isdir(data_dir):
-            for d in sorted(os.listdir(data_dir)):
+        for sub in ("data", "deletes"):
+            sub_dir = os.path.join(path, sub)
+            if not os.path.isdir(sub_dir):
+                continue
+            for d in sorted(os.listdir(sub_dir)):
                 if not d.startswith("commit="):
                     continue
                 cid = int(d.split("=", 1)[1])
                 if cid not in live:
-                    shutil.rmtree(os.path.join(data_dir, d))
+                    shutil.rmtree(os.path.join(sub_dir, d))
                     removed.append(cid)
         for v in expired:
             os.unlink(_manifest_file(path, v))
@@ -366,6 +518,30 @@ def read(spark: SparkSession, path: str,
     row arrived in) alongside the stored partition column."""
     man = manifest(path, version)
     df = _read_commits(spark, path, man, man["commits"])
+    dels = man.get("deletes", [])
+    if dels and man["commits"]:
+        # merge-on-read equality deletes: a delete masks rows from EARLIER
+        # commits only (an upsert's own batch survives its own delete).
+        # One anti-join against the union of key files — the Iceberg v2
+        # read path; materialize() folds the debt into a fresh snapshot.
+        key = dels[0]["key"]
+        frames = [
+            spark.read.parquet(
+                os.path.join(path, "deletes", f"commit={d['commit']}")
+            ).select(
+                F.col(d["key"]).alias("_dk"),
+                F.lit(d["commit"]).alias("_dc"),
+            )
+            for d in dels
+        ]
+        all_d = frames[0]
+        for fr in frames[1:]:
+            all_d = all_d.unionByName(fr)
+        df = df.join(
+            all_d,
+            on=[df[key] == all_d["_dk"], df["commit"] < all_d["_dc"]],
+            how="left_anti",
+        )
     # planner fast path: occupied tiers for cover joins, merged across the
     # snapshot's live commits (the _stats/tier_counts analogue)
     tiers = sorted(
@@ -386,6 +562,14 @@ def incremental(spark: SparkSession, path: str, from_version: int,
     contract."""
     from_man = manifest(path, from_version)
     to_man = manifest(path, to_version)
+    from_dels = {d["commit"] for d in from_man.get("deletes", [])}
+    to_dels = {d["commit"] for d in to_man.get("deletes", [])}
+    if from_dels != to_dels:
+        raise ValueError(
+            f"incremental scan v{from_man['version']}→v{to_man['version']} "
+            "crosses delete/upsert commits — the delta is not append-only; "
+            "read the full snapshot instead"
+        )
     frm, to = set(from_man["commits"]), set(to_man["commits"])
     if not frm <= to:
         raise ValueError(

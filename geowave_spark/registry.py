@@ -4842,3 +4842,47 @@ def _density_contours_oracle() -> str:
 
 
 register_extra("density_contours", q_density_contours, _density_contours_oracle())
+
+
+def q_snapshot_upsert(spark, sf_dir):
+    """Merge-on-read upsert (Iceberg v2 equality deletes): batch 1 is the
+    full corpus; batch 2 re-commits every event_id % 5 == 0 row with a
+    shifted longitude via commit_upsert (ONE atomic snapshot: equality
+    delete on the batch's keys + append — the delete masks EARLIER
+    commits only, so the batch's own rows survive).  The head read is
+    latest-wins; the oracle replays the CASE."""
+    import tempfile
+
+    from geowave_spark.operators import snapshots as SNAP
+
+    geo = TB.geo_events(spark, sf_dir)
+    pts = OI.index_points(
+        geo.select("event_id", "lon", "lat", "lon_milli", "lat_milli"),
+        lon_col="lon", lat_col="lat", id_col="event_id",
+    )
+    d = tempfile.mkdtemp(prefix="gw_ups_")
+    SNAP.commit(pts, d, mode="append")
+    upd = pts.filter(F.col("event_id") % 5 == 0).withColumn(
+        "lon_milli", F.col("lon_milli") + F.lit(7)
+    )
+    SNAP.commit_upsert(upd, d, key_col="event_id")
+    head = SNAP.read(spark, d)
+    return head.select(
+        "event_id", "lon_milli", "lat_milli",
+        F.col("commit").cast("int").alias("commit"),
+    )
+
+
+register_extra(
+    "snapshot_upsert",
+    q_snapshot_upsert,
+    TB.oracle_with(
+        TB.GEO_EVENTS_SQL,
+        "geo_events",
+        "SELECT event_id, "
+        "CASE WHEN event_id % 5 = 0 THEN lon_milli + 7 ELSE lon_milli END "
+        "AS lon_milli, lat_milli, "
+        "CAST(CASE WHEN event_id % 5 = 0 THEN 3 ELSE 1 END AS INTEGER) "
+        "AS commit FROM geo_events",
+    ),
+)

@@ -205,3 +205,108 @@ def test_history_log(spark, sf_dir, tmp_path):
         "append", "append", "rollback"]
     assert h[3]["total_rows"] == h[1]["total_rows"]
     assert h[2]["n_commits"] == 2 and h[3]["n_commits"] == 1
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read: equality deletes + upsert (Iceberg v2 semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_latest_wins_and_time_travel(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "ups")
+    b1, _ = _batches(spark, sf_dir)
+    SN.commit(b1, path)
+    upd = b1.filter(F.col("event_id") % 5 == 0).withColumn(
+        "lon_milli", F.col("lon_milli") + 7
+    )
+    v2 = SN.commit_upsert(upd, path, key_col="event_id")
+    assert v2 == 2
+    head = SN.read(spark, path)
+    # row count unchanged; updated rows carry the new lon and commit 3
+    assert head.count() == b1.count()
+    upd_ids = {r["event_id"] for r in upd.select("event_id").collect()}
+    got = {r["event_id"]: (r["lon_milli"], r["commit"]) for r in head.collect()}
+    base = {r["event_id"]: r["lon_milli"] for r in b1.collect()}
+    for eid, (lon, cmt) in got.items():
+        if eid in upd_ids:
+            assert lon == base[eid] + 7 and cmt == 3
+        else:
+            assert lon == base[eid] and cmt == 1
+    # time travel: v1 shows the original rows
+    v1 = {r["event_id"]: r["lon_milli"]
+          for r in SN.read(spark, path, version=1).collect()}
+    assert v1 == base
+    # repeated upsert of the same keys: latest wins
+    upd2 = upd.withColumn("lon_milli", F.col("lon_milli") + 100)
+    SN.commit_upsert(upd2, path, key_col="event_id")
+    got3 = {r["event_id"]: r["lon_milli"]
+            for r in SN.read(spark, path).collect()}
+    for eid in upd_ids:
+        assert got3[eid] == base[eid] + 107
+
+
+def test_commit_delete_masks_earlier_rows(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "dels")
+    b1, b2 = _batches(spark, sf_dir)
+    SN.commit(b1, path)
+    kill = b1.filter(F.col("event_id") % 3 == 0).select("event_id")
+    v2 = SN.commit_delete(kill, path, key_col="event_id")
+    assert v2 == 2
+    left = {r["event_id"] for r in SN.read(spark, path).collect()}
+    killed = {r["event_id"] for r in kill.collect()}
+    assert left == set(_ids(b1)) - killed
+    # a LATER append of a killed key is visible (delete masks earlier only)
+    revived = b1.filter(F.col("event_id") % 3 == 0).limit(5)
+    SN.commit(revived, path, mode="append")
+    left2 = {r["event_id"] for r in SN.read(spark, path).collect()}
+    assert {r["event_id"] for r in revived.collect()} <= left2
+
+
+def test_incremental_refuses_across_upsert(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "incu")
+    b1, b2 = _batches(spark, sf_dir)
+    SN.commit(b1, path)
+    SN.commit_upsert(b2, path, key_col="event_id")
+    with pytest.raises(ValueError, match="not append-only"):
+        SN.incremental(spark, path, from_version=1, to_version=2)
+
+
+def test_materialize_folds_delete_debt(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "mat")
+    b1, _ = _batches(spark, sf_dir)
+    SN.commit(b1, path)
+    upd = b1.filter(F.col("event_id") % 4 == 0).withColumn(
+        "lat_milli", F.col("lat_milli") + 3
+    )
+    SN.commit_upsert(upd, path, key_col="event_id")
+    before = sorted(
+        (r["event_id"], r["lon_milli"], r["lat_milli"])
+        for r in SN.read(spark, path).collect()
+    )
+    v = SN.materialize(spark, path)
+    man = SN.manifest(path, v)
+    assert man["operation"] == "overwrite" and man["deletes"] == []
+    after = sorted(
+        (r["event_id"], r["lon_milli"], r["lat_milli"])
+        for r in SN.read(spark, path).collect()
+    )
+    assert after == before
+    # expiring old versions GCs the delete files
+    res = SN.expire(path, keep_last=1)
+    assert os.path.isdir(os.path.join(path, "deletes")) is False or \
+        os.listdir(os.path.join(path, "deletes")) == []
+
+
+def test_delete_guards(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "guard")
+    b1, _ = _batches(spark, sf_dir)
+    with pytest.raises(ValueError, match="empty store"):
+        SN.commit_delete(b1.select("event_id"), path, key_col="event_id")
+    SN.commit(b1, path)
+    with pytest.raises(ValueError, match="not a stored column"):
+        SN.commit_delete(
+            b1.select(F.col("event_id").alias("nope")), path, key_col="nope"
+        )
+    SN.commit_delete(b1.limit(3).select("event_id"), path, key_col="event_id")
+    with pytest.raises(ValueError, match="one delete key per store"):
+        SN.commit_upsert(b1, path, key_col="lon_milli")
