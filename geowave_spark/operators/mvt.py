@@ -44,6 +44,20 @@ from pyspark.sql import types as T
 from geowave_spark.sources import mvt as W
 
 MAX_TILES_PER_ENVELOPE = 64  # explode bound, as tiling.render_envelope_tiles
+MAX_FEATURES_PER_TILE = 262_144  # payload-assembly bound (never truncate)
+
+
+def _tile_guard(n: int, tix: int, tiy: int, level: int) -> None:
+    """A vector tile is a BOUNDED payload by design; a tile that exceeds
+    the bound at 10^12-row scale means the export level is too coarse —
+    raise loudly (the never-truncate rule) instead of assembling a
+    multi-GB protobuf on one task."""
+    if n > MAX_FEATURES_PER_TILE:
+        raise ValueError(
+            f"tile ({tix}, {tiy}) at level {level} holds {n} features "
+            f"(> {MAX_FEATURES_PER_TILE}); export at a deeper level or "
+            "pre-aggregate (render_point_tiles) instead"
+        )
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -124,6 +138,10 @@ def mvt_point_tiles(
     )
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        _tile_guard(
+            len(pdf), int(pdf["tile_ix"].iloc[0]),
+            int(pdf["tile_iy"].iloc[0]), level,
+        )
         pdf = pdf.sort_values("_id", kind="mergesort")
         ids = pdf["_id"].to_numpy(np.int64)
         mx = pdf["_mx"].to_numpy(np.int64)
@@ -214,6 +232,7 @@ def mvt_envelope_tiles(
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         tix = int(pdf["tile_ix"].iloc[0])
         tiy = int(pdf["tile_iy"].iloc[0])
+        _tile_guard(len(pdf), tix, tiy, level)
         ox, oy = tix << shift, tiy << shift
         pdf = pdf.sort_values("_id", kind="mergesort")
         ids = pdf["_id"].to_numpy(np.int64)

@@ -235,10 +235,60 @@ def simplify_tracks(seg_pts: DataFrame, tol_milli: int = 500) -> DataFrame:
 # track similarity: discrete symmetric Hausdorff² over candidate pairs
 # ---------------------------------------------------------------------------
 
+def _banded_candidates(
+    pts: DataFrame, cell_milli: int, end_gate: bool = False
+) -> DataFrame:
+    """Candidate track pairs for the similarity joins: pairs whose FIRST
+    points share a ``cell_milli`` grid cell — and, with ``end_gate``,
+    whose LAST points also share a cell.  The end gate multiplies the
+    selectivity (independent-ish start/end positions) and is the first
+    dial to turn when the per-pair point join gets heavy: exact Hausdorff/
+    Fréchet cost is O(n_a · n_b) joined rows PER PAIR, so the candidate
+    count is the term that must stay controlled at corpus scale (the
+    other dial: simplify_tracks first, compare the simplified tracks)."""
+    from geowave_spark.functions.cols import _idiv_col
+
+    w = _track_window()
+    gx = _idiv_col(F.col("x") + F.lit(180_000), F.lit(cell_milli))
+    gy = _idiv_col(F.col("y") + F.lit(90_000), F.lit(cell_milli))
+    ranked = pts.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_rnd",
+        F.row_number().over(
+            Window.partitionBy("track_id").orderBy(
+                F.col("ts").desc(), F.col("pt_id").desc()
+            )
+        ),
+    )
+    firsts = ranked.filter(F.col("_rn") == 1).select(
+        "track_id", gx.alias("gx"), gy.alias("gy")
+    )
+    a = firsts.select(F.col("track_id").alias("track_a"), "gx", "gy")
+    b = firsts.select(F.col("track_id").alias("track_b"), "gx", "gy")
+    cand = (
+        a.join(b, on=["gx", "gy"])
+        .filter(F.col("track_a") < F.col("track_b"))
+        .select("track_a", "track_b")
+    )
+    if end_gate:
+        lasts = ranked.filter(F.col("_rnd") == 1).select(
+            "track_id", gx.alias("egx"), gy.alias("egy")
+        )
+        ea = lasts.select(F.col("track_id").alias("track_a"), "egx", "egy")
+        eb = lasts.select(F.col("track_id").alias("track_b"), "egx", "egy")
+        ecand = (
+            ea.join(eb, on=["egx", "egy"])
+            .filter(F.col("track_a") < F.col("track_b"))
+            .select("track_a", "track_b")
+        )
+        cand = cand.join(ecand, on=["track_a", "track_b"], how="left_semi")
+    return cand
+
+
 
 def track_hausdorff_pairs(
     pts: DataFrame,
     cell_milli: int = 2_000,
+    end_gate: bool = False,
 ) -> DataFrame:
     """Symmetric discrete Hausdorff distance² (milli-degrees²) between
     every candidate track pair, candidates = pairs whose FIRST points
@@ -253,27 +303,7 @@ def track_hausdorff_pairs(
     hausdorff2)."""
     from geowave_spark.functions.cols import _idiv_col
 
-    w = _track_window()
-    starts = (
-        pts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "track_id",
-            _idiv_col(F.col("x") + F.lit(180_000), F.lit(cell_milli)).alias("gx"),
-            _idiv_col(F.col("y") + F.lit(90_000), F.lit(cell_milli)).alias("gy"),
-        )
-    )
-    a = starts.select(
-        F.col("track_id").alias("track_a"), "gx", "gy"
-    )
-    b = starts.select(
-        F.col("track_id").alias("track_b"), "gx", "gy"
-    )
-    cand = (
-        a.join(b, on=["gx", "gy"])
-        .filter(F.col("track_a") < F.col("track_b"))
-        .select("track_a", "track_b")
-    )
+    cand = _banded_candidates(pts, cell_milli, end_gate=end_gate)
     slim = pts.select("track_id", "pt_id", "x", "y")
     pa = slim.select(
         F.col("track_id").alias("track_a"),
@@ -382,6 +412,7 @@ _FRECHET_SCHEMA = T.StructType(
 def track_frechet_pairs(
     pts: DataFrame,
     cell_milli: int = 2_000,
+    end_gate: bool = False,
 ) -> DataFrame:
     """Discrete Fréchet distance² between candidate track pairs — the
     ORDER-AWARE companion to :func:`track_hausdorff_pairs` (a there-and-
@@ -392,25 +423,7 @@ def track_frechet_pairs(
     by track length).  Integer-exact; pytest-pinned against a recursive
     brute force (the minimax DP has no SQL-window replay, so this is a
     rows-only operator by construction)."""
-    from geowave_spark.functions.cols import _idiv_col
-
-    w = _track_window()
-    starts = (
-        pts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "track_id",
-            _idiv_col(F.col("x") + F.lit(180_000), F.lit(cell_milli)).alias("gx"),
-            _idiv_col(F.col("y") + F.lit(90_000), F.lit(cell_milli)).alias("gy"),
-        )
-    )
-    a = starts.select(F.col("track_id").alias("track_a"), "gx", "gy")
-    b = starts.select(F.col("track_id").alias("track_b"), "gx", "gy")
-    cand = (
-        a.join(b, on=["gx", "gy"])
-        .filter(F.col("track_a") < F.col("track_b"))
-        .select("track_a", "track_b")
-    )
+    cand = _banded_candidates(pts, cell_milli, end_gate=end_gate)
     slim = pts.select("track_id", "ts", "pt_id", "x", "y")
     sa = cand.join(
         slim.withColumnRenamed("track_id", "track_a"), "track_a"

@@ -246,3 +246,29 @@ def test_frechet_order_aware_vs_hausdorff(spark):
     assert h2 == 0
     assert f2 == _brute_frechet2(tuple(back), tuple(leg))
     assert f2 > h2
+
+
+def test_end_gate_tightens_candidates(spark):
+    # tracks 1,2 share start AND end cells; track 3 shares only the start
+    rows = [(1, j, j, j * 100, 0) for j in range(5)]
+    rows += [(2, 100 + j, j, j * 100 + 10, 5) for j in range(5)]
+    rows += [(3, 200 + j, j, j * 1000, 0) for j in range(5)]  # ends far away
+    pts = _pts(spark, rows)
+    loose = {(r["track_a"], r["track_b"])
+             for r in TK.track_hausdorff_pairs(pts, cell_milli=2000).collect()}
+    tight = {(r["track_a"], r["track_b"])
+             for r in TK.track_hausdorff_pairs(
+                 pts, cell_milli=2000, end_gate=True).collect()}
+    assert loose == {(1, 2), (1, 3), (2, 3)}
+    assert tight == {(1, 2)}
+    # end-gated values agree with the loose path on surviving pairs
+    loose_vals = {
+        (r["track_a"], r["track_b"]): r["hausdorff2"]
+        for r in TK.track_hausdorff_pairs(pts, cell_milli=2000).collect()
+    }
+    tight_vals = {
+        (r["track_a"], r["track_b"]): r["hausdorff2"]
+        for r in TK.track_hausdorff_pairs(
+            pts, cell_milli=2000, end_gate=True).collect()
+    }
+    assert tight_vals[(1, 2)] == loose_vals[(1, 2)]
