@@ -4886,3 +4886,50 @@ register_extra(
         "AS commit FROM geo_events",
     ),
 )
+
+
+def q_morans_i(spark, sf_dir):
+    """Global spatial autocorrelation (Moran's I, queen adjacency) over
+    the res-8 event density grid, as exact integer components (the
+    overflow-safe shape — see morans_i_components; the float statistic
+    is a driver-side arbitrary-precision assembly).  Adjacency = one
+    literal 8-offset explode + self-equi-join, never a cross join."""
+    from geowave_spark.operators import contours as CT
+
+    geo = TB.geo_events(spark, sf_dir)
+    grid = CT.grid_density(geo, res=8)
+    return CT.morans_i_components(grid)
+
+
+def _morans_i_oracle() -> str:
+    n = 1 << 8
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+grid AS (
+  SELECT {_idiv_sql(f"(lon_milli + 180000) * {n}", "360000")} AS gx,
+         {_idiv_sql(f"(lat_milli + 90000) * {n}", "180000")} AS gy,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM geo_events GROUP BY 1, 2
+),
+nbr AS (
+  SELECT gx + d.dx AS ngx, gy + d.dy AS ngy, x AS x_i
+  FROM grid, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1))
+       AS d(dx, dy)
+),
+pair_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+         CAST(SUM(n.x_i * g.x) AS BIGINT) AS s1,
+         CAST(SUM(n.x_i + g.x) AS BIGINT) AS s2
+  FROM nbr n JOIN grid g ON g.gx = n.ngx AND g.gy = n.ngy
+),
+cell_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(x) AS BIGINT) AS s_tot,
+         CAST(SUM(x * x) AS BIGINT) AS q_sum
+  FROM grid
+)
+SELECT n_cells, w_pairs, s_tot, q_sum, s1, s2 FROM cell_agg, pair_agg
+"""
+
+
+register_extra("morans_i", q_morans_i, _morans_i_oracle())

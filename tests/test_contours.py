@@ -122,3 +122,52 @@ def test_grid_density_counts(spark):
     g = {(r["gx"], r["gy"]): r["v"]
          for r in C.grid_density(df, res=9).collect()}
     assert sum(g.values()) == 3 and len(g) == 1  # all in one 512-cell
+
+
+def test_morans_i_clustered_vs_checkerboard(spark):
+    # clustered surface -> strongly positive; alternating stripes ->
+    # negative (under QUEEN adjacency a checkerboard is only mildly
+    # negative — its diagonals agree — so stripes are the cleaner probe)
+    clustered = [(x, y, 10 if x < 4 else 1) for x in range(8) for y in range(8)]
+    stripes = [(x, y, 10 if x % 2 == 0 else 1)
+               for x in range(8) for y in range(8)]
+    dfc = spark.createDataFrame(clustered, "gx long, gy long, v long")
+    dfk = spark.createDataFrame(stripes, "gx long, gy long, v long")
+    i_c = C.morans_i(C.morans_i_components(dfc))
+    i_k = C.morans_i(C.morans_i_components(dfk))
+    assert i_c > 0.5
+    assert i_k < -0.3
+    # constant surface: zero variance raises
+    dfu = spark.createDataFrame(
+        [(x, y, 3) for x in range(4) for y in range(4)],
+        "gx long, gy long, v long",
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="zero variance"):
+        C.morans_i(C.morans_i_components(dfu))
+
+
+def test_morans_i_matches_numpy_reference(spark):
+    rng = np.random.RandomState(2)
+    cells = [(int(x), int(y), int(rng.randint(1, 20)))
+             for x in range(6) for y in range(6)]
+    df = spark.createDataFrame(cells, "gx long, gy long, v long")
+    got = C.morans_i(C.morans_i_components(df))
+    # textbook float computation
+    vals = {(x, y): v for x, y, v in cells}
+    xs = np.array([v for _, _, v in cells], dtype=float)
+    mean = xs.mean()
+    num = w = 0.0
+    for (x, y), v in vals.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                nb = vals.get((x + dx, y + dy))
+                if nb is not None:
+                    num += (v - mean) * (nb - mean)
+                    w += 1
+    den = ((xs - mean) ** 2).sum()
+    exp = (len(xs) / w) * (num / den)
+    assert abs(got - exp) < 1e-9
