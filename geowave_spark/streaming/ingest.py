@@ -568,3 +568,83 @@ def decommission_stream_sink(spark: SparkSession, sink_dir: str) -> dict:
 
     _shutil.rmtree(meta)
     return {"committed": len(committed), "orphans_removed": orphans}
+
+
+def stream_segment_tracks(
+    spark: SparkSession,
+    source,
+    schema,
+    gap_s: int = 86_400,
+    state_timeout_hours: int = 48,
+    track_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming trajectory sessionization — the continuous form of
+    operators/tracks.segment_tracks: each arriving point gets its track's
+    current segment index, incremented whenever the time gap to the
+    previous processed point exceeds ``gap_s``.
+
+    ``applyInPandasWithState`` keyed by track keeps TWO longs per track
+    (last timestamp + current segment) — state is O(active tracks), never
+    O(points).  Points are ordered (ts, id) WITHIN each micro-batch; with
+    an in-order source (device streams append in time order) the output
+    equals the batch operator row-for-row (pytest parity).  A processing-
+    time timeout drops idle tracks' state after ``state_timeout_hours``;
+    a point arriving later restarts its track at segment 0 with a fresh
+    lineage (the bounded-state trade-off, same contract as
+    stream_dedup_docs)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    raw = open_stream(spark, source, schema)
+    pts = raw.select(
+        F.col(track_col).cast("long").alias("track_id"),
+        F.col(id_col).cast("long").alias("pt_id"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.unix_timestamp(ts_col).alias("t"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("track_id", T.LongType()),
+            T.StructField("pt_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("t", T.LongType()),
+            T.StructField("seg", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_t", T.LongType()),
+            T.StructField("seg", T.LongType()),
+        ]
+    )
+
+    def seg_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks).sort_values(["ts", "pt_id"], kind="mergesort")
+        last_t, seg = state.get if state.exists else (None, 0)
+        segs = []
+        for t in rows["t"]:
+            t = int(t)
+            if last_t is not None and t - last_t > gap_s:
+                seg += 1
+            segs.append(seg)
+            last_t = t
+        state.update((last_t, seg))
+        state.setTimeoutDuration(state_timeout_hours * 3600 * 1000)
+        yield rows.assign(seg=pd.Series(segs, index=rows.index, dtype="int64"))
+
+    return pts.groupBy("track_id").applyInPandasWithState(
+        seg_fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -422,3 +422,62 @@ def test_stream_cql_rejects_or_group(spark, sf_dir, tmp_path):
             "BBOX(geom, 0, 0, 1, 1) OR BBOX(geom, 2, 2, 3, 3)",
             geo.schema, str(tmp_path / "s"), str(tmp_path / "c"),
         )
+
+
+def test_stream_segment_tracks_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming sessionization == batch segment_tracks when points
+    arrive in time order (two micro-batches split on the median ts;
+    state carries last_t/seg across the restart)."""
+    from geowave_spark.operators import tracks as TK
+    from geowave_spark.sources import tables as TB
+    from geowave_spark.streaming.ingest import stream_segment_tracks
+
+    geo = TB.geo_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id"
+    ).filter(F.col("user_id") % 7 == 0)
+    # chronological split: first half (by ts rank) lands first
+    from pyspark.sql import Window as W
+
+    ranked = geo.withColumn(
+        "_rk",
+        F.row_number().over(W.orderBy("ts", "event_id")),
+    )
+    n = ranked.count()
+    first = ranked.filter(F.col("_rk") <= n // 2).drop("_rk")
+    second = ranked.filter(F.col("_rk") > n // 2).drop("_rk")
+    src = str(tmp_path / "trk_src")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        out = stream_segment_tracks(
+            spark, src, first.schema, gap_s=86_400
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "trk_sink"))
+            .option("checkpointLocation", str(tmp_path / "trk_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    second.coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = {
+        (r["track_id"], r["pt_id"]): r["seg"]
+        for r in spark.read.parquet(str(tmp_path / "trk_sink")).collect()
+    }
+    batch = TK.segment_tracks(
+        TK.track_points(
+            geo.withColumn("lon_milli", F.lit(0)).withColumn(
+                "lat_milli", F.lit(0)
+            )
+        ),
+        gap_s=86_400,
+    )
+    exp = {
+        (r["track_id"], r["pt_id"]): r["seg"] for r in batch.collect()
+    }
+    assert got == exp and len(got) > 0
