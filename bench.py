@@ -86,6 +86,15 @@ HEADLINE_INPUTS = {
     "s2_cells": "events",
     "s2_bbox": "events",
     "s2_polygon": "events",
+    # round 4 (this session): trajectory, autocorrelation, contour,
+    # vector-tile, and contrastive-mining families
+    "track_segments": "events",
+    "track_stays": "events",
+    "od_flows": "events",
+    "density_contours": "events",
+    "morans_i": "events",
+    "mvt_points": "events",
+    "hard_negatives": "embeddings",
 }
 HEADLINE = list(HEADLINE_INPUTS)
 

@@ -541,9 +541,85 @@ def cmd_export(args, spark_injected, out) -> int:
     from geowave_spark.sources.export import export_vector
 
     df = OI.read_indexed(spark, path)
+    if args.format == "mvt":
+        # vector-tile export: per-tile payloads at --level, laid out as the
+        # standard z/x/y.mvt tree (slippy consumers) — tile COUNT at the
+        # export level bounds the driver-side file write; per-tile payload
+        # size is bounded by the operator's never-truncate feature guard
+        import os as _os
+
+        from geowave_spark.operators import mvt as OMV
+
+        tiles = OMV.mvt_point_tiles(df, level=args.level).collect()
+        for r in tiles:
+            d = _os.path.join(args.dest, str(args.level), str(r["tile_ix"]))
+            _os.makedirs(d, exist_ok=True)
+            with open(_os.path.join(d, f"{r['tile_iy']}.mvt"), "wb") as f:
+                f.write(bytes(r["mvt"]))
+        print(
+            f"exported {args.store} -> {args.dest} ({len(tiles)} mvt tiles "
+            f"at level {args.level})",
+            file=out,
+        )
+        return 0
     export_vector(df, args.dest, fmt=args.format)
     print(f"exported {args.store} -> {args.dest} ({args.format})", file=out)
     return 0
+
+
+def cmd_snapshot(args, spark_injected, out) -> int:
+    """Snapshot-store operations (operators/snapshots.py): the Iceberg-
+    style table-maintenance surface as CLI verbs."""
+    from geowave_spark.operators import snapshots as SNAP
+
+    cfg = _load_config(args)
+    path = _store_path(cfg, args.snap_store)
+    if args.snap_cmd == "log":
+        spark = _spark(args, spark_injected)
+        for r in sorted(
+            SNAP.history(spark, path).collect(), key=lambda r: r["version"]
+        ):
+            print(
+                f"v{r['version']:<4} {r['operation']:<10} "
+                f"commits={r['n_commits']} added={r['added_rows']} "
+                f"total={r['total_rows']}",
+                file=out,
+            )
+        return 0
+    if args.snap_cmd == "rollback":
+        v = SNAP.rollback(path, args.version)
+        print(f"rolled back {args.snap_store} to v{args.version} (now v{v})",
+              file=out)
+        return 0
+    if args.snap_cmd == "expire":
+        res = SNAP.expire(path, keep_last=args.keep)
+        print(
+            f"expired versions {res['expired_versions']}, "
+            f"removed commits {res['removed_commits']}",
+            file=out,
+        )
+        return 0
+    spark = _spark(args, spark_injected)
+    if args.snap_cmd == "commit":
+        from geowave_spark.operators import index as OI
+
+        df = OI.read_indexed(spark, _store_path(cfg, args.src_store))
+        if args.upsert_key:
+            v = SNAP.commit_upsert(df, path, key_col=args.upsert_key)
+        else:
+            v = SNAP.commit(df, path, mode=args.mode)
+        print(f"committed {args.src_store} -> {args.snap_store} v{v}", file=out)
+        return 0
+    if args.snap_cmd == "metrics":
+        for r in SNAP.partition_metrics(spark, path, args.version).collect():
+            print(f"commit={r['commit']} {r[1]!s:>12} rows={r['n_rows']}",
+                  file=out)
+        return 0
+    if args.snap_cmd == "materialize":
+        v = SNAP.materialize(spark, path)
+        print(f"materialized {args.snap_store} at v{v}", file=out)
+        return 0
+    raise ValueError(args.snap_cmd)
 
 
 # ---------------------------------------------------------------------------
@@ -654,6 +730,30 @@ def _build_parser() -> argparse.ArgumentParser:
     e.add_argument("store")
     e.add_argument("dest")
     e.add_argument("--format", default="parquet")
+    e.add_argument("--level", type=int, default=6,
+                   help="--format mvt: tile pyramid level")
+
+    sn = sub.add_parser("snapshot")  # Iceberg-style table maintenance
+    sns = sn.add_subparsers(dest="snap_cmd", required=True)
+    a = sns.add_parser("commit")
+    a.add_argument("src_store")
+    a.add_argument("snap_store")
+    a.add_argument("--mode", default="append",
+                   choices=["append", "overwrite"])
+    a.add_argument("--upsert-key", default=None,
+                   help="merge-on-read upsert keyed on this column")
+    for v in ("log", "materialize"):
+        a = sns.add_parser(v)
+        a.add_argument("snap_store")
+    a = sns.add_parser("rollback")
+    a.add_argument("snap_store")
+    a.add_argument("version", type=int)
+    a = sns.add_parser("expire")
+    a.add_argument("snap_store")
+    a.add_argument("--keep", type=int, default=2)
+    a = sns.add_parser("metrics")
+    a.add_argument("snap_store")
+    a.add_argument("--version", type=int, default=None)
 
     pl = sub.add_parser("pipeline")  # checkpointed multi-stage DAG runner
     pl.add_argument(
@@ -701,6 +801,7 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         "remote": cmd_remote,
         "analytic": cmd_analytic,
         "export": cmd_export,
+        "snapshot": cmd_snapshot,
         "pipeline": cmd_pipeline,
     }
     dispatch[args.cmd](args, spark, out)

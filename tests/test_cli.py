@@ -360,3 +360,48 @@ def test_cli_ingest_geotiff_scenes(spark, tmp_path):
         "--id-col", "file",
     )
     assert len(q.strip().splitlines()) - 1 == 6
+
+
+def test_cli_snapshot_and_mvt_export(spark, sf_dir, tmp_path):
+    """snapshot commit/upsert/log/rollback/expire/metrics verbs + the
+    z/x/y.mvt export tree."""
+    from geowave_spark.sources import mvt as W
+
+    src = str(tmp_path / "snap_src")
+    TB.geo_events(spark, sf_dir).select(
+        "event_id", "lon", "lat", "lon_milli", "lat_milli"
+    ).write.parquet(src)
+    store = str(tmp_path / "snap_store_src")
+    snap = str(tmp_path / "snap_store")
+    _run(spark, tmp_path, "config", "addstore", "ev", "--path", store)
+    _run(spark, tmp_path, "config", "addstore", "sn", "--path", snap)
+    _run(spark, tmp_path, "config", "addindex", "sp")
+    _run(spark, tmp_path, "ingest", src, "ev", "sp", "--format", "parquet")
+
+    got = _run(spark, tmp_path, "snapshot", "commit", "ev", "sn")
+    assert "v1" in got
+    got = _run(spark, tmp_path, "snapshot", "commit", "ev", "sn",
+               "--upsert-key", "event_id")
+    assert "v2" in got
+    log = _run(spark, tmp_path, "snapshot", "log", "sn")
+    assert "v1" in log and "upsert" in log
+    metrics = _run(spark, tmp_path, "snapshot", "metrics", "sn")
+    assert "commit=" in metrics and "rows=" in metrics
+    _run(spark, tmp_path, "snapshot", "rollback", "sn", "1")
+    _run(spark, tmp_path, "snapshot", "materialize", "sn")
+    got = _run(spark, tmp_path, "snapshot", "expire", "sn", "--keep", "1")
+    assert "expired versions" in got
+
+    # MVT export: z/x/y.mvt tree decodes back to the ingested point count
+    dest = str(tmp_path / "mvt_out")
+    got = _run(spark, tmp_path, "export", "ev", dest, "--format", "mvt",
+               "--level", "3")
+    assert "mvt tiles at level 3" in got
+    n = 0
+    for root, _dirs, files in os.walk(dest):
+        for f in files:
+            assert f.endswith(".mvt")
+            with open(os.path.join(root, f), "rb") as fh:
+                layers = W.decode_tile(fh.read())
+            n += len(layers["points"]["features"])
+    assert n == spark.read.parquet(src).count()
