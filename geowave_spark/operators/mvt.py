@@ -146,15 +146,18 @@ def mvt_point_tiles(
         ids = pdf["_id"].to_numpy(np.int64)
         mx = pdf["_mx"].to_numpy(np.int64)
         my = pdf["_my"].to_numpy(np.int64)
+        # pre-extract tag columns ONCE (per-row .iloc access is the
+        # pandas slow path — measured 2× the whole encode cost)
+        tag_vals = {c: pdf[c].astype(str).tolist() for c in tag_cols}
+        zx, zy = (mx << 1), (my << 1)  # zigzag of non-negative = 2v
         feats = []
         for i in range(len(ids)):
-            tags = {c: str(pdf[c].iloc[i]) for c in tag_cols}
             feats.append(
                 {
                     "id": int(ids[i]),
                     "type": W.POINT,
-                    "geometry": W.geom_point([(int(mx[i]), int(my[i]))]),
-                    "tags": tags,
+                    "geometry": [9, int(zx[i]), int(zy[i])],
+                    "tags": {c: tag_vals[c][i] for c in tag_cols},
                 }
             )
         buf = W.encode_tile({layer: feats}, extent=extent)

@@ -47,6 +47,18 @@ MOVE_TO, LINE_TO, CLOSE_PATH = 1, 2, 7
 POINT, LINESTRING, POLYGON = 1, 2, 3
 DEFAULT_EXTENT = 4096
 
+# varint fast path: geometry parameters are zigzagged tile-local coords
+# (< 2·extent) and tag indices are table offsets — all < 2^14, so one
+# precomputed table covers the hot encode loop (~0.5 MB, built once)
+_UV_TABLE = None
+
+
+def _uv_fast(n: int) -> bytes:
+    global _UV_TABLE
+    if _UV_TABLE is None:
+        _UV_TABLE = [_uv(i) for i in range(16384)]
+    return _UV_TABLE[n] if 0 <= n < 16384 else _uv(n)
+
 
 def _zig(n: int) -> int:
     return (n << 1) ^ (n >> 63) if n < 0 else n << 1
@@ -211,9 +223,9 @@ def encode_tile(layers: dict, extent: int = DEFAULT_EXTENT) -> bytes:
             if "id" in f:
                 fbody += _vint(1, int(f["id"]))
             if tag_ixs:
-                fbody += _msg(2, b"".join(_uv(t) for t in tag_ixs))
+                fbody += _msg(2, b"".join(_uv_fast(t) for t in tag_ixs))
             fbody += _vint(3, f["type"])
-            fbody += _msg(4, b"".join(_uv(g) for g in f["geometry"]))
+            fbody += _msg(4, b"".join(_uv_fast(g) for g in f["geometry"]))
             body += _msg(2, bytes(fbody))
         for k in keys:
             body += _msg(3, k.encode("utf-8"))
