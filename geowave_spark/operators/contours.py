@@ -372,3 +372,79 @@ def morans_i(components_df: DataFrame) -> float:
     if w == 0 or den == 0:
         raise ValueError("Moran's I undefined: no adjacency or zero variance")
     return (n / w) * (num / den)
+
+
+def gi_star_components(
+    grid: DataFrame,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    val_col: str = "v",
+) -> DataFrame:
+    """Getis–Ord Gi* LOCAL hotspot components (the per-cell companion to
+    global :func:`morans_i_components`): for every occupied cell, the
+    queen-neighborhood-including-self sum and member count, as exact
+    integers.  Output: (gx, gy, x, nbr_sum, n_nbr).
+
+    The float z-score is one vectorized expression over these plus the
+    global (N, S, Q) aggregates::
+
+        z_i = (nbr_sum − mean·n_nbr) /
+              (std · sqrt((N·n_nbr − n_nbr²) / (N−1)))
+
+    — :func:`gi_star` attaches it.  Plan: the same literal 9-offset
+    explode + self-equi-join as Moran (never a cross join), one groupBy;
+    neighborhoods are over the OCCUPIED support."""
+    base = grid.select(
+        F.col(gx_col).alias("gx"), F.col(gy_col).alias("gy"),
+        F.col(val_col).cast("long").alias("x"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    nbr = base.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in offs
+            ])
+        ).alias("_o"),
+        "gx", "gy", F.col("x").alias("x_src"),
+    ).select(
+        (F.col("gx") + F.col("_o.dx")).alias("ngx"),
+        (F.col("gy") + F.col("_o.dy")).alias("ngy"),
+        "x_src",
+    )
+    sums = nbr.groupBy("ngx", "ngy").agg(
+        F.sum("x_src").alias("nbr_sum"),
+        F.count(F.lit(1)).alias("n_nbr"),
+    )
+    # inner join back to the occupied support: Gi* is reported per CELL,
+    # not per phantom neighbor position
+    return base.join(
+        sums,
+        on=[base["gx"] == sums["ngx"], base["gy"] == sums["ngy"]],
+    ).select("gx", "gy", "x", "nbr_sum", "n_nbr")
+
+
+def gi_star(components: DataFrame) -> DataFrame:
+    """Attach the Gi* z-score to :func:`gi_star_components` output —
+    global moments come from one tiny driver-side aggregate; the z
+    expression is pure column math (no shuffle beyond the components')."""
+    r = components.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    ).collect()[0]
+    n, s, q = int(r["n"]), int(r["s"]), int(r["q"])
+    if n < 2:
+        raise ValueError("Gi* needs at least 2 cells")
+    mean = s / n
+    var = q / n - mean * mean
+    if var <= 0:
+        raise ValueError("Gi* undefined: zero variance")
+    std = var ** 0.5
+    w = F.col("n_nbr").cast("double")
+    denom = F.lit(std) * F.sqrt(
+        (F.lit(float(n)) * w - w * w) / F.lit(float(n - 1))
+    )
+    return components.withColumn(
+        "z", (F.col("nbr_sum") - F.lit(mean) * w) / denom
+    )

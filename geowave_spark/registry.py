@@ -4933,3 +4933,43 @@ SELECT n_cells, w_pairs, s_tot, q_sum, s1, s2 FROM cell_agg, pair_agg
 
 
 register_extra("morans_i", q_morans_i, _morans_i_oracle())
+
+
+def q_gi_star(spark, sf_dir):
+    """Getis–Ord Gi* local hotspot components over the res-8 density
+    grid (exact integer neighborhood sums; the float z-score is one
+    column expression via gi_star) — the per-cell companion to the
+    global morans_i query, same literal-offset adjacency plan."""
+    from geowave_spark.operators import contours as CT
+
+    geo = TB.geo_events(spark, sf_dir)
+    grid = CT.grid_density(geo, res=8)
+    return CT.gi_star_components(grid)
+
+
+def _gi_star_oracle() -> str:
+    n = 1 << 8
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+grid AS (
+  SELECT {_idiv_sql(f"(lon_milli + 180000) * {n}", "360000")} AS gx,
+         {_idiv_sql(f"(lat_milli + 90000) * {n}", "180000")} AS gy,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM geo_events GROUP BY 1, 2
+),
+nbr AS (
+  SELECT gx + d.dx AS ngx, gy + d.dy AS ngy, x AS x_src
+  FROM grid, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                     (1,-1),(1,0),(1,1)) AS d(dx, dy)
+),
+sums AS (
+  SELECT ngx, ngy, CAST(SUM(x_src) AS BIGINT) AS nbr_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_nbr
+  FROM nbr GROUP BY 1, 2
+)
+SELECT g.gx, g.gy, g.x, s.nbr_sum, s.n_nbr
+FROM grid g JOIN sums s ON s.ngx = g.gx AND s.ngy = g.gy
+"""
+
+
+register_extra("gi_star", q_gi_star, _gi_star_oracle())

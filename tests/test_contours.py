@@ -171,3 +171,40 @@ def test_morans_i_matches_numpy_reference(spark):
     den = ((xs - mean) ** 2).sum()
     exp = (len(xs) / w) * (num / den)
     assert abs(got - exp) < 1e-9
+
+
+def test_gi_star_hotspot_detection(spark):
+    # uniform background with one hot 2x2 block: top z-scores are the
+    # cells whose neighborhoods cover the block
+    cells = [(x, y, 2) for x in range(10) for y in range(10)]
+    cells = [(x, y, 50 if (x in (4, 5) and y in (4, 5)) else v)
+             for x, y, v in cells]
+    df = spark.createDataFrame(cells, "gx long, gy long, v long")
+    out = C.gi_star(C.gi_star_components(df))
+    rows = {(r["gx"], r["gy"]): r for r in out.collect()}
+    # exact integer components: center cell (4,4) neighborhood holds
+    # 4 hot cells (200) + 5 background (10)
+    assert rows[(4, 4)]["nbr_sum"] == 210 and rows[(4, 4)]["n_nbr"] == 9
+    top4 = sorted(rows.values(), key=lambda r: -r["z"])[:4]
+    assert {(r["gx"], r["gy"]) for r in top4} == {(4, 4), (4, 5), (5, 4), (5, 5)}
+    # far-away background cell is not significant
+    assert abs(rows[(0, 9)]["z"]) < 1.0 < rows[(4, 4)]["z"]
+
+
+def test_gi_star_z_matches_numpy(spark):
+    rng = np.random.RandomState(4)
+    cells = [(int(x), int(y), int(rng.randint(1, 30)))
+             for x in range(7) for y in range(7)]
+    df = spark.createDataFrame(cells, "gx long, gy long, v long")
+    got = {(r["gx"], r["gy"]): r["z"]
+           for r in C.gi_star(C.gi_star_components(df)).collect()}
+    vals = {(x, y): v for x, y, v in cells}
+    xs = np.array([v for _, _, v in cells], dtype=float)
+    n, mean, std = len(xs), xs.mean(), xs.std()
+    for (x, y), v in vals.items():
+        nb = [vals[(x + dx, y + dy)]
+              for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+              if (x + dx, y + dy) in vals]
+        w = len(nb)
+        exp = (sum(nb) - mean * w) / (std * ((n * w - w * w) / (n - 1)) ** 0.5)
+        assert abs(got[(x, y)] - exp) < 1e-9, (x, y)
