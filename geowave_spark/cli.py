@@ -567,6 +567,30 @@ def cmd_export(args, spark_injected, out) -> int:
     return 0
 
 
+def cmd_serve(args, spark_injected, out) -> int:
+    """Start the embedded HTTP read service (service.py) over every
+    registered store — the reference's REST/GeoServer serving surface."""
+    cfg = _load_config(args)
+    stores = {n: st["path"] for n, st in cfg.get("stores", {}).items()}
+    spark = _spark(args, spark_injected)
+    from geowave_spark.service import serve
+
+    server = serve(spark, stores, port=args.port, host=args.host)
+    print(
+        f"serving {len(stores)} store(s) on "
+        f"http://{server.server_address[0]}:{server.server_address[1]}/v0/",
+        file=out,
+    )
+    if args.block:
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.shutdown()
+    return 0
+
+
 def cmd_snapshot(args, spark_injected, out) -> int:
     """Snapshot-store operations (operators/snapshots.py): the Iceberg-
     style table-maintenance surface as CLI verbs."""
@@ -733,6 +757,12 @@ def _build_parser() -> argparse.ArgumentParser:
     e.add_argument("--level", type=int, default=6,
                    help="--format mvt: tile pyramid level")
 
+    sv = sub.add_parser("serve")  # embedded HTTP read service
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--no-block", dest="block", action="store_false",
+                    help="return after binding (tests drive the server)")
+
     sn = sub.add_parser("snapshot")  # Iceberg-style table maintenance
     sns = sn.add_subparsers(dest="snap_cmd", required=True)
     a = sns.add_parser("commit")
@@ -802,6 +832,7 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         "analytic": cmd_analytic,
         "export": cmd_export,
         "snapshot": cmd_snapshot,
+        "serve": cmd_serve,
         "pipeline": cmd_pipeline,
     }
     dispatch[args.cmd](args, spark, out)
