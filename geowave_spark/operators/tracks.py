@@ -454,3 +454,111 @@ def track_frechet_pairs(
     return both.groupBy("track_a", "track_b").applyInPandas(
         kernel, _FRECHET_SCHEMA
     )
+
+
+MAX_GRID_PER_TRACK = 100_000  # resample explode bound (never truncate)
+
+
+def resample_tracks(
+    pts: DataFrame,
+    step_s: int = 3_600,
+) -> DataFrame:
+    """Resample every track to a fixed time grid (epochs divisible by
+    ``step_s`` inside the track's [t_min, t_max]) with EXACT integer
+    linear interpolation — the standard prep for fixed-length track
+    features (similarity over aligned vectors, ML windows, map display).
+
+    Interpolation: between bracketing points (t0,x0) and (t1,x1),
+    ``x_g = x0 + floor(dx·(g−t0) / (t1−t0))`` with the floor computed by
+    shifting the numerator non-negative (dx can be negative; DuckDB's
+    ``//`` truncates while Python floors — the shift makes both agree,
+    CLAUDE.md rule).  A grid epoch landing exactly on a point returns
+    that point.
+
+    Plan: per-track bounds via one window; grid epochs are a bounded
+    ``sequence`` explode (never-truncate guard at MAX_GRID_PER_TRACK);
+    bracketing is the as-of UNION trick (interval.py pattern): grid rows
+    and data rows interleave in ONE per-track window, ``last(ignorenulls)``
+    looking back and ``first(ignorenulls)`` looking forward — no
+    point×grid join ever materializes.  Output: (track_id, t_grid, x, y).
+    """
+    from geowave_spark.operators.index import _invariant_guard
+
+    w = _track_window()
+    bounds = pts.withColumn("_tmin", F.min("t").over(
+        Window.partitionBy("track_id")
+    )).withColumn("_tmax", F.max("t").over(Window.partitionBy("track_id")))
+    g0 = F.ceil(F.col("_tmin") / F.lit(step_s)) * step_s
+    g1 = F.floor(F.col("_tmax") / F.lit(step_s)) * step_s
+    one = (
+        bounds.select("track_id", g0.alias("_g0"), g1.alias("_g1"))
+        .groupBy("track_id")
+        .agg(F.first("_g0").alias("_g0"), F.first("_g1").alias("_g1"))
+        .filter(F.col("_g1") >= F.col("_g0"))
+    )
+    guarded = one.filter(
+        _invariant_guard(
+            (F.col("_g1") - F.col("_g0")) / F.lit(step_s)
+            >= F.lit(MAX_GRID_PER_TRACK),
+            f"track resample grid exceeds {MAX_GRID_PER_TRACK} epochs — "
+            "use a coarser step_s",
+        )
+    )
+    grid = guarded.select(
+        "track_id",
+        F.explode(
+            F.sequence(F.col("_g0"), F.col("_g1"), F.lit(step_s))
+        ).alias("t"),
+    ).select(
+        "track_id",
+        F.col("t").cast("long").alias("t"),
+        F.lit(1).alias("_is_grid"),
+        F.lit(None).cast("long").alias("x"),
+        F.lit(None).cast("long").alias("y"),
+        F.lit(None).cast("long").alias("pt_id"),
+    )
+    data = pts.select(
+        "track_id", "t", F.lit(0).alias("_is_grid"), "x", "y", "pt_id"
+    )
+    # interleave: at equal t the DATA row sorts first (_is_grid 0 < 1),
+    # so an on-point grid epoch sees it as its "previous" row exactly
+    both = data.unionByName(grid)
+    wo = Window.partitionBy("track_id").orderBy(
+        "t", "_is_grid", F.coalesce("pt_id", F.lit(2**62))
+    )
+    back = wo.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = wo.rowsBetween(0, Window.unboundedFollowing)
+    marked = (
+        both.withColumn("_t0", F.last(F.when(F.col("_is_grid") == 0, F.col("t")), ignorenulls=True).over(back))
+        .withColumn("_x0", F.last(F.when(F.col("_is_grid") == 0, F.col("x")), ignorenulls=True).over(back))
+        .withColumn("_y0", F.last(F.when(F.col("_is_grid") == 0, F.col("y")), ignorenulls=True).over(back))
+        .withColumn("_t1", F.first(F.when(F.col("_is_grid") == 0, F.col("t")), ignorenulls=True).over(fwd))
+        .withColumn("_x1", F.first(F.when(F.col("_is_grid") == 0, F.col("x")), ignorenulls=True).over(fwd))
+        .withColumn("_y1", F.first(F.when(F.col("_is_grid") == 0, F.col("y")), ignorenulls=True).over(fwd))
+        .filter(F.col("_is_grid") == 1)
+    )
+
+    def lerp(v0, v1):
+        # floor((v1-v0)·num/den) with a non-negative shift of 360000·den
+        num = F.col("t") - F.col("_t0")
+        den = F.col("_t1") - F.col("_t0")
+        shifted = (v1 - v0) * num + F.lit(360_000) * den
+        q = ((shifted - F.pmod(shifted, den)) / den).cast("long")
+        return v0 + q - F.lit(360_000)
+
+    # the final epoch can coincide with the last data point, whose row
+    # sorts BEFORE the grid row (data-first interleave) — the forward
+    # bracket is then empty and the back bracket IS the answer
+    def pick(v0, v1):
+        return (
+            F.when(F.col("_t1").isNull(), v0)
+            .when(F.col("_t1") == F.col("_t0"), v0)
+            .otherwise(lerp(v0, v1))
+        )
+
+    return marked.select(
+        "track_id",
+        F.col("t").alias("t_grid"),
+        pick(F.col("_x0"), F.col("_x1")).alias("x"),
+        pick(F.col("_y0"), F.col("_y1")).alias("y"),
+    )

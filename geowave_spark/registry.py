@@ -4973,3 +4973,68 @@ FROM grid g JOIN sums s ON s.ngx = g.gx AND s.ngy = g.gy
 
 
 register_extra("gi_star", q_gi_star, _gi_star_oracle())
+
+
+def q_track_resample(spark, sf_dir):
+    """Fixed-grid track resampling with exact integer linear
+    interpolation (tracks.resample_tracks): per-track bounded sequence
+    explode + ONE as-of interleave window per track — no point×grid
+    join.  The oracle replays bounds, grid, interleave, and the
+    shifted-floor interpolation."""
+    from geowave_spark.operators import tracks as TRK
+
+    return TRK.resample_tracks(_track_pts(spark, sf_dir), step_s=43_200)
+
+
+def _track_resample_oracle(step: int = 43_200) -> str:
+    idiv = _idiv_sql
+    lerp = (
+        "CASE WHEN t1 IS NULL THEN {v0} WHEN t1 = t0 THEN {v0} ELSE "
+        "{v0} + " + idiv("({v1} - {v0}) * (t - t0) + 360000 * (t1 - t0)",
+                         "t1 - t0") + " - 360000 END"
+    )
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+pts AS ({_TRACK_PTS_SQL}),
+bounds AS (
+  SELECT track_id, MIN(t) AS tmin, MAX(t) AS tmax FROM pts GROUP BY 1
+),
+gridded AS (
+  SELECT track_id, unnest(generate_series(
+    CAST(ceil(tmin / CAST({step} AS DOUBLE)) AS BIGINT) * {step},
+    CAST(floor(tmax / CAST({step} AS DOUBLE)) AS BIGINT) * {step},
+    {step})) AS t
+  FROM bounds
+  WHERE CAST(floor(tmax / CAST({step} AS DOUBLE)) AS BIGINT)
+        >= CAST(ceil(tmin / CAST({step} AS DOUBLE)) AS BIGINT)
+),
+inter AS (
+  SELECT track_id, t, 0 AS is_grid, x, y, pt_id FROM pts
+  UNION ALL
+  SELECT track_id, t, 1, NULL, NULL, NULL FROM gridded
+),
+marked AS (
+  SELECT track_id, t, is_grid,
+    last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wb AS t0,
+    last_value(CASE WHEN is_grid = 0 THEN x END IGNORE NULLS) OVER wb AS x0,
+    last_value(CASE WHEN is_grid = 0 THEN y END IGNORE NULLS) OVER wb AS y0,
+    first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wf AS t1,
+    first_value(CASE WHEN is_grid = 0 THEN x END IGNORE NULLS) OVER wf AS x1,
+    first_value(CASE WHEN is_grid = 0 THEN y END IGNORE NULLS) OVER wf AS y1
+  FROM inter
+  WINDOW
+    wb AS (PARTITION BY track_id
+           ORDER BY t, is_grid, COALESCE(pt_id, 4611686018427387904)
+           ROWS UNBOUNDED PRECEDING),
+    wf AS (PARTITION BY track_id
+           ORDER BY t, is_grid, COALESCE(pt_id, 4611686018427387904)
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT track_id, t AS t_grid,
+       {lerp.format(v0="x0", v1="x1")} AS x,
+       {lerp.format(v0="y0", v1="y1")} AS y
+FROM marked WHERE is_grid = 1
+"""
+
+
+register_extra("track_resample", q_track_resample, _track_resample_oracle())

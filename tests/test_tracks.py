@@ -272,3 +272,64 @@ def test_end_gate_tightens_candidates(spark):
             pts, cell_milli=2000, end_gate=True).collect()
     }
     assert tight_vals[(1, 2)] == loose_vals[(1, 2)]
+
+
+def test_resample_closed_form(spark):
+    # one track: points at t=50 (0,0), t=250 (100, -200); grid step 100
+    rows = [(1, 1, 50, 0, 0), (1, 2, 250, 100, -200)]
+    out = sorted(
+        (r["t_grid"], r["x"], r["y"])
+        for r in TK.resample_tracks(_pts(spark, rows), step_s=100).collect()
+    )
+    # epochs 100 and 200: linear interp (exact floor for negative dy)
+    assert out == [(100, 25, -50), (200, 75, -150)]
+
+
+def test_resample_on_point_and_boundary(spark):
+    rows = [(1, 1, 0, 10, 20), (1, 2, 100, 30, 40), (1, 3, 200, 50, 60)]
+    out = {r["t_grid"]: (r["x"], r["y"])
+           for r in TK.resample_tracks(_pts(spark, rows), step_s=100).collect()}
+    # every epoch lands ON a point: values are exact, incl. both ends
+    assert out == {0: (10, 20), 100: (30, 40), 200: (50, 60)}
+
+
+def test_resample_matches_numpy(spark):
+    rng = np.random.RandomState(6)
+    rows = []
+    tracks = {}
+    for tid in range(4):
+        ts = np.sort(rng.choice(np.arange(0, 5000), size=12, replace=False))
+        xs = rng.randint(-150_000, 150_000, 12)
+        ys = rng.randint(-80_000, 80_000, 12)
+        tracks[tid] = (ts, xs, ys)
+        for j in range(12):
+            rows.append((tid, tid * 100 + j, int(ts[j]), int(xs[j]), int(ys[j])))
+    step = 250
+    out = {}
+    for r in TK.resample_tracks(_pts(spark, rows), step_s=step).collect():
+        out[(r["track_id"], r["t_grid"])] = (r["x"], r["y"])
+    import math
+
+    n_expected = 0
+    for tid, (ts, xs, ys) in tracks.items():
+        g = math.ceil(ts[0] / step) * step
+        while g <= ts[-1]:
+            j = int(np.searchsorted(ts, g, side="right")) - 1
+            if ts[j] == g:
+                exp = (int(xs[j]), int(ys[j]))
+            else:
+                t0, t1 = int(ts[j]), int(ts[j + 1])
+                exp = tuple(
+                    int(v0) + ((int(v1) - int(v0)) * (g - t0)) // (t1 - t0)
+                    for v0, v1 in ((xs[j], xs[j + 1]), (ys[j], ys[j + 1]))
+                )
+            assert out[(tid, g)] == exp, (tid, g)
+            n_expected += 1
+            g += step
+    assert len(out) == n_expected
+
+
+def test_resample_grid_guard(spark):
+    rows = [(1, 1, 0, 0, 0), (1, 2, 10**9, 5, 5)]
+    with pytest.raises(Exception, match="coarser step_s"):
+        TK.resample_tracks(_pts(spark, rows), step_s=1).collect()
