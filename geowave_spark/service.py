@@ -122,6 +122,11 @@ class GeoWaveService:
         minx, miny, maxx, maxy = tile_bounds_milli(z, x, y)
         with self.lock:
             df = self._data(name)
+            if "lon_milli" not in df.columns:
+                raise ValueError(
+                    f"store {name!r} has no point coordinates "
+                    "(envelope-grain stores are not tile-servable yet)"
+                )
             # exact half-open prefilter = the tile's preimage, so the
             # groupBy sees ONLY this tile's rows (one group)
             part = df.filter(
