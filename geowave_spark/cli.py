@@ -542,14 +542,21 @@ def cmd_export(args, spark_injected, out) -> int:
 
     df = OI.read_indexed(spark, path)
     if args.format == "mvt":
-        # vector-tile export: per-tile payloads at --level, laid out as the
-        # standard z/x/y.mvt tree (slippy consumers) — tile COUNT at the
+        # vector-tile export: per-tile payloads at --level, laid out as a
+        # z/x/y.mvt tree in the engine's TMS-style y-up plate-carrée
+        # scheme (see service.py header; slippy consumers must flip rows
+        # and reproject) — tile COUNT at the
         # export level bounds the driver-side file write; per-tile payload
         # size is bounded by the operator's never-truncate feature guard
         import os as _os
 
         from geowave_spark.operators import mvt as OMV
 
+        if "lon_milli" not in df.columns:
+            raise ValueError(
+                f"store {args.store!r} is not point-grain (no lon_milli "
+                "column) — mvt export needs a point store"
+            )
         tiles = OMV.mvt_point_tiles(df, level=args.level).collect()
         for r in tiles:
             d = _os.path.join(args.dest, str(args.level), str(r["tile_ix"]))

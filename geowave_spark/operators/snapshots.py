@@ -187,50 +187,64 @@ def commit(
             "(index the frame first: operators.index.index_points/envelopes)"
         )
     with _commit_lock(path):
-        prev_v = head_version(path)
-        prev = manifest(path, prev_v) if prev_v else None
-        if prev is not None and mode == "append":
-            stored = set(prev["schema_cols"])
-            incoming = {f"{c.name}:{c.dataType.simpleString()}"
-                        for c in df.schema.fields}
-            if incoming != stored:
-                raise ValueError(
-                    f"append schema mismatch vs snapshot v{prev_v}: "
-                    f"stored={sorted(stored)} incoming={sorted(incoming)}"
-                )
-        commit_id = _next_commit_id(path, prev)
-        parts, tiers, added_rows = _write_data_commit(
-            df, path, commit_id, partition_col, sort_col
-        )
-        commits = ([*prev["commits"], commit_id]
-                   if (prev and mode == "append") else [commit_id])
-        man = {
-            "version": prev_v + 1,
-            "operation": mode,
-            "ts": time.time(),
-            "commits": commits,
-            "added_commit": commit_id,
-            "added_rows": added_rows,
-            "total_rows": added_rows + (
-                prev["total_rows"] if (prev and mode == "append") else 0
-            ),
-            "partition_col": partition_col,
-            "schema_cols": sorted(
-                f"{c.name}:{c.dataType.simpleString()}"
-                for c in df.schema.fields
-            ),
-            "schema_json": df.schema.json(),
-            "partitions": {str(commit_id): parts},
-            "tiers": {str(commit_id): tiers},
-            # equality-delete entries (merge-on-read) carry forward on
-            # append; an overwrite resets the table, so they clear
-            "deletes": (list(prev.get("deletes", []))
-                        if (prev and mode == "append") else []),
-        }
-        if prev and mode == "append":
-            man["partitions"].update(prev["partitions"])
-            man["tiers"].update(prev["tiers"])
-        return _publish(path, man)
+        return _commit_unlocked(df, path, mode, partition_col, sort_col)
+
+
+def _commit_unlocked(
+    df: DataFrame,
+    path: str,
+    mode: str,
+    partition_col: str,
+    sort_col: str,
+) -> int:
+    """Body of :func:`commit`; caller MUST hold ``_commit_lock``.  Split out
+    so ``materialize`` can hold the lock across its whole read-effective-rows
+    → rewrite → publish sequence (otherwise a commit landing between the
+    read and the publish would be silently discarded)."""
+    prev_v = head_version(path)
+    prev = manifest(path, prev_v) if prev_v else None
+    if prev is not None and mode == "append":
+        stored = set(prev["schema_cols"])
+        incoming = {f"{c.name}:{c.dataType.simpleString()}"
+                    for c in df.schema.fields}
+        if incoming != stored:
+            raise ValueError(
+                f"append schema mismatch vs snapshot v{prev_v}: "
+                f"stored={sorted(stored)} incoming={sorted(incoming)}"
+            )
+    commit_id = _next_commit_id(path, prev)
+    parts, tiers, added_rows = _write_data_commit(
+        df, path, commit_id, partition_col, sort_col
+    )
+    commits = ([*prev["commits"], commit_id]
+               if (prev and mode == "append") else [commit_id])
+    man = {
+        "version": prev_v + 1,
+        "operation": mode,
+        "ts": time.time(),
+        "commits": commits,
+        "added_commit": commit_id,
+        "added_rows": added_rows,
+        "total_rows": added_rows + (
+            prev["total_rows"] if (prev and mode == "append") else 0
+        ),
+        "partition_col": partition_col,
+        "schema_cols": sorted(
+            f"{c.name}:{c.dataType.simpleString()}"
+            for c in df.schema.fields
+        ),
+        "schema_json": df.schema.json(),
+        "partitions": {str(commit_id): parts},
+        "tiers": {str(commit_id): tiers},
+        # equality-delete entries (merge-on-read) carry forward on
+        # append; an overwrite resets the table, so they clear
+        "deletes": (list(prev.get("deletes", []))
+                    if (prev and mode == "append") else []),
+    }
+    if prev and mode == "append":
+        man["partitions"].update(prev["partitions"])
+        man["tiers"].update(prev["tiers"])
+    return _publish(path, man)
 
 
 def _next_commit_id(path: str, prev: dict | None) -> int:
@@ -409,14 +423,18 @@ def materialize(spark: SparkSession, path: str) -> int:
     """Fold the merge-on-read delete debt away: rewrite HEAD's effective
     rows as one fresh overwrite snapshot (Iceberg's rewrite_data_files).
     Time travel to pre-materialize versions still works until expired."""
-    man = manifest(path)
-    if not man.get("deletes"):
-        return man["version"]  # nothing to fold
-    eff = read(spark, path).drop("commit").localCheckpoint()
-    return commit(
-        eff, path, mode="overwrite",
-        partition_col=man["partition_col"],
-    )
+    with _commit_lock(path):
+        man = manifest(path)
+        if not man.get("deletes"):
+            return man["version"]  # nothing to fold
+        # read + checkpoint INSIDE the lock: a commit/upsert/delete landing
+        # between the effective-rows read and the overwrite publish would
+        # otherwise be silently discarded (lost update)
+        eff = read(spark, path).drop("commit").localCheckpoint()
+        return _commit_unlocked(
+            eff, path, mode="overwrite",
+            partition_col=man["partition_col"], sort_col="cell",
+        )
 
 
 def rollback(path: str, version: int) -> int:
@@ -461,7 +479,7 @@ def expire(path: str, keep_last: int = 2) -> dict:
                     "kept_versions": []}
         sd = _snap_path(path)
         all_versions = sorted(
-            int(f[1:7]) for f in os.listdir(sd)
+            int(f[1:-5]) for f in os.listdir(sd)  # v{N}.json, N may exceed 6 digits
             if f.startswith("v") and f.endswith(".json")
         )
         keep = set(v for v in all_versions[-max(keep_last, 1):])
@@ -590,10 +608,12 @@ def history(spark: SparkSession, path: str) -> DataFrame:
     """The snapshot log as a DataFrame: one row per retained version."""
     rows = []
     sd = _snap_path(path)
-    for f in sorted(os.listdir(sd)):
-        if not (f.startswith("v") and f.endswith(".json")):
-            continue
-        m = manifest(path, int(f[1:7]))
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(sd)
+        if f.startswith("v") and f.endswith(".json")
+    )  # numeric sort: zero-padding runs out at 7 digits
+    for v in versions:
+        m = manifest(path, v)
         rows.append((
             m["version"], m["operation"], m.get("added_commit"),
             m["added_rows"], m["total_rows"], len(m["commits"]),

@@ -5,8 +5,16 @@ The reference exposes its stores through a REST services module
 through its GeoServer plugin (`extensions/cli/geoserver/`).  This module
 is that read surface re-expressed over the PySpark engine with only the
 standard library (no web framework in-sandbox): JSON query endpoints
-riding the SAME CQL planner the CLI uses, plus slippy-scheme vector
-tiles computed on demand from the MVT operator.
+riding the SAME CQL planner the CLI uses, plus TMS-style vector tiles
+computed on demand from the MVT operator.
+
+Tile scheme: the grid is the engine's 2^z × 2^z plate-carrée
+(equirectangular) plate with ``y`` counted UPWARD from the south pole —
+TMS row order, NOT the slippy/XYZ y-down Web Mercator grid that
+MapLibre/deck.gl default to.  A slippy consumer must flip rows
+(``y_slippy = 2^z - 1 - y``) AND reproject; the scheme is kept native
+because every engine operator (tile cover, KDE, render) shares this
+grid and the oracle replays depend on its integer arithmetic.
 
 GET-only by design — a query/serving front door; mutation stays on the
 CLI/API surface (the reference's REST ingest endpoints shell out to the
@@ -21,7 +29,8 @@ Routes::
     GET /v0/stores                               config store map
     GET /v0/stores/<name>/stats                  rows + occupied tiers
     GET /v0/stores/<name>/query?cql=...&limit=N  JSON rows (CQL planner)
-    GET /v0/tiles/<name>/<z>/<x>/<y>.mvt         vector tile (points)
+    GET /v0/tiles/<name>/<z>/<x>/<y>.mvt         vector tile (points; TMS
+                                                 y-up plate-carrée rows)
 
 Tile requests prefilter with the engine's integer tile-bounds inversion
 (exact: the half-open milli-degree interval whose grid image is the

@@ -181,8 +181,12 @@ def _dec_value(buf: bytes):
             return struct.unpack("<f", v)[0]
         if field == 3:
             return struct.unpack("<d", v)[0]
-        if field in (4, 5):
-            return v
+        if field == 4:
+            # int64: external encoders emit negatives as 10-byte
+            # two's-complement varints — fold back to signed
+            return v - (1 << 64) if v >= (1 << 63) else v
+        if field == 5:
+            return v  # uint64: raw
         if field == 6:
             return _unzig(v)
         if field == 7:

@@ -215,3 +215,14 @@ def test_point_tiles_deterministic(spark):
         for r in OMVT.mvt_point_tiles(df.repartition(3), level=4).collect()
     )
     assert a == b
+
+
+def test_value_int64_negative_from_external_encoder():
+    # field 4 (int64): an external encoder emits -7 as a 10-byte
+    # two's-complement varint; the decoder must fold it back to signed
+    raw = W._uv(4 << 3) + W._uv((-7) & 0xFFFFFFFFFFFFFFFF)
+    assert W._dec_value(bytes(raw)) == -7
+    # uint64 (field 5) stays raw even above 2^63
+    big = (1 << 63) + 5
+    raw5 = W._uv(5 << 3) + W._uv(big)
+    assert W._dec_value(bytes(raw5)) == big

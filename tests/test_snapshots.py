@@ -310,3 +310,26 @@ def test_delete_guards(spark, sf_dir, tmp_path):
     SN.commit_delete(b1.limit(3).select("event_id"), path, key_col="event_id")
     with pytest.raises(ValueError, match="one delete key per store"):
         SN.commit_upsert(b1, path, key_col="lon_milli")
+
+
+def test_version_parse_beyond_six_digits(spark, tmp_path):
+    # v1000000.json is 7 digits — the fixed-width [1:7] slice would parse
+    # a truncated version; history/expire must strip suffix instead
+    path = str(tmp_path / "bigver")
+    sd = os.path.join(path, SN.SNAP_DIR)
+    os.makedirs(sd)
+    for v in (999_999, 1_000_000):
+        man = {
+            "version": v, "operation": "append", "ts": 0.0,
+            "commits": [], "added_commit": None, "added_rows": 0,
+            "total_rows": 0, "partition_col": "cell_p",
+            "schema_cols": [], "schema_json": "{}",
+            "partitions": {}, "tiers": {}, "deletes": [],
+        }
+        SN._publish(path, man)
+    assert SN.head_version(path) == 1_000_000
+    hist = SN.history(spark, path).collect()
+    assert [r["version"] for r in hist] == [999_999, 1_000_000]
+    res = SN.expire(path, keep_last=1)
+    assert res["expired_versions"] == [999_999]
+    assert SN.manifest(path)["version"] == 1_000_000
