@@ -23,6 +23,7 @@ import numpy as np
 WKB_POINT = 1
 WKB_LINESTRING = 2
 WKB_POLYGON = 3
+WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
 
 # ---------------------------------------------------------------------------
@@ -32,6 +33,21 @@ WKB_MULTIPOLYGON = 6
 
 def wkb_point(x: float, y: float) -> bytes:
     return struct.pack("<BIdd", 1, WKB_POINT, x, y)
+
+
+def wkb_linestring(pts: np.ndarray) -> bytes:
+    """pts: (N,2) float64 vertex array, N >= 2."""
+    pts = np.asarray(pts, dtype=np.float64)
+    return struct.pack("<BII", 1, WKB_LINESTRING, len(pts)) + pts.astype(
+        "<f8"
+    ).tobytes()
+
+
+def wkb_multilinestring(parts: list[np.ndarray]) -> bytes:
+    out = [struct.pack("<BII", 1, WKB_MULTILINESTRING, len(parts))]
+    for p in parts:
+        out.append(wkb_linestring(p))
+    return b"".join(out)
 
 
 def wkb_polygon(rings: list[np.ndarray]) -> bytes:
@@ -74,6 +90,18 @@ def parse_wkb(buf: bytes) -> tuple[int, list]:
     if gtype == WKB_POINT:
         x, y = struct.unpack_from("<dd", buf, off)
         return gtype, [x, y]
+    if gtype == WKB_LINESTRING:
+        pts, _ = _read_ring(buf, off)  # same wire shape: count + coords
+        return gtype, pts
+    if gtype == WKB_MULTILINESTRING:
+        (nparts,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        parts = []
+        for _ in range(nparts):
+            pts, off2 = _read_ring(buf, off + 5)  # skip sub-geom header
+            parts.append(pts)
+            off = off2
+        return gtype, parts
     if gtype == WKB_POLYGON:
         (nrings,) = struct.unpack_from("<I", buf, off)
         off += 4
@@ -106,9 +134,34 @@ def polygon_rings(buf: bytes) -> list[list[np.ndarray]]:
     raise ValueError("expected Polygon or MultiPolygon WKB")
 
 
+def line_parts(buf: bytes) -> list[np.ndarray]:
+    """WKB → list of polyline parts, each an (N,2) vertex array."""
+    gtype, payload = parse_wkb(buf)
+    if gtype == WKB_LINESTRING:
+        return [payload]
+    if gtype == WKB_MULTILINESTRING:
+        return payload
+    raise ValueError("expected LineString or MultiLineString WKB")
+
+
+def _wkb_vertices(buf: bytes) -> np.ndarray:
+    """All vertices of any supported WKB geometry as one (N,2) array."""
+    gtype, payload = parse_wkb(buf)
+    if gtype == WKB_POINT:
+        return np.asarray([payload], dtype=np.float64)
+    if gtype == WKB_LINESTRING:
+        return payload
+    if gtype == WKB_MULTILINESTRING:
+        return np.vstack(payload)
+    if gtype == WKB_POLYGON:
+        return np.vstack(payload)
+    if gtype == WKB_MULTIPOLYGON:
+        return np.vstack([r for rings in payload for r in rings])
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
 def envelope_of_wkb(buf: bytes) -> tuple[float, float, float, float]:
-    polys = polygon_rings(buf)
-    pts = np.vstack([r for rings in polys for r in rings])
+    pts = _wkb_vertices(buf)
     return (
         float(pts[:, 0].min()),
         float(pts[:, 1].min()),
@@ -302,6 +355,142 @@ def envelope_intersects_polygon(
                         hit |= segments_intersect(p0, p1, q0, q1)
         out[idx] |= hit
     return out
+
+
+# ---------------------------------------------------------------------------
+# LineString kernels — exact segment-level predicates (the reference treats
+# lines as ordinary JTS geometries: GeoWaveBasicSpatialVectorIT.java:41-43
+# queries a LINESTRING dataset with box + polygon filters; GPXConsumer.java
+# emits track LineStrings).  Closed semantics throughout: boundary touches
+# count as intersection, same convention as segments_intersect.
+# ---------------------------------------------------------------------------
+
+
+def segments_intersect_box(p0, p1, minx, miny, maxx, maxy) -> np.ndarray:
+    """Exact segment × axis-aligned box intersection, vectorized over M
+    segments (separating-axis test: x-axis, y-axis, segment normal).
+    With integer inputs every product stays far inside int64, so the SAME
+    arithmetic replays bit-exactly in SQL (see operators/lines.py)."""
+    p0 = np.asarray(p0)
+    p1 = np.asarray(p1)
+    x0, y0 = p0[..., 0], p0[..., 1]
+    x1, y1 = p1[..., 0], p1[..., 1]
+    overlap = (
+        (np.minimum(x0, x1) <= maxx)
+        & (np.maximum(x0, x1) >= minx)
+        & (np.minimum(y0, y1) <= maxy)
+        & (np.maximum(y0, y1) >= miny)
+    )
+    # segment-normal axis: n = (-(y1-y0), x1-x0); the segment projects to
+    # the single value c = n·p0; the box projects to [min, max] over its
+    # corners — disjoint iff c falls outside
+    nx = y0 - y1
+    ny = x1 - x0
+    c = nx * x0 + ny * y0
+    d1 = nx * minx + ny * miny
+    d2 = nx * minx + ny * maxy
+    d3 = nx * maxx + ny * miny
+    d4 = nx * maxx + ny * maxy
+    lo = np.minimum(np.minimum(d1, d2), np.minimum(d3, d4))
+    hi = np.maximum(np.maximum(d1, d2), np.maximum(d3, d4))
+    return overlap & (lo <= c) & (c <= hi)
+
+
+def _line_segments(parts: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Polyline parts → (M,2) segment start/end stacks."""
+    p0s, p1s = [], []
+    for p in parts:
+        p = np.asarray(p, dtype=np.float64)
+        if len(p) >= 2:
+            p0s.append(p[:-1])
+            p1s.append(p[1:])
+    if not p0s:
+        z = np.zeros((0, 2))
+        return z, z
+    return np.concatenate(p0s), np.concatenate(p1s)
+
+
+def line_intersects_box(parts: list[np.ndarray], minx, miny, maxx, maxy) -> bool:
+    s0, s1 = _line_segments(parts)
+    if not len(s0):  # degenerate single-vertex part: point-in-box
+        v = np.vstack([np.asarray(p, np.float64) for p in parts])
+        return bool(((v[:, 0] >= minx) & (v[:, 0] <= maxx)
+                     & (v[:, 1] >= miny) & (v[:, 1] <= maxy)).any())
+    return bool(segments_intersect_box(s0, s1, minx, miny, maxx, maxy).any())
+
+
+def _segs_cross_polys(s0: np.ndarray, s1: np.ndarray,
+                      polys: list[list[np.ndarray]]) -> np.ndarray:
+    """(M,) — does segment i intersect ANY boundary edge of the polygons."""
+    hit = np.zeros(len(s0), dtype=bool)
+    e0, e1 = _poly_segments(polys)
+    for i in range(len(e0)):
+        todo = ~hit
+        if not todo.any():
+            break
+        hit[todo] |= segments_intersect(s0[todo], s1[todo], e0[i], e1[i])
+    return hit
+
+
+def line_intersects_polygon(parts: list[np.ndarray],
+                            polys: list[list[np.ndarray]]) -> bool:
+    """Line ∩ (Multi)Polygon ≠ ∅: some vertex inside (even-odd, holes
+    ride on parity), or some segment crosses a boundary edge.  Exact for
+    closed semantics — a segment traversing the area with both endpoints
+    outside necessarily crosses the boundary."""
+    v = np.vstack([np.asarray(p, np.float64) for p in parts])
+    if points_in_polygon(v[:, 0], v[:, 1], polys).any():
+        return True
+    s0, s1 = _line_segments(parts)
+    if not len(s0):
+        return False
+    return bool(_segs_cross_polys(s0, s1, polys).any())
+
+
+def line_within_polygon(parts: list[np.ndarray],
+                        polys: list[list[np.ndarray]]) -> bool:
+    """Every vertex inside AND no segment crosses a boundary edge — exact
+    under even-odd semantics (holes are boundary rings, so a segment
+    dipping into a hole crosses its ring)."""
+    v = np.vstack([np.asarray(p, np.float64) for p in parts])
+    if not points_in_polygon(v[:, 0], v[:, 1], polys).all():
+        return False
+    s0, s1 = _line_segments(parts)
+    if not len(s0):
+        return True
+    return not _segs_cross_polys(s0, s1, polys).any()
+
+
+def lines_intersect(pa: list[np.ndarray], pb: list[np.ndarray]) -> bool:
+    """Any segment of line A intersects any segment of line B."""
+    a0, a1 = _line_segments(pa)
+    b0, b1 = _line_segments(pb)
+    for i in range(len(b0)):
+        if segments_intersect(a0, a1, b0[i], b1[i]).any():
+            return True
+    return False
+
+
+def point_on_line(px: float, py: float, parts: list[np.ndarray]) -> bool:
+    """Exact on-segment test: collinear (cross = 0) and inside the
+    segment's bounding box."""
+    s0, s1 = _line_segments(parts)
+    if not len(s0):
+        return any(
+            p[0][0] == px and p[0][1] == py
+            for p in (np.asarray(q, np.float64) for q in parts)
+        )
+    d = (s1[:, 0] - s0[:, 0]) * (py - s0[:, 1]) - (s1[:, 1] - s0[:, 1]) * (
+        px - s0[:, 0]
+    )
+    on = (
+        (d == 0)
+        & (np.minimum(s0[:, 0], s1[:, 0]) <= px)
+        & (px <= np.maximum(s0[:, 0], s1[:, 0]))
+        & (np.minimum(s0[:, 1], s1[:, 1]) <= py)
+        & (py <= np.maximum(s0[:, 1], s1[:, 1]))
+    )
+    return bool(on.any())
 
 
 def points_in_convex(px, py, ring: np.ndarray) -> np.ndarray:
@@ -535,10 +724,19 @@ def geom_op(op: str, wkb_a: bytes, wkb_b: bytes) -> bool:
     tb, gb = parse_wkb(wkb_b)
     a_point = ta == WKB_POINT
     b_point = tb == WKB_POINT
+    a_line = ta in (WKB_LINESTRING, WKB_MULTILINESTRING)
+    b_line = tb in (WKB_LINESTRING, WKB_MULTILINESTRING)
     if ta == WKB_POLYGON:
         ga = [ga]  # normalize to multipolygon shape
     if tb == WKB_POLYGON:
         gb = [gb]
+    if ta == WKB_LINESTRING:
+        ga = [ga]  # normalize to multilinestring shape
+    if tb == WKB_LINESTRING:
+        gb = [gb]
+
+    if a_line or b_line:
+        return _geom_op_line(op, ga, gb, a_point, b_point, a_line, b_line)
 
     if a_point and b_point:
         eq = bool(np.array_equal(np.asarray(ga), np.asarray(gb)))
@@ -598,6 +796,147 @@ def geom_op(op: str, wkb_a: bytes, wkb_b: bytes) -> bool:
     raise ValueError(op)
 
 
+def _norm_line_parts(parts: list[np.ndarray]) -> list[list[tuple]]:
+    """Canonical form for line equality: per part, the lexicographically
+    smaller of the chain and its reversal; parts sorted."""
+    out = []
+    for p in parts:
+        chain = [tuple(map(float, v)) for v in np.asarray(p, np.float64)]
+        out.append(min(chain, chain[::-1]))
+    return sorted(out)
+
+
+def _line_on_line(pa: list[np.ndarray], pb: list[np.ndarray]) -> bool:
+    """Generic-position 'A within B' for lines: every A vertex AND every A
+    segment midpoint lies on B (midpoints catch a segment bridging two
+    disjoint collinear B parts)."""
+    for p in pa:
+        p = np.asarray(p, np.float64)
+        for v in p:
+            if not point_on_line(float(v[0]), float(v[1]), pb):
+                return False
+        mids = (p[:-1] + p[1:]) / 2.0
+        for m in mids:
+            if not point_on_line(float(m[0]), float(m[1]), pb):
+                return False
+    return True
+
+
+def _lines_properly_cross(pa: list[np.ndarray], pb: list[np.ndarray]) -> bool:
+    """Any segment pair crossing at an interior point of both (the strict
+    orientation test, no collinear/endpoint arms)."""
+    a0, a1 = _line_segments(pa)
+    b0, b1 = _line_segments(pb)
+
+    def cross(o, a, b):
+        return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+            a[..., 1] - o[..., 1]
+        ) * (b[..., 0] - o[..., 0])
+
+    for i in range(len(b0)):
+        d1 = cross(b0[i], b1[i], a0)
+        d2 = cross(b0[i], b1[i], a1)
+        d3 = cross(a0, a1, b0[i])
+        d4 = cross(a0, a1, b1[i])
+        proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+            ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+        )
+        if proper.any():
+            return True
+    return False
+
+
+def _geom_op_line(op: str, ga, gb, a_point: bool, b_point: bool,
+                  a_line: bool, b_line: bool) -> bool:
+    """Line-involved predicate arms.  Exact for intersects/disjoint/within/
+    contains/covers/equals; crosses/touches/overlaps use the documented
+    generic-position simplifications (golden tests avoid degenerate
+    boundary configurations, same convention as the area kernels)."""
+    if a_line and b_line:
+        if op == "equals":
+            return _norm_line_parts(ga) == _norm_line_parts(gb)
+        if op == "intersects":
+            return lines_intersect(ga, gb)
+        if op == "disjoint":
+            return not lines_intersect(ga, gb)
+        if op == "within":
+            return _line_on_line(ga, gb)
+        if op in ("contains", "covers"):
+            return _line_on_line(gb, ga)
+        if op == "crosses":
+            return _lines_properly_cross(ga, gb)
+        if op == "touches":
+            return lines_intersect(ga, gb) and not _lines_properly_cross(
+                ga, gb
+            ) and not _line_on_line(ga, gb) and not _line_on_line(gb, ga)
+        if op == "overlaps":
+            # 1-D overlap: share collinear extent but neither contains the
+            # other — generic position: some A midpoint on B and vice versa
+            return (
+                not _line_on_line(ga, gb)
+                and not _line_on_line(gb, ga)
+                and any(
+                    point_on_line(float(m[0]), float(m[1]), gb)
+                    for p in ga
+                    for m in (np.asarray(p, np.float64)[:-1]
+                              + np.asarray(p, np.float64)[1:]) / 2.0
+                )
+            )
+        raise ValueError(op)
+
+    if a_point or b_point:
+        pt = np.asarray(ga if a_point else gb, dtype=np.float64).ravel()
+        line = gb if a_point else ga
+        on = point_on_line(float(pt[0]), float(pt[1]), line)
+        if op == "intersects":
+            return on
+        if op == "disjoint":
+            return not on
+        if op == "within":
+            return on if a_point else False
+        if op in ("contains", "covers"):
+            return on if b_point else False
+        if op in ("equals", "crosses", "overlaps"):
+            return False
+        if op == "touches":
+            # generic position: point contact with a line counts as touch
+            # only at part endpoints — approximate as on-but-at-an-endpoint
+            ends = [tuple(map(float, np.asarray(p, np.float64)[i]))
+                    for p in line for i in (0, -1)]
+            return on and (float(pt[0]), float(pt[1])) in ends
+        raise ValueError(op)
+
+    # line vs area (exactly one side is a line)
+    line, polys, line_is_a = (ga, gb, True) if a_line else (gb, ga, False)
+    inter = line_intersects_polygon(line, polys)
+    within = line_within_polygon(line, polys) if inter else False
+    if op == "intersects":
+        return inter
+    if op == "disjoint":
+        return not inter
+    if op == "within":
+        return within if line_is_a else False
+    if op in ("contains", "covers"):
+        return False if line_is_a else within
+    if op == "crosses":
+        # DE-9IM line/area crosses: interiors meet and the line is not
+        # confined to the area
+        return inter and not within
+    if op == "touches":
+        v = np.vstack([np.asarray(p, np.float64) for p in line])
+        if points_in_polygon(v[:, 0], v[:, 1], polys).any():
+            return False
+        s0, s1 = _line_segments(line)
+        ring_parts = [np.asarray(r, np.float64)
+                      for rings in polys for r in rings]
+        return inter and not _lines_properly_cross(
+            line, ring_parts
+        )
+    if op in ("equals", "overlaps"):
+        return False
+    raise ValueError(op)
+
+
 def _pt_poly_verdict(op: str, inside: np.ndarray, a_is_point: bool) -> np.ndarray:
     """Vectorized point-vs-area decision table (mirrors geom_op's scalar
     point branch)."""
@@ -650,9 +989,9 @@ def geom_op_batch(op: str, a_list, b_list) -> np.ndarray:
         wa, wb = bytes(wa), bytes(wb)
         ta, ga = parsed(wa)
         tb, gb = parsed(wb)
-        if ta == WKB_POINT and tb != WKB_POINT:
+        if ta == WKB_POINT and tb in (WKB_POLYGON, WKB_MULTIPOLYGON):
             buckets.setdefault((wb, True), []).append((i, ga[0], ga[1]))
-        elif tb == WKB_POINT and ta != WKB_POINT:
+        elif tb == WKB_POINT and ta in (WKB_POLYGON, WKB_MULTIPOLYGON):
             buckets.setdefault((wa, False), []).append((i, gb[0], gb[1]))
         else:
             key = (wa, wb)

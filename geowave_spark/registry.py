@@ -5038,3 +5038,99 @@ FROM marked WHERE is_grid = 1
 
 
 register_extra("track_resample", q_track_resample, _track_resample_oracle())
+
+
+# ---------------------------------------------------------------------------
+# LineString family — segment-grain line store, exact integer line∩box and
+# line∩polygon query paths (operators/lines.py).  Reference golden shape:
+# GeoWaveBasicSpatialVectorIT.java:41-43 (tornado_tracks LINESTRING dataset,
+# box + polygon filters).  The refine predicate SQL text is generated ONCE
+# (operators/lines.sql_*) and evaluated by BOTH engines — Spark via F.expr
+# inside the engine's cover-join path, DuckDB directly over the closed-form
+# segment derivation; any divergence in the index prefilter, dedup gating,
+# or predicate arithmetic is a red row.
+# ---------------------------------------------------------------------------
+
+from geowave_spark.operators import lines as LN  # noqa: E402
+
+LINES_BBOX_QUERIES = [
+    ("tokyo_box", 138_900, 34_900, 140_500, 36_300),
+    ("paris_box", 1_800, 48_300, 3_100, 49_400),
+    ("la_box", -119_000, 33_500, -117_800, 34_700),
+]
+
+# concave pentagon with a rectangular hole over the Tokyo blob
+LINES_POLY_RINGS = [
+    [(138_500, 34_800), (140_800, 34_800), (140_800, 36_500),
+     (139_700, 35_600), (138_500, 36_500)],
+    [(139_400, 35_100), (139_900, 35_100), (139_900, 35_450),
+     (139_400, 35_450)],
+]
+
+_LINES_SEGS_SQL = """
+SELECT * FROM (
+  SELECT track_id, j - 1 AS seg_j,
+         lag(x) OVER (PARTITION BY track_id ORDER BY j) AS x0,
+         lag(y) OVER (PARTITION BY track_id ORDER BY j) AS y0,
+         x AS x1, y AS y1
+  FROM geo_track_points
+) s WHERE x0 IS NOT NULL
+"""
+
+
+def _lines_oracle_prefix() -> str:
+    return (
+        f"WITH geo_track_points AS ({TB.GEO_TRACK_POINTS_SQL}),\n"
+        f"segs AS MATERIALIZED ({_LINES_SEGS_SQL})\n"
+    )
+
+
+def q_lines_bbox(spark, sf_dir):
+    pts = TB.geo_track_points(spark, sf_dir)
+    segs = LN.line_segments(pts)
+    idx = LN.index_line_segments(segs)
+    return LN.query_bbox_lines(idx, LINES_BBOX_QUERIES)
+
+
+def _lines_bbox_oracle() -> str:
+    arms = [
+        f"SELECT '{qid}' AS query_id, track_id, "
+        f"COUNT(*) AS n_segs_hit FROM segs "
+        f"WHERE {LN.sql_seg_box(mnx, mny, mxx, mxy)} GROUP BY track_id"
+        for qid, mnx, mny, mxx, mxy in LINES_BBOX_QUERIES
+    ]
+    return _lines_oracle_prefix() + "\nUNION ALL\n".join(arms)
+
+
+def q_lines_polygon(spark, sf_dir):
+    pts = TB.geo_track_points(spark, sf_dir)
+    segs = LN.line_segments(pts)
+    idx = LN.index_line_segments(segs)
+    sizes = segs.groupBy("track_id").agg(F.count("*").alias("n_segs"))
+    return LN.query_polygon_lines(
+        idx,
+        [("poly_i", LINES_POLY_RINGS, "INTERSECTS"),
+         ("poly_w", LINES_POLY_RINGS, "WITHIN")],
+        track_sizes=sizes,
+    )
+
+
+def _lines_polygon_oracle() -> str:
+    hit = LN.sql_seg_poly_hit(LINES_POLY_RINGS)
+    within = LN.sql_seg_poly_within(LINES_POLY_RINGS)
+    return _lines_oracle_prefix() + f"""
+SELECT 'poly_i' AS query_id, track_id, COUNT(*) AS n_segs_hit
+FROM segs WHERE {hit} GROUP BY track_id
+UNION ALL
+SELECT 'poly_w' AS query_id, track_id, n_segs_hit FROM (
+  SELECT h.track_id, h.n_hit AS n_segs_hit, t.n AS n_total
+  FROM (SELECT track_id, COUNT(*) AS n_hit FROM segs
+        WHERE {within} GROUP BY track_id) h
+  JOIN (SELECT track_id, COUNT(*) AS n FROM segs GROUP BY track_id) t
+    ON h.track_id = t.track_id
+) w WHERE n_segs_hit = n_total
+"""
+
+
+register_extra("lines_bbox", q_lines_bbox, _lines_bbox_oracle())
+register_extra("lines_polygon", q_lines_polygon, _lines_polygon_oracle())

@@ -137,14 +137,20 @@ def decode_shp(buf: bytes) -> list[tuple[int, int, list[np.ndarray]]]:
 
 def shp_record_wkb(shape_type: int, parts: list[np.ndarray]) -> bytes | None:
     """Decoded shape → WKB via the engine's geometry kernels (polygons keep
-    their ring structure; polylines/multipoints have no WKB consumer in the
-    query surface yet, so they return None and callers keep the raw parts)."""
+    their ring structure; polylines become LineString/MultiLineString and
+    feed the segment-grain line store via operators/lines.segments_from_wkb;
+    multipoints have no WKB consumer in the query surface, so they return
+    None and callers keep the raw parts)."""
     from geowave_spark.functions import geometry as G
 
     if shape_type == SHP_POINT:
         return G.wkb_point(float(parts[0][0, 0]), float(parts[0][0, 1]))
     if shape_type == SHP_POLYGON:
         return G.wkb_polygon([p for p in parts])
+    if shape_type == SHP_POLYLINE:
+        if len(parts) == 1:
+            return G.wkb_linestring(parts[0])
+        return G.wkb_multilinestring([p for p in parts])
     return None
 
 

@@ -102,6 +102,39 @@ FROM (
 """.replace("{GEO_EVENTS}", GEO_EVENTS_SQL)
 
 
+# events → short polyline tracks (the tornado_tracks / GPX model: many
+# bounded-extent LINESTRINGs).  Each event seeds one 5-vertex zigzag track
+# anchored at its geo point; step/wobble are hash-derived integers ≤ ~0.3°
+# so every track stays local (envelope ≤ ~1.3° per axis) and the whole
+# derivation is closed-form in (event_id, j) — the SAME SQL text runs in
+# Spark and DuckDB (vertex fan-out is a literal 5-row cross join, no
+# lateral).  Coordinates clamped to the world box with GREATEST/LEAST.
+TRACK_N_VERTS = 5
+
+_TRACK_PARAMS_SQL = f"""
+  SELECT event_id AS track_id, lon_milli, lat_milli,
+         ((event_id * 40503) % 7 - 3) * 60 AS sx,
+         ((event_id * 69069) % 7 - 3) * 60 AS sy,
+         ((event_id * 12345) % 5 - 2) * 35 AS wx,
+         ((event_id * 31337) % 5 - 2) * 35 AS wy
+  FROM ({GEO_EVENTS_SQL}) ge
+"""
+
+_TRACK_JS = " UNION ALL ".join(
+    f"SELECT {j} AS j" for j in range(TRACK_N_VERTS)
+)
+
+GEO_TRACK_POINTS_SQL = f"""
+SELECT track_id, j,
+       GREATEST(-179999, LEAST(179999,
+           lon_milli + j * sx + (j % 2) * wx)) AS x,
+       GREATEST(-89999, LEAST(89999,
+           lat_milli + j * sy - (j % 2) * wy)) AS y
+FROM ({_TRACK_PARAMS_SQL}) par
+CROSS JOIN ({_TRACK_JS}) js
+"""
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
     """Register each testdata parquet as a temp view; return the DataFrames."""
     out = {}
@@ -123,6 +156,14 @@ def geo_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, names=("events",))
     df = spark.sql(GEO_FOOTPRINTS_SQL)
     df.createOrReplaceTempView("geo_footprints")
+    return df
+
+
+def geo_track_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered polyline vertices: (track_id, j, x, y) — milli-degree ints."""
+    load_tables(spark, sf_dir, names=("events",))
+    df = spark.sql(GEO_TRACK_POINTS_SQL)
+    df.createOrReplaceTempView("geo_track_points")
     return df
 
 

@@ -64,7 +64,11 @@ def test_shp_record_wkb_matches_geometry_kernels():
     wkb = SHP.shp_record_wkb(SHP.SHP_POLYGON, [ring])
     assert wkb == G.wkb_polygon([ring])
     assert G.envelope_of_wkb(wkb) == (-1.0, -1.0, 1.0, 1.0)
-    assert SHP.shp_record_wkb(SHP.SHP_POLYLINE, [ring]) is None
+    line_wkb = SHP.shp_record_wkb(SHP.SHP_POLYLINE, [ring])
+    assert line_wkb == G.wkb_linestring(ring)
+    two = SHP.shp_record_wkb(SHP.SHP_POLYLINE, [ring, ring + 5])
+    assert two == G.wkb_multilinestring([ring, ring + 5])
+    assert G.envelope_of_wkb(two) == (-1.0, -1.0, 6.0, 6.0)
 
 
 def test_dbf_roundtrip():
