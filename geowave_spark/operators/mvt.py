@@ -278,3 +278,145 @@ def mvt_envelope_tiles(
     return per_tile.groupBy("tile_ix", "tile_iy").applyInPandas(
         encode, _OUT_SCHEMA
     )
+
+
+def mvt_line_tiles(
+    segs: DataFrame,
+    level: int,
+    extent: int = W.DEFAULT_EXTENT,
+    layer: str = "lines",
+    track_col: str = "track_id",
+) -> DataFrame:
+    """Polyline features (segment-grain line store, operators/lines.py) →
+    per-tile MVT payloads — the serving arm the trajectory family lacked
+    (reference renders arbitrary geometry via DistributedRenderProcess.java:32-60;
+    MVT 2.1 §4.3.5.3 LineTo command runs).
+
+    Tile assignment is EXACT in quantized space: endpoints snap to the
+    global integer grid at ``res = level + log2(extent)`` first, then a
+    segment joins every tile whose pixel box its quantized image touches
+    (the same separating-axis test as the line query path) — no clipping;
+    MVT permits coordinates outside the tile extent and renderers clip,
+    so geometry stays exact integers and the whole assignment replays in
+    SQL.  Consecutive surviving segments of a track merge into one
+    MoveTo + LineTo run (cursor-relative deltas, spec §4.3.5.3); a seg_j
+    gap starts a new part — deterministic, lag-replayable.
+    """
+    from geowave_spark.functions import cols as X
+    from geowave_spark.operators.index import _invariant_guard
+    from geowave_spark.session import spread
+
+    shift = _extent_shift(extent)
+    res = level + shift
+    g = lambda c, off, span: X.grid_milli_col(F.col(c), off, span, F.lit(res))  # noqa: E731
+    base = spread(
+        segs.select(
+            F.col(track_col).cast("long").alias("_id"),
+            F.col("seg_j").cast("long").alias("seg_j"),
+            g("x0", 180_000, 360_000).alias("gx0"),
+            g("y0", 90_000, 180_000).alias("gy0"),
+            g("x1", 180_000, 360_000).alias("gx1"),
+            g("y1", 90_000, 180_000).alias("gy1"),
+        )
+    )
+    tx0 = F.shiftright(F.least("gx0", "gx1"), shift)
+    tx1 = F.shiftright(F.greatest("gx0", "gx1"), shift)
+    ty0 = F.shiftright(F.least("gy0", "gy1"), shift)
+    ty1 = F.shiftright(F.greatest("gy0", "gy1"), shift)
+    guarded = base.filter(
+        _invariant_guard(
+            ((tx1 - tx0) >= MAX_TILES_PER_ENVELOPE)
+            | ((ty1 - ty0) >= MAX_TILES_PER_ENVELOPE),
+            f"segment spans more than {MAX_TILES_PER_ENVELOPE} tiles per "
+            "axis at this level — export at a coarser level",
+        )
+    )
+    per_tile = (
+        guarded.select(
+            "_id", "seg_j", "gx0", "gy0", "gx1", "gy1",
+            F.explode(F.sequence(tx0, tx1)).alias("tile_ix"),
+            ty0.alias("_ty0"), ty1.alias("_ty1"),
+        )
+        .select(
+            "*",
+            F.explode(F.sequence(F.col("_ty0"), F.col("_ty1"))).alias("tile_iy"),
+        )
+        .drop("_ty0", "_ty1")
+    )
+    # exact separating-axis test of the quantized segment against the
+    # tile's pixel box [ox, ox+extent-1]^2 — pure column integer math
+    # (lines.sql_seg_box's column twin; res <= 28 keeps every product
+    # far inside int64)
+    bx0 = F.col("tile_ix") * F.lit(extent)
+    by0 = F.col("tile_iy") * F.lit(extent)
+    bx1 = bx0 + F.lit(extent - 1)
+    by1 = by0 + F.lit(extent - 1)
+    nx = F.col("gy0") - F.col("gy1")
+    ny = F.col("gx1") - F.col("gx0")
+    c = nx * F.col("gx0") + ny * F.col("gy0")
+    d1 = nx * bx0 + ny * by0
+    d2 = nx * bx0 + ny * by1
+    d3 = nx * bx1 + ny * by0
+    d4 = nx * bx1 + ny * by1
+    hit = (
+        (F.least("gx0", "gx1") <= bx1) & (F.greatest("gx0", "gx1") >= bx0)
+        & (F.least("gy0", "gy1") <= by1) & (F.greatest("gy0", "gy1") >= by0)
+        & (F.least(d1, d2, d3, d4) <= c) & (c <= F.greatest(d1, d2, d3, d4))
+    )
+    survivors = per_tile.filter(hit)
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        tix = int(pdf["tile_ix"].iloc[0])
+        tiy = int(pdf["tile_iy"].iloc[0])
+        _tile_guard(len(pdf), tix, tiy, level)
+        ox, oy = tix << shift, tiy << shift
+        top = extent - 1
+        pdf = pdf.sort_values(["_id", "seg_j"], kind="mergesort")
+        ids = pdf["_id"].to_numpy(np.int64)
+        sj = pdf["seg_j"].to_numpy(np.int64)
+        lx0 = pdf["gx0"].to_numpy(np.int64) - ox
+        ly0 = top - (pdf["gy0"].to_numpy(np.int64) - oy)
+        lx1 = pdf["gx1"].to_numpy(np.int64) - ox
+        ly1 = top - (pdf["gy1"].to_numpy(np.int64) - oy)
+        feats = []
+        i = 0
+        n_rows = len(ids)
+        while i < n_rows:
+            tid = ids[i]
+            parts: list[list[tuple[int, int]]] = []
+            prev_j = None
+            while i < n_rows and ids[i] == tid:
+                if prev_j is not None and sj[i] == prev_j + 1:
+                    parts[-1].append((int(lx1[i]), int(ly1[i])))
+                else:
+                    parts.append([(int(lx0[i]), int(ly0[i])),
+                                  (int(lx1[i]), int(ly1[i]))])
+                prev_j = sj[i]
+                i += 1
+            feats.append(
+                {
+                    "id": int(tid),
+                    "type": W.LINESTRING,
+                    "geometry": W.geom_linestring(parts),
+                    "tags": {},
+                }
+            )
+        buf = W.encode_tile({layer: feats}, extent=extent)
+        n, sx, sy, xr = _decoded_aggs(buf, layer)
+        return pd.DataFrame(
+            {
+                "level": [int(level)],
+                "tile_ix": [tix],
+                "tile_iy": [tiy],
+                "n_features": [n],
+                "sum_x": [sx],
+                "sum_y": [sy],
+                "xor_id": [xr],
+                "mvt_len": [len(buf)],
+                "mvt": [buf],
+            }
+        )
+
+    return survivors.groupBy("tile_ix", "tile_iy").applyInPandas(
+        encode, _OUT_SCHEMA
+    )

@@ -5134,3 +5134,203 @@ SELECT 'poly_w' AS query_id, track_id, n_segs_hit FROM (
 
 register_extra("lines_bbox", q_lines_bbox, _lines_bbox_oracle())
 register_extra("lines_polygon", q_lines_polygon, _lines_polygon_oracle())
+
+
+def q_mvt_lines(spark, sf_dir):
+    """Vector-tile export, LINESTRING arm (operators/mvt.mvt_line_tiles):
+    segment-grain track store → exact quantized tile assignment
+    (separating-axis in pixel space, no clip — MVT permits out-of-extent
+    coords) → per-tile MoveTo+LineTo runs with seg_j-gap part breaks.
+    Aggregates decoded from the payload; the oracle replays quantize →
+    tile explode → SAT → run-merge vertex sums in integer SQL."""
+    from geowave_spark.operators import mvt as OMV
+
+    pts = TB.geo_track_points(spark, sf_dir)
+    segs = LN.line_segments(pts)
+    return OMV.mvt_line_tiles(segs, level=6).select(
+        "level", "tile_ix", "tile_iy", "n_features", "sum_x", "sum_y", "xor_id"
+    )
+
+
+def _mvt_lines_oracle() -> str:
+    n = 1 << 18  # res = level 6 + log2(4096)
+    sat = (
+        "(LEAST(gx0, gx1) <= bx1 AND GREATEST(gx0, gx1) >= bx0 "
+        "AND LEAST(gy0, gy1) <= by1 AND GREATEST(gy0, gy1) >= by0 "
+        "AND LEAST(nx*bx0 + ny*by0, nx*bx0 + ny*by1, nx*bx1 + ny*by0, "
+        "nx*bx1 + ny*by1) <= cc "
+        "AND cc <= GREATEST(nx*bx0 + ny*by0, nx*bx0 + ny*by1, "
+        "nx*bx1 + ny*by0, nx*bx1 + ny*by1))"
+    )
+    return f"""
+WITH geo_track_points AS ({TB.GEO_TRACK_POINTS_SQL}),
+segs AS MATERIALIZED ({_LINES_SEGS_SQL}),
+q AS MATERIALIZED (
+  SELECT track_id, seg_j,
+         {_idiv_sql(f"(x0 + 180000) * {n}", 360000)} AS gx0,
+         {_idiv_sql(f"(y0 + 90000) * {n}", 180000)} AS gy0,
+         {_idiv_sql(f"(x1 + 180000) * {n}", 360000)} AS gx1,
+         {_idiv_sql(f"(y1 + 90000) * {n}", 180000)} AS gy1
+  FROM segs
+),
+tx AS MATERIALIZED (
+  SELECT *, unnest(generate_series(LEAST(gx0, gx1) >> 12,
+                                   GREATEST(gx0, gx1) >> 12)) AS tile_ix
+  FROM q
+),
+txy AS MATERIALIZED (
+  SELECT *, unnest(generate_series(LEAST(gy0, gy1) >> 12,
+                                   GREATEST(gy0, gy1) >> 12)) AS tile_iy
+  FROM tx
+),
+hits AS MATERIALIZED (
+  SELECT track_id, seg_j, tile_ix, tile_iy,
+         gx0 - tile_ix * 4096 AS lx0, 4095 - (gy0 - tile_iy * 4096) AS ly0,
+         gx1 - tile_ix * 4096 AS lx1, 4095 - (gy1 - tile_iy * 4096) AS ly1
+  FROM (
+    SELECT *, gy0 - gy1 AS nx, gx1 - gx0 AS ny,
+           (gy0 - gy1) * gx0 + (gx1 - gx0) * gy0 AS cc,
+           tile_ix * 4096 AS bx0, tile_ix * 4096 + 4095 AS bx1,
+           tile_iy * 4096 AS by0, tile_iy * 4096 + 4095 AS by1
+    FROM txy
+  ) s WHERE {sat}
+),
+runs AS (
+  SELECT *, CASE WHEN lag(seg_j) OVER (
+        PARTITION BY tile_ix, tile_iy, track_id ORDER BY seg_j
+      ) = seg_j - 1 THEN 0 ELSE 1 END AS new_part
+  FROM hits
+)
+SELECT CAST(6 AS BIGINT) AS level, tile_ix, tile_iy,
+       CAST(COUNT(DISTINCT track_id) AS BIGINT) AS n_features,
+       CAST(SUM(lx1 + CASE WHEN new_part = 1 THEN lx0 ELSE 0 END)
+            AS BIGINT) AS sum_x,
+       CAST(SUM(ly1 + CASE WHEN new_part = 1 THEN ly0 ELSE 0 END)
+            AS BIGINT) AS sum_y,
+       bit_xor(DISTINCT track_id) AS xor_id
+FROM runs GROUP BY tile_ix, tile_iy
+"""
+
+
+register_extra("mvt_lines", q_mvt_lines, _mvt_lines_oracle())
+
+
+LINE_RENDER_LEVEL = 7  # pixel grid res 7 + log2(256) = 15
+
+
+def _line_rules_spark():
+    step = F.abs(F.col("x1") - F.col("x0")) + F.abs(F.col("y1") - F.col("y0"))
+    return [(step >= 200, 0xB43232, 1), (step >= 100, 0x32A050, 0)]
+
+
+_LINE_RULES_SQL = (
+    "CASE WHEN abs(x1 - x0) + abs(y1 - y0) >= 200 THEN 11809330 "
+    "WHEN abs(x1 - x0) + abs(y1 - y0) >= 100 THEN 3317840 "
+    "ELSE 7895160 END"
+)
+_LINE_HW_SQL = (
+    "CASE WHEN abs(x1 - x0) + abs(y1 - y0) >= 200 THEN 1 ELSE 0 END"
+)
+
+
+def q_render_line_tiles(spark, sf_dir):
+    """Styled polyline raster render (operators/tiling.render_line_tiles):
+    exact integer supercover rasterization — doubled pixel grid, per-column
+    row bands from division-free floor/ceil — + Chebyshev stroke dilation
+    and painter compositing, sharing the point arm's assembly/aggregates.
+    The oracle replays quantize → column explode → row band → dilate →
+    per-pixel arg_max → tile sums in integer SQL."""
+    from geowave_spark.operators import tiling as OTL2
+
+    pts = TB.geo_track_points(spark, sf_dir)
+    segs = LN.line_segments(pts).withColumn(
+        "seg_ord", F.col("track_id") * 4 + F.col("seg_j")
+    )
+    out = OTL2.render_line_tiles(
+        segs, level=LINE_RENDER_LEVEL, rules=_line_rules_spark()
+    )
+    return out.select(
+        "level", "tile_ix", "tile_iy", "painted", "sum_r", "sum_g", "sum_b", "chk"
+    )
+
+
+def _render_lines_oracle() -> str:
+    res = LINE_RENDER_LEVEL + 8
+    n = 1 << res
+    r = 3  # STYLE_MAX_HALFWIDTH
+
+    def idiv(a: str, b: str) -> str:
+        return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS BIGINT)"
+
+    gq = lambda c, off, span: (  # noqa: E731
+        f"LEAST(GREATEST({idiv(f'({c} + {off}) * {n}', str(span))}, 0), {n - 1})"
+    )
+    return f"""
+WITH geo_track_points AS ({TB.GEO_TRACK_POINTS_SQL}),
+segs AS MATERIALIZED ({_LINES_SEGS_SQL}),
+styled AS MATERIALIZED (
+  SELECT track_id * 4 + seg_j AS ord,
+         {_LINE_RULES_SQL} AS rgb, {_LINE_HW_SQL} AS hw,
+         CASE WHEN g0x <= g1x THEN g0x ELSE g1x END AS xa,
+         CASE WHEN g0x <= g1x THEN g0y ELSE g1y END AS ya,
+         CASE WHEN g0x <= g1x THEN g1x ELSE g0x END AS xb,
+         CASE WHEN g0x <= g1x THEN g1y ELSE g0y END AS yb
+  FROM (
+    SELECT *, {gq('x0', 180000, 360000)} AS g0x, {gq('y0', 90000, 180000)} AS g0y,
+           {gq('x1', 180000, 360000)} AS g1x, {gq('y1', 90000, 180000)} AS g1y
+    FROM segs
+  ) s
+),
+colx AS MATERIALIZED (
+  SELECT *, unnest(generate_series(xa, xb)) AS pxc FROM styled
+),
+bands AS MATERIALIZED (
+  SELECT ord, rgb, hw, pxc,
+         CASE WHEN dx = 0 THEN LEAST(ya, yb)
+              ELSE {idiv('nmin + 3*dx - 1', 'NULLIF(2*dx, 0)')} - 1
+         END AS py_lo,
+         CASE WHEN dx = 0 THEN GREATEST(ya, yb)
+              ELSE {idiv('nmax + dx', 'NULLIF(2*dx, 0)')}
+         END AS py_hi
+  FROM (
+    SELECT *, LEAST(na, nb) AS nmin, GREATEST(na, nb) AS nmax
+    FROM (
+      SELECT *, 2*ya*dx + dy*(GREATEST(2*xa, 2*pxc - 1) - 2*xa) AS na,
+             2*ya*dx + dy*(LEAST(2*xb, 2*pxc + 1) - 2*xa) AS nb
+      FROM (
+        SELECT *, 2*xb - 2*xa AS dx, 2*yb - 2*ya AS dy FROM colx
+      ) d
+    ) nn
+  ) mm
+),
+sup AS MATERIALIZED (
+  SELECT ord, rgb, hw, pxc AS sx,
+         unnest(generate_series(GREATEST(py_lo, 0),
+                                LEAST(py_hi, {n - 1}))) AS sy
+  FROM bands
+),
+offs AS (SELECT unnest(generate_series(-{r}, {r})) AS d),
+pix AS (
+  SELECT s.ord, s.rgb, s.sx + ox.d AS gx, s.sy + oy.d AS gy
+  FROM sup s, offs ox, offs oy
+  WHERE abs(ox.d) <= s.hw AND abs(oy.d) <= s.hw
+    AND s.sx + ox.d >= 0 AND s.sx + ox.d < {n}
+    AND s.sy + oy.d >= 0 AND s.sy + oy.d < {n}
+),
+win AS (
+  SELECT gx >> 8 AS tile_ix, gy >> 8 AS tile_iy,
+         gx & 255 AS px, gy & 255 AS py,
+         arg_max(rgb, ord) AS rgb
+  FROM pix GROUP BY 1, 2, 3, 4
+)
+SELECT CAST({LINE_RENDER_LEVEL} AS BIGINT) AS level, tile_ix, tile_iy,
+       COUNT(*) AS painted,
+       CAST(SUM((rgb >> 16) & 255) AS BIGINT) AS sum_r,
+       CAST(SUM((rgb >> 8) & 255) AS BIGINT) AS sum_g,
+       CAST(SUM(rgb & 255) AS BIGINT) AS sum_b,
+       bit_xor(((py * 256 + px) << 24) | rgb) AS chk
+FROM win GROUP BY 2, 3
+"""
+
+
+register_extra("render_line_tiles", q_render_line_tiles, _render_lines_oracle())

@@ -226,3 +226,61 @@ def test_value_int64_negative_from_external_encoder():
     big = (1 << 63) + 5
     raw5 = W._uv(5 << 3) + W._uv(big)
     assert W._dec_value(bytes(raw5)) == big
+
+
+def test_line_tiles_decode_and_run_merge(spark):
+    """mvt_line_tiles: decoded parts equal a brute-force quantize +
+    SAT-assign + run-merge replay, including a seg_j gap part break."""
+    from geowave_spark.functions import geometry as G
+    from geowave_spark.operators import lines as L
+
+    rows = []
+    # track 1: L-shaped 3-segment chain near (10E, 10N)
+    vs = [(10_000, 10_000), (10_120, 10_060), (10_240, 10_000),
+          (10_360, 10_120)]
+    for j in range(3):
+        rows.append((1, j, *vs[j], *vs[j + 1]))
+    # track 2: two segments with a gap in seg_j (part break)
+    rows.append((2, 0, 10_050, 10_050, 10_150, 10_150))
+    rows.append((2, 5, 10_200, 10_200, 10_300, 10_300))
+    segs = spark.createDataFrame(
+        [(t, j, x0, y0, x1, y1,
+          min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
+         for t, j, x0, y0, x1, y1 in rows],
+        "track_id long, seg_j long, x0 long, y0 long, x1 long, y1 long, "
+        "minx_m long, miny_m long, maxx_m long, maxy_m long",
+    )
+    out = OMVT.mvt_line_tiles(segs, level=6).collect()
+    assert out, "expected at least one tile"
+    level, shift = 6, 12
+    res = level + shift
+    seen_gap_break = False
+    for r in out:
+        tile = W.decode_tile(bytes(r["mvt"]))["lines"]
+        ox, oy = r["tile_ix"] << shift, r["tile_iy"] << shift
+        for f in tile["features"]:
+            track = f["id"]
+            # replay: quantize this track's segments, keep SAT survivors
+            exp_parts, prev_j = [], None
+            for t, j, x0, y0, x1, y1 in rows:
+                if t != track:
+                    continue
+                g = [((v + 180_000) * (1 << res)) // 360_000 for v in (x0, x1)]
+                h = [((v + 90_000) * (1 << res)) // 180_000 for v in (y0, y1)]
+                s0 = np.array([[g[0], h[0]]], float)
+                s1 = np.array([[g[1], h[1]]], float)
+                if not G.segments_intersect_box(
+                    s0, s1, ox, oy, ox + 4095, oy + 4095
+                )[0]:
+                    continue
+                p0 = (g[0] - ox, 4095 - (h[0] - oy))
+                p1 = (g[1] - ox, 4095 - (h[1] - oy))
+                if prev_j is not None and j == prev_j + 1:
+                    exp_parts[-1].append(p1)
+                else:
+                    exp_parts.append([p0, p1])
+                prev_j = j
+            assert f["parts"] == exp_parts, (track, r["tile_ix"], r["tile_iy"])
+            if track == 2 and len(exp_parts) == 2:
+                seen_gap_break = True
+    assert seen_gap_break

@@ -140,3 +140,93 @@ def test_styled_rejects_bad_rules(spark):
         OTL.render_styled_tiles(df, LEVEL, [(F.lit(True), 0xFFFFFF, 9)])
     with pytest.raises(ValueError, match="rgb"):
         OTL.render_styled_tiles(df, LEVEL, [(F.lit(True), 0x1FFFFFF, 1)])
+
+
+# ---------------------------------------------------------------------------
+# polyline arm (render_line_tiles): exact supercover vs SAT brute force
+# ---------------------------------------------------------------------------
+
+
+def _line_quant(v, off, span, n):
+    return min(max(((v + off) * n) // span, 0), n - 1)
+
+
+def test_render_line_tiles_supercover_vs_brute(spark):
+    from geowave_spark.functions import geometry as G
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (100, 10, 10, 10, 400),      # vertical
+        (101, 20, 300, 480, 300),    # horizontal
+        (102, 50, 50, 50, 50),       # degenerate point segment
+    ]
+    for i in range(40):
+        x0, y0 = rng.randint(-2000, 2000, 2)
+        d = rng.randint(-500, 501, 2)
+        rows.append((i, int(x0), int(y0), int(x0 + d[0]), int(y0 + d[1])))
+    segs = spark.createDataFrame(
+        rows, "seg_ord long, x0 long, y0 long, x1 long, y1 long"
+    )
+    rules = [(F.col("x1") - F.col("x0") > 0, 0xB43232, 1)]
+    out = OTL.render_line_tiles(
+        segs, level=8, rules=rules, default_rgb=0x3264C8
+    ).collect()
+
+    res, ts = 16, 256
+    n = 1 << res
+    paint = {}
+    for i, x0, y0, x1, y1 in rows:
+        gx0 = _line_quant(x0, 180_000, 360_000, n)
+        gy0 = _line_quant(y0, 90_000, 180_000, n)
+        gx1 = _line_quant(x1, 180_000, 360_000, n)
+        gy1 = _line_quant(y1, 90_000, 180_000, n)
+        rgb = 0xB43232 if x1 - x0 > 0 else 0x3264C8
+        hw = 1 if x1 - x0 > 0 else 0
+        s0 = np.array([[2 * gx0, 2 * gy0]], float)
+        s1 = np.array([[2 * gx1, 2 * gy1]], float)
+        for px in range(min(gx0, gx1), max(gx0, gx1) + 1):
+            for py in range(min(gy0, gy1), max(gy0, gy1) + 1):
+                if not G.segments_intersect_box(
+                    s0, s1, 2 * px - 1, 2 * py - 1, 2 * px + 1, 2 * py + 1
+                )[0]:
+                    continue
+                for ddx in range(-hw, hw + 1):
+                    for ddy in range(-hw, hw + 1):
+                        gx, gy = px + ddx, py + ddy
+                        if 0 <= gx < n and 0 <= gy < n:
+                            k = (gx, gy)
+                            if k not in paint or paint[k][0] < i:
+                                paint[k] = (i, rgb)
+    exp = {}
+    for (gx, gy), (_, rgb) in paint.items():
+        t = (gx >> 8, gy >> 8)
+        px, py = gx & 255, gy & 255
+        d = exp.setdefault(t, [0, 0, 0, 0, 0])
+        d[0] += 1
+        d[1] += (rgb >> 16) & 255
+        d[2] += (rgb >> 8) & 255
+        d[3] += rgb & 255
+        d[4] ^= ((py * ts + px) << 24) | rgb
+    got = {
+        (r["tile_ix"], r["tile_iy"]):
+            [r["painted"], r["sum_r"], r["sum_g"], r["sum_b"], r["chk"]]
+        for r in out
+    }
+    assert got == exp
+    # PNG decodes to the winner raster shape
+    from geowave_spark.sources import png as PNG
+
+    any_tile = out[0]
+    img = PNG.png_decode(bytes(any_tile["tile_png"]))
+    assert img.shape == (ts, ts, 3)
+
+
+def test_render_line_tiles_span_guard(spark):
+    segs = spark.createDataFrame(
+        [(1, -170_000, 0, 170_000, 0)],
+        "seg_ord long, x0 long, y0 long, x1 long, y1 long",
+    )
+    with pytest.raises(Exception, match="more than 256 pixels"):
+        OTL.render_line_tiles(
+            segs, level=8, rules=[(F.lit(True), 0x123456, 0)]
+        ).collect()
