@@ -29,7 +29,7 @@ Both use the exact integer planar-milli metric shared with kNN.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geowave_spark.functions import cells as C
@@ -1034,3 +1034,57 @@ def kmeans_multilevel(
             .localCheckpoint()
         )
     return out
+
+
+def grid_hull_vertices(
+    pts: DataFrame,
+    cell_col: str = "cell",
+    x_col: str = "x",
+    y_col: str = "y",
+    min_pts: int = 5,
+    max_pts: int = 120,
+) -> DataFrame:
+    """Convex-hull VERTEX SET per grid cluster — the SQL-checkable convex
+    arm of cluster_hulls (GeometryHullTool analogue): clusters are grid
+    cells (deterministic, shared with the oracle), points dedup to
+    distinct coordinates, and the per-cluster kernel is the monotone
+    chain.  Output (cell, x, y) hull-vertex rows replay exactly in SQL
+    via the O(n³) support-line characterization: p is a hull vertex iff
+    ∃q such that every other point is strictly left of ray p→q or on it
+    ahead of p — the reason the size window [min_pts, max_pts] exists
+    (both sides filter identically; the oracle's n³ stays bounded).
+
+    Fully-collinear clusters emit the two lexicographic endpoints (the
+    strict-turn hull), matching the characterization."""
+    import numpy as np
+    import pandas as pd
+
+    from geowave_spark.functions import geometry as G
+
+    slim = pts.select(
+        F.col(cell_col).cast("long").alias("cell"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).distinct()
+    w = Window.partitionBy("cell")
+    sized = slim.withColumn("_n", F.count("*").over(w)).filter(
+        (F.col("_n") >= min_pts) & (F.col("_n") <= max_pts)
+    ).drop("_n")
+
+    def hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf[["x", "y"]].to_numpy(np.float64)
+        ring = G.convex_hull(p)
+        if len(ring) >= 3 and G.ring_area2(ring) != 0:
+            v = ring
+        else:  # degenerate (collinear) cluster: strict-turn endpoints
+            u = np.unique(p, axis=0)
+            v = u[[0, -1]]
+        return pd.DataFrame(
+            {
+                "cell": pdf["cell"].iloc[0],
+                "x": v[:, 0].astype(np.int64),
+                "y": v[:, 1].astype(np.int64),
+            }
+        )
+
+    return sized.groupBy("cell").applyInPandas(hull, "cell long, x long, y long")

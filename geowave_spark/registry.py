@@ -5334,3 +5334,71 @@ FROM win GROUP BY 2, 3
 
 
 register_extra("render_line_tiles", q_render_line_tiles, _render_lines_oracle())
+
+
+# ---------------------------------------------------------------------------
+# cluster_hulls_convex — the convex arm of cluster_hulls with a REAL SQL
+# oracle, closing the registry's last no_oracle row (the concave dig stays
+# pytest-pinned; the driver row keeps its rows-only status).  Clusters are
+# deterministic 0.25° grid cells; the oracle derives the hull vertex set
+# from first principles via the support-line characterization (p is a
+# vertex iff some ray p→q keeps every other point strictly left or ahead),
+# proven equivalent to the strict-turn monotone chain in
+# tests/test_clustering.py::test_grid_hull_vertices_*.
+# ---------------------------------------------------------------------------
+
+HULL_CELL_MILLI = 250
+HULL_MIN_PTS, HULL_MAX_PTS = 5, 120
+
+
+def q_cluster_hulls_convex(spark, sf_dir):
+    from geowave_spark.operators.clustering import grid_hull_vertices
+
+    geo = TB.geo_events(spark, sf_dir)
+    cells = geo.select(
+        (
+            F.floor((F.col("lon_milli") + 180_000) / HULL_CELL_MILLI) * 4096
+            + F.floor((F.col("lat_milli") + 90_000) / HULL_CELL_MILLI)
+        ).alias("cell"),
+        F.col("lon_milli").alias("x"),
+        F.col("lat_milli").alias("y"),
+    )
+    return grid_hull_vertices(
+        cells, min_pts=HULL_MIN_PTS, max_pts=HULL_MAX_PTS
+    )
+
+
+def _cluster_hulls_convex_oracle() -> str:
+    c = HULL_CELL_MILLI
+    cross = "(q.x - p.x)*(r.y - p.y) - (q.y - p.y)*(r.x - p.x)"
+    dot = "(r.x - p.x)*(q.x - p.x) + (r.y - p.y)*(q.y - p.y)"
+    return f"""
+WITH geo_events AS ({TB.GEO_EVENTS_SQL}),
+pts AS MATERIALIZED (
+  SELECT DISTINCT
+         {_idiv_sql('lon_milli + 180000', c)} * 4096
+         + {_idiv_sql('lat_milli + 90000', c)} AS cell,
+         lon_milli AS x, lat_milli AS y
+  FROM geo_events
+),
+sized AS MATERIALIZED (
+  SELECT p.cell, p.x, p.y FROM pts p
+  JOIN (SELECT cell, COUNT(*) AS n FROM pts GROUP BY cell) cc
+    ON cc.cell = p.cell
+  WHERE cc.n BETWEEN {HULL_MIN_PTS} AND {HULL_MAX_PTS}
+)
+SELECT DISTINCT p.cell, p.x, p.y
+FROM sized p JOIN sized q
+  ON q.cell = p.cell AND (q.x <> p.x OR q.y <> p.y)
+WHERE NOT EXISTS (
+  SELECT 1 FROM sized r
+  WHERE r.cell = p.cell AND (r.x <> p.x OR r.y <> p.y)
+    AND ({cross} < 0 OR ({cross} = 0 AND {dot} <= 0))
+)
+"""
+
+
+register_extra(
+    "cluster_hulls_convex", q_cluster_hulls_convex,
+    _cluster_hulls_convex_oracle(),
+)

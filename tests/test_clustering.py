@@ -566,3 +566,71 @@ def test_kmeans_grouped_small_groups(spark):
     out = kmeans_grouped(spark.createDataFrame(pdf), k=3).toPandas()
     assert len(out) == 4
     assert out.groupby("grp")["cluster"].nunique().tolist() == [2, 2]
+
+
+# ---------------------------------------------------------------------------
+# grid_hull_vertices — the convex arm with a SQL oracle
+# ---------------------------------------------------------------------------
+
+
+def _hull_vertex_chars(pts):
+    """Support-line characterization (the oracle's rule): p is a hull
+    vertex iff some ray p→q keeps every other point strictly left or on
+    the ray ahead of p."""
+    S = sorted(set(map(tuple, pts)))
+    out = set()
+    for p in S:
+        for q in S:
+            if q == p:
+                continue
+            ok = True
+            for r in S:
+                if r == p:
+                    continue
+                cr = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+                dt = (r[0] - p[0]) * (q[0] - p[0]) + (r[1] - p[1]) * (q[1] - p[1])
+                if cr < 0 or (cr == 0 and dt <= 0):
+                    ok = False
+                    break
+            if ok:
+                out.add(p)
+                break
+    return out
+
+
+def test_hull_characterization_equals_monotone_chain():
+    from geowave_spark.functions import geometry as G
+
+    rng = np.random.RandomState(5)
+    for _ in range(200):
+        pts = rng.randint(0, 12, size=(rng.randint(3, 25), 2))
+        S = np.unique(pts, axis=0)
+        if len(S) < 3:
+            continue
+        ring = G.convex_hull(S.astype(float))
+        if len(ring) >= 3 and G.ring_area2(ring) != 0:
+            hv = set((int(x), int(y)) for x, y in ring)
+        else:
+            hv = {tuple(map(int, S[0])), tuple(map(int, S[-1]))}
+        assert hv == _hull_vertex_chars(S.tolist())
+
+
+def test_grid_hull_vertices_engine(spark):
+    from geowave_spark.operators.clustering import grid_hull_vertices
+
+    rows = []
+    # cell 1: square + interior + an on-edge collinear point (dropped)
+    for x, y in [(0, 0), (10, 0), (10, 10), (0, 10), (5, 5), (5, 0), (5, 0)]:
+        rows.append((1, x, y))
+    # cell 2: fully collinear -> lexicographic endpoints
+    for k in range(6):
+        rows.append((2, k, k))
+    # cell 3: below min_pts -> filtered out
+    rows += [(3, 0, 0), (3, 1, 1)]
+    df = spark.createDataFrame(rows, "cell long, x long, y long")
+    got = {(r["cell"], r["x"], r["y"])
+           for r in grid_hull_vertices(df, min_pts=5, max_pts=120).collect()}
+    assert got == {
+        (1, 0, 0), (1, 10, 0), (1, 10, 10), (1, 0, 10),
+        (2, 0, 0), (2, 5, 5),
+    }
