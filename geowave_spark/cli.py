@@ -291,6 +291,70 @@ def cmd_stat(args, spark_injected, out) -> int:
     return 0
 
 
+def cmd_debug(args, spark_injected, out) -> int:
+    """Timed scan/plan diagnostics — the reference's debug operation
+    section (extensions/cli/debug: MinimalFullTable fullscanMinimal,
+    FullTableScan, BBOXQuery, plus a range-decomposition dump the
+    reference buries in logs)."""
+    import time
+
+    cfg = _load_config(args)
+    path = _store_path(cfg, args.store)
+    spark = _spark(args, spark_injected)
+    from geowave_spark.operators import index as OI
+
+    if args.debug_cmd == "fullscanMinimal":
+        # key-column-only scan: no payload deserialization (column-pruned
+        # parquet read — the Spark analogue of scanning keys without
+        # iterators, MinimalFullTable.java)
+        t0 = time.monotonic()
+        n = OI.read_indexed(spark, path).select("cell").count()
+        dt = time.monotonic() - t0
+        print(f"fullscanMinimal\trows={n}\tseconds={dt:.3f}", file=out)
+        return 0
+    if args.debug_cmd == "fullscan":
+        df = OI.read_indexed(spark, path)
+        t0 = time.monotonic()
+        # touch every column so the scan deserializes full rows
+        n_cols = len(df.columns)
+        n = df.count()
+        from pyspark.sql import functions as F
+
+        df.agg(*[F.count(c) for c in df.columns]).collect()
+        dt = time.monotonic() - t0
+        print(f"fullscan\trows={n}\tcols={n_cols}\tseconds={dt:.3f}", file=out)
+        return 0
+    if args.debug_cmd == "bbox":
+        from geowave_spark.operators.bbox import query_bbox
+        from geowave_spark.plans import planner as P
+
+        data = OI.read_indexed(spark, path)
+        q = P.BoxQuery("debug", args.minx, args.miny, args.maxx, args.maxy)
+        t0 = time.monotonic()
+        n = query_bbox(data, [q]).count()
+        dt = time.monotonic() - t0
+        print(f"bbox\trows={n}\tseconds={dt:.3f}", file=out)
+        return 0
+    if args.debug_cmd == "decomp":
+        # dump the SFC cover decomposition a bbox plans to, per tier —
+        # the reference logs these ranges inside getQueryRanges; here
+        # they are a first-class inspection surface
+        from geowave_spark.plans import planner as P
+
+        data = OI.read_indexed(spark, path)
+        q = P.BoxQuery("debug", args.minx, args.miny, args.maxx, args.maxy)
+        tiers = getattr(data, "_gw_tiers", None) or OI.stats_tiers_for(data) \
+            or [r[0] for r in data.select("tier").distinct().collect()]
+        r_q = P.cover_resolution(q, args.max_cells)
+        print(f"cover_resolution\t{r_q}", file=out)
+        pdf = P._cover_rows(q, {min(int(t), r_q) for t in sorted(tiers)})
+        for jcell in sorted(pdf["jcell"]):
+            print(f"cell\t{jcell}", file=out)
+        print(f"n_cells\t{len(pdf)}", file=out)
+        return 0
+    raise ValueError(f"unknown debug verb {args.debug_cmd!r}")
+
+
 def cmd_query(args, spark_injected, out) -> int:
     cfg = _load_config(args)
     path = _store_path(cfg, args.store)
@@ -299,6 +363,19 @@ def cmd_query(args, spark_injected, out) -> int:
     from geowave_spark.plans.cql import cql_query
 
     data = OI.read_indexed(spark, path)
+    if args.auth_file is not None:
+        # JsonFileAuthorizationProvider parity: resolve the user's auth
+        # set from the JSON table (unknown user -> empty set, fail closed)
+        # and row-filter on the store's visibility expressions
+        from geowave_spark.operators import visibility as VIS
+
+        auths = VIS.load_auth_provider(args.auth_file)(args.user or "")
+        if "vis" not in data.columns:
+            raise ValueError(
+                f"store {args.store!r} carries no 'vis' column; "
+                "--auth-file needs a visibility-tagged store"
+            )
+        data = VIS.apply_visibility(data, set(auths))
     if "s2_leaf" in data.columns:
         # store was written with the S2 strategy: same CQL string, the
         # leaf-range planner (pushable scan filter, no cover join)
@@ -709,6 +786,11 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("--explain", action="store_true")
     q.add_argument("--out")
     q.add_argument("--out-format", default="parquet")
+    q.add_argument("--auth-file", default=None,
+                   help="JSON user->authorizations table "
+                        "(JsonFileAuthorizationProvider shape)")
+    q.add_argument("--user", default=None,
+                   help="--auth-file: user whose auth set filters rows")
 
     an = sub.add_parser("analytic")
     ans = an.add_subparsers(dest="analytic_cmd", required=True)
@@ -815,6 +897,20 @@ def _build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--min-level", type=int, default=None,
                     help="raster pipeline: coarsest pyramid level")
 
+    dbg = sub.add_parser("debug")  # reference extensions/cli/debug section
+    dbs = dbg.add_subparsers(dest="debug_cmd", required=True)
+    for v in ("fullscanMinimal", "fullscan"):
+        a = dbs.add_parser(v)
+        a.add_argument("store")
+    for v in ("bbox", "decomp"):
+        a = dbs.add_parser(v)
+        a.add_argument("store")
+        a.add_argument("minx", type=float)
+        a.add_argument("miny", type=float)
+        a.add_argument("maxx", type=float)
+        a.add_argument("maxy", type=float)
+        a.add_argument("--max-cells", type=int, default=1024)
+
     sub.add_parser("version")
     return p
 
@@ -841,6 +937,7 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         "snapshot": cmd_snapshot,
         "serve": cmd_serve,
         "pipeline": cmd_pipeline,
+        "debug": cmd_debug,
     }
     dispatch[args.cmd](args, spark, out)
     return 0

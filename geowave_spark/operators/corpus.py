@@ -107,6 +107,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = PACK_BUCKETS,
+    tokenizer=None,
 ) -> DataFrame:
     """Assign every document its token span in the packed training stream.
 
@@ -119,9 +120,18 @@ def pack_sequences(
     distributed exact prefix sum with NO global-order window; three jobs
     total, all scanning only the two pruned columns.
     """
+    # tokenizer=None: regex word counts (pure Catalyst).  A
+    # functions/bpe.BpeTokenizer swaps in subword counts via its Arrow-
+    # batched count_col — the packing machinery downstream is unchanged,
+    # which is the point of the pluggable hook: capacity numbers from the
+    # REAL segmentation, same three-job distributed prefix sum.
+    n_tok = (
+        F.size(OTX.tokens_col(F.col(text_col))) if tokenizer is None
+        else tokenizer.count_col(F.col(text_col))
+    )
     counts = docs.select(
         F.col(id_col).cast("long").alias(id_col),
-        F.size(OTX.tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
     return bucketed_prefix(
         counts, id_col, [id_col], F.col("n_tokens"), buckets
@@ -689,6 +699,7 @@ def chunk_documents(
     overlap: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer=None,
 ) -> DataFrame:
     """Split each document's token stream into fixed-size windows with
     ``overlap`` tokens of overlap (stride = chunk_tokens - overlap) — the
@@ -728,12 +739,21 @@ def chunk_documents(
         "chunk_ix", F.explode(F.sequence(F.lit(0), n_chunks - 1))
     )
     piece = F.expr(f"slice(_toks, chunk_ix * {stride} + 1, {chunk_tokens})")
-    return d.select(
-        id_col,
+    out_cols = [
+        F.col(id_col),
         F.col("chunk_ix").cast("int").alias("chunk_ix"),
         F.size(piece).alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
-    )
+    ]
+    if tokenizer is not None:
+        # chunk BOUNDARIES stay word-aligned by design (retrieval windows
+        # cut between words); the subword count of each window is the
+        # extra column a token-budgeted embedder needs
+        out_cols.append(
+            tokenizer.count_col(F.array_join(piece, " "))
+            .alias("n_chunk_bpe_tokens")
+        )
+    return d.select(*out_cols)
 
 
 def chunk_documents_oracle(

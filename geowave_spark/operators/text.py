@@ -274,22 +274,29 @@ FROM f
 # ---------------------------------------------------------------------------
 
 
-def token_stats(docs: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
+def token_stats(docs: DataFrame, text_col: str = "text", by: str = "source",
+                tokenizer=None) -> DataFrame:
     """Per-source corpus statistics: doc count, total/avg token counts by
     two tokenizers (whitespace and alnum-run — the 'BPE-ish' proxy).
-    Partial aggregation is Catalyst-native (map-side combine)."""
+    Partial aggregation is Catalyst-native (map-side combine).
+
+    ``tokenizer`` (a functions/bpe.BpeTokenizer) appends
+    ``total_bpe_tokens`` — the subword totals a capacity plan needs;
+    the base columns keep their shape so existing oracles are
+    unaffected."""
     ws = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit("")))
     word = F.size(tokens_col(F.col(text_col)))
-    return (
-        docs.select(F.col(by), ws.alias("ws_tokens"), word.alias("word_tokens"))
-        .groupBy(by)
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("ws_tokens").alias("total_ws_tokens"),
-            F.sum("word_tokens").alias("total_word_tokens"),
-            F.round(F.avg("word_tokens"), 6).alias("avg_word_tokens"),
-        )
-    )
+    cols = [F.col(by), ws.alias("ws_tokens"), word.alias("word_tokens")]
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("word_tokens").alias("total_word_tokens"),
+        F.round(F.avg("word_tokens"), 6).alias("avg_word_tokens"),
+    ]
+    if tokenizer is not None:
+        cols.append(tokenizer.count_col(F.col(text_col)).alias("bpe_tokens"))
+        aggs.append(F.sum("bpe_tokens").alias("total_bpe_tokens"))
+    return docs.select(*cols).groupBy(by).agg(*aggs)
 
 
 def token_stats_oracle(table: str = "documents") -> str:

@@ -161,3 +161,47 @@ def apply_field_visibility(
         else:
             masked.append(F.col(c))
     return joined.select(*masked)
+
+
+# ---------------------------------------------------------------------------
+# pluggable user → authorization-set providers (the reference's
+# AuthorizationSPI family, extensions/adapters/auth/): the JSON-file
+# provider reads the same document shape as
+# JsonFileAuthorizationProvider.java / AuthorizationSet.java —
+# {"authorizationSet": {"<user>": ["auth", ...], ...}} — and an unknown
+# user resolves to the EMPTY set (fail closed), exactly the reference's
+# findAuthorizationsFor contract.
+# ---------------------------------------------------------------------------
+
+
+def load_auth_provider(path: str):
+    """JSON file → ``auths_for(user) -> frozenset[str]``.
+
+    Malformed documents raise immediately (the reference wraps parse
+    errors in IllegalArgumentException at construction — never at query
+    time)."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    aset = doc.get("authorizationSet")
+    if not isinstance(aset, dict) or not all(
+        isinstance(k, str)
+        and isinstance(v, list)
+        and all(isinstance(a, str) for a in v)
+        for k, v in aset.items()
+    ):
+        raise ValueError(
+            f"{path}: expected {{'authorizationSet': {{user: [auth, ...]}}}}"
+        )
+    table = {u: frozenset(v) for u, v in aset.items()}
+
+    def auths_for(user: str) -> frozenset:
+        return table.get(user, frozenset())
+
+    return auths_for
+
+
+def empty_auth_provider():
+    """EmptyAuthorizationProvider.java: every user gets no authorizations."""
+    return lambda user: frozenset()

@@ -5402,3 +5402,79 @@ register_extra(
     "cluster_hulls_convex", q_cluster_hulls_convex,
     _cluster_hulls_convex_oracle(),
 )
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences_bpe — the pluggable subword tokenizer closing the "regex
+# counts aren't BPE counts" realism gap (functions/bpe.py): merges trained
+# on the corpus itself (deterministic: sorted iteration, lexicographic tie
+# break), counts via the Arrow-batched memoized encoder, packing through
+# the SAME distributed prefix-sum machinery as pack_sequences.  The oracle
+# is sf-dependent (a callable): it re-derives the merges and per-doc counts
+# INDEPENDENTLY in pure python over a duckdb read of the same parquet, then
+# replays the pack math (prefix sums, block cuts) in SQL over that
+# (doc_id, token_count) VALUES table — the Spark side's UDF plumbing,
+# broadcast closure, filter, and three-job prefix sum are all on trial.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 48
+
+
+def _train_corpus_bpe_spark(docs):
+    from geowave_spark.functions import bpe as BPE
+    from geowave_spark.operators import text as OTX2
+
+    freqs = (
+        docs.select(F.explode(OTX2.tokens_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )  # bounded by vocabulary size, not corpus size
+    return BPE.train_bpe_from_word_counts(
+        [(r["w"], r["count"]) for r in freqs], n_merges=BPE_MERGES
+    )
+
+
+def q_pack_sequences_bpe(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    tok = _train_corpus_bpe_spark(docs)
+    return OCORP.pack_sequences(docs, tokenizer=tok)
+
+
+def _pack_bpe_oracle(sf_dir: str) -> str:
+    import duckdb
+
+    from geowave_spark.functions import bpe as BPE
+    from geowave_spark.operators.text import py_tokens
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    freqs: dict[str, int] = {}
+    for _, text in rows:
+        for w in py_tokens(text or ""):
+            freqs[w] = freqs.get(w, 0) + 1
+    tok = BPE.BpeTokenizer(BPE.train_bpe(freqs, BPE_MERGES))
+    counts = [(int(d), tok.count_text(t or "")) for d, t in rows]
+    values = ", ".join(f"({d}, {n})" for d, n in counts if n > 0)
+    block = OCORP.PACK_BLOCK
+    return f"""
+WITH counts(doc_id, n_tokens) AS (VALUES {values}),
+pref AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+  FROM counts
+)
+SELECT doc_id, n_tokens, tok_start,
+       CAST(tok_start // {block} AS BIGINT) AS seq_first,
+       CAST((tok_start + n_tokens - 1) // {block} AS BIGINT) AS seq_last
+FROM pref
+"""
+
+
+register_extra("pack_sequences_bpe", q_pack_sequences_bpe, _pack_bpe_oracle)

@@ -16,9 +16,11 @@ MapLibre/deck.gl default to.  A slippy consumer must flip rows
 because every engine operator (tile cover, KDE, render) shares this
 grid and the oracle replays depend on its integer arithmetic.
 
-GET-only by design — a query/serving front door; mutation stays on the
-CLI/API surface (the reference's REST ingest endpoints shell out to the
-same operations).  Spark driver access is serialized with one lock: the
+Reads dominate; the POST write verbs mirror the CLI operation tree the
+way the reference's REST module enumerates CLI operations as routes
+(services/rest/.../RestRoute.java) — one bounded batch per request,
+bulk ingest stays on the CLI/DataFrame surface.  Spark driver access is
+serialized with one lock: the
 HTTP layer is a thin concierge, the heavy lifting is the distributed
 job it triggers (per-request fan-out belongs to Spark, not to HTTP
 threads).
@@ -31,6 +33,11 @@ Routes::
     GET /v0/stores/<name>/query?cql=...&limit=N  JSON rows (CQL planner)
     GET /v0/tiles/<name>/<z>/<x>/<y>.mvt         vector tile (points; TMS
                                                  y-up plate-carrée rows)
+    POST /v0/stores/<name>/ingest                {rows, mode} indexed write
+    POST /v0/stores/<name>/compact               store compaction
+    POST /v0/stores/<name>/snapshot/commit       {rows, mode} -> version
+    POST /v0/stores/<name>/snapshot/rollback     {version}
+    POST /v0/stores/<name>/snapshot/expire       {keep_last}
 
 Tile requests prefilter with the engine's integer tile-bounds inversion
 (exact: the half-open milli-degree interval whose grid image is the
@@ -123,6 +130,107 @@ class GeoWaveService:
             ]
         return {"store": name, "cql": cql, "rows": rows, "n": len(rows)}
 
+    # ---- write surface (the reference's services/rest exposes the CLI
+    # operation tree over HTTP — RestRoute.java enumerates operations from
+    # the CLI registry; these POST bodies mirror the cli.py verbs:
+    # ingest, remote mergedata, snapshot commit/rollback/expire) ----
+
+    MAX_INGEST_ROWS = 100_000  # HTTP ingest is a trickle path; bulk data
+    # belongs on the CLI/DataFrame surface (one POST = one bounded batch)
+
+    def _ingest_df(self, rows: list[dict]):
+        import pandas as pd
+
+        if not rows:
+            raise ValueError("ingest body needs a non-empty 'rows' list")
+        if len(rows) > self.MAX_INGEST_ROWS:
+            raise ValueError(
+                f"ingest batch of {len(rows)} exceeds "
+                f"{self.MAX_INGEST_ROWS}; split the batch"
+            )
+        need = {"id", "lon", "lat"}
+        for r in rows:
+            if not need <= set(r):
+                raise ValueError(f"every row needs {sorted(need)}; got {sorted(r)}")
+        pdf = pd.DataFrame(rows)
+        # stored under the engine's canonical id column (every query path
+        # — CQL dedup, kNN, subsample — keys on event_id)
+        pdf = pdf.rename(columns={"id": "event_id"})
+        pdf["event_id"] = pdf["event_id"].astype("int64")
+        for c in ("lon", "lat"):
+            pdf[c] = pdf[c].astype("float64")
+        df = self.spark.createDataFrame(pdf)
+        return df.withColumn(
+            "lon_milli", F.round(F.col("lon") * 1000).cast("long")
+        ).withColumn("lat_milli", F.round(F.col("lat") * 1000).cast("long"))
+
+    def ingest(self, name: str, rows: list[dict], mode: str = "append"):
+        """POST rows into an indexed point store (cli.py `ingest` over
+        HTTP).  Appends must match the stored schema — loud 400, never a
+        silent schema drift."""
+        from geowave_spark.operators import index as OI
+
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, not {mode!r}")
+        if name not in self.stores:
+            raise KeyError(f"unknown store {name!r}")
+        with self.lock:
+            df = self._ingest_df(rows)
+            indexed = OI.index_points(df, id_col="event_id")
+            import os
+
+            path = self.stores[name]
+            if mode == "append" and os.path.isdir(path):
+                stored = set(self._data(name).columns)
+                if set(indexed.columns) != stored:
+                    raise ValueError(
+                        f"append schema mismatch: stored={sorted(stored)} "
+                        f"incoming={sorted(indexed.columns)}"
+                    )
+            OI.write_indexed(indexed, path, mode=mode)
+            self._cache.pop(name, None)
+        return {"store": name, "ingested": len(rows), "mode": mode}
+
+    def compact(self, name: str):
+        """POST store compaction (cli.py `remote mergedata`)."""
+        from geowave_spark.operators.compact import compact_store
+
+        if name not in self.stores:
+            raise KeyError(f"unknown store {name!r}")
+        with self.lock:
+            res = compact_store(self.spark, self.stores[name])
+            self._cache.pop(name, None)
+        return {"store": name, **({"result": res} if isinstance(res, dict) else {})}
+
+    def snapshot_verb(self, name: str, verb: str, body: dict):
+        """POST snapshot table maintenance (cli.py `snapshot` group):
+        commit (rows -> new version), rollback {version}, expire
+        {keep_last}."""
+        from geowave_spark.operators import index as OI
+        from geowave_spark.operators import snapshots as SN
+
+        if name not in self.stores:
+            raise KeyError(f"unknown store {name!r}")
+        path = self.stores[name]
+        with self.lock:
+            if verb == "commit":
+                df = self._ingest_df(body.get("rows", []))
+                indexed = OI.index_points(df, id_col="event_id")
+                v = SN.commit(indexed, path,
+                              mode=body.get("mode", "append"))
+                self._cache.pop(name, None)
+                return {"store": name, "version": v}
+            if verb == "rollback":
+                if "version" not in body:
+                    raise ValueError("rollback needs {'version': N}")
+                v = SN.rollback(path, int(body["version"]))
+                self._cache.pop(name, None)
+                return {"store": name, "version": v}
+            if verb == "expire":
+                res = SN.expire(path, keep_last=int(body.get("keep_last", 2)))
+                return {"store": name, **res}
+            raise ValueError(f"unknown snapshot verb {verb!r}")
+
     def tile(self, name: str, z: int, x: int, y: int) -> bytes:
         if not (0 <= x < (1 << z) and 0 <= y < (1 << z)):
             raise ValueError(f"tile ({x}, {y}) out of range at level {z}")
@@ -204,6 +312,48 @@ class _Handler(BaseHTTPRequestHandler):
         except (ValueError, TypeError) as e:
             return self._json(400, {"error": str(e)})
         except Exception as e:  # surface, never hang the socket
+            return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    MAX_BODY = 32 << 20  # one POST = one bounded batch, never a stream
+
+    def _read_body(self) -> dict:
+        n = int(self.headers.get("Content-Length", 0))
+        if n > self.MAX_BODY:
+            raise ValueError(f"body of {n} bytes exceeds {self.MAX_BODY}")
+        raw = self.rfile.read(n) if n else b"{}"
+        body = json.loads(raw or b"{}")
+        if not isinstance(body, dict):
+            raise ValueError("POST body must be a JSON object")
+        return body
+
+    def do_POST(self):  # noqa: N802 (stdlib naming)
+        try:
+            u = urlparse(self.path)
+            parts = [p for p in u.path.split("/") if p]
+            if len(parts) == 4 and parts[:2] == ["v0", "stores"]:
+                name, verb = parts[2], parts[3]
+                body = self._read_body()
+                if verb == "ingest":
+                    return self._json(200, self.service.ingest(
+                        name, body.get("rows", []),
+                        body.get("mode", "append"),
+                    ))
+                if verb == "compact":
+                    return self._json(200, self.service.compact(name))
+            if (
+                len(parts) == 5
+                and parts[:2] == ["v0", "stores"]
+                and parts[3] == "snapshot"
+            ):
+                return self._json(200, self.service.snapshot_verb(
+                    parts[2], parts[4], self._read_body()
+                ))
+            return self._json(404, {"error": f"no route POST {u.path}"})
+        except KeyError as e:
+            return self._json(404, {"error": str(e)})
+        except (ValueError, TypeError) as e:
+            return self._json(400, {"error": str(e)})
+        except Exception as e:
             return self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
 

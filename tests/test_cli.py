@@ -405,3 +405,65 @@ def test_cli_snapshot_and_mvt_export(spark, sf_dir, tmp_path):
                 layers = W.decode_tile(fh.read())
             n += len(layers["points"]["features"])
     assert n == spark.read.parquet(src).count()
+
+
+def test_cli_query_auth_file(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geowave_spark.operators import index as OI
+
+    store = tmp_path / "visstore"
+    geo = TB.geo_events(spark, sf_dir).select(
+        "event_id", "lon", "lat", "lon_milli", "lat_milli"
+    ).withColumn(
+        "vis", F.when(F.col("event_id") % 2 == 0, "secret").otherwise("public")
+    )
+    OI.write_indexed(OI.index_points(geo, id_col="event_id"), str(store))
+    _run(spark, tmp_path, "config", "addstore", "vs", "--path", str(store))
+    auths = tmp_path / "auths.json"
+    auths.write_text(json.dumps({"authorizationSet": {
+        "alice": ["secret", "public"], "bob": ["public"]}}))
+    cql = "BBOX(geom, -180, -90, 180, 90)"
+    out_a = _run(spark, tmp_path, "query", "vs", cql,
+                 "--out", str(tmp_path / "qa"),
+                 "--auth-file", str(auths), "--user", "alice")
+    out_b = _run(spark, tmp_path, "query", "vs", cql,
+                 "--out", str(tmp_path / "qb"),
+                 "--auth-file", str(auths), "--user", "bob")
+    n_a = int(out_a.split("wrote ")[1].split()[0])
+    n_b = int(out_b.split("wrote ")[1].split()[0])
+    total = geo.count()
+    evens = geo.filter(F.col("event_id") % 2 == 0).count()
+    assert n_a == total
+    assert n_b == total - evens
+
+
+def test_cli_debug_verbs(spark, sf_dir, tmp_path):
+    from geowave_spark.operators import index as OI
+
+    store = tmp_path / "dbgstore"
+    geo = TB.geo_events(spark, sf_dir).select(
+        "event_id", "lon", "lat", "lon_milli", "lat_milli"
+    )
+    OI.write_indexed(OI.index_points(geo, id_col="event_id"), str(store))
+    _run(spark, tmp_path, "config", "addstore", "dg", "--path", str(store))
+
+    o = _run(spark, tmp_path, "debug", "fullscanMinimal", "dg")
+    assert f"rows={geo.count()}" in o and "seconds=" in o
+    o = _run(spark, tmp_path, "debug", "fullscan", "dg")
+    assert f"rows={geo.count()}" in o
+    o = _run(spark, tmp_path, "debug", "bbox", "dg", "138.6", "34.9",
+             "140.5", "36.3")
+    from pyspark.sql import functions as F
+
+    exp = geo.filter(
+        (F.col("lon") >= 138.6) & (F.col("lon") <= 140.5)
+        & (F.col("lat") >= 34.9) & (F.col("lat") <= 36.3)
+    ).count()
+    assert f"rows={exp}" in o
+    o = _run(spark, tmp_path, "debug", "decomp", "dg", "138.6", "34.9",
+             "140.5", "36.3")
+    lines = o.strip().splitlines()
+    assert lines[0].startswith("cover_resolution\t")
+    n_cells = int(lines[-1].split("\t")[1])
+    assert n_cells >= 1 and sum(1 for L in lines if L.startswith("cell\t")) == n_cells

@@ -40,7 +40,10 @@ def duck_all(sf_dir):
 @pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_query_matches_oracle(spark, sf_dir, duck_all, name):
     spdf = ALL_QUERIES[name](spark, sf_dir).toPandas()
-    opdf = duck_all.execute(ALL_ORACLES[name]).fetchdf()
+    osql = ALL_ORACLES[name]
+    if callable(osql):  # sf-dependent oracle (e.g. trained-tokenizer packs)
+        osql = osql(sf_dir)
+    opdf = duck_all.execute(osql).fetchdf()
     cols = sorted(spdf.columns)
     assert sorted(opdf.columns) == cols, f"{name}: column mismatch"
     a = spdf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)

@@ -158,3 +158,82 @@ def test_cli_serve_binds(spark, tmp_path):
         spark=spark, out=out,
     )
     assert rc == 0 and "serving 0 store(s) on http://127.0.0.1:" in out.getvalue()
+
+
+def _post(base, path, obj):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def wserver(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("wsvc")
+    stores = {"w": str(root / "w"), "snap": str(root / "snap")}
+    srv = SV.serve(spark, stores, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    yield spark, base, stores
+    srv.shutdown()
+
+
+def test_post_ingest_then_query_roundtrip(wserver):
+    spark, base, stores = wserver
+    rows = [{"id": i, "lon": i / 10.0, "lat": -i / 20.0} for i in range(50)]
+    st, d = _post(base, "/v0/stores/w/ingest", {"rows": rows})
+    assert st == 200 and d["ingested"] == 50
+    st, d = _post(base, "/v0/stores/w/ingest",
+                  {"rows": [{"id": 100, "lon": 1.0, "lat": 1.0}]})
+    assert st == 200  # append, schema matches
+    st, _, body = _get(base, "/v0/stores/w/query?cql="
+                       + urllib.request.quote("BBOX(geom, 0, -2, 2, 2)")
+                       + "&limit=1000")
+    got = {r["event_id"] for r in json.loads(body)["rows"]}
+    exp = {i for i in range(50) if 0 <= i / 10.0 <= 2 and -2 <= -i / 20.0 <= 2}
+    exp.add(100)
+    assert got == exp
+
+
+def test_post_ingest_contracts(wserver):
+    _, base, _ = wserver
+    st, d = _post(base, "/v0/stores/w/ingest", {"rows": []})
+    assert st == 400
+    st, d = _post(base, "/v0/stores/w/ingest",
+                  {"rows": [{"id": 1, "lon": 2.0}]})
+    assert st == 400 and "lat" in d["error"]
+    st, d = _post(base, "/v0/stores/nope/ingest",
+                  {"rows": [{"id": 1, "lon": 0.0, "lat": 0.0}]})
+    assert st == 404
+    # append with a drifted schema is refused loudly
+    st, d = _post(base, "/v0/stores/w/ingest",
+                  {"rows": [{"id": 1, "lon": 0.0, "lat": 0.0, "extra": "x"}]})
+    assert st == 400 and "schema mismatch" in d["error"]
+
+
+def test_post_snapshot_verbs(wserver):
+    spark, base, stores = wserver
+    rows1 = [{"id": i, "lon": float(i), "lat": 0.0} for i in range(5)]
+    rows2 = [{"id": i + 10, "lon": float(i), "lat": 1.0} for i in range(3)]
+    st, d = _post(base, "/v0/stores/snap/snapshot/commit", {"rows": rows1})
+    assert (st, d["version"]) == (200, 1)
+    st, d = _post(base, "/v0/stores/snap/snapshot/commit", {"rows": rows2})
+    assert (st, d["version"]) == (200, 2)
+    from geowave_spark.operators import snapshots as SN
+
+    assert SN.read(spark, stores["snap"]).count() == 8
+    st, d = _post(base, "/v0/stores/snap/snapshot/rollback", {"version": 1})
+    assert (st, d["version"]) == (200, 3)
+    assert SN.read(spark, stores["snap"]).count() == 5
+    st, d = _post(base, "/v0/stores/snap/snapshot/expire", {"keep_last": 1})
+    assert st == 200 and d["kept_versions"]
+    st, d = _post(base, "/v0/stores/snap/snapshot/rollback", {})
+    assert st == 400
+    st, d = _post(base, "/v0/stores/snap/snapshot/frobnicate", {})
+    assert st == 400

@@ -116,3 +116,72 @@ def test_apply_field_visibility(spark):
     rows = {r["id"]: r for r in none_vis.collect()}
     assert rows[1]["geometry"] is None and rows[2]["eventName"] is None
     assert rows[3]["geometry"] == "g3"  # null definition stays public
+
+
+# ---------------------------------------------------------------------------
+# JSON auth provider (JsonFileAuthorizationProvider/AuthorizationSet parity)
+# ---------------------------------------------------------------------------
+
+
+def test_json_auth_provider_truth_table(tmp_path):
+    import json
+
+    from geowave_spark.operators.visibility import (
+        empty_auth_provider,
+        load_auth_provider,
+    )
+
+    doc = {"authorizationSet": {
+        "alice": ["secret", "ops"],
+        "bob": ["ops"],
+        "carol": [],
+    }}
+    p = tmp_path / "auths.json"
+    p.write_text(json.dumps(doc))
+    auths_for = load_auth_provider(str(p))
+    assert auths_for("alice") == frozenset({"secret", "ops"})
+    assert auths_for("bob") == frozenset({"ops"})
+    assert auths_for("carol") == frozenset()
+    assert auths_for("mallory") == frozenset()  # unknown -> fail closed
+    assert empty_auth_provider()("alice") == frozenset()
+
+
+def test_json_auth_provider_rejects_malformed(tmp_path):
+    import json
+
+    import pytest
+
+    from geowave_spark.operators.visibility import load_auth_provider
+
+    for bad in ({"authorizationSet": ["not", "a", "map"]},
+                {"authorizationSet": {"u": "notalist"}},
+                {"authorizationSet": {"u": [1, 2]}},
+                {"wrong": {}}):
+        p = tmp_path / "bad.json"
+        p.write_text(json.dumps(bad))
+        with pytest.raises(ValueError):
+            load_auth_provider(str(p))
+
+
+def test_auth_provider_drives_row_visibility(spark, tmp_path):
+    import json
+
+    from geowave_spark.operators.visibility import (
+        apply_visibility,
+        load_auth_provider,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ops"), (2, "secret&ops"), (3, "secret|public"), (4, None)],
+        "event_id long, vis string",
+    )
+    p = tmp_path / "auths.json"
+    p.write_text(json.dumps({"authorizationSet": {
+        "alice": ["secret", "ops"], "bob": ["ops"]}}))
+    auths_for = load_auth_provider(str(p))
+    see = lambda u: sorted(  # noqa: E731
+        r["event_id"] for r in apply_visibility(df, set(auths_for(u))).collect()
+    )
+    assert see("alice") == [1, 2, 3, 4]
+    assert see("bob") == [1, 4]
+    assert see("mallory") == [4]  # only untagged rows

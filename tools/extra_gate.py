@@ -95,7 +95,10 @@ def main(argv: list[str] | None = None) -> int:
         spdf = queries[name](spark, sf_dir).toPandas()
         rec = {"rows": len(spdf), "cols": sorted(spdf.columns)}
         if name in oracles:
-            opdf = con.execute(oracles[name]).fetchdf()
+            osql = oracles[name]
+            if callable(osql):  # sf-dependent oracle text
+                osql = osql(sf_dir)
+            opdf = con.execute(osql).fetchdf()
             rec["oracle_rows"] = len(opdf)
             rec["schema_match"] = sorted(opdf.columns) == rec["cols"]
             rec["hash_match"] = (
