@@ -95,6 +95,15 @@ HEADLINE_INPUTS = {
     "morans_i": "events",
     "mvt_points": "events",
     "hard_negatives": "embeddings",
+    # round 5: LineString family (segment-grain store + serving arms),
+    # subword packing, and the newly-oracled hull/Fréchet queries
+    "lines_bbox": "events",
+    "lines_polygon": "events",
+    "mvt_lines": "events",
+    "render_line_tiles": "events",
+    "pack_sequences_bpe": "documents",
+    "cluster_hulls_convex": "events",
+    "track_frechet": "events",
 }
 HEADLINE = list(HEADLINE_INPUTS)
 

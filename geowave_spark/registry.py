@@ -5478,3 +5478,96 @@ FROM pref
 
 
 register_extra("pack_sequences_bpe", q_pack_sequences_bpe, _pack_bpe_oracle)
+
+
+# ---------------------------------------------------------------------------
+# track_frechet — the minimax DP gets a real SQL oracle after all (VERDICT
+# r4 stretch item): the synthetic tracks have EXACTLY 5 vertices, so the
+# Eiter–Mannila recurrence unrolls into 9 chained MATERIALIZED diagonal
+# CTEs (the kmeans unrolled-Lloyd pattern — MATERIALIZED because each CTE
+# is referenced by the next two diagonals and DuckDB re-inlines chained
+# CTEs 2^N otherwise).  Candidates replay the engine's start-cell banding;
+# everything is integer-exact (d² < 2^39).
+# ---------------------------------------------------------------------------
+
+FRECHET_TRACK_MOD = 37     # shared track subsample: banding over blob cells
+FRECHET_CELL_MILLI = 2_000  # is quadratic in tracks-per-cell; both sides thin
+
+
+def q_track_frechet(spark, sf_dir):
+    from geowave_spark.operators import tracks as OTR2
+
+    tp = TB.geo_track_points(spark, sf_dir).filter(
+        F.col("track_id") % FRECHET_TRACK_MOD == 0
+    )
+    pts = tp.select(
+        "track_id", F.col("j").alias("pt_id"), F.col("j").alias("ts"),
+        "x", "y",
+    )
+    return OTR2.track_frechet_pairs(pts, cell_milli=FRECHET_CELL_MILLI)
+
+
+def _track_frechet_oracle() -> str:
+    nv = TB.TRACK_N_VERTS
+    piv_x = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN x END) AS ax{j}" for j in range(nv)
+    )
+    piv_y = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN y END) AS ay{j}" for j in range(nv)
+    )
+    bcols = ", ".join(
+        f"b.ax{j} AS bx{j}, b.ay{j} AS by{j}" for j in range(nv)
+    )
+    c_cols = ", ".join(
+        f"(ax{i} - bx{j}) * (ax{i} - bx{j}) "
+        f"+ (ay{i} - by{j}) * (ay{i} - by{j}) AS c{i}{j}"
+        for i in range(nv) for j in range(nv)
+    )
+    diag_ctes = []
+    for k in range(1, 2 * nv - 1):
+        exprs = []
+        for i in range(nv):
+            j = k - i
+            if not 0 <= j < nv:
+                continue
+            c = f"c{i}{j}"
+            if i == 0:
+                e = f"GREATEST({c}, d0{j - 1})"
+            elif j == 0:
+                e = f"GREATEST({c}, d{i - 1}0)"
+            else:
+                e = (f"GREATEST({c}, LEAST(d{i - 1}{j}, d{i}{j - 1}, "
+                     f"d{i - 1}{j - 1}))")
+            exprs.append(f"{e} AS d{i}{j}")
+        diag_ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT *, {', '.join(exprs)} FROM d{k - 1})"
+        )
+    gcell = lambda c, off: _idiv_sql(f"{c} + {off}", FRECHET_CELL_MILLI)  # noqa: E731
+    diag_sql = ",\n".join(diag_ctes)
+    a_cols = ", ".join(f"a.ax{j}, a.ay{j}" for j in range(nv))
+    return f"""
+WITH geo_track_points AS ({TB.GEO_TRACK_POINTS_SQL}),
+tv AS MATERIALIZED (
+  SELECT track_id, {piv_x}, {piv_y}
+  FROM geo_track_points
+  WHERE track_id % {FRECHET_TRACK_MOD} = 0
+  GROUP BY track_id
+),
+base AS MATERIALIZED (
+  SELECT a.track_id AS ta, b.track_id AS tb,
+         {a_cols}, {bcols}
+  FROM tv a JOIN tv b
+    ON {gcell('a.ax0', 180000)} = {gcell('b.ax0', 180000)}
+   AND {gcell('a.ay0', 90000)} = {gcell('b.ay0', 90000)}
+   AND a.track_id < b.track_id
+),
+c AS MATERIALIZED (SELECT ta, tb, {c_cols} FROM base),
+d0 AS (SELECT *, c00 AS d00 FROM c),
+{diag_sql}
+SELECT ta AS track_a, tb AS track_b, d{nv - 1}{nv - 1} AS frechet2,
+       CAST({nv} AS BIGINT) AS n_a, CAST({nv} AS BIGINT) AS n_b
+FROM d{2 * nv - 2}
+"""
+
+
+register_extra("track_frechet", q_track_frechet, _track_frechet_oracle())

@@ -239,6 +239,22 @@ class GeoWaveService:
         minx, miny, maxx, maxy = tile_bounds_milli(z, x, y)
         with self.lock:
             df = self._data(name)
+            if "x0" in df.columns and "x1" in df.columns:
+                # segment-grain LINE store (operators/lines.py): envelope
+                # prefilter on the tile preimage, then the line-tile
+                # operator; segments extending past the tile may emit
+                # neighbor tiles too — keep only the requested one
+                from geowave_spark.operators.lines import SEG_ENV_COLS
+
+                mnx, mny, mxx, mxy = (F.col(c) for c in SEG_ENV_COLS)
+                part = df.filter(
+                    (mnx < maxx) & (mxx >= minx) & (mny < maxy) & (mxy >= miny)
+                )
+                rows = [
+                    r for r in OMV.mvt_line_tiles(part, level=z).collect()
+                    if r["tile_ix"] == x and r["tile_iy"] == y
+                ]
+                return bytes(rows[0]["mvt"]) if rows else b""
             if "lon_milli" not in df.columns:
                 raise ValueError(
                     f"store {name!r} has no point coordinates "

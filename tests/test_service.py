@@ -237,3 +237,40 @@ def test_post_snapshot_verbs(wserver):
     assert st == 400
     st, d = _post(base, "/v0/stores/snap/snapshot/frobnicate", {})
     assert st == 400
+
+
+def test_line_store_tile_endpoint(spark, tmp_path):
+    """A segment-grain line store serves MVT line tiles: the endpoint's
+    envelope-prefiltered payload equals the operator's direct output for
+    the same tile."""
+    from geowave_spark.operators import lines as LN
+    from geowave_spark.operators import mvt as OMV
+    from geowave_spark.sources import mvt as W
+
+    pts = spark.createDataFrame(
+        [(t, j, 10_000 + t * 100 + j * 120, 10_000 + j * 90)
+         for t in range(4) for j in range(4)],
+        "track_id long, j long, x long, y long",
+    )
+    segs = LN.line_segments(pts)
+    store = str(tmp_path / "linestore")
+    segs.write.parquet(store)
+    srv = SV.serve(spark, {"ln": store}, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    try:
+        z = 6
+        direct = {(r["tile_ix"], r["tile_iy"]): bytes(r["mvt"])
+                  for r in OMV.mvt_line_tiles(segs, level=z).collect()}
+        assert direct
+        (tx, ty), payload = sorted(direct.items())[0]
+        st, ct, body = _get(base, f"/v0/tiles/ln/{z}/{tx}/{ty}.mvt")
+        assert st == 200 and body == payload
+        dec = W.decode_tile(body)["lines"]
+        assert dec["features"]
+        # a far-away empty tile is a 204
+        st, _, body = _get(base, f"/v0/tiles/ln/{z}/0/0.mvt")
+        assert st == 204 and body == b""
+    finally:
+        srv.shutdown()
