@@ -5136,6 +5136,18 @@ register_extra("lines_bbox", q_lines_bbox, _lines_bbox_oracle())
 register_extra("lines_polygon", q_lines_polygon, _lines_polygon_oracle())
 
 
+def _mvt_lines_level(n_events: int) -> int:
+    """Density-ADAPTIVE export level: a fixed level hits the per-tile
+    never-truncate guard when data density grows (sf1 gate: a blob tile
+    held 307k > 262k features at level 6).  Each deeper level quarters
+    per-tile density; deterministic from the events row count so the
+    oracle replays the same level."""
+    lvl = 6
+    while n_events > 150_000 << (2 * (lvl - 6)):
+        lvl += 1
+    return lvl
+
+
 def q_mvt_lines(spark, sf_dir):
     """Vector-tile export, LINESTRING arm (operators/mvt.mvt_line_tiles):
     segment-grain track store → exact quantized tile assignment
@@ -5145,15 +5157,29 @@ def q_mvt_lines(spark, sf_dir):
     tile explode → SAT → run-merge vertex sums in integer SQL."""
     from geowave_spark.operators import mvt as OMV
 
+    lvl = _mvt_lines_level(
+        spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    )
     pts = TB.geo_track_points(spark, sf_dir)
     segs = LN.line_segments(pts)
-    return OMV.mvt_line_tiles(segs, level=6).select(
+    return OMV.mvt_line_tiles(segs, level=lvl).select(
         "level", "tile_ix", "tile_iy", "n_features", "sum_x", "sum_y", "xor_id"
     )
 
 
-def _mvt_lines_oracle() -> str:
-    n = 1 << 18  # res = level 6 + log2(4096)
+def _mvt_lines_oracle(sf_dir: str) -> str:
+    import duckdb
+
+    con = duckdb.connect()
+    n_events = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    con.close()
+    return _mvt_lines_oracle_sql(_mvt_lines_level(int(n_events)))
+
+
+def _mvt_lines_oracle_sql(level: int) -> str:
+    n = 1 << (level + 12)  # res = level + log2(4096)
     sat = (
         "(LEAST(gx0, gx1) <= bx1 AND GREATEST(gx0, gx1) >= bx0 "
         "AND LEAST(gy0, gy1) <= by1 AND GREATEST(gy0, gy1) >= by0 "
@@ -5201,7 +5227,7 @@ runs AS (
       ) = seg_j - 1 THEN 0 ELSE 1 END AS new_part
   FROM hits
 )
-SELECT CAST(6 AS BIGINT) AS level, tile_ix, tile_iy,
+SELECT CAST({level} AS BIGINT) AS level, tile_ix, tile_iy,
        CAST(COUNT(DISTINCT track_id) AS BIGINT) AS n_features,
        CAST(SUM(lx1 + CASE WHEN new_part = 1 THEN lx0 ELSE 0 END)
             AS BIGINT) AS sum_x,
@@ -5212,7 +5238,7 @@ FROM runs GROUP BY tile_ix, tile_iy
 """
 
 
-register_extra("mvt_lines", q_mvt_lines, _mvt_lines_oracle())
+register_extra("mvt_lines", q_mvt_lines, _mvt_lines_oracle)
 
 
 LINE_RENDER_LEVEL = 7  # pixel grid res 7 + log2(256) = 15
@@ -5490,15 +5516,27 @@ register_extra("pack_sequences_bpe", q_pack_sequences_bpe, _pack_bpe_oracle)
 # everything is integer-exact (d² < 2^39).
 # ---------------------------------------------------------------------------
 
-FRECHET_TRACK_MOD = 37     # shared track subsample: banding over blob cells
-FRECHET_CELL_MILLI = 2_000  # is quadratic in tracks-per-cell; both sides thin
+FRECHET_CELL_MILLI = 2_000
+FRECHET_TRACK_TARGET = 270  # tracks kept by the shared subsample
+
+
+def _frechet_mod(n_events: int) -> int:
+    """Scale-ADAPTIVE track subsample (the sf1-gate lesson: a fixed mod
+    makes banded pair count quadratic in sf — measured 671 s at sf0.1).
+    Keeping ~FRECHET_TRACK_TARGET tracks holds the candidate pair set
+    sf-invariant, so the bench measures the operator, not the subsample;
+    deterministic from the events row count, replayed by the oracle."""
+    return max(37, n_events // FRECHET_TRACK_TARGET)
 
 
 def q_track_frechet(spark, sf_dir):
     from geowave_spark.operators import tracks as OTR2
 
+    mod = _frechet_mod(
+        spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    )
     tp = TB.geo_track_points(spark, sf_dir).filter(
-        F.col("track_id") % FRECHET_TRACK_MOD == 0
+        F.col("track_id") % mod == 0
     )
     pts = tp.select(
         "track_id", F.col("j").alias("pt_id"), F.col("j").alias("ts"),
@@ -5507,7 +5545,18 @@ def q_track_frechet(spark, sf_dir):
     return OTR2.track_frechet_pairs(pts, cell_milli=FRECHET_CELL_MILLI)
 
 
-def _track_frechet_oracle() -> str:
+def _track_frechet_oracle(sf_dir: str) -> str:
+    import duckdb
+
+    con = duckdb.connect()
+    n_events = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    con.close()
+    return _track_frechet_oracle_sql(_frechet_mod(int(n_events)))
+
+
+def _track_frechet_oracle_sql(track_mod: int) -> str:
     nv = TB.TRACK_N_VERTS
     piv_x = ", ".join(
         f"MAX(CASE WHEN j = {j} THEN x END) AS ax{j}" for j in range(nv)
@@ -5550,7 +5599,7 @@ WITH geo_track_points AS ({TB.GEO_TRACK_POINTS_SQL}),
 tv AS MATERIALIZED (
   SELECT track_id, {piv_x}, {piv_y}
   FROM geo_track_points
-  WHERE track_id % {FRECHET_TRACK_MOD} = 0
+  WHERE track_id % {track_mod} = 0
   GROUP BY track_id
 ),
 base AS MATERIALIZED (
@@ -5570,4 +5619,4 @@ FROM d{2 * nv - 2}
 """
 
 
-register_extra("track_frechet", q_track_frechet, _track_frechet_oracle())
+register_extra("track_frechet", q_track_frechet, _track_frechet_oracle)
