@@ -620,7 +620,10 @@ def render_styled_tiles(
     preds = [p for p, _, _ in rules]
     rgb_col = _style_case(preds, [r for _, r, _ in rules], default_rgb)
     hw_col = _style_case(preds, [h for _, _, h in rules], default_halfwidth)
-    r = STYLE_MAX_HALFWIDTH
+    # size the literal marker footprint by the rules actually in force —
+    # thin styles (the common case) explode (2r_eff+1)², not the 49-tap
+    # worst case (measured: the explode row count IS the hot-path cost)
+    r = max([hw for _, _, hw in rules] + [default_halfwidth])
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -927,24 +930,25 @@ def render_line_tiles(
                        F.least(py_hi, F.lit(n - 1)))
         ).alias("_sy"),
     )
-    r = STYLE_MAX_HALFWIDTH
-    offsets = F.array(
-        *[
-            F.struct(F.lit(ddx).alias("dx"), F.lit(ddy).alias("dy"))
-            for ddx in range(-r, r + 1)
-            for ddy in range(-r, r + 1)
-        ]
-    )
+    # Chebyshev dilation via per-row sequence explodes: exactly
+    # (2·hw+1)² rows per supercover pixel, ZERO waste for hw=0 strokes —
+    # on a thin-stroke style the literal-array+filter form (the point
+    # arm's 49-tap shape) amplified every supercover row 9-49× before
+    # the filter, and the supercover row count is already the hot-path
+    # volume here (markers explode per POINT; strokes per painted pixel)
     pixels = (
-        rows.select("*", F.explode(offsets).alias("o"))
-        .filter(
-            (F.abs(F.col("o.dx")) <= F.col("_hw"))
-            & (F.abs(F.col("o.dy")) <= F.col("_hw"))
+        rows.select(
+            "*",
+            F.explode(F.sequence(-F.col("_hw"), F.col("_hw"))).alias("_dx"),
+        )
+        .select(
+            "*",
+            F.explode(F.sequence(-F.col("_hw"), F.col("_hw"))).alias("_dy"),
         )
         .select(
             "_ord", "rgb",
-            (F.col("_sx") + F.col("o.dx")).alias("_gx"),
-            (F.col("_sy") + F.col("o.dy")).alias("_gy"),
+            (F.col("_sx") + F.col("_dx")).alias("_gx"),
+            (F.col("_sy") + F.col("_dy")).alias("_gy"),
         )
         .filter(
             (F.col("_gx") >= 0) & (F.col("_gx") < n)
