@@ -382,6 +382,12 @@ def cmd_query(args, spark_injected, out) -> int:
         from geowave_spark.plans.s2cql import s2_cql_query
 
         res = s2_cql_query(data, args.cql, id_col=args.id_col, leaf_col="s2_leaf")
+    elif "seg_j" in data.columns and "x0" in data.columns:
+        # segment-grain LINE store: BBOX/INTERSECTS answer as exact
+        # line-geometry predicates (per-track verdicts)
+        from geowave_spark.plans.cql import lines_cql_query
+
+        res = lines_cql_query(data, args.cql)
     elif "lon" not in data.columns and "minx" in data.columns:
         # envelope-grain store (shapefile/geotiff ingest): BBOX clauses
         # answer as envelope intersection, not point containment

@@ -358,3 +358,73 @@ def cql_query(
     if residual:
         out = out.filter(F.expr(residual))
     return out
+
+
+def lines_cql_query(
+    segs_indexed: DataFrame,
+    where: str,
+    tiers: list[int] | None = None,
+    max_cells: int = 1024,
+) -> DataFrame:
+    """CQL over a segment-grain LINE store (operators/lines.py) — the
+    tornado_tracks golden shape (GeoWaveBasicSpatialVectorIT.java:41-43:
+    LINESTRING dataset queried by box and polygon) as the SAME CQL
+    grammar the point/envelope stores speak.
+
+    BBOX → exact line∩box (separating-axis segment refine); INTERSECTS
+    with a POLYGON literal → line∩polygon (parity + edge crossing);
+    DWITHIN raises (a distance predicate over a track wants the kNN/track
+    family, not a silent segment-distance reinterpretation).  Degree
+    literals snap to the engine's milli grid with round-half-away — the
+    same convention the stores were built with.  A top-level OR group
+    unions per-clause exact plans and dedups per track keeping the MAX
+    segment-hit count (deterministic).  Returns
+    (track_id, n_segs_hit)."""
+    from geowave_spark.operators import lines as LN
+
+    def _milli(v: float) -> int:
+        import math
+
+        return int(math.floor(abs(v) * 1000 + 0.5)) * (1 if v >= 0 else -1)
+
+    matches = _spatial_matches(where)
+    _spatial, rest_ops = _decompose(where, matches)
+    time_pred, residual = _time_and_residual(rest_ops)
+    if time_pred is not None:
+        raise ValueError(
+            "line stores carry no timestamp column; temporal clauses "
+            "belong on the track-point table before segmentation"
+        )
+    if any(kind == "dwithin" for kind, _ in matches):
+        raise ValueError(
+            "DWITHIN over a line store is not supported — use the kNN/"
+            "track-similarity operators for distance semantics"
+        )
+    if not matches:
+        raise ValueError("line-store CQL needs a spatial clause")
+    arms = []
+    for i, (kind, m) in enumerate(matches):
+        if kind == "bbox":
+            q = (f"cql{i}", _milli(float(m.group(2))), _milli(float(m.group(3))),
+                 _milli(float(m.group(4))), _milli(float(m.group(5))))
+            arms.append(LN.query_bbox_lines(
+                segs_indexed, [q], tiers=tiers, max_cells=max_cells
+            ))
+        else:  # intersects
+            rings = [
+                [(_milli(float(x)), _milli(float(y))) for x, y in ring]
+                for ring in _parse_rings(m.group(2))
+            ]
+            arms.append(LN.query_polygon_lines(
+                segs_indexed, [(f"cql{i}", rings, "INTERSECTS")],
+                tiers=tiers, max_cells=max_cells,
+            ))
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    out = out.groupBy("track_id").agg(
+        F.max("n_segs_hit").alias("n_segs_hit")
+    )
+    if residual:
+        out = out.filter(F.expr(residual))
+    return out

@@ -5620,3 +5620,45 @@ FROM d{2 * nv - 2}
 
 
 register_extra("track_frechet", q_track_frechet, _track_frechet_oracle)
+
+
+# ---------------------------------------------------------------------------
+# lines_cql — the tornado_tracks golden shape end-to-end THROUGH the CQL
+# string surface (plans/cql.lines_cql_query): a top-level OR of a BBOX and
+# a concave-polygon INTERSECTS over the segment-grain line store, unioned
+# and per-track max-count deduped.  The oracle replays both predicates
+# (same generated SQL text) and the max-dedup.
+# ---------------------------------------------------------------------------
+
+LINES_CQL = (
+    "BBOX(geom, 138.6, 34.9, 140.5, 36.3) OR "
+    "INTERSECTS(geom, POLYGON((2.0 48.4, 3.0 48.4, 3.0 49.3, "
+    "2.35 48.9, 2.0 49.3)))"
+)
+_LINES_CQL_RINGS = [[(2_000, 48_400), (3_000, 48_400), (3_000, 49_300),
+                     (2_350, 48_900), (2_000, 49_300)]]
+
+
+def q_lines_cql(spark, sf_dir):
+    from geowave_spark.plans.cql import lines_cql_query
+
+    pts = TB.geo_track_points(spark, sf_dir)
+    idx = LN.index_line_segments(LN.line_segments(pts))
+    return lines_cql_query(idx, LINES_CQL)
+
+
+def _lines_cql_oracle() -> str:
+    box = LN.sql_seg_box(138_600, 34_900, 140_500, 36_300)
+    poly = LN.sql_seg_poly_hit(_LINES_CQL_RINGS)
+    return _lines_oracle_prefix() + f"""
+SELECT track_id, MAX(n_segs_hit) AS n_segs_hit FROM (
+  SELECT track_id, COUNT(*) AS n_segs_hit FROM segs
+  WHERE {box} GROUP BY track_id
+  UNION ALL
+  SELECT track_id, COUNT(*) AS n_segs_hit FROM segs
+  WHERE {poly} GROUP BY track_id
+) u GROUP BY track_id
+"""
+
+
+register_extra("lines_cql", q_lines_cql, _lines_cql_oracle())

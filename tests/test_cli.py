@@ -467,3 +467,21 @@ def test_cli_debug_verbs(spark, sf_dir, tmp_path):
     assert lines[0].startswith("cover_resolution\t")
     n_cells = int(lines[-1].split("\t")[1])
     assert n_cells >= 1 and sum(1 for L in lines if L.startswith("cell\t")) == n_cells
+
+
+def test_cli_query_line_store(spark, sf_dir, tmp_path):
+    from geowave_spark.operators import index as OI
+    from geowave_spark.operators import lines as LN
+    from geowave_spark.plans.cql import lines_cql_query
+
+    store = tmp_path / "linestore"
+    pts = TB.geo_track_points(spark, sf_dir)
+    idx = LN.index_line_segments(LN.line_segments(pts))
+    OI.write_indexed(idx, str(store))
+    _run(spark, tmp_path, "config", "addstore", "ln", "--path", str(store))
+    cql = "BBOX(geom, 138.6, 34.9, 140.5, 36.3)"
+    out = _run(spark, tmp_path, "query", "ln", cql,
+               "--out", str(tmp_path / "lq"))
+    n = int(out.split("wrote ")[1].split()[0])
+    want = lines_cql_query(OI.read_indexed(spark, str(store)), cql).count()
+    assert n == want > 0

@@ -279,3 +279,41 @@ def test_shapefile_polyline_to_line_store(spark):
     idx = L.index_line_segments(spark.createDataFrame([r.asDict() for r in segs]))
     out = L.query_bbox_lines(idx, [("q", 0, 0, 2_500, 2_500)]).collect()
     assert [(r["track_id"], r["n_segs_hit"]) for r in out] == [(7, 2)]
+
+
+def test_lines_cql_query(seg_store, spark):
+    """CQL string surface over the line store: BBOX and INTERSECTS route
+    to the exact operators; OR group unions with max-count dedup; bad
+    clauses raise loudly."""
+    from geowave_spark.plans.cql import lines_cql_query
+
+    _segs, idx, pdf = seg_store
+    cql = ("BBOX(geom, 138.6, 34.9, 140.5, 36.3) OR "
+           "INTERSECTS(geom, POLYGON((2.0 48.4, 3.0 48.4, 3.0 49.3, "
+           "2.35 48.9, 2.0 49.3)))")
+    got = {(r["track_id"], r["n_segs_hit"])
+           for r in lines_cql_query(idx, cql).collect()}
+
+    s0 = pdf[["x0", "y0"]].to_numpy(np.int64)
+    s1 = pdf[["x1", "y1"]].to_numpy(np.int64)
+    box_hit = G.segments_intersect_box(s0, s1, 138_600, 34_900,
+                                       140_500, 36_300)
+    rings = [np.array([[2_000, 48_400], [3_000, 48_400], [3_000, 49_300],
+                       [2_350, 48_900], [2_000, 49_300]], float)]
+    polys = [rings]
+    in0 = G.points_in_polygon(s0[:, 0].astype(float), s0[:, 1].astype(float), polys)
+    in1 = G.points_in_polygon(s1[:, 0].astype(float), s1[:, 1].astype(float), polys)
+    crossed = G._segs_cross_polys(s0.astype(float), s1.astype(float), polys)
+    poly_hit = in0 | in1 | crossed
+    exp = {}
+    for hit in (box_hit, poly_hit):
+        for tid, cnt in pdf.loc[hit].groupby("track_id").size().items():
+            exp[tid] = max(exp.get(tid, 0), cnt)
+    assert got == set(exp.items()) and got
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="DWITHIN"):
+        lines_cql_query(idx, "DWITHIN(geom, POINT(0 0), 100, milli_degrees)")
+    with _pt.raises(ValueError, match="spatial clause"):
+        lines_cql_query(idx, "track_id > 5")
