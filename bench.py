@@ -104,6 +104,8 @@ HEADLINE_INPUTS = {
     "pack_sequences_bpe": "documents",
     "cluster_hulls_convex": "events",
     "track_frechet": "events",
+    "lines_cql": "events",
+    "lines_in_polygons": "events",
 }
 HEADLINE = list(HEADLINE_INPUTS)
 

@@ -980,6 +980,14 @@ def geom_op_batch(op: str, a_list, b_list) -> np.ndarray:
 
     # (area_buf, a_is_point) -> [(row, px, py), ...] for batched PIP
     buckets: dict = {}
+    # (area_buf, line_is_a) -> [(row, line_buf), ...] for batched line ops
+    # (a large×large line join makes every (line, area) pair DISTINCT, so
+    # the pair cache never hits — measured 77 s of per-pair scalar kernels
+    # on one sf0.1 join before this bucket existed)
+    line_buckets: dict = {}
+    line_op_vectorizable = op in (
+        "intersects", "disjoint", "within", "contains", "covers", "crosses"
+    )
     pair_cache: dict = {}
     for i in range(n):
         wa, wb = a_list[i], b_list[i]
@@ -993,6 +1001,18 @@ def geom_op_batch(op: str, a_list, b_list) -> np.ndarray:
             buckets.setdefault((wb, True), []).append((i, ga[0], ga[1]))
         elif tb == WKB_POINT and ta in (WKB_POLYGON, WKB_MULTIPOLYGON):
             buckets.setdefault((wa, False), []).append((i, gb[0], gb[1]))
+        elif (
+            line_op_vectorizable
+            and ta in (WKB_LINESTRING, WKB_MULTILINESTRING)
+            and tb in (WKB_POLYGON, WKB_MULTIPOLYGON)
+        ):
+            line_buckets.setdefault((wb, True), []).append((i, wa))
+        elif (
+            line_op_vectorizable
+            and tb in (WKB_LINESTRING, WKB_MULTILINESTRING)
+            and ta in (WKB_POLYGON, WKB_MULTIPOLYGON)
+        ):
+            line_buckets.setdefault((wa, False), []).append((i, wb))
         else:
             key = (wa, wb)
             v = pair_cache.get(key)
@@ -1009,7 +1029,67 @@ def geom_op_batch(op: str, a_list, b_list) -> np.ndarray:
         verdict = _pt_poly_verdict(op, points_in_polygon(px, py, polys), a_is_point)
         for j, v in zip(idx, verdict):
             out[j] = bool(v)
+    for (buf, line_is_a), rows in line_buckets.items():
+        t, g = parsed(buf)
+        polys = [g] if t == WKB_POLYGON else g
+        _line_poly_bucket(op, rows, polys, line_is_a, parsed, out)
     return out
+
+
+def _line_poly_bucket(op: str, rows, polys, line_is_a: bool,
+                      parsed, out) -> None:
+    """Vectorized line-vs-area decisions for every row sharing one area
+    geometry: all vertices of all lines go through ONE points_in_polygon
+    call, all segments through one boundary-crossing sweep; per-line
+    verdicts fold by segment membership (the line-vs-area arm of
+    _geom_op_line, batched)."""
+    seg_line: list[int] = []   # per segment: its row position in `rows`
+    s0s, s1s = [], []
+    vert_line: list[int] = []
+    vxs, vys = [], []
+    for k, (_i, lbuf) in enumerate(rows):
+        t, payload = parsed(lbuf)
+        parts = [payload] if t == WKB_LINESTRING else payload
+        for p in parts:
+            p = np.asarray(p, dtype=np.float64)
+            vert_line.extend([k] * len(p))
+            vxs.append(p[:, 0])
+            vys.append(p[:, 1])
+            if len(p) >= 2:
+                seg_line.extend([k] * (len(p) - 1))
+                s0s.append(p[:-1])
+                s1s.append(p[1:])
+    vx = np.concatenate(vxs)
+    vy = np.concatenate(vys)
+    v_in = points_in_polygon(vx, vy, polys)
+    vl = np.asarray(vert_line, dtype=np.int64)
+    nrows = len(rows)
+    any_in = np.zeros(nrows, dtype=bool)
+    np.logical_or.at(any_in, vl, v_in)
+    all_in = np.ones(nrows, dtype=bool)
+    np.logical_and.at(all_in, vl, v_in)
+    any_cross = np.zeros(nrows, dtype=bool)
+    if s0s:
+        crossed = _segs_cross_polys(np.concatenate(s0s), np.concatenate(s1s),
+                                    polys)
+        np.logical_or.at(any_cross, np.asarray(seg_line, dtype=np.int64),
+                         crossed)
+    inter = any_in | any_cross
+    within = all_in & ~any_cross
+    if op == "intersects":
+        verdict = inter
+    elif op == "disjoint":
+        verdict = ~inter
+    elif op == "within":
+        verdict = within if line_is_a else np.zeros(nrows, dtype=bool)
+    elif op in ("contains", "covers"):
+        verdict = np.zeros(nrows, dtype=bool) if line_is_a else within
+    elif op == "crosses":
+        verdict = inter & ~within
+    else:  # pragma: no cover — gated by line_op_vectorizable
+        raise ValueError(op)
+    for (i, _lbuf), v in zip(rows, verdict):
+        out[i] = bool(v)
 
 
 def convex_hull(pts: np.ndarray) -> np.ndarray:

@@ -148,10 +148,13 @@ def segments_from_wkb(
     return slim.mapInPandas(gen, out_schema)
 
 
-def tracks_to_wkb(segs: DataFrame) -> DataFrame:
-    """Segment rows → one WKB LineString per track (degrees) — the export
-    side of the codec.  collect_list is bounded by track length (a device
-    history), never data volume."""
+def tracks_to_wkb(segs: DataFrame, milli: bool = False) -> DataFrame:
+    """Segment rows → one WKB LineString per track — the export side of
+    the codec.  Default coordinates are degrees; ``milli=True`` keeps the
+    integer milli grid (the coordinate contract of the geometry joins,
+    operators/join.geometries_intersect_join — integer-valued float64s
+    make the predicates bit-reproducible in SQL).  collect_list is
+    bounded by track length (a device history), never data volume."""
     import pandas as pd
 
     from geowave_spark.functions import geometry as G
@@ -161,13 +164,14 @@ def tracks_to_wkb(segs: DataFrame) -> DataFrame:
             F.collect_list(F.struct("seg_j", "x0", "y0", "x1", "y1"))
         ).alias("ss")
     )
+    div = 1.0 if milli else 1000.0
 
     def enc(batches):
         for pdf in batches:
             wkbs = []
             for ss in pdf["ss"]:
-                v = [(s["x0"] / 1000.0, s["y0"] / 1000.0) for s in ss]
-                v.append((ss[-1]["x1"] / 1000.0, ss[-1]["y1"] / 1000.0))
+                v = [(s["x0"] / div, s["y0"] / div) for s in ss]
+                v.append((ss[-1]["x1"] / div, ss[-1]["y1"] / div))
                 wkbs.append(G.wkb_linestring(np.asarray(v)))
             yield pd.DataFrame(
                 {"track_id": pdf["track_id"], "wkb": wkbs}
@@ -253,6 +257,40 @@ def _sql_seg_edge(ex0, ey0, ex1, ey1, x0, y0, x1, y1) -> str:
            f"AND {ex1} <= GREATEST({x0}, {x1}) "
            f"AND LEAST({y0}, {y1}) <= {ey1} "
            f"AND {ey1} <= GREATEST({y0}, {y1}))")
+    return f"({proper} OR {on1} OR {on2} OR {on3} OR {on4})"
+
+
+def sql_seg_edge_expr(ex0: str, ey0: str, ex1: str, ey1: str,
+                      x0="x0", y0="y0", x1="x1", y1="y1") -> str:
+    """:func:`_sql_seg_edge` with the edge endpoints as SQL EXPRESSIONS
+    (per-row geometry, e.g. a polygon table's vertex formulas) instead of
+    Python literals — the oracle form for large×large line joins."""
+    dxe = f"(({ex1}) - ({ex0}))"
+    dye = f"(({ey1}) - ({ey0}))"
+    d1 = f"({dxe} * ({y0} - ({ey0})) - {dye} * ({x0} - ({ex0})))"
+    d2 = f"({dxe} * ({y1} - ({ey0})) - {dye} * ({x1} - ({ex0})))"
+    d3 = f"(({x1} - {x0}) * (({ey0}) - {y0}) - ({y1} - {y0}) * (({ex0}) - {x0}))"
+    d4 = f"(({x1} - {x0}) * (({ey1}) - {y0}) - ({y1} - {y0}) * (({ex1}) - {x0}))"
+    proper = (
+        f"((({d1} > 0 AND {d2} < 0) OR ({d1} < 0 AND {d2} > 0)) "
+        f"AND (({d3} > 0 AND {d4} < 0) OR ({d3} < 0 AND {d4} > 0)))"
+    )
+    on1 = (f"({d1} = 0 AND LEAST({ex0}, {ex1}) <= {x0} "
+           f"AND {x0} <= GREATEST({ex0}, {ex1}) "
+           f"AND LEAST({ey0}, {ey1}) <= {y0} "
+           f"AND {y0} <= GREATEST({ey0}, {ey1}))")
+    on2 = (f"({d2} = 0 AND LEAST({ex0}, {ex1}) <= {x1} "
+           f"AND {x1} <= GREATEST({ex0}, {ex1}) "
+           f"AND LEAST({ey0}, {ey1}) <= {y1} "
+           f"AND {y1} <= GREATEST({ey0}, {ey1}))")
+    on3 = (f"({d3} = 0 AND LEAST({x0}, {x1}) <= ({ex0}) "
+           f"AND ({ex0}) <= GREATEST({x0}, {x1}) "
+           f"AND LEAST({y0}, {y1}) <= ({ey0}) "
+           f"AND ({ey0}) <= GREATEST({y0}, {y1}))")
+    on4 = (f"({d4} = 0 AND LEAST({x0}, {x1}) <= ({ex1}) "
+           f"AND ({ex1}) <= GREATEST({x0}, {x1}) "
+           f"AND LEAST({y0}, {y1}) <= ({ey1}) "
+           f"AND ({ey1}) <= GREATEST({y0}, {y1}))")
     return f"({proper} OR {on1} OR {on2} OR {on3} OR {on4})"
 
 

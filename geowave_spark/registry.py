@@ -5662,3 +5662,86 @@ SELECT track_id, MAX(n_segs_hit) AS n_segs_hit FROM (
 
 
 register_extra("lines_cql", q_lines_cql, _lines_cql_oracle())
+
+
+# ---------------------------------------------------------------------------
+# lines_in_polygons — large×large LINE×polygon join: the geometry-join
+# matrix row the line family completes.  The track LineStrings (milli-grid
+# WKB) join the triangle table through the SHARED PBSM machinery + the
+# geom_op_batch line∩polygon arm (operators/join.geometries_intersect_join
+# — no new join code; the round-5 line kernels light the path up).  The
+# oracle replays per (track, triangle): EXISTS a segment with an endpoint
+# inside (3 half-planes, convex CCW) or a closed crossing against one of
+# the 3 edges — expression-endpoint seg×edge SQL (lines.sql_seg_edge_expr),
+# agreeing with the kernel even on boundary contact because a boundary
+# endpoint always satisfies the crossing arm on both sides.
+# ---------------------------------------------------------------------------
+
+LINES_TRI_MOD = 211
+
+
+def q_lines_in_polygons(spark, sf_dir):
+    from geowave_spark.operators.join import geometries_intersect_join
+
+    geo = TB.geo_events(spark, sf_dir)
+    tri = geo.filter(
+        (F.col("event_id") % LINES_TRI_MOD == 0)
+        & (F.abs(F.col("lon_milli")) <= 180000 - _TRI_DX)
+        & (F.abs(F.col("lat_milli")) <= 90000 - _TRI_DY)
+    ).select(
+        F.col("event_id").alias("poly_id"),
+        _tri_wkb(
+            F.col("lon_milli").cast("double"), F.col("lat_milli").cast("double")
+        ).alias("wkb"),
+    )
+    pts = TB.geo_track_points(spark, sf_dir)
+    lines_wkb = LN.tracks_to_wkb(LN.line_segments(pts), milli=True)
+    return geometries_intersect_join(
+        lines_wkb, tri, left_id="track_id", right_id="poly_id"
+    ).select("track_id", "poly_id")
+
+
+def _lines_in_polygons_oracle() -> str:
+    dx, dy = _TRI_DX, _TRI_DY
+    # CCW triangle vertices around seed (cx, cy): (cx, cy-dy),
+    # (cx+dx, cy+dy), (cx-dx, cy+dy) — _tri_wkb's ring
+    v = [("t.cx", f"t.cy - {dy}"), (f"t.cx + {dx}", f"t.cy + {dy}"),
+         (f"t.cx - {dx}", f"t.cy + {dy}")]
+
+    def inside(px: str, py: str) -> str:
+        arms = []
+        for i in range(3):
+            ax, ay = v[i]
+            bx, by = v[(i + 1) % 3]
+            arms.append(
+                f"(({bx}) - ({ax})) * ({py} - ({ay})) "
+                f"- (({by}) - ({ay})) * ({px} - ({ax})) >= 0"
+            )
+        return "(" + " AND ".join(arms) + ")"
+
+    crossing = " OR ".join(
+        LN.sql_seg_edge_expr(*v[i], *v[(i + 1) % 3], "s.x0", "s.y0",
+                             "s.x1", "s.y1")
+        for i in range(3)
+    )
+    return f"""
+WITH geo_track_points AS ({TB.GEO_TRACK_POINTS_SQL}),
+segs AS MATERIALIZED ({_LINES_SEGS_SQL}),
+geo_events AS MATERIALIZED ({TB.GEO_EVENTS_SQL}),
+tri AS MATERIALIZED (
+  SELECT event_id AS poly_id, lon_milli AS cx, lat_milli AS cy
+  FROM geo_events
+  WHERE event_id % {LINES_TRI_MOD} = 0
+    AND abs(lon_milli) <= {180000 - dx} AND abs(lat_milli) <= {90000 - dy}
+)
+SELECT DISTINCT s.track_id, t.poly_id
+FROM segs s JOIN tri t
+  ON LEAST(s.x0, s.x1) <= t.cx + {dx} AND GREATEST(s.x0, s.x1) >= t.cx - {dx}
+ AND LEAST(s.y0, s.y1) <= t.cy + {dy} AND GREATEST(s.y0, s.y1) >= t.cy - {dy}
+WHERE {inside('s.x0', 's.y0')} OR {inside('s.x1', 's.y1')} OR ({crossing})
+"""
+
+
+register_extra(
+    "lines_in_polygons", q_lines_in_polygons, _lines_in_polygons_oracle()
+)

@@ -317,3 +317,27 @@ def test_lines_cql_query(seg_store, spark):
         lines_cql_query(idx, "DWITHIN(geom, POINT(0 0), 100, milli_degrees)")
     with _pt.raises(ValueError, match="spatial clause"):
         lines_cql_query(idx, "track_id > 5")
+
+
+def test_geom_op_batch_line_bucket_ops():
+    """Vectorized line-vs-area bucket agrees with the scalar kernel across
+    every vectorizable op, mixed with point rows in one batch."""
+    wp = G.wkb_polygon([SQUARE[0]])
+    lines = [
+        G.wkb_linestring(np.array([[-5, 5], [15, 5]], float)),   # crosses
+        G.wkb_linestring(np.array([[1, 1], [9, 9]], float)),     # within
+        G.wkb_linestring(np.array([[20, 20], [30, 30]], float)),  # disjoint
+        G.wkb_multilinestring([np.array([[1, 1], [2, 2]], float),
+                               np.array([[20, 20], [30, 30]], float)]),
+    ]
+    for op in ("intersects", "disjoint", "within", "crosses", "contains",
+               "covers"):
+        a = lines + [G.wkb_point(5.0, 5.0)]
+        b = [wp] * len(a)
+        batch = G.geom_op_batch(op, a, b)
+        scalar = [G.geom_op(op, x, wp) for x in a]
+        assert list(batch) == scalar, op
+        # and the flipped orientation (polygon on the A side)
+        batch_f = G.geom_op_batch(op, b, a)
+        scalar_f = [G.geom_op(op, wp, x) for x in a]
+        assert list(batch_f) == scalar_f, op
