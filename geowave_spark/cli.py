@@ -635,12 +635,16 @@ def cmd_export(args, spark_injected, out) -> int:
 
         from geowave_spark.operators import mvt as OMV
 
-        if "lon_milli" not in df.columns:
+        if "seg_j" in df.columns and "x0" in df.columns:
+            # segment-grain line store: LINESTRING layer tiles
+            tiles = OMV.mvt_line_tiles(df, level=args.level).collect()
+        elif "lon_milli" not in df.columns:
             raise ValueError(
                 f"store {args.store!r} is not point-grain (no lon_milli "
-                "column) — mvt export needs a point store"
+                "column) — mvt export needs a point or line store"
             )
-        tiles = OMV.mvt_point_tiles(df, level=args.level).collect()
+        else:
+            tiles = OMV.mvt_point_tiles(df, level=args.level).collect()
         for r in tiles:
             d = _os.path.join(args.dest, str(args.level), str(r["tile_ix"]))
             _os.makedirs(d, exist_ok=True)

@@ -309,6 +309,11 @@ def mvt_line_tiles(
     shift = _extent_shift(extent)
     res = level + shift
     g = lambda c, off, span: X.grid_milli_col(F.col(c), off, span, F.lit(res))  # noqa: E731
+    if "n_dup" in segs.columns:
+        # an INDEXED line store carries one row per covering cell
+        # (multi-cell insertion ids) — emit each segment once per tile,
+        # the DedupeFilter gating every multi-cell reader applies
+        segs = segs.dropDuplicates([track_col, "seg_j"])
     base = spread(
         segs.select(
             F.col(track_col).cast("long").alias("_id"),

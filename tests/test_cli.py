@@ -485,3 +485,27 @@ def test_cli_query_line_store(spark, sf_dir, tmp_path):
     n = int(out.split("wrote ")[1].split()[0])
     want = lines_cql_query(OI.read_indexed(spark, str(store)), cql).count()
     assert n == want > 0
+
+
+def test_cli_export_mvt_line_store(spark, tmp_path):
+    from geowave_spark.operators import index as OI
+    from geowave_spark.operators import lines as LN
+    from geowave_spark.sources import mvt as W
+
+    pts = spark.createDataFrame(
+        [(t, j, 10_000 + t * 100 + j * 120, 10_000 + j * 90)
+         for t in range(3) for j in range(4)],
+        "track_id long, j long, x long, y long",
+    )
+    segs = LN.line_segments(pts)
+    store = tmp_path / "lnstore"
+    OI.write_indexed(LN.index_line_segments(segs), str(store))
+    _run(spark, tmp_path, "config", "addstore", "lx", "--path", str(store))
+    dest = tmp_path / "tiles"
+    out = _run(spark, tmp_path, "export", "lx", str(dest),
+               "--format", "mvt", "--level", "6")
+    assert "mvt tiles" in out
+    found = list(dest.rglob("*.mvt"))
+    assert found
+    dec = W.decode_tile(found[0].read_bytes())
+    assert dec["lines"]["features"]

@@ -284,3 +284,23 @@ def test_line_tiles_decode_and_run_merge(spark):
             if track == 2 and len(exp_parts) == 2:
                 seen_gap_break = True
     assert seen_gap_break
+
+
+def test_line_tiles_dedupe_indexed_store(spark):
+    """An INDEXED line store (multi-cell duplicate rows, n_dup) yields
+    the same tiles as the raw segment table — DedupeFilter gating."""
+    from geowave_spark.operators import lines as L
+
+    pts = spark.createDataFrame(
+        [(t, j, 10_000 + t * 100 + j * 120, 10_000 + j * 90)
+         for t in range(3) for j in range(4)],
+        "track_id long, j long, x long, y long",
+    )
+    segs = L.line_segments(pts)
+    idx = L.index_line_segments(segs)
+    assert idx.count() > segs.count()  # duplicates actually present
+    raw = {(r["tile_ix"], r["tile_iy"]): bytes(r["mvt"])
+           for r in OMVT.mvt_line_tiles(segs, level=6).collect()}
+    via_idx = {(r["tile_ix"], r["tile_iy"]): bytes(r["mvt"])
+               for r in OMVT.mvt_line_tiles(idx, level=6).collect()}
+    assert raw == via_idx
