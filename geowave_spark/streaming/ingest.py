@@ -648,3 +648,100 @@ def stream_segment_tracks(
         "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_track_geofence(
+    spark: SparkSession,
+    source,
+    rings: list,
+    schema,
+    state_timeout_hours: int = 48,
+    track_col: str = "track_id",
+    id_col: str = "pt_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Continuous LINE geofencing: stream track points → stateful pairing
+    into segments (the previous point per track is the ONLY state — two
+    longs) → exact integer segment∩polygon filter.
+
+    Segment-grain fencing catches what the point geofence
+    (:func:`stream_geofence`) structurally cannot: a track that CROSSES a
+    fence between two sample points (both samples outside, the path
+    through) — the standard miss of sampled geofencing.  The refine is
+    the SAME generated predicate SQL the batch line store uses
+    (operators/lines.sql_seg_poly_hit via F.expr — pure codegen, no
+    Python in the filter), so batch and stream verdicts agree
+    row-for-row (pytest parity).  ``rings``: integer milli vertex rings,
+    exterior first.
+
+    State: O(active tracks) — (last_x, last_y) per track, dropped after
+    ``state_timeout_hours`` idle (a later point restarts its track with
+    no phantom segment across the gap; the bounded-state trade-off every
+    stateful operator here shares)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from geowave_spark.operators.lines import sql_seg_poly_hit
+
+    raw = open_stream(spark, source, schema)
+    pts = raw.select(
+        F.col(track_col).cast("long").alias("track_id"),
+        F.col(id_col).cast("long").alias("pt_id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("track_id", T.LongType()),
+            T.StructField("seg_end_pt", T.LongType()),
+            T.StructField("x0", T.LongType()),
+            T.StructField("y0", T.LongType()),
+            T.StructField("x1", T.LongType()),
+            T.StructField("y1", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_x", T.LongType()),
+            T.StructField("last_y", T.LongType()),
+        ]
+    )
+
+    def pair_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks).sort_values("pt_id", kind="mergesort")
+        xs = rows["x"].to_numpy()
+        ys = rows["y"].to_numpy()
+        ids = rows["pt_id"].to_numpy()
+        prev = state.get if state.exists else None
+        out = {k: [] for k in ("seg_end_pt", "x0", "y0", "x1", "y1")}
+        for i in range(len(xs)):
+            if prev is not None:
+                out["seg_end_pt"].append(int(ids[i]))
+                out["x0"].append(int(prev[0]))
+                out["y0"].append(int(prev[1]))
+                out["x1"].append(int(xs[i]))
+                out["y1"].append(int(ys[i]))
+            prev = (int(xs[i]), int(ys[i]))
+        state.update(prev)
+        state.setTimeoutDuration(state_timeout_hours * 3600 * 1000)
+        if out["seg_end_pt"]:
+            yield pd.DataFrame(
+                {"track_id": int(key[0]), **out}
+            )
+
+    segs = pts.groupBy("track_id").applyInPandasWithState(
+        pair_fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    return segs.filter(F.expr(sql_seg_poly_hit(rings)))

@@ -341,3 +341,21 @@ def test_geom_op_batch_line_bucket_ops():
         batch_f = G.geom_op_batch(op, b, a)
         scalar_f = [G.geom_op(op, wp, x) for x in a]
         assert list(batch_f) == scalar_f, op
+
+
+def test_line_query_plan_has_no_python_eval(seg_store):
+    """The exact line refine is pure Catalyst integer arithmetic — no
+    Python worker anywhere in the query plan (the predicate SQL compiles
+    through F.expr).  Regression guard for the zero-UDF hot path."""
+    _segs, idx, _pdf = seg_store
+    for df in (
+        L.query_bbox_lines(idx, [("q", 138_600, 34_900, 140_500, 36_300)]),
+        L.query_polygon_lines(
+            idx, [("p", [[(0, 0), (10_000, 0), (10_000, 10_000)]],
+                   "INTERSECTS")],
+        ),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" not in plan

@@ -481,3 +481,58 @@ def test_stream_segment_tracks_matches_batch(spark, sf_dir, tmp_path):
         (r["track_id"], r["pt_id"]): r["seg"] for r in batch.collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_stream_track_geofence_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming segment geofence == batch line_segments + the same
+    predicate, across a two-micro-batch split (the pairing state carries
+    the last point over the restart) — including a crossing whose BOTH
+    endpoints are outside the fence."""
+    from geowave_spark.operators import lines as LN
+    from geowave_spark.sources import tables as TB
+    from geowave_spark.streaming.ingest import stream_track_geofence
+
+    rings = [[(139_000, 35_000), (140_200, 35_000), (140_200, 36_000),
+              (139_000, 36_000)]]
+    pts = TB.geo_track_points(spark, sf_dir).filter(
+        F.col("track_id") % 11 == 0
+    ).select("track_id", F.col("j").alias("pt_id"), "x", "y")
+    # synthetic crossing track: both endpoints OUTSIDE the fence, the
+    # segment straight through — the case a point geofence misses
+    cross = spark.createDataFrame(
+        [(999_901, 0, 138_500, 35_500), (999_901, 1, 140_900, 35_500)],
+        "track_id long, pt_id long, x long, y long",
+    )
+    pts = pts.unionByName(cross)
+    src = str(tmp_path / "gf_src")
+    first = pts.filter(F.col("pt_id") <= 1)
+    second = pts.filter(F.col("pt_id") > 1)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        out = stream_track_geofence(spark, src, rings, first.schema)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "gf_sink"))
+            .option("checkpointLocation", str(tmp_path / "gf_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    second.coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = {
+        (r["track_id"], r["seg_end_pt"])
+        for r in spark.read.parquet(str(tmp_path / "gf_sink")).collect()
+    }
+    batch_segs = LN.line_segments(
+        pts.withColumnRenamed("pt_id", "j")
+    ).filter(F.expr(LN.sql_seg_poly_hit(rings)))
+    exp = {
+        (r["track_id"], r["seg_j"] + 1) for r in batch_segs.collect()
+    }
+    assert got == exp
+    assert (999_901, 1) in got  # the through-crossing is caught
